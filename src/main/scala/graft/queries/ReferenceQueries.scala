@@ -1,0 +1,464 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.agg.VecAgg
+import graft.functions.{Tokenize, VecMath}
+
+/** The reference's operator surface (SURVEY.md §2) re-expressed as
+  * idiomatic Spark queries, each with a DuckDB oracle.
+  *
+  * Naming: q01..q20 follow SURVEY.md §2 operator ids (cited per query).
+  * Every computed/aggregated column is aliased identically in the Spark
+  * plan and the oracle SQL; every query ends in a deterministic ORDER BY;
+  * every floating-point output is `round(x, 6)` (or 2 for money) so both
+  * engines hash identically.
+  */
+object ReferenceQueries {
+
+  /** DuckDB fragment: tokenize `text` exactly like [[Tokenize.tokens]]. */
+  val SqlTok = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  private def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("token"))
+
+  // === The derived word-vector dimension table (FIXTURES.md A) ===
+  // The reference's `fasttext.word-vectors-<lang>` table (word -> 300-d
+  // vector + idf; `worker.py:57`) has no testdata analogue, so the engine
+  // derives one deterministically from the corpus itself: vocabulary =
+  // distinct tokens of length >= 4 (P6-style length gate), idf = the E2
+  // pipeline (occurrence-count quirk A2 + floor quirk F6,
+  // `calculate_idf_scores.py:74-77`), vector = an 8-dim pseudo-vector
+  // computed from the token's characters (deterministic in both engines).
+  val VecDim = 8
+
+  /** vec[d] = ((ascii(token[d % len]) * (d+1)) % 97) / 97.0 */
+  private def pseudoVec(token: Column): Column =
+    transform(sequence(lit(0), lit(VecDim - 1)), d =>
+      pmod(ascii(token.substr(pmod(d, length(token)) + 1, lit(1))) * (d + 1),
+        lit(97)).cast("double") / 97.0)
+
+  /** (token, occurrences, idf) with the reference's exact idf semantics:
+    * N = count of qualifying posts; occ = total occurrences (not doc
+    * freq); raw = log10(N/occ) if occ>0 else -1; final = raw if raw>0
+    * else min(raw over all vocab). `calculate_idf_scores.py:28-77`.
+    */
+  private def idfTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docTokens(docs)
+    val vocab = tok.select("token").distinct().filter(length(col("token")) >= 4)
+    val posts = docs.filter(col("lang") === "en" && col("n_chars") >= 100)
+    val nDf = posts.agg(count(lit(1)).cast("double").as("n_posts"))
+    val occ = docTokens(posts).groupBy("token").agg(count(lit(1)).as("c"))
+    val raw = vocab.join(occ, Seq("token"), "left")
+      .withColumn("occurrences", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(nDf))
+      .withColumn("raw",
+        when(col("occurrences") > 0, log10(col("n_posts") / col("occurrences")))
+          .otherwise(lit(-1.0)))
+    val minDf = raw.agg(min(col("raw")).as("min_raw"))
+    raw.crossJoin(broadcast(minDf))
+      .withColumn("idf",
+        when(col("raw") > 0, col("raw")).otherwise(col("min_raw")))
+      .select("token", "occurrences", "idf")
+  }
+
+  /** Shared oracle CTE prefix mirroring [[idfTable]]. */
+  private val SqlIdfCtes =
+    s"""tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |vocab AS (SELECT DISTINCT token FROM tok WHERE length(token) >= 4),
+       |posts AS (SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 100),
+       |nn AS (SELECT count(*)::DOUBLE AS n_posts FROM posts),
+       |occ AS (SELECT t.token, count(*) AS c FROM tok t JOIN posts p USING (doc_id) GROUP BY t.token),
+       |raw AS (SELECT v.token, coalesce(o.c, 0) AS occurrences,
+       |        CASE WHEN coalesce(o.c, 0) > 0 THEN log10((SELECT n_posts FROM nn) / coalesce(o.c, 0)) ELSE -1.0 END AS raw
+       |        FROM vocab v LEFT JOIN occ o USING (token)),
+       |wv AS (SELECT token, occurrences,
+       |       CASE WHEN raw > 0 THEN raw ELSE (SELECT min(raw) FROM raw) END AS idf FROM raw)""".stripMargin
+
+  // ======================================================================
+  // S1/P3: pending-posts scan with Mongo `$ne: true` trivalent semantics
+  // (`worker.py:99`). flag IS DISTINCT FROM true must keep NULL rows.
+  def q01_pending_scan(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("flag",
+        when(col("doc_id") % 3 === 0, lit(true))
+          .when(col("doc_id") % 3 === 1, lit(null).cast("boolean"))
+          .otherwise(lit(false)))
+      .filter(!coalesce(col("flag"), lit(false)))
+      .select("doc_id").orderBy("doc_id")
+
+  val q01Sql: String =
+    """WITH p AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN true WHEN doc_id % 3 = 1 THEN NULL ELSE false END AS flag
+      |  FROM documents)
+      |SELECT doc_id FROM p WHERE flag IS DISTINCT FROM true ORDER BY doc_id""".stripMargin
+
+  // S2/P4: `$elemMatch` over array-of-structs via the `exists` HOF
+  // (`calculate_idf_scores.py:31`).
+  def q02_elem_match(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("language",
+        array(struct(col("lang").as("lang"),
+          col("n_chars").cast("int").as("word_count"))))
+      .filter(exists(col("language"),
+        s => s.getField("lang") === "en" && s.getField("word_count") >= 200))
+      .select("doc_id").orderBy("doc_id")
+
+  val q02Sql: String =
+    "SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200 ORDER BY doc_id"
+
+  // S3/P5: point-batch `$in` lookup (`calculate_idf_scores.py:61`).
+  def q03_point_lookup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey").isin(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q03Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+      |WHERE l_orderkey IN (1,2,3,5,8,13,21,34,55,89) ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // S5/P1/P6/F13: vocab scan — distinct tokens, projection + length gate
+  // (`calculate_idf_scores.py:28`, `enter_wordvecs.py:36`).
+  def q04_vocab_scan(spark: SparkSession, sfDir: String): DataFrame =
+    docTokens(Tables.documents(spark, sfDir))
+      .select("token").distinct()
+      .filter(length(col("token")) < 100)
+      .orderBy("token")
+
+  val q04Sql: String =
+    s"""SELECT DISTINCT token FROM (SELECT unnest($SqlTok) AS token FROM documents)
+       |WHERE length(token) < 100 ORDER BY token""".stripMargin
+
+  // J3/J4: star-schema equi-join chain (the RPC-turned-join, SURVEY §2.3).
+  def q05_star_join(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("r_name")
+  }
+
+  val q05Sql: String =
+    """SELECT r_name, count(*)::BIGINT AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  // J1: broadcast hash join onto a dimension (`worker.py:57-67`).
+  def q06_broadcast_join(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  val q06Sql: String =
+    """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*)::BIGINT AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // J2/P7: left-semi join (vocab membership, `calculate_idf_scores.py:49`).
+  def q07_semi_join(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir).filter(col("l_quantity") > 45)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+  }
+
+  val q07Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // Left-anti join (the complement; P8 unknown-token drop inverted).
+  def q08_anti_join(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir).filter(col("l_discount") > 0.09)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+      .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+  }
+
+  val q08Sql: String =
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_discount > 0.09)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // U1: union of two "collections" (comments ∪ replies,
+  // `calculate_idf_scores.py:52`), then aggregate.
+  def q09_union(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val comments = d.filter(col("source").isin("src0", "src1", "src2"))
+    val replies = d.filter(col("source").isin("src3", "src4"))
+    comments.unionByName(replies)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 6).as("avg_chars"))
+      .orderBy("lang")
+  }
+
+  val q09Sql: String =
+    """WITH u AS (
+      |  SELECT * FROM documents WHERE source IN ('src0','src1','src2')
+      |  UNION ALL SELECT * FROM documents WHERE source IN ('src3','src4'))
+      |SELECT lang, count(*)::BIGINT AS n_docs, round(avg(n_chars), 6) AS avg_chars
+      |FROM u GROUP BY lang ORDER BY lang""".stripMargin
+
+  // A1/A4: per-document term frequency: tf = count(token)/len(tokens)
+  // (`worker.py:42-52`). One shuffle + a window for the denominator.
+  def q10_tf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docTokens(Tables.documents(spark, sfDir))
+    val counts = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("doc_id")
+    counts.withColumn("total", sum(col("cnt")).over(w))
+      .select(col("doc_id"), col("token"),
+        round(col("cnt").cast("double") / col("total"), 6).as("tf"))
+      .orderBy("doc_id", "token")
+  }
+
+  val q10Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |counts AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token)
+       |SELECT doc_id, token,
+       |  round(cnt::DOUBLE / sum(cnt) OVER (PARTITION BY doc_id), 6) AS tf
+       |FROM counts ORDER BY doc_id, token""".stripMargin
+
+  // E2/A2/A7/A8/F5/F6: the IDF pipeline with every reference quirk.
+  def q11_idf(spark: SparkSession, sfDir: String): DataFrame =
+    idfTable(spark, sfDir)
+      .select(col("token"), col("occurrences"),
+        round(col("idf"), 6).as("idf"))
+      .orderBy("token")
+
+  val q11Sql: String =
+    s"""WITH $SqlIdfCtes
+       |SELECT token, occurrences::BIGINT AS occurrences, round(idf, 6) AS idf
+       |FROM wv ORDER BY token""".stripMargin
+
+  // E1: the flagship doc-vector pipeline (`worker.py:69-94`): tf ->
+  // broadcast-join wordvecs -> axpy-aggregate Σ tf·idf·vec via the custom
+  // Aggregator (A3) -> known_tokens_ratio (A5/A6) -> null vector when no
+  // known tokens (F12). Output = deterministic scalar projections of the
+  // vector (sum / L2 norm / dim 0), rounded.
+  def q12_doc_vectors(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir).filter(col("lang") === "en")
+    val tok = docTokens(docs)
+    val counts = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("doc_id")
+    val tf = counts.withColumn("total", sum(col("cnt")).over(w))
+      .withColumn("tf", col("cnt").cast("double") / col("total"))
+    val wv = idfTable(spark, sfDir)
+      .withColumn("vec", pseudoVec(col("token")))
+      .select("token", "idf", "vec")
+    val joined = tf.join(broadcast(wv), Seq("token"), "left")
+    val agg = joined.groupBy("doc_id").agg(
+      max(col("total")).as("total"),
+      count(col("idf")).as("known"),
+      VecAgg.weightedSum(VecDim)(
+        coalesce(col("tf") * col("idf"), lit(0.0)),
+        coalesce(col("vec"), VecMath.zeros(VecDim))).as("vec"))
+    agg.select(
+      col("doc_id"),
+      round(when(col("total") > 0, col("known").cast("double") / col("total"))
+        .otherwise(lit(0.0)), 6).as("known_ratio"),
+      round(when(col("known") > 0, VecMath.vsum(col("vec"))), 6).as("vec_sum"),
+      round(when(col("known") > 0, VecMath.l2norm(col("vec"))), 6).as("vec_norm"),
+      round(when(col("known") > 0, element_at(col("vec"), 1)), 6).as("vec_d0"))
+      .orderBy("doc_id")
+  }
+
+  val q12Sql: String =
+    s"""WITH $SqlIdfCtes,
+       |tdoc AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+       |dtok AS (SELECT t.doc_id, t.token FROM tok t JOIN tdoc USING (doc_id)),
+       |counts AS (SELECT doc_id, token, count(*) AS cnt FROM dtok GROUP BY doc_id, token),
+       |tf AS (SELECT doc_id, token, cnt::DOUBLE / sum(cnt) OVER (PARTITION BY doc_id) AS tf,
+       |       sum(cnt) OVER (PARTITION BY doc_id) AS total FROM counts),
+       |j AS (SELECT f.doc_id, f.token, f.tf, f.total, w.idf FROM tf f LEFT JOIN wv w USING (token)),
+       |k AS (SELECT doc_id, max(total) AS total, count(idf) AS known FROM j GROUP BY doc_id),
+       |vs AS (SELECT j.doc_id, d.range AS d,
+       |       sum(j.tf * j.idf * (((ascii(substr(j.token, (d.range % length(j.token))::INT + 1, 1)) * (d.range + 1)) % 97) / 97.0)) AS s
+       |       FROM j, range(0, ${VecDim}) d WHERE j.idf IS NOT NULL GROUP BY j.doc_id, d.range),
+       |vagg AS (SELECT doc_id, sum(s) AS vec_sum, sqrt(sum(s * s)) AS vec_norm,
+       |         sum(CASE WHEN d = 0 THEN s END) AS vec_d0 FROM vs GROUP BY doc_id)
+       |SELECT k.doc_id,
+       |  round(CASE WHEN k.total > 0 THEN k.known::DOUBLE / k.total ELSE 0.0 END, 6) AS known_ratio,
+       |  round(CASE WHEN k.known > 0 THEN v.vec_sum END, 6) AS vec_sum,
+       |  round(CASE WHEN k.known > 0 THEN v.vec_norm END, 6) AS vec_norm,
+       |  round(CASE WHEN k.known > 0 THEN v.vec_d0 END, 6) AS vec_d0
+       |FROM k LEFT JOIN vagg v USING (doc_id) ORDER BY k.doc_id""".stripMargin
+
+  // F1/F3/F4/F5/F7/F13: scalar function battery.
+  def q13_scalar_funcs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir).select(
+      col("p_partkey"),
+      lower(col("p_name")).as("name_lower"),
+      length(col("p_name")).as("name_len"),
+      substring(col("p_name"), 1, 5).as("name_pfx"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      round(when(col("p_size") > 0, col("p_retailprice") / col("p_size"))
+        .otherwise(lit(0.0)), 6).as("price_per_size"),
+      round(log10(col("p_retailprice")), 6).as("log_price"))
+      .orderBy("p_partkey")
+
+  val q13Sql: String =
+    """SELECT p_partkey, lower(p_name) AS name_lower, length(p_name) AS name_len,
+      |  substr(p_name, 1, 5) AS name_pfx, concat_ws('|', p_brand, p_type) AS brand_type,
+      |  round(CASE WHEN p_size > 0 THEN p_retailprice / p_size ELSE 0.0 END, 6) AS price_per_size,
+      |  round(log10(p_retailprice), 6) AS log_price
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // F14: JSON extraction over `events.props` (`worker.py:28` analogue).
+  def q14_json(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k_bucket", coalesce(col("k") % 10, lit(-1L)))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("k_bucket")
+
+  val q14Sql: String =
+    """WITH e AS (SELECT coalesce(json_extract_string(props, '$.k')::BIGINT % 10, -1) AS k_bucket, value FROM events)
+      |SELECT k_bucket, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+      |FROM e GROUP BY k_bucket ORDER BY k_bucket""".stripMargin
+
+  // A-family headline: TPC-H Q1-shaped scan-heavy aggregation.
+  def q16_tpch_q1(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1999-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q16Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  round(avg(l_extendedprice), 6) AS avg_price,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*)::BIGINT AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+      |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // §2.5 extension: ranking window — top-3 orders per customer.
+  def q17_window_rank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val q17Sql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // L1 + ORDER BY: global top-k.
+  def q18_topk(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(50)
+
+  val q18Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin
+
+  // L2: sampling — deterministic systematic sample (the reference's
+  // random skip `worker.py:103-106` was a scheduling hack; the engine
+  // keeps a reproducible key-mod sample as the operator).
+  def q19_sample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 20 === 7)
+      .select("doc_id", "lang", "source").orderBy("doc_id")
+
+  val q19Sql: String =
+    "SELECT doc_id, lang, source FROM documents WHERE doc_id % 20 = 7 ORDER BY doc_id"
+
+  // A7/A8/A9: grouped count/min/max/avg stats.
+  def q20_group_stats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(avg(col("n_chars")), 6).as("avg_chars"))
+      .orderBy("lang")
+
+  val q20Sql: String =
+    """SELECT lang, count(*)::BIGINT AS n_docs, min(n_chars) AS min_chars,
+      |  max(n_chars) AS max_chars, round(avg(n_chars), 6) AS avg_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pending_scan" -> (q01_pending_scan _),
+    "q02_elem_match" -> (q02_elem_match _),
+    "q03_point_lookup" -> (q03_point_lookup _),
+    "q04_vocab_scan" -> (q04_vocab_scan _),
+    "q05_star_join" -> (q05_star_join _),
+    "q06_broadcast_join" -> (q06_broadcast_join _),
+    "q07_semi_join" -> (q07_semi_join _),
+    "q08_anti_join" -> (q08_anti_join _),
+    "q09_union" -> (q09_union _),
+    "q10_tf" -> (q10_tf _),
+    "q11_idf" -> (q11_idf _),
+    "q12_doc_vectors" -> (q12_doc_vectors _),
+    "q13_scalar_funcs" -> (q13_scalar_funcs _),
+    "q14_json" -> (q14_json _),
+    "q16_tpch_q1" -> (q16_tpch_q1 _),
+    "q17_window_rank" -> (q17_window_rank _),
+    "q18_topk" -> (q18_topk _),
+    "q19_sample" -> (q19_sample _),
+    "q20_group_stats" -> (q20_group_stats _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pending_scan" -> q01Sql,
+    "q02_elem_match" -> q02Sql,
+    "q03_point_lookup" -> q03Sql,
+    "q04_vocab_scan" -> q04Sql,
+    "q05_star_join" -> q05Sql,
+    "q06_broadcast_join" -> q06Sql,
+    "q07_semi_join" -> q07Sql,
+    "q08_anti_join" -> q08Sql,
+    "q09_union" -> q09Sql,
+    "q10_tf" -> q10Sql,
+    "q11_idf" -> q11Sql,
+    "q12_doc_vectors" -> q12Sql,
+    "q13_scalar_funcs" -> q13Sql,
+    "q14_json" -> q14Sql,
+    "q16_tpch_q1" -> q16Sql,
+    "q17_window_rank" -> q17Sql,
+    "q18_topk" -> q18Sql,
+    "q19_sample" -> q19Sql,
+    "q20_group_stats" -> q20Sql)
+}
