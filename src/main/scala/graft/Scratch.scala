@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.Tokenize
+
+/** Ad-hoc profiling entry (not part of the driver contract). */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"TIME $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+    time("tokens")(toks.count())
+    val sh = docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(Tokenize.shingles(col("toks"), 3))).as("shingle"))
+    time("shingles-explode")(sh.count())
+    val shCached = sh.cache()
+    time("shingles-cache")(shCached.count())
+    val rare = shCached.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 1000).select("shingle")
+    time("rare")(rare.count())
+    val shr = shCached.join(rare, Seq("shingle"))
+    time("shr")(shr.count())
+    val shared = shr.select(col("doc_id").as("d1"), col("shingle"))
+      .join(shr.select(col("doc_id").as("d2"), col("shingle")), Seq("shingle"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+    time("shared")(shared.count())
+    spark.stop()
+  }
+}

@@ -1,0 +1,552 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Tokenize, VecMath}
+
+/** LLM-training-data pipeline operators beyond the reference surface
+  * (BASELINE.json north-star): deduplication (exact / MinHash-LSH /
+  * SimHash / n-gram Jaccard / embedding-cosine), similarity search
+  * (brute-force + LSH-bucketed ANN), text analysis (lang-id, quality,
+  * token stats, fingerprinting), event-time windows + sessionization,
+  * and multimodal binary-column plumbing.
+  *
+  * Scale notes are attached per query: each is written so the plan
+  * survives 100 TB (inverted-index joins with frequency caps instead of
+  * quadratic self-joins, global LSH banding instead of blocked pairwise,
+  * broadcast dimension tables, single-shuffle aggregations).
+  */
+object ExtensionQueries {
+
+  import ReferenceQueries.SqlTok
+
+  private def docTok(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("token"))
+
+  /** Distinct 3-gram shingles per doc. The token array is materialized
+    * in its own projection first: `shingles` slices it once per n-gram
+    * inside a HOF lambda, and if the argument were the raw
+    * `tokens(text)` expression the regex split would re-run per lambda
+    * call (~100× per doc — measured 37 s vs 1 s at sf0.1).
+    */
+  private def docShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(Tokenize.shingles(col("toks"), 3))).as("shingle"))
+
+  private val SqlShingleCte =
+    s"""tok AS (SELECT doc_id, $SqlTok AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |  range(1, greatest(len(toks) - 2, 0) + 1),
+       |  i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle FROM tok)""".stripMargin
+
+  // ======================================================================
+  // x01: EXACT dedup — content-hash groupBy. At 100 TB this is the
+  // canonical first pass: one shuffle on a 16-byte key.
+  def x01_dedup_exact(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("content_hash")
+    Tables.documents(spark, sfDir)
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select("doc_id", "content_hash", "canonical_id", "group_size")
+      .orderBy("doc_id")
+  }
+
+  val x01Sql: String =
+    """SELECT doc_id, md5(text) AS content_hash,
+      |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+      |  count(*) OVER (PARTITION BY md5(text))::BIGINT AS group_size
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // x02: MinHash + LSH near-dedup. Signature: k=12 min-md5 strings over
+  // 3-gram shingles (md5 hex is a uniform order in both engines); bands
+  // of 3 -> 4 bands; candidates = docs sharing any band signature;
+  // verified with exact shingle Jaccard >= 0.5. GLOBAL — no source/lang
+  // blocking (planted dups cross both). Hashing is inline on the posting
+  // rows: the plan stays narrow (scan -> explode -> hash -> one groupBy
+  // shuffle); a distinct-shingle hash dimension would add a join shuffle
+  // that costs more than re-hashing, md5 being ~100ns/row.
+  def x02_dedup_minhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = docShingles(Tables.documents(spark, sfDir))
+    val hidx = spark.range(12).select(col("id").cast("int").as("i"))
+    val mh = sh.crossJoin(broadcast(hidx))
+      .withColumn("h", md5(concat(col("i").cast("string"), lit(":"), col("shingle"))))
+      .groupBy("doc_id", "i").agg(min(col("h")).as("mh"))
+    val bands = mh.withColumn("band", expr("i div 3"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        s => s.getField("mh")), "|").as("sig"))
+    val b1 = bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
+    val b2 = bands.select(col("doc_id").as("d2"), col("band"), col("sig"))
+    val cand = b1.join(b2, Seq("band", "sig")).filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    jaccardOf(cand, sh).filter(col("jaccard") >= 0.5).orderBy("d1", "d2")
+  }
+
+  /** Exact shingle Jaccard for candidate pairs via two semi-joins into
+    * the posting table (never materializes per-doc shingle lists).
+    */
+  private def jaccardOf(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val s1 = sh.select(col("doc_id").as("d1"), col("shingle"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("shingle"))
+    val shared = cand.join(s1, Seq("d1")).join(s2, Seq("d2", "shingle"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+    shared
+      .join(nsh.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
+      .join(nsh.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        round(col("shared").cast("double") / (col("n1") + col("n2") - col("shared")), 6)
+          .as("jaccard"))
+  }
+
+  private val SqlJaccardTail =
+    """nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |shared AS (SELECT c.d1, c.d2, count(*) AS sh_n FROM cand c
+      |  JOIN sh s1 ON s1.doc_id = c.d1
+      |  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+      |  GROUP BY c.d1, c.d2)
+      |SELECT s.d1, s.d2,
+      |  round(s.sh_n::DOUBLE / (n1.n + n2.n - s.sh_n), 6) AS jaccard
+      |FROM shared s JOIN nsh n1 ON n1.doc_id = s.d1 JOIN nsh n2 ON n2.doc_id = s.d2
+      |WHERE s.sh_n::DOUBLE / (n1.n + n2.n - s.sh_n) >= 0.5
+      |ORDER BY d1, d2""".stripMargin
+
+  val x02Sql: String =
+    s"""WITH $SqlShingleCte,
+       |hs AS (SELECT shingle, r.range::INT AS i,
+       |       md5(r.range || ':' || shingle) AS h
+       |       FROM (SELECT DISTINCT shingle FROM sh), range(0, 12) r),
+       |mh AS (SELECT doc_id, i, min(h) AS mh FROM sh JOIN hs USING (shingle) GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 3 AS band, string_agg(mh, '|' ORDER BY i) AS sig
+       |          FROM mh GROUP BY doc_id, i // 3),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a
+       |         JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |$SqlJaccardTail""".stripMargin
+
+  // x03: SimHash (16-bit) fingerprints weighted by term frequency. Bit b
+  // of md5's first 16 bits votes +cnt/-cnt; sign of the vote is bit b of
+  // the fingerprint. Pure expression pipeline — one shuffle.
+  private val SqlHex16 =
+    "((instr('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 4096 + " +
+      "(instr('0123456789abcdef', substr(md5(token), 2, 1)) - 1) * 256 + " +
+      "(instr('0123456789abcdef', substr(md5(token), 3, 1)) - 1) * 16 + " +
+      "(instr('0123456789abcdef', substr(md5(token), 4, 1)) - 1))"
+
+  private val SqlHex16Duck = SqlHex16.replace("instr(", "strpos(")
+
+  def x03_dedup_simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = docTok(Tables.documents(spark, sfDir))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("h16", expr(SqlHex16))
+    val bits = counts.select(col("doc_id"), col("cnt"), col("h16"),
+      explode(sequence(lit(0), lit(15))).as("b"))
+      .withColumn("p2", expr("CAST(pow(2, b) AS BIGINT)"))
+      .withColumn("vote",
+        col("cnt") * (expr("(h16 div p2) % 2") * 2 - 1))
+    val sim = bits.groupBy("doc_id", "b", "p2").agg(sum(col("vote")).as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, col("p2")).otherwise(lit(0L))).as("simhash"))
+    sim.withColumn("n_same",
+      count(lit(1)).over(Window.partitionBy("simhash")))
+      .select("doc_id", "simhash", "n_same").orderBy("doc_id")
+  }
+
+  val x03Sql: String =
+    s"""WITH tokc AS (
+       |  SELECT doc_id, token, count(*) AS cnt FROM
+       |    (SELECT doc_id, unnest($SqlTok) AS token FROM documents)
+       |  GROUP BY doc_id, token),
+       |bits AS (SELECT doc_id, bb.range AS b, CAST(pow(2, bb.range) AS BIGINT) AS p2,
+       |  sum(cnt * ((($SqlHex16Duck // CAST(pow(2, bb.range) AS BIGINT)) % 2) * 2 - 1)) AS v
+       |  FROM tokc, range(0, 16) bb GROUP BY doc_id, bb.range),
+       |sim AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN p2 ELSE 0 END)::BIGINT AS simhash
+       |        FROM bits GROUP BY doc_id)
+       |SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash)::BIGINT AS n_same
+       |FROM sim ORDER BY doc_id""".stripMargin
+
+  // x04: EXACT n-gram Jaccard all-pairs via shingle inverted index.
+  // The similarity universe is "informative" shingles only — document
+  // frequency <= 1000 (both sets and the posting join; a shingle in
+  // >1000 docs carries no dedup signal and its posting list alone would
+  // be a c² blowup at scale). Shared counts come straight off the
+  // posting self-join's groupBy — no distinct-pairs set is ever
+  // materialized and re-joined (that intermediate was a 30× slowdown at
+  // sf0.1 and would be fatal at 100 TB).
+  def x04_ngram_jaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = docShingles(Tables.documents(spark, sfDir))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 1000).select("shingle")
+    val shr = sh.join(rare, Seq("shingle"))
+    val nsh = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = shr.select(col("doc_id").as("d1"), col("shingle"))
+      .join(shr.select(col("doc_id").as("d2"), col("shingle")), Seq("shingle"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+    shared
+      .join(nsh.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
+      .join(nsh.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        round(col("shared").cast("double") / (col("n1") + col("n2") - col("shared")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5).orderBy("d1", "d2")
+  }
+
+  val x04Sql: String =
+    s"""WITH $SqlShingleCte,
+       |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+       |         WHERE df <= 1000),
+       |shr AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)),
+       |nsh AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
+       |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS sh_n
+       |           FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY a.doc_id, b.doc_id)
+       |SELECT s.d1, s.d2,
+       |  round(s.sh_n::DOUBLE / (n1.n + n2.n - s.sh_n), 6) AS jaccard
+       |FROM shared s JOIN nsh n1 ON n1.doc_id = s.d1 JOIN nsh n2 ON n2.doc_id = s.d2
+       |WHERE s.sh_n::DOUBLE / (n1.n + n2.n - s.sh_n) >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+
+  // ======================================================================
+  // x05: brute-force cosine top-k ANN baseline. Query set × corpus
+  // cross-join — at 100 TB the corpus side stays partitioned and the
+  // (small) query set broadcasts; the top-k is a per-query window.
+  def x05_ann_topk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", VecMath.asDouble(col("embedding")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VecMath.cosine(col("qv"), col("v")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "rn")
+  }
+
+  val x05Sql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+      |scored AS (SELECT q.query_id, e.vec_id,
+      |  list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+      |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      |ranked AS (SELECT query_id, vec_id, cos,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM scored)
+      |SELECT query_id, rn, vec_id, round(cos, 6) AS cos FROM ranked
+      |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
+  // x06: LSH-bucketed ANN — the scale path. 8 signed random hyperplanes
+  // (derived deterministically from md5 so both engines agree) bucket
+  // every vector; search touches only the query's bucket. At 100 TB the
+  // bucket id is the shuffle/partition key and each probe reads ~1/256
+  // of the corpus.
+  val LshPlanes = 8
+  val EmbDim = 64
+
+  /** plane(j)(d) = (first16bits(md5(s"$j_$d")) / 32768.0) - 1.0 */
+  private lazy val planes: Seq[Seq[Double]] = {
+    val mdHex = (s: String) => {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+    }
+    (0 until LshPlanes).map { j =>
+      (0 until EmbDim).map { d =>
+        val h16 = Integer.parseInt(mdHex(s"${j}_${d}"), 16)
+        h16 / 32768.0 - 1.0
+      }
+    }
+  }
+
+  private def bucketOf(v: Column): Column =
+    (0 until LshPlanes).map { j =>
+      when(VecMath.dot(v, typedlit(planes(j))) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def x06_ann_lsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", VecMath.asDouble(col("embedding")))
+      .withColumn("bucket", bucketOf(col("v")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VecMath.cosine(col("qv"), col("v")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("vec_id"), col("bucket"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "rn")
+  }
+
+  private val SqlPlaneW =
+    "(((strpos('0123456789abcdef', substr(md5(j.range || '_' || (d.range - 1)), 1, 1)) - 1) * 4096 + " +
+      "(strpos('0123456789abcdef', substr(md5(j.range || '_' || (d.range - 1)), 2, 1)) - 1) * 256 + " +
+      "(strpos('0123456789abcdef', substr(md5(j.range || '_' || (d.range - 1)), 3, 1)) - 1) * 16 + " +
+      "(strpos('0123456789abcdef', substr(md5(j.range || '_' || (d.range - 1)), 4, 1)) - 1)) / 32768.0 - 1.0)"
+
+  val x06Sql: String =
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dots AS (SELECT e.vec_id, j.range AS j, sum(e.v[d.range] * $SqlPlaneW) AS dp
+       |  FROM ev e, range(0, $LshPlanes) j, range(1, ${EmbDim + 1}) d
+       |  GROUP BY e.vec_id, j.range),
+       |bkt AS (SELECT vec_id, sum(CASE WHEN dp > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)::BIGINT AS bucket
+       |        FROM dots GROUP BY vec_id),
+       |ebv AS (SELECT e.vec_id, e.v, b.bucket FROM ev e JOIN bkt b USING (vec_id)),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM ebv WHERE vec_id < 5),
+       |scored AS (SELECT q.query_id, e.vec_id, e.bucket,
+       |  list_cosine_similarity(q.qv, e.v) AS cos
+       |  FROM ebv e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+       |ranked AS (SELECT query_id, vec_id, bucket, cos,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM scored)
+       |SELECT query_id, rn, vec_id, bucket, round(cos, 6) AS cos FROM ranked
+       |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+
+  // x14: embedding-cosine near-dup pairs, blocked by label (semantic
+  // block; swap in the x06 LSH bucket at scale).
+  def x14_embedding_dup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), VecMath.asDouble(col("embedding")).as("v"))
+    val a = e.select(col("vec_id").as("v1"), col("label"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("v2"), col("label"), col("v").as("vb"))
+    a.join(b, Seq("label")).filter(col("v1") < col("v2"))
+      .withColumn("cos", VecMath.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.3)
+      .select(col("v1"), col("v2"), col("label"), round(col("cos"), 6).as("cos"))
+      .orderBy("v1", "v2")
+  }
+
+  val x14Sql: String =
+    """SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+      |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+      |ORDER BY v1, v2""".stripMargin
+
+  // ======================================================================
+  // x07: language-ID heuristic — tokens vs per-language marker wordlists
+  // (broadcast dim join + argmax window).
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "fast", "en" -> "small",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "datos",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "daten",
+    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "vite")
+
+  def x07_lang_id(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = spark; import s2.implicits._
+    val markers = langMarkers.toDF("plang", "word")
+    val docs = Tables.documents(spark, sfDir)
+    val scores = docTok(docs)
+      .join(broadcast(markers), col("token") === col("word"))
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))
+    val best = scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("plang"), col("score"))
+    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("plang"), lit("und")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .orderBy("doc_id")
+  }
+
+  val x07Sql: String = {
+    val values = langMarkers.map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
+    s"""WITH markers(plang, word) AS (VALUES $values),
+       |tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |scores AS (SELECT doc_id, plang, count(*) AS score FROM tok
+       |           JOIN markers ON token = word GROUP BY doc_id, plang),
+       |best AS (SELECT doc_id, plang, score,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn FROM scores)
+       |SELECT d.doc_id, coalesce(b.plang, 'und') AS pred_lang,
+       |  coalesce(b.score, 0)::BIGINT AS score
+       |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // x08: quality scoring — length/stopword/token-shape heuristics.
+  private val stopwords = Seq("the", "a", "of", "in", "to", "and")
+
+  def x08_quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val stats = docTok(docs).groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      avg(length(col("token"))).as("avg_tok_len"),
+      sum(when(col("token").isin(stopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+    docs.join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("avg_tok_len"), lit(0.0)), 6).as("avg_tok_len"),
+        round(coalesce(col("n_stop") / col("n_tokens"), lit(0.0)), 6).as("stop_ratio"),
+        round(
+          lit(0.4) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - coalesce(col("n_stop") / col("n_tokens"), lit(0.0))) +
+            lit(0.3) * least(coalesce(col("avg_tok_len"), lit(0.0)) / 8.0, lit(1.0)),
+          6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val x08Sql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
+       |       sum(CASE WHEN token IN ($stopList) THEN 1 ELSE 0 END) AS n_stop
+       |       FROM tok GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(st.n_tokens, 0)::BIGINT AS n_tokens,
+       |  round(coalesce(st.avg_tok_len, 0.0), 6) AS avg_tok_len,
+       |  round(coalesce(st.n_stop::DOUBLE / st.n_tokens, 0.0), 6) AS stop_ratio,
+       |  round(0.4 * least(coalesce(st.n_tokens, 0)::DOUBLE / 100.0, 1.0)
+       |      + 0.3 * (1.0 - coalesce(st.n_stop::DOUBLE / st.n_tokens, 0.0))
+       |      + 0.3 * least(coalesce(st.avg_tok_len, 0.0) / 8.0, 1.0), 6) AS quality
+       |FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  // x09: token counting — whitespace tokens, regex tokens, distinct
+  // ratio, and a BPE-ish subword estimate (ceil(len/4) pieces/token).
+  def x09_token_stats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val stats = docTok(docs).groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("token")).as("n_distinct"),
+      sum(expr("(length(token) + 3) div 4")).as("n_subwords"))
+    docs.select(col("doc_id"), length(col("text")).as("text_len"),
+      size(filter(split(col("text"), "\\s+"), t => t =!= lit(""))).as("n_ws_tokens"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text_len"), col("n_ws_tokens"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+        round(coalesce(col("n_distinct") / col("n_tokens"), lit(0.0)), 6).as("distinct_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val x09Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |st AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT token) AS n_distinct,
+       |       sum((length(token) + 3) // 4) AS n_subwords FROM tok GROUP BY doc_id)
+       |SELECT d.doc_id, length(d.text)::INT AS text_len,
+       |  len(list_filter(string_split_regex(d.text, '\\s+'), t -> t <> ''))::INT AS n_ws_tokens,
+       |  coalesce(st.n_tokens, 0)::BIGINT AS n_tokens,
+       |  coalesce(st.n_distinct, 0)::BIGINT AS n_distinct,
+       |  coalesce(st.n_subwords, 0)::BIGINT AS n_subwords,
+       |  round(coalesce(st.n_distinct::DOUBLE / st.n_tokens, 0.0), 6) AS distinct_ratio
+       |FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // x10: document fingerprint — md5 over the sorted distinct token set
+  // (order-insensitive content identity; the bag-of-words analogue of
+  // x01's exact hash).
+  def x10_fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(Tokenize.tokens(col("text")))), " "))
+          .as("fingerprint"))
+      .withColumn("n_same", count(lit(1)).over(Window.partitionBy("fingerprint")))
+      .orderBy("doc_id")
+
+  val x10Sql: String =
+    s"""WITH fp AS (SELECT doc_id,
+       |  md5(array_to_string(list_sort(list_distinct($SqlTok)), ' ')) AS fingerprint
+       |  FROM documents)
+       |SELECT doc_id, fingerprint,
+       |  count(*) OVER (PARTITION BY fingerprint)::BIGINT AS n_same
+       |FROM fp ORDER BY doc_id""".stripMargin
+
+  // ======================================================================
+  // x11: event-time tumbling window aggregation (batch mode of the
+  // Structured Streaming path in graft.streaming).
+  def x11_event_windows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  val x11Sql: String =
+    """SELECT epoch(date_trunc('hour', ts::TIMESTAMP))::BIGINT AS w_start, event_type,
+      |  count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  // x12: sessionization — 30-minute-gap sessions per user via lag +
+  // running sum (single shuffle on user_id; at 100 TB this is the
+  // standard partition-by-entity pattern).
+  def x12_sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("prev", lag(col("us"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("us") - col("prev") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("sess_start_us"), max(col("us")).as("sess_end_us"))
+      .withColumn("duration_us", col("sess_end_us") - col("sess_start_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val x12Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
+      |l AS (SELECT user_id, event_id, us,
+      |  lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+      |s AS (SELECT user_id, us,
+      |  sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY us, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM l)
+      |SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events,
+      |  min(us) AS sess_start_us, max(us) AS sess_end_us,
+      |  (max(us) - min(us)) AS duration_us
+      |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  // x13: multimodal binary-column plumbing — text -> binary payload,
+  // byte-level features through real BinaryType ops (the decode stubs
+  // for image/audio live in graft.sources.MultiModal).
+  def x13_multimodal(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("payload", encode(col("text"), "utf-8"))
+      .select(col("doc_id"),
+        length(col("payload")).as("byte_len"),
+        md5(col("payload")).as("payload_md5"),
+        lower(hex(substring(col("payload"), 1, 8))).as("head_hex"))
+      .orderBy("doc_id")
+
+  val x13Sql: String =
+    """SELECT doc_id, length(text)::INT AS byte_len, md5(text) AS payload_md5,
+      |  lower(hex(substr(text, 1, 8))) AS head_hex
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_dedup_exact" -> (x01_dedup_exact _),
+    "x02_dedup_minhash" -> (x02_dedup_minhash _),
+    "x03_dedup_simhash" -> (x03_dedup_simhash _),
+    "x04_ngram_jaccard" -> (x04_ngram_jaccard _),
+    "x05_ann_topk" -> (x05_ann_topk _),
+    "x06_ann_lsh" -> (x06_ann_lsh _),
+    "x07_lang_id" -> (x07_lang_id _),
+    "x08_quality" -> (x08_quality _),
+    "x09_token_stats" -> (x09_token_stats _),
+    "x10_fingerprint" -> (x10_fingerprint _),
+    "x11_event_windows" -> (x11_event_windows _),
+    "x12_sessionize" -> (x12_sessionize _),
+    "x13_multimodal" -> (x13_multimodal _),
+    "x14_embedding_dup" -> (x14_embedding_dup _))
+
+  val oracleSql: Map[String, String] = Map(
+    "x01_dedup_exact" -> x01Sql,
+    "x02_dedup_minhash" -> x02Sql,
+    "x03_dedup_simhash" -> x03Sql,
+    "x04_ngram_jaccard" -> x04Sql,
+    "x05_ann_topk" -> x05Sql,
+    "x06_ann_lsh" -> x06Sql,
+    "x07_lang_id" -> x07Sql,
+    "x08_quality" -> x08Sql,
+    "x09_token_stats" -> x09Sql,
+    "x10_fingerprint" -> x10Sql,
+    "x11_event_windows" -> x11Sql,
+    "x12_sessionize" -> x12Sql,
+    "x13_multimodal" -> x13Sql,
+    "x14_embedding_dup" -> x14Sql)
+}
