@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface registration: expose the engine's custom expressions to
+  * `spark.sql(...)` users (the reference exposes nothing — its "API" is
+  * three scripts; the engine's public surface is Column functions +
+  * these SQL names).
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("floats_to_binary",
+      exprs => FloatsToBinary(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("binary_to_floats",
+      exprs => BinaryToFloats(exprs.head), "scala_udf")
+    // Tokenizer as a plain UDF for SQL contexts (the Column form in
+    // Tokenize.tokens is pure built-ins and preferred in plans).
+    spark.udf.register("graft_tokens", (s: String) =>
+      if (s == null) Array.empty[String]
+      else s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+  }
+}

@@ -518,7 +518,49 @@ object ExtensionQueries {
       |  lower(hex(substr(text, 1, 8))) AS head_hex
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ======================================================================
+  // x15: MLlib batch embedding generation (hashed TF-IDF + L2 norm) —
+  // deterministic but not SQL-expressible; declared without oracle
+  // (driver records a rows-only check).
+  def x15_mllib_embed(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ml.BatchEmbed.embedStats(spark, sfDir)
+
+  // x16: float32<->binary codec round-trip (F11) through the custom
+  // Catalyst expressions. The oracle can't express the codec but CAN
+  // assert the round-trip's observable output: byte length and identity.
+  def x16_codec_roundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VecCodec._
+    Tables.embeddings(spark, sfDir)
+      .withColumn("bin", floats_to_binary(col("embedding")))
+      .select(col("vec_id"),
+        length(col("bin")).as("n_bytes"),
+        (binary_to_floats(col("bin")) === col("embedding")).as("ok"))
+      .orderBy("vec_id")
+  }
+
+  val x16Sql: String =
+    s"""SELECT vec_id, (len(embedding) * 4)::INT AS n_bytes, true AS ok
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // x17/x18: multimodal decode-stub features and frame sampling
+  // (typed mapPartitions plumbing; deterministic, rows-only check).
+  def x17_media_features(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.MultiModal
+    MultiModal.extractFeatures(MultiModal.mediaTable(spark, sfDir))
+      .toDF().orderBy("media_id")
+  }
+
+  def x18_frame_samples(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.MultiModal
+    MultiModal.sampleFrames(MultiModal.mediaTable(spark, sfDir))
+      .toDF().orderBy("media_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x15_mllib_embed" -> (x15_mllib_embed _),
+    "x16_codec_roundtrip" -> (x16_codec_roundtrip _),
+    "x17_media_features" -> (x17_media_features _),
+    "x18_frame_samples" -> (x18_frame_samples _),
     "x01_dedup_exact" -> (x01_dedup_exact _),
     "x02_dedup_minhash" -> (x02_dedup_minhash _),
     "x03_dedup_simhash" -> (x03_dedup_simhash _),
@@ -535,6 +577,7 @@ object ExtensionQueries {
     "x14_embedding_dup" -> (x14_embedding_dup _))
 
   val oracleSql: Map[String, String] = Map(
+    "x16_codec_roundtrip" -> x16Sql,
     "x01_dedup_exact" -> x01Sql,
     "x02_dedup_minhash" -> x02Sql,
     "x03_dedup_simhash" -> x03Sql,

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming forms of the reference's unbounded poller
+  * (SURVEY.md §2.10, `worker.py:139-150`).
+  *
+  * The reference tracks progress by mutating a per-row job flag and
+  * re-scanning (`worker.py:92,99`); the Spark-native equivalent is
+  * checkpointed source offsets — the scan predicate disappears and
+  * delivery becomes exactly-once with an idempotent sink. Tests drive
+  * these with the memory sink + `processAllAvailable()`.
+  */
+object EventStreams {
+
+  /** Streaming source over a DIRECTORY of events parquet files
+    * (FileStreamSource requires a directory; ns timestamps arrive as
+    * longs under `nanosAsLong` and are normalized like Tables.events).
+    */
+  def eventStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema)
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Watermarked tumbling-window aggregation — the streaming twin of
+    * ExtensionQueries.x11_event_windows (same window spec; batch mode is
+    * the oracle-checked path).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class Ev(user_id: Long, us: Long)
+  case class Session(user_id: Long, session_id: Long, n_events: Long,
+      sess_start_us: Long, sess_end_us: Long)
+
+  /** Stateful sessionization via flatMapGroupsWithState — the custom-
+    * state path (gap 30 min, mirrors x12_sessionize's batch semantics
+    * when all data arrives; events are sorted in-group because state
+    * functions receive an unordered iterator).
+    */
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
+    import spark.implicits._
+    val evs = events.select(col("user_id"), expr("unix_micros(ts)").as("us")).as[Ev]
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Session], Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[List[Session]]) =>
+          val gap = 1800L * 1000000L
+          val sorted = it.map(_.us).toArray.sorted
+          var sessions = List.empty[Session]
+          var sid = 0L
+          var start = 0L
+          var end = 0L
+          var n = 0L
+          sorted.foreach { us =>
+            if (n == 0L || us - end > gap) {
+              if (n > 0) sessions ::= Session(uid, sid, n, start, end)
+              sid += 1; start = us; n = 0
+            }
+            end = us; n += 1
+          }
+          if (n > 0) sessions ::= Session(uid, sid, n, start, end)
+          sessions.reverseIterator
+      }
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query must run at sf0.001; core queries must be
+  * non-empty (the candidate-pair dedup queries may legitimately be
+  * empty at tiny scale, so they only assert execution).
+  */
+class QueriesSmokeSpec extends AnyFunSuite with SparkSpec {
+
+  private val mayBeEmpty = Set("x02_dedup_minhash", "x04_ngram_jaccard",
+    "x14_embedding_dup")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs on sf0.001" +
+      (if (mayBeEmpty(name)) "" else " with rows > 0")) {
+      val df = fn(spark, sf)
+      assert(df.schema.nonEmpty)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry smoke: flagship pipeline rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+}

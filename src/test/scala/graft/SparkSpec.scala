@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared local session for all suites (one JVM-wide session; suites
+  * must not stop it).
+  */
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder().master("local[8]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+trait SparkSpec {
+  lazy val spark: SparkSession = SparkSpec.session
+  val sf = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.ExtensionQueries
+import graft.streaming.EventStreams
+
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  test("streaming windowed counts equal the batch x11 aggregation") {
+    // FileStreamSource wants a directory: stage one with a symlink.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val agg = EventStreams.windowedCounts(
+      EventStreams.eventStream(spark, dir.toString))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT w_start, event_type, n, round(sum_value, 2) AS sum_value FROM win_out")
+      .collect().map(_.toSeq).toSet
+    val batch = ExtensionQueries.x11_event_windows(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
+  test("stateful sessionization equals the batch x12 session counts") {
+    // flatMapGroupsWithState also runs in batch mode (empty state) —
+    // one pass per group, which matches the windowless x12 semantics.
+    val sess = EventStreams.sessionize(spark, graft.Tables.events(spark, sf))
+    val got = sess.collect()
+      .map(s => (s.user_id, s.session_id, s.n_events, s.sess_start_us, s.sess_end_us))
+      .toSet
+    val expect = ExtensionQueries.x12_sessionize(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+    assert(got === expect)
+  }
+}
