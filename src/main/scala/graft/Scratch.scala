@@ -24,6 +24,15 @@ object Scratch {
       println(f"TIME $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
 
+    if (args.contains("explain")) {
+      for (n <- Seq("q16_tpch_q1", "q06_broadcast_join", "q12_doc_vectors",
+        "x05_ann_topk", "q01_pending_scan")) {
+        println(s"==== PLAN $n ====")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
+      spark.stop(); return
+    }
+
     val docs = Tables.documents(spark, sfDir)
     val toks = docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
     time("tokens")(toks.count())

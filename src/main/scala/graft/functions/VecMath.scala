@@ -21,9 +21,11 @@ object VecMath {
   /** Elementwise scale (reference `worker.py:83` tf*idf*vec). */
   def scale(a: Column, s: Column): Column = transform(a, x => x * s)
 
-  /** Sequential-fold dot product. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential dot product — native codegen expression (the HOF form
+    * `aggregate(zip_with(...))` allocates per row and evaluates lambdas
+    * per element; see [[DotProduct]]).
+    */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
 
   /** Sum of elements. */
   def vsum(a: Column): Column = aggregate(a, lit(0.0), (acc, v) => acc + v)

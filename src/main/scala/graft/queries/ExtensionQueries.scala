@@ -71,15 +71,19 @@ object ExtensionQueries {
   // shuffle); a distinct-shingle hash dimension would add a join shuffle
   // that costs more than re-hashing, md5 being ~100ns/row.
   def x02_dedup_minhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 12; val BandSize = 3
     val sh = docShingles(Tables.documents(spark, sfDir))
-    val hidx = spark.range(12).select(col("id").cast("int").as("i"))
-    val mh = sh.crossJoin(broadcast(hidx))
-      .withColumn("h", md5(concat(col("i").cast("string"), lit(":"), col("shingle"))))
-      .groupBy("doc_id", "i").agg(min(col("h")).as("mh"))
-    val bands = mh.withColumn("band", expr("i div 3"))
-      .groupBy("doc_id", "band")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-        s => s.getField("mh")), "|").as("sig"))
+    // All K minhashes in ONE groupBy pass (K agg expressions over the
+    // posting rows) — no K-way row blowup, no second shuffle, no
+    // collect_list: the signature build is a single map-side-combinable
+    // aggregation, which is what survives 100 TB.
+    val mhAggs = (0 until K).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+    val sig = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    val bandCols = (0 until K / BandSize).map(b =>
+      concat_ws("|", (0 until BandSize).map(j => col(s"mh${b * BandSize + j}")): _*))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
     val b1 = bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
     val b2 = bands.select(col("doc_id").as("d2"), col("band"), col("sig"))
     val cand = b1.join(b2, Seq("band", "sig")).filter(col("d1") < col("d2"))
@@ -143,14 +147,15 @@ object ExtensionQueries {
     val counts = docTok(Tables.documents(spark, sfDir))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
       .withColumn("h16", expr(SqlHex16))
-    val bits = counts.select(col("doc_id"), col("cnt"), col("h16"),
-      explode(sequence(lit(0), lit(15))).as("b"))
-      .withColumn("p2", expr("CAST(pow(2, b) AS BIGINT)"))
-      .withColumn("vote",
-        col("cnt") * (expr("(h16 div p2) % 2") * 2 - 1))
-    val sim = bits.groupBy("doc_id", "b", "p2").agg(sum(col("vote")).as("v"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("v") > 0, col("p2")).otherwise(lit(0L))).as("simhash"))
+    // All 16 bit-votes in ONE groupBy pass (16 agg expressions) — no
+    // 16-way explode, single shuffle.
+    val voteAggs = (0 until 16).map(b =>
+      sum(col("cnt") * (expr(s"(h16 div ${1L << b}) % 2") * 2 - 1)).as(s"v$b"))
+    val sim = counts.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
     sim.withColumn("n_same",
       count(lit(1)).over(Window.partitionBy("simhash")))
       .select("doc_id", "simhash", "n_same").orderBy("doc_id")
@@ -218,11 +223,15 @@ object ExtensionQueries {
   def x05_ann_topk(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("v", VecMath.asDouble(col("embedding")))
+      .withColumn("nrm", VecMath.l2norm(col("v")))
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", VecMath.cosine(col("qv"), col("v")))
+      .withColumn("cos",
+        when(col("qn") > 0 && col("nrm") > 0,
+          VecMath.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .otherwise(lit(0.0)))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
       .select(col("query_id"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cos"))
@@ -269,12 +278,17 @@ object ExtensionQueries {
   def x06_ann_lsh(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("v", VecMath.asDouble(col("embedding")))
+      .withColumn("nrm", VecMath.l2norm(col("v")))
       .withColumn("bucket", bucketOf(col("v")))
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
     val scored = e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", VecMath.cosine(col("qv"), col("v")))
+      .withColumn("cos",
+        when(col("qn") > 0 && col("nrm") > 0,
+          VecMath.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .otherwise(lit(0.0)))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
       .select(col("query_id"), col("rn"), col("vec_id"), col("bucket"),
@@ -308,12 +322,20 @@ object ExtensionQueries {
   // x14: embedding-cosine near-dup pairs, blocked by label (semantic
   // block; swap in the x06 LSH bucket at scale).
   def x14_embedding_dup(spark: SparkSession, sfDir: String): DataFrame = {
+    // Norms are precomputed per vector (N of them), not per pair (N²):
+    // the pair loop is one native dot product + a multiply.
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), VecMath.asDouble(col("embedding")).as("v"))
-    val a = e.select(col("vec_id").as("v1"), col("label"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("v2"), col("label"), col("v").as("vb"))
+      .withColumn("nrm", VecMath.l2norm(col("v")))
+    val a = e.select(col("vec_id").as("v1"), col("label"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("v2"), col("label"),
+      col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("label")).filter(col("v1") < col("v2"))
-      .withColumn("cos", VecMath.cosine(col("va"), col("vb")))
+      .withColumn("cos",
+        when(col("na") > 0 && col("nb") > 0,
+          VecMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .otherwise(lit(0.0)))
       .filter(col("cos") >= 0.3)
       .select(col("v1"), col("v2"), col("label"), round(col("cos"), 6).as("cos"))
       .orderBy("v1", "v2")

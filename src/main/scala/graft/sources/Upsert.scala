@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Upsert sinks (SURVEY.md S8-S10).
+  *
+  * The reference upserts via MongoDB `bulk_write(UpdateOne(..., $set))`
+  * (`worker.py:87-94,122-124`, `enter_wordvecs.py:40-53`,
+  * `calculate_idf_scores.py:82-85`) — per-key merge semantics. Plain
+  * Spark-on-Parquet has no MERGE, so the engine provides merge-by-join:
+  * new rows win per key, non-updated columns survive via coalesce. At
+  * 100 TB the same recipe runs per partition (dynamic partition
+  * overwrite) so a batch only rewrites the partitions it touches.
+  */
+object Upsert {
+
+  /** Merge `updates` into `existing` by `key`: update rows replace
+    * matching keys (column-wise coalesce, so columns absent from an
+    * update keep their old value — `$set` semantics), unmatched update
+    * rows are inserts, unmatched existing rows survive.
+    */
+  def mergeByKey(existing: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val e = existing.alias("e")
+    val u = updates.alias("u")
+    val joined = e.join(u, col(s"e.$key") === col(s"u.$key"), "full_outer")
+    val cols = (existing.columns ++ updates.columns).distinct.map { c =>
+      val inE = existing.columns.contains(c)
+      val inU = updates.columns.contains(c)
+      val expr =
+        if (inE && inU) coalesce(col(s"u.$c"), col(s"e.$c"))
+        else if (inU) col(s"u.$c")
+        else col(s"e.$c")
+      expr.as(c)
+    }
+    joined.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Idempotent overwrite-by-key to a parquet target (the harness-side
+    * sink; exactly-once = checkpointed source + this idempotent write).
+    */
+  def overwriteParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+}

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Metrics sink (SURVEY.md S11).
+  *
+  * The reference emits an HTTP heartbeat with batch wall-clock per loop
+  * (`worker.py:128-137,144`); the engine-native form is a
+  * QueryExecutionListener publishing per-query duration + outcome
+  * (swap [[publish]] for an HTTP push in a real deployment — the
+  * listener is the operator, the transport is config).
+  */
+class HeartbeatListener extends QueryExecutionListener {
+  val successes = new AtomicLong(0)
+  val failures = new AtomicLong(0)
+  val lastDurationNs = new AtomicLong(0)
+  val lastError = new AtomicReference[String]("")
+
+  protected def publish(msg: String, pingNs: Long): Unit = ()
+
+  override def onSuccess(funcName: String, qe: QueryExecution,
+      durationNs: Long): Unit = {
+    successes.incrementAndGet()
+    lastDurationNs.set(durationNs)
+    publish("OK", durationNs)
+  }
+
+  override def onFailure(funcName: String, qe: QueryExecution,
+      exception: Exception): Unit = {
+    failures.incrementAndGet()
+    lastError.set(exception.getMessage)
+    publish("FAIL", 0L)
+  }
+}
+
+object HeartbeatListener {
+  def install(spark: SparkSession): HeartbeatListener = {
+    val l = new HeartbeatListener
+    spark.listenerManager.register(l)
+    l
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Upsert
+
+class UpsertSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("mergeByKey: $set semantics — update wins, old columns survive, " +
+    "inserts and untouched rows kept") {
+    val existing = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "name", "score")
+    // update 2 (partial: no name change -> NULL name in update), insert 4
+    val updates = Seq((2L, None: Option[String], 20.0),
+      (4L, Some("d"), 4.0))
+      .toDF("id", "name", "score")
+    val merged = Upsert.mergeByKey(existing, updates, "id")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(merged === Array(
+      (1L, "a", 1.0),
+      (2L, "b", 20.0), // score updated, name survived the NULL
+      (3L, "c", 3.0),
+      (4L, "d", 4.0)))
+  }
+
+  test("mergeByKey handles disjoint column sets") {
+    val existing = Seq((1L, "a")).toDF("id", "name")
+    val updates = Seq((1L, 9.0)).toDF("id", "idf")
+    val merged = Upsert.mergeByKey(existing, updates, "id")
+    assert(merged.columns.toSet === Set("id", "name", "idf"))
+    val r = merged.collect().head
+    assert(r.getAs[String]("name") === "a")
+    assert(r.getAs[Double]("idf") === 9.0)
+  }
+
+  test("overwriteParquet is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    Upsert.overwriteParquet(df, dir)
+    Upsert.overwriteParquet(df, dir) // second write must not fail/dup
+    assert(spark.read.parquet(dir).count() === 2)
+  }
+}
