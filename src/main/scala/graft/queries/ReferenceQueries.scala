@@ -65,6 +65,42 @@ object ReferenceQueries {
       .select("token", "occurrences", "idf")
   }
 
+  /** The E1 core (`worker.py:69-94`), reusable by batch q12/q15 and the
+    * streaming vectorizer: per-doc tf over `docs`, left-join a
+    * `(token, idf, vec)` word-vector dimension (broadcast), axpy-sum via
+    * the custom Aggregator. Returns
+    * (doc_id, total, known, known_ratio, vec) with vec NULL-semantics
+    * deferred to callers (known=0 -> all-zero vec, F12).
+    */
+  def docVectors(docs: DataFrame, wordvecs: DataFrame, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docTokens(docs)
+    val counts = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("doc_id")
+    val tf = counts.withColumn("total", sum(col("cnt")).over(w))
+      .withColumn("tf", col("cnt").cast("double") / col("total"))
+    val joined = tf.join(broadcast(wordvecs), Seq("token"), "left")
+    joined.groupBy("doc_id").agg(
+      max(col("total")).as("total"),
+      count(col("idf")).as("known"),
+      VecAgg.weightedSum(dim)(
+        coalesce(col("tf") * col("idf"), lit(0.0)),
+        coalesce(col("vec"), VecMath.zeros(dim))).as("vec"))
+      .withColumn("known_ratio",
+        when(col("total") > 0, col("known").cast("double") / col("total"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Scalar projections of [[docVectors]] for oracle hashing. */
+  private def docVectorScalars(dv: DataFrame): DataFrame =
+    dv.select(
+      col("doc_id"),
+      round(col("known_ratio"), 6).as("known_ratio"),
+      round(when(col("known") > 0, VecMath.vsum(col("vec"))), 6).as("vec_sum"),
+      round(when(col("known") > 0, VecMath.l2norm(col("vec"))), 6).as("vec_norm"),
+      round(when(col("known") > 0, element_at(col("vec"), 1)), 6).as("vec_d0"))
+      .orderBy("doc_id")
+
   /** Shared oracle CTE prefix mirroring [[idfTable]]. */
   private val SqlIdfCtes =
     s"""tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
@@ -253,32 +289,17 @@ object ReferenceQueries {
   // Aggregator (A3) -> known_tokens_ratio (A5/A6) -> null vector when no
   // known tokens (F12). Output = deterministic scalar projections of the
   // vector (sum / L2 norm / dim 0), rounded.
-  def q12_doc_vectors(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, sfDir).filter(col("lang") === "en")
-    val tok = docTokens(docs)
-    val counts = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("doc_id")
-    val tf = counts.withColumn("total", sum(col("cnt")).over(w))
-      .withColumn("tf", col("cnt").cast("double") / col("total"))
-    val wv = idfTable(spark, sfDir)
+  /** The q12 word-vector dimension table (token, idf, 8-dim pseudo vec)
+    * — shared with the streaming vectorizer.
+    */
+  def wordvecs8(spark: SparkSession, sfDir: String): DataFrame =
+    idfTable(spark, sfDir)
       .withColumn("vec", pseudoVec(col("token")))
       .select("token", "idf", "vec")
-    val joined = tf.join(broadcast(wv), Seq("token"), "left")
-    val agg = joined.groupBy("doc_id").agg(
-      max(col("total")).as("total"),
-      count(col("idf")).as("known"),
-      VecAgg.weightedSum(VecDim)(
-        coalesce(col("tf") * col("idf"), lit(0.0)),
-        coalesce(col("vec"), VecMath.zeros(VecDim))).as("vec"))
-    agg.select(
-      col("doc_id"),
-      round(when(col("total") > 0, col("known").cast("double") / col("total"))
-        .otherwise(lit(0.0)), 6).as("known_ratio"),
-      round(when(col("known") > 0, VecMath.vsum(col("vec"))), 6).as("vec_sum"),
-      round(when(col("known") > 0, VecMath.l2norm(col("vec"))), 6).as("vec_norm"),
-      round(when(col("known") > 0, element_at(col("vec"), 1)), 6).as("vec_d0"))
-      .orderBy("doc_id")
+
+  def q12_doc_vectors(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).filter(col("lang") === "en")
+    docVectorScalars(docVectors(docs, wordvecs8(spark, sfDir), VecDim))
   }
 
   val q12Sql: String =
@@ -293,6 +314,47 @@ object ReferenceQueries {
        |vs AS (SELECT j.doc_id, d.range AS d,
        |       sum(j.tf * j.idf * (((ascii(substr(j.token, (d.range % length(j.token))::INT + 1, 1)) * (d.range + 1)) % 97) / 97.0)) AS s
        |       FROM j, range(0, ${VecDim}) d WHERE j.idf IS NOT NULL GROUP BY j.doc_id, d.range),
+       |vagg AS (SELECT doc_id, sum(s) AS vec_sum, sqrt(sum(s * s)) AS vec_norm,
+       |         sum(CASE WHEN d = 0 THEN s END) AS vec_d0 FROM vs GROUP BY doc_id)
+       |SELECT k.doc_id,
+       |  round(CASE WHEN k.total > 0 THEN k.known::DOUBLE / k.total ELSE 0.0 END, 6) AS known_ratio,
+       |  round(CASE WHEN k.known > 0 THEN v.vec_sum END, 6) AS vec_sum,
+       |  round(CASE WHEN k.known > 0 THEN v.vec_norm END, 6) AS vec_norm,
+       |  round(CASE WHEN k.known > 0 THEN v.vec_d0 END, 6) AS vec_d0
+       |FROM k LEFT JOIN vagg v USING (doc_id) ORDER BY k.doc_id""".stripMargin
+
+  // E1 at reference fidelity: same pipeline as q12 but the word-vector
+  // store carries REAL float32 vectors — vocabulary rank joins
+  // `embeddings.vec_id` (the testdata analogue of
+  // `fasttext.word-vectors-<lang>`, FIXTURES.md). Exercises the
+  // float32->double cast parity and the 64-dim Aggregator path.
+  def q15_doc_vectors_real(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir).filter(col("lang") === "en")
+    val ranked = idfTable(spark, sfDir)
+      .withColumn("rank",
+        row_number().over(Window.orderBy("token")) - 1)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), VecMath.asDouble(col("embedding")).as("vec"))
+    val wv = ranked.join(emb, ranked("rank") === emb("vec_id"))
+      .select("token", "idf", "vec")
+    docVectorScalars(docVectors(docs, wv, 64))
+  }
+
+  val q15Sql: String =
+    s"""WITH $SqlIdfCtes,
+       |wvr AS (SELECT token, idf, row_number() OVER (ORDER BY token) - 1 AS rank FROM wv),
+       |wve AS (SELECT w.token, w.idf, e.embedding::DOUBLE[] AS vec
+       |        FROM wvr w JOIN embeddings e ON w.rank = e.vec_id),
+       |tdoc AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+       |dtok AS (SELECT t.doc_id, t.token FROM tok t JOIN tdoc USING (doc_id)),
+       |counts AS (SELECT doc_id, token, count(*) AS cnt FROM dtok GROUP BY doc_id, token),
+       |tf AS (SELECT doc_id, token, cnt::DOUBLE / sum(cnt) OVER (PARTITION BY doc_id) AS tf,
+       |       sum(cnt) OVER (PARTITION BY doc_id) AS total FROM counts),
+       |j AS (SELECT f.doc_id, f.tf, f.total, w.idf, w.vec FROM tf f LEFT JOIN wve w USING (token)),
+       |k AS (SELECT doc_id, max(total) AS total, count(idf) AS known FROM j GROUP BY doc_id),
+       |vs AS (SELECT j.doc_id, d.range AS d, sum(j.tf * j.idf * j.vec[d.range + 1]) AS s
+       |       FROM j, range(0, 64) d WHERE j.idf IS NOT NULL GROUP BY j.doc_id, d.range),
        |vagg AS (SELECT doc_id, sum(s) AS vec_sum, sqrt(sum(s * s)) AS vec_norm,
        |         sum(CASE WHEN d = 0 THEN s END) AS vec_d0 FROM vs GROUP BY doc_id)
        |SELECT k.doc_id,
@@ -435,6 +497,7 @@ object ReferenceQueries {
     "q12_doc_vectors" -> (q12_doc_vectors _),
     "q13_scalar_funcs" -> (q13_scalar_funcs _),
     "q14_json" -> (q14_json _),
+    "q15_doc_vectors_real" -> (q15_doc_vectors_real _),
     "q16_tpch_q1" -> (q16_tpch_q1 _),
     "q17_window_rank" -> (q17_window_rank _),
     "q18_topk" -> (q18_topk _),
@@ -456,6 +519,7 @@ object ReferenceQueries {
     "q12_doc_vectors" -> q12Sql,
     "q13_scalar_funcs" -> q13Sql,
     "q14_json" -> q14Sql,
+    "q15_doc_vectors_real" -> q15Sql,
     "q16_tpch_q1" -> q16Sql,
     "q17_window_rank" -> q17Sql,
     "q18_topk" -> q18Sql,

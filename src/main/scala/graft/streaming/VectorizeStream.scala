@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.queries.ReferenceQueries
+import graft.sources.Upsert
+
+/** The reference's flagship worker loop (`worker.py:110-150`) as a
+  * Structured Streaming job.
+  *
+  * Reference: poll Mongo for posts whose `jobs.vectorizer_<lang>` flag
+  * is unset, vectorize a micro-batch, upsert doc vectors + flag.
+  * Spark-native: a file stream of documents is the unbounded source
+  * (checkpointed offsets replace the job-flag "offset", §2.10), each
+  * micro-batch runs the SAME plan as the batch q12 pipeline via
+  * [[ReferenceQueries.docVectors]], and `foreachBatch` merges results
+  * into a parquet doc-vector store by key — idempotent, so at-least-once
+  * delivery composes to exactly-once.
+  */
+object VectorizeStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Start the vectorizer: stream docs from `docsDir`, join the given
+    * word-vector dim table, merge into `storePath` per micro-batch.
+    */
+  def start(spark: SparkSession, docsDir: String, wordvecs: DataFrame,
+      dim: Int, storePath: String, checkpoint: String): StreamingQuery = {
+    val docs = spark.readStream.schema(docSchema).parquet(docsDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val vecs = ReferenceQueries
+          .docVectors(batch.filter(col("lang") === "en"), wordvecs, dim)
+          .select("doc_id", "known_ratio", "vec")
+        upsertStore(spark, vecs, storePath)
+      }
+      .start()
+  }
+
+  /** Merge-by-key into a parquet store with a write-to-side + swap (a
+    * parquet path can't be overwritten while it is being read).
+    */
+  private[streaming] def upsertStore(spark: SparkSession, updates: DataFrame,
+      storePath: String): Unit = {
+    val store = Paths.get(storePath)
+    if (!Files.exists(store)) {
+      updates.write.parquet(storePath)
+      return
+    }
+    val existing = spark.read.parquet(storePath)
+    val merged = Upsert.mergeByKey(existing, updates, "doc_id")
+    val tmp = storePath + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    deleteRecursively(store)
+    Files.move(Paths.get(tmp), store)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+}
