@@ -36,6 +36,13 @@ object ExtensionQueries {
     docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(array_distinct(Tokenize.shingles(col("toks"), 3))).as("shingle"))
+      // The posting table is the multi-use working set of a dedup pass
+      // (signature build + candidate join + verification all scan it).
+      // Persist instead of recomputing scan+tokenize+shingle per use;
+      // Spark's CacheManager dedups by canonicalized plan, so x02/x04
+      // share one materialization. Memory-and-disk, so an oversized
+      // posting table degrades to spill rather than OOM.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private val SqlShingleCte =
     s"""tok AS (SELECT doc_id, $SqlTok AS toks FROM documents),
