@@ -496,6 +496,48 @@ object ExtensionQueries {
       |  count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 
+  // x19: sliding event-time windows (1 h window, 30 min slide) — each
+  // event lands in 2 windows; the oracle enumerates the slide offsets.
+  def x19_sliding_windows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  val x19Sql: String =
+    """WITH e AS (SELECT epoch_us(ts::TIMESTAMP) AS us, event_type, value FROM events),
+      |w AS (SELECT ((us - ((us - k.range * 1800000000) % 3600000000)) // 1000000)::BIGINT AS w_start,
+      |             event_type, value
+      |      FROM e, range(0, 2) k)
+      |SELECT w_start, event_type, count(*)::BIGINT AS n,
+      |  round(sum(value), 2) AS sum_value
+      |FROM w GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin
+
+  // x20: Spark's NATIVE session_window operator (30 min gap per user) —
+  // cross-validates against the lag+cumsum x12 formulation: the oracle
+  // is the same SQL sessionization aggregated to the same shape.
+  def x20_session_window(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), expr("unix_micros(w.start)").as("sess_start_us"),
+        col("n_events"))
+      .orderBy("user_id", "sess_start_us")
+
+  val x20Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
+      |l AS (SELECT user_id, event_id, us,
+      |  lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+      |s AS (SELECT user_id, us,
+      |  sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY us, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM l)
+      |SELECT user_id, min(us) AS sess_start_us, count(*)::BIGINT AS n_events
+      |FROM s GROUP BY user_id, session_id ORDER BY user_id, sess_start_us""".stripMargin
+
   // x12: sessionization — 30-minute-gap sessions per user via lag +
   // running sum (single shuffle on user_id; at 100 TB this is the
   // standard partition-by-entity pattern).
@@ -587,6 +629,8 @@ object ExtensionQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x15_mllib_embed" -> (x15_mllib_embed _),
+    "x19_sliding_windows" -> (x19_sliding_windows _),
+    "x20_session_window" -> (x20_session_window _),
     "x16_codec_roundtrip" -> (x16_codec_roundtrip _),
     "x17_media_features" -> (x17_media_features _),
     "x18_frame_samples" -> (x18_frame_samples _),
@@ -607,6 +651,8 @@ object ExtensionQueries {
 
   val oracleSql: Map[String, String] = Map(
     "x16_codec_roundtrip" -> x16Sql,
+    "x19_sliding_windows" -> x19Sql,
+    "x20_session_window" -> x20Sql,
     "x01_dedup_exact" -> x01Sql,
     "x02_dedup_minhash" -> x02Sql,
     "x03_dedup_simhash" -> x03Sql,

@@ -482,7 +482,45 @@ object ReferenceQueries {
       |  max(n_chars) AS max_chars, round(avg(n_chars), 6) AS avg_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // E3: the vocab-load pipeline (`enter_wordvecs.py:28-53`): vocabulary
+  // scan -> length gate (P6) -> project (word, float32-blob vector via
+  // the F11 codec) -> upsert. The oracle asserts the observable byte
+  // length (8 floats -> 32 LE bytes); the codec bit-exactness is
+  // unit/property-tested in VecCodecSpec.
+  def q21_vocab_load(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VecCodec
+    docTokens(Tables.documents(spark, sfDir))
+      .select("token").distinct()
+      .filter(length(col("token")) < 100)
+      .withColumn("vector", VecCodec.floats_to_binary(
+        transform(pseudoVec(col("token")), x => x.cast("float"))))
+      .select(col("token"), length(col("vector")).as("n_bytes"))
+      .orderBy("token")
+  }
+
+  val q21Sql: String =
+    s"""SELECT token, ${VecDim * 4}::INT AS n_bytes
+       |FROM (SELECT DISTINCT unnest($SqlTok) AS token FROM documents)
+       |WHERE length(token) < 100 ORDER BY token""".stripMargin
+
+  // Distributed multi-level aggregation (rollup) — free via Catalyst
+  // once the surface grows beyond the reference (SURVEY §2.4 note).
+  def q22_rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .rollup("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars")), 2).as("sum_chars"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  val q22Sql: String =
+    """SELECT lang, source, count(*)::BIGINT AS n_docs,
+      |  round(sum(n_chars)::DOUBLE, 2) AS sum_chars
+      |FROM documents GROUP BY ROLLUP (lang, source)
+      |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_vocab_load" -> (q21_vocab_load _),
+    "q22_rollup" -> (q22_rollup _),
     "q01_pending_scan" -> (q01_pending_scan _),
     "q02_elem_match" -> (q02_elem_match _),
     "q03_point_lookup" -> (q03_point_lookup _),
@@ -505,6 +543,8 @@ object ReferenceQueries {
     "q20_group_stats" -> (q20_group_stats _))
 
   val oracleSql: Map[String, String] = Map(
+    "q21_vocab_load" -> q21Sql,
+    "q22_rollup" -> q22Sql,
     "q01_pending_scan" -> q01Sql,
     "q02_elem_match" -> q02Sql,
     "q03_point_lookup" -> q03Sql,
