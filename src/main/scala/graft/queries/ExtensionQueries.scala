@@ -23,6 +23,12 @@ object ExtensionQueries {
 
   import ReferenceQueries.SqlTok
 
+  /** Cross-engine deterministic rounding — see ReferenceQueries.round. */
+  private def round(c: Column, d: Int): Column = {
+    val p = math.pow(10, d)
+    floor(c * p + lit(0.5)) / p
+  }
+
   private def docTok(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("token"))
 
@@ -613,6 +619,12 @@ object ExtensionQueries {
     s"""SELECT vec_id, (len(embedding) * 4)::INT AS n_bytes, true AS ok
        |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // x21: IVF ANN — MLlib KMeans coarse quantizer + probed-list search
+  // (the second scale path next to x06's hyperplane LSH). Deterministic
+  // (seeded) but KMeans isn't SQL-expressible: rows-only check.
+  def x21_ann_ivf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ml.IvfIndex.searchTopK(spark, sfDir)
+
   // x17/x18: multimodal decode-stub features and frame sampling
   // (typed mapPartitions plumbing; deterministic, rows-only check).
   def x17_media_features(spark: SparkSession, sfDir: String): DataFrame = {
@@ -629,6 +641,7 @@ object ExtensionQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x15_mllib_embed" -> (x15_mllib_embed _),
+    "x21_ann_ivf" -> (x21_ann_ivf _),
     "x19_sliding_windows" -> (x19_sliding_windows _),
     "x20_session_window" -> (x20_session_window _),
     "x16_codec_roundtrip" -> (x16_codec_roundtrip _),

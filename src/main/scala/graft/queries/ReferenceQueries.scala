@@ -18,6 +18,22 @@ import graft.functions.{Tokenize, VecMath}
   */
 object ReferenceQueries {
 
+  /** Deterministic cross-engine rounding — shadows `functions.round`.
+    *
+    * Spark's `round` HALF_UPs the shortest decimal REPR of the double;
+    * DuckDB rounds the binary value. A value whose repr is exactly
+    * *.xxxxxx5 (common here: ratios of small ints, money sums at 4dp)
+    * rounds DIFFERENTLY in the two engines (observed: quality 0.5186875
+    * -> 0.518688 vs 0.518687). Both the Spark plans (this function) and
+    * the oracle SQL (SparkEntry.rewriteRound) therefore use the SAME
+    * formula, floor(x·10^d + 0.5)/10^d, which is bit-deterministic on
+    * identical input doubles.
+    */
+  private[queries] def round(c: Column, d: Int): Column = {
+    val p = math.pow(10, d)
+    floor(c * p + lit(0.5)) / p
+  }
+
   /** DuckDB fragment: tokenize `text` exactly like [[Tokenize.tokens]]. */
   val SqlTok = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 

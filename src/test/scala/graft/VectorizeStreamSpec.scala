@@ -29,10 +29,12 @@ class VectorizeStreamSpec extends AnyFunSuite with SparkSpec {
     val batch = graft.queries.ReferenceQueries.q12_doc_vectors(spark, sf)
     assert(streamed.count() === batch.count())
 
-    // values match the oracle-checked batch pipeline (norms rounded)
+    // values match the oracle-checked batch pipeline (norms rounded with
+    // the same floor-formula the queries use — see ReferenceQueries.round)
+    def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + lit(0.5)) / 1e6
     val s = streamed.select(col("doc_id"),
-      round(col("known_ratio"), 6).as("kr"),
-      round(sqrt(graft.functions.VecMath.dot(col("vec"), col("vec"))), 6).as("nrm"))
+      r6(col("known_ratio")).as("kr"),
+      r6(sqrt(graft.functions.VecMath.dot(col("vec"), col("vec")))).as("nrm"))
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val b = batch.collect().map { r =>
       r.getLong(0) -> (r.getDouble(1), Option(r.get(3)).map(_.asInstanceOf[Double]))
