@@ -578,6 +578,39 @@ object ExtensionQueries {
       |  (max(us) - min(us)) AS duration_us
       |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  // x22: as-of join — each purchase matched to the SAME USER's most
+  // recent prior view. Composed from built-ins (SURVEY §7 preference
+  // (a)): one shuffle on user_id, an ignore-nulls last() over the
+  // preceding frame — no custom SparkPlan needed, and the plan is the
+  // partition-by-entity shape that scales.
+  def x22_asof_join(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("prior_view_us",
+        last(when(col("event_type") === "view", col("us")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+        col("prior_view_us"),
+        (col("us") - col("prior_view_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val x22Sql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |                  epoch_us(ts::TIMESTAMP) AS us FROM events),
+      |a AS (SELECT event_id, user_id, event_type, us,
+      |  last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY us, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_us
+      |  FROM e)
+      |SELECT event_id, user_id, us AS purchase_us, prior_view_us,
+      |  us - prior_view_us AS gap_us
+      |FROM a WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
   // x13: multimodal binary-column plumbing — text -> binary payload,
   // byte-level features through real BinaryType ops (the decode stubs
   // for image/audio live in graft.sources.MultiModal).
@@ -642,6 +675,7 @@ object ExtensionQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x15_mllib_embed" -> (x15_mllib_embed _),
     "x21_ann_ivf" -> (x21_ann_ivf _),
+    "x22_asof_join" -> (x22_asof_join _),
     "x19_sliding_windows" -> (x19_sliding_windows _),
     "x20_session_window" -> (x20_session_window _),
     "x16_codec_roundtrip" -> (x16_codec_roundtrip _),
@@ -666,6 +700,7 @@ object ExtensionQueries {
     "x16_codec_roundtrip" -> x16Sql,
     "x19_sliding_windows" -> x19Sql,
     "x20_session_window" -> x20Sql,
+    "x22_asof_join" -> x22Sql,
     "x01_dedup_exact" -> x01Sql,
     "x02_dedup_minhash" -> x02Sql,
     "x03_dedup_simhash" -> x03Sql,
