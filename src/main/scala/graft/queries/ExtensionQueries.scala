@@ -487,6 +487,67 @@ object ExtensionQueries {
        |FROM fp ORDER BY doc_id""".stripMargin
 
   // ======================================================================
+  // x23: text canonicalization — lowercase, collapse whitespace runs,
+  // strip non-alnum — plus the canonical-form content hash (the
+  // normalize step that precedes exact dedup in a real pipeline).
+  def x23_normalize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("canon",
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " ")))
+      .select(col("doc_id"), substring(col("canon"), 1, 40).as("canon_prefix"),
+        length(col("canon")).as("canon_len"), md5(col("canon")).as("canon_md5"))
+      .orderBy("doc_id")
+
+  val x23Sql: String =
+    """WITH c AS (SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS canon
+      |  FROM documents)
+      |SELECT doc_id, substr(canon, 1, 40) AS canon_prefix,
+      |  length(canon)::INT AS canon_len, md5(canon) AS canon_md5
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // x24: corpus vocabulary analytics — top-5 tokens per language by
+  // occurrence (groupBy + per-group rank; the zipf-stats building block).
+  def x24_top_tokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs
+      .select(col("lang"), explode(Tokenize.tokens(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("occ"))
+    val w = Window.partitionBy("lang").orderBy(col("occ").desc, col("token"))
+    counts.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("lang", "rnk", "token", "occ")
+      .orderBy("lang", "rnk")
+  }
+
+  val x24Sql: String =
+    s"""WITH tok AS (SELECT lang, unnest($SqlTok) AS token FROM documents),
+       |counts AS (SELECT lang, token, count(*) AS occ FROM tok GROUP BY lang, token),
+       |ranked AS (SELECT lang, token, occ,
+       |  row_number() OVER (PARTITION BY lang ORDER BY occ DESC, token) AS rnk FROM counts)
+       |SELECT lang, rnk, token, occ::BIGINT AS occ FROM ranked
+       |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
+
+  // x25: stratified systematic sample — every 7th doc per (lang) stratum
+  // in doc_id order (deterministic; the reproducible-sampling operator
+  // for training-data curation).
+  def x25_stratified_sample(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables.documents(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter((col("rn") - 1) % 7 === 0)
+      .select("lang", "doc_id", "source")
+      .orderBy("lang", "doc_id")
+  }
+
+  val x25Sql: String =
+    """SELECT lang, doc_id, source FROM (
+      |  SELECT lang, doc_id, source,
+      |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |WHERE (rn - 1) % 7 = 0 ORDER BY lang, doc_id""".stripMargin
+
+  // ======================================================================
   // x11: event-time tumbling window aggregation (batch mode of the
   // Structured Streaming path in graft.streaming).
   def x11_event_windows(spark: SparkSession, sfDir: String): DataFrame =
@@ -676,6 +737,9 @@ object ExtensionQueries {
     "x15_mllib_embed" -> (x15_mllib_embed _),
     "x21_ann_ivf" -> (x21_ann_ivf _),
     "x22_asof_join" -> (x22_asof_join _),
+    "x23_normalize" -> (x23_normalize _),
+    "x24_top_tokens" -> (x24_top_tokens _),
+    "x25_stratified_sample" -> (x25_stratified_sample _),
     "x19_sliding_windows" -> (x19_sliding_windows _),
     "x20_session_window" -> (x20_session_window _),
     "x16_codec_roundtrip" -> (x16_codec_roundtrip _),
@@ -701,6 +765,9 @@ object ExtensionQueries {
     "x19_sliding_windows" -> x19Sql,
     "x20_session_window" -> x20Sql,
     "x22_asof_join" -> x22Sql,
+    "x23_normalize" -> x23Sql,
+    "x24_top_tokens" -> x24Sql,
+    "x25_stratified_sample" -> x25Sql,
     "x01_dedup_exact" -> x01Sql,
     "x02_dedup_minhash" -> x02Sql,
     "x03_dedup_simhash" -> x03Sql,

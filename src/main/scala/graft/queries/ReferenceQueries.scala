@@ -534,9 +534,71 @@ object ReferenceQueries {
       |FROM documents GROUP BY ROLLUP (lang, source)
       |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
 
+  // TPC-H Q5-shaped star join: 6-table join with filters on both ends —
+  // exercises Catalyst join planning (broadcast dims + shuffled facts).
+  def q23_star_revenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  val q23Sql: String =
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*)::BIGINT AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // Correlated scalar subquery (decorrelated by Catalyst into a join):
+  // orders priced above 1.5x their customer's average order value.
+  // Prices are compared in integer CENTS: integer sums are
+  // order-independent, so the avg (and thus row membership) is
+  // bit-identical across engines — a raw double avg would drift by
+  // summation order and could flip rows sitting near the threshold.
+  def q24_above_avg_orders(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_v o
+        |WHERE floor(o_totalprice * 100 + 0.5) > 1.5 * (
+        |  SELECT avg(floor(o_totalprice * 100 + 0.5))
+        |  FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val q24Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE floor(o_totalprice * 100 + 0.5) > 1.5 * (
+      |  SELECT avg(floor(o_totalprice * 100 + 0.5))
+      |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_vocab_load" -> (q21_vocab_load _),
     "q22_rollup" -> (q22_rollup _),
+    "q23_star_revenue" -> (q23_star_revenue _),
+    "q24_above_avg_orders" -> (q24_above_avg_orders _),
     "q01_pending_scan" -> (q01_pending_scan _),
     "q02_elem_match" -> (q02_elem_match _),
     "q03_point_lookup" -> (q03_point_lookup _),
@@ -561,6 +623,8 @@ object ReferenceQueries {
   val oracleSql: Map[String, String] = Map(
     "q21_vocab_load" -> q21Sql,
     "q22_rollup" -> q22Sql,
+    "q23_star_revenue" -> q23Sql,
+    "q24_above_avg_orders" -> q24Sql,
     "q01_pending_scan" -> q01Sql,
     "q02_elem_match" -> q02Sql,
     "q03_point_lookup" -> q03Sql,
