@@ -487,6 +487,62 @@ object ExtensionQueries {
        |FROM fp ORDER BY doc_id""".stripMargin
 
   // ======================================================================
+  // x26: pivot — event counts per user-decile, one column per event
+  // type (explicit value list keeps the schema deterministic; the
+  // oracle is the equivalent conditional aggregation).
+  def x26_pivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("user_bucket", col("user_id") % 10)
+      .groupBy("user_bucket")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_bucket")
+
+  val x26Sql: String =
+    """SELECT user_id % 10 AS user_bucket,
+      |  count(*) FILTER (event_type = 'click')::BIGINT AS click,
+      |  count(*) FILTER (event_type = 'error')::BIGINT AS error,
+      |  count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+      |  count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+      |  count(*) FILTER (event_type = 'view')::BIGINT AS view
+      |FROM events GROUP BY user_id % 10 ORDER BY user_bucket""".stripMargin
+
+  // x27: exact median (linear-interpolated percentile) per group —
+  // medians of ints are k or k.5 exactly, so the floor-rounding is
+  // boundary-safe.
+  def x27_median(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy("lang")
+      .agg(round(expr("percentile(n_chars, 0.5)"), 6).as("median_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  val x27Sql: String =
+    """SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+      |  count(*)::BIGINT AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // x28: calendar functions — year/month/day-of-week distribution of
+  // orders (Spark dayofweek is 1=Sunday, DuckDB 0=Sunday: aligned
+  // explicitly to ISO-ish 0=Sunday).
+  def x28_time_funcs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow"),
+        col("o_totalprice"))
+      .groupBy("y", "m", "dow")
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("y", "m", "dow")
+
+  val x28Sql: String =
+    """SELECT year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m,
+      |  dayofweek(o_orderdate)::INT AS dow,
+      |  count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders GROUP BY 1, 2, 3 ORDER BY y, m, dow""".stripMargin
+
+  // ======================================================================
   // x23: text canonicalization — lowercase, collapse whitespace runs,
   // strip non-alnum — plus the canonical-form content hash (the
   // normalize step that precedes exact dedup in a real pipeline).
@@ -740,6 +796,9 @@ object ExtensionQueries {
     "x23_normalize" -> (x23_normalize _),
     "x24_top_tokens" -> (x24_top_tokens _),
     "x25_stratified_sample" -> (x25_stratified_sample _),
+    "x26_pivot" -> (x26_pivot _),
+    "x27_median" -> (x27_median _),
+    "x28_time_funcs" -> (x28_time_funcs _),
     "x19_sliding_windows" -> (x19_sliding_windows _),
     "x20_session_window" -> (x20_session_window _),
     "x16_codec_roundtrip" -> (x16_codec_roundtrip _),
@@ -768,6 +827,9 @@ object ExtensionQueries {
     "x23_normalize" -> x23Sql,
     "x24_top_tokens" -> x24Sql,
     "x25_stratified_sample" -> x25Sql,
+    "x26_pivot" -> x26Sql,
+    "x27_median" -> x27Sql,
+    "x28_time_funcs" -> x28Sql,
     "x01_dedup_exact" -> x01Sql,
     "x02_dedup_minhash" -> x02Sql,
     "x03_dedup_simhash" -> x03Sql,
