@@ -229,6 +229,60 @@ object ExtensionQueries {
        |WHERE s.sh_n::DOUBLE / (n1.n + n2.n - s.sh_n) >= 0.5
        |ORDER BY d1, d2""".stripMargin
 
+  // x29: near-dup CLUSTERS — connected components over the x04 pair
+  // graph via iterative min-label propagation (converges in diameter
+  // rounds; each round is one join + one groupBy — the scalable
+  // alternative to driver-side union-find). Oracle: recursive-CTE
+  // transitive closure.
+  def x29_dup_clusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = x04_ngram_jaccard(spark, sfDir).select("d1", "d2")
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("a", "b").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("n")).distinct()
+      .withColumn("lbl", col("n"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("n", "a"), Seq("a"))
+        .select(col("b").as("n"), col("lbl"))
+        .union(labels)
+        .groupBy("n").agg(min(col("lbl")).as("lbl"))
+      val changed = propagated.alias("p")
+        .join(labels.alias("l"), col("p.n") === col("l.n"))
+        .filter(col("p.lbl") =!= col("l.lbl")).count()
+      labels = propagated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("lbl")))
+      .select(col("n").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  val x29Sql: String =
+    s"""WITH RECURSIVE $SqlShingleCte,
+       |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+       |         WHERE df <= 1000),
+       |shr AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)),
+       |nsh AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
+       |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS sh_n
+       |           FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (SELECT s.d1, s.d2 FROM shared s
+       |          JOIN nsh n1 ON n1.doc_id = s.d1 JOIN nsh n2 ON n2.doc_id = s.d2
+       |          WHERE s.sh_n::DOUBLE / (n1.n + n2.n - s.sh_n) >= 0.5),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+       |SELECT n AS doc_id, min(m) AS cluster_id, count(DISTINCT m)::BIGINT AS cluster_size
+       |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
+
   // ======================================================================
   // x05: brute-force cosine top-k ANN baseline. Query set × corpus
   // cross-join — at 100 TB the corpus side stays partitioned and the
@@ -797,6 +851,7 @@ object ExtensionQueries {
     "x24_top_tokens" -> (x24_top_tokens _),
     "x25_stratified_sample" -> (x25_stratified_sample _),
     "x26_pivot" -> (x26_pivot _),
+    "x29_dup_clusters" -> (x29_dup_clusters _),
     "x27_median" -> (x27_median _),
     "x28_time_funcs" -> (x28_time_funcs _),
     "x19_sliding_windows" -> (x19_sliding_windows _),
@@ -828,6 +883,7 @@ object ExtensionQueries {
     "x24_top_tokens" -> x24Sql,
     "x25_stratified_sample" -> x25Sql,
     "x26_pivot" -> x26Sql,
+    "x29_dup_clusters" -> x29Sql,
     "x27_median" -> x27Sql,
     "x28_time_funcs" -> x28Sql,
     "x01_dedup_exact" -> x01Sql,
