@@ -236,10 +236,13 @@ object ExtensionQueries {
   // transitive closure.
   def x29_dup_clusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = x04_ngram_jaccard(spark, sfDir).select("d1", "d2")
+    // localCheckpoint per round: iterative plans otherwise re-execute
+    // the whole growing lineage every round (42 s -> seconds at sf0.1;
+    // on a cluster this is reliable checkpointing to the cluster FS).
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("a", "b").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .toDF("a", "b").localCheckpoint()
     var labels = edges.select(col("a").as("n")).distinct()
-      .withColumn("lbl", col("n"))
+      .withColumn("lbl", col("n")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -248,6 +251,7 @@ object ExtensionQueries {
         .select(col("b").as("n"), col("lbl"))
         .union(labels)
         .groupBy("n").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
       val changed = propagated.alias("p")
         .join(labels.alias("l"), col("p.n") === col("l.n"))
         .filter(col("p.lbl") =!= col("l.lbl")).count()
