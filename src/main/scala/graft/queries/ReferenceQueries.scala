@@ -594,7 +594,78 @@ object ReferenceQueries {
       |  FROM orders i WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  // §2.7 completion: intersect / except over key sets.
+  def q25_setops(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val en = d.filter(col("lang") === "en").select("source").distinct()
+    val de = d.filter(col("lang") === "de").select("source").distinct()
+    val both = en.intersect(de).withColumn("op", lit("both"))
+    val enOnly = en.except(de).withColumn("op", lit("en_only"))
+    both.unionByName(enOnly).orderBy("op", "source")
+  }
+
+  val q25Sql: String =
+    """WITH en AS (SELECT DISTINCT source FROM documents WHERE lang = 'en'),
+      |de AS (SELECT DISTINCT source FROM documents WHERE lang = 'de'),
+      |b AS (SELECT source, 'both' AS op FROM (SELECT source FROM en INTERSECT SELECT source FROM de)),
+      |o AS (SELECT source, 'en_only' AS op FROM (SELECT source FROM en EXCEPT SELECT source FROM de))
+      |SELECT source, op FROM b UNION ALL SELECT source, op FROM o
+      |ORDER BY op, source""".stripMargin
+
+  // Analytic window battery: running revenue, lag/lead, first/last in
+  // frame — per customer over order date.
+  def q26_running(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(run), 2).as("running_total"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        round(first(col("o_totalprice")).over(run), 2).as("first_price"),
+        row_number().over(w).as("seq"))
+      .orderBy("o_custkey", "seq")
+  }
+
+  val q26Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER w2, 2) AS running_total,
+      |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+      |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+      |  round(first_value(o_totalprice) OVER w2, 2) AS first_price,
+      |  row_number() OVER w AS seq
+      |FROM orders WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, seq""".stripMargin
+
+  // String-function battery incl. edit distance (dedup-adjacent).
+  def q27_strings(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).filter(col("p_partkey") <= 500)
+    p.select(col("p_partkey"),
+      reverse(col("p_brand")).as("brand_rev"),
+      lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"),
+      translate(col("p_type"), "aeiou", "AEIOU").as("type_tr"),
+      levenshtein(col("p_brand"), col("p_type")).as("edit_dist"),
+      repeat(substring(col("p_name"), 1, 3), 2).as("name_rep"))
+      .orderBy("p_partkey")
+  }
+
+  val q27Sql: String =
+    """SELECT p_partkey, reverse(p_brand) AS brand_rev,
+      |  lpad(p_partkey::VARCHAR, 8, '0') AS key_pad,
+      |  translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
+      |  levenshtein(p_brand, p_type)::INT AS edit_dist,
+      |  repeat(substr(p_name, 1, 3), 2) AS name_rep
+      |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_setops" -> (q25_setops _),
+    "q26_running" -> (q26_running _),
+    "q27_strings" -> (q27_strings _),
     "q21_vocab_load" -> (q21_vocab_load _),
     "q22_rollup" -> (q22_rollup _),
     "q23_star_revenue" -> (q23_star_revenue _),
@@ -621,6 +692,9 @@ object ReferenceQueries {
     "q20_group_stats" -> (q20_group_stats _))
 
   val oracleSql: Map[String, String] = Map(
+    "q25_setops" -> q25Sql,
+    "q26_running" -> q26Sql,
+    "q27_strings" -> q27Sql,
     "q21_vocab_load" -> q21Sql,
     "q22_rollup" -> q22Sql,
     "q23_star_revenue" -> q23Sql,
