@@ -18,6 +18,6 @@ object GraftFunctions {
     // Tokenize.tokens is pure built-ins and preferred in plans).
     spark.udf.register("graft_tokens", (s: String) =>
       if (s == null) Array.empty[String]
-      else s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+      else s.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty))
   }
 }

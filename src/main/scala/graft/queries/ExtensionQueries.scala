@@ -245,7 +245,8 @@ object ExtensionQueries {
       .withColumn("lbl", col("n")).localCheckpoint()
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    val maxIters = 50
+    while (!converged && iter < maxIters) {
       val propagated = edges
         .join(labels.withColumnRenamed("n", "a"), Seq("a"))
         .select(col("b").as("n"), col("lbl"))
@@ -259,6 +260,12 @@ object ExtensionQueries {
       converged = changed == 0
       iter += 1
     }
+    // Silently returning unconverged labels would mis-cluster components
+    // of diameter > maxIters (possible at production scale even though
+    // tested SFs converge in <5 rounds) — fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"x29 label propagation did not converge within $maxIters rounds")
     labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("lbl")))
@@ -613,6 +620,9 @@ object ExtensionQueries {
         length(col("canon")).as("canon_len"), md5(col("canon")).as("canon_md5"))
       .orderBy("doc_id")
 
+  // Char-counting length/substr are safe HERE (unlike x13): canon is
+  // pure ASCII by construction — every non-[a-z0-9 ] char was just
+  // regexp-replaced away — so chars == bytes on both engines.
   val x23Sql: String =
     """WITH c AS (SELECT doc_id,
       |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS canon
@@ -798,9 +808,12 @@ object ExtensionQueries {
         lower(hex(substring(col("payload"), 1, 8))).as("head_hex"))
       .orderBy("doc_id")
 
+  // Byte-wise oracle: strlen counts utf-8 BYTES (DuckDB length() counts
+  // chars), and the 8-byte head is sliced on the hex string (2 hex chars
+  // per byte) since DuckDB has no BLOB substring — exact for any unicode.
   val x13Sql: String =
-    """SELECT doc_id, length(text)::INT AS byte_len, md5(text) AS payload_md5,
-      |  lower(hex(substr(text, 1, 8))) AS head_hex
+    """SELECT doc_id, strlen(text)::INT AS byte_len, md5(text) AS payload_md5,
+      |  lower(substr(hex(encode(text)), 1, 16)) AS head_hex
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ======================================================================

@@ -16,19 +16,24 @@ import org.apache.spark.sql.functions._
 object Upsert {
 
   /** Merge `updates` into `existing` by `key`: update rows replace
-    * matching keys (column-wise coalesce, so columns absent from an
-    * update keep their old value — `$set` semantics), unmatched update
-    * rows are inserts, unmatched existing rows survive.
+    * matching keys, unmatched update rows are inserts, unmatched existing
+    * rows survive. Row-presence (not per-value) dispatch: when an update
+    * row matches, its value wins even when that value is NULL — matching
+    * Mongo `$set` (the reference stores `doc_vectors=None` for
+    * `known_tokens == 0`, `worker.py:87-94`; a per-value coalesce could
+    * never write that NULL back). Columns absent from `updates`
+    * entirely keep their existing value.
     */
   def mergeByKey(existing: DataFrame, updates: DataFrame, key: String): DataFrame = {
     val e = existing.alias("e")
     val u = updates.alias("u")
     val joined = e.join(u, col(s"e.$key") === col(s"u.$key"), "full_outer")
+    val updateMatched = col(s"u.$key").isNotNull
     val cols = (existing.columns ++ updates.columns).distinct.map { c =>
       val inE = existing.columns.contains(c)
       val inU = updates.columns.contains(c)
       val expr =
-        if (inE && inU) coalesce(col(s"u.$c"), col(s"e.$c"))
+        if (inE && inU) when(updateMatched, col(s"u.$c")).otherwise(col(s"e.$c"))
         else if (inU) col(s"u.$c")
         else col(s"e.$c")
       expr.as(c)

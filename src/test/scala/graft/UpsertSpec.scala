@@ -7,21 +7,22 @@ import graft.sources.Upsert
 class UpsertSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
-  test("mergeByKey: $set semantics — update wins, old columns survive, " +
+  test("mergeByKey: $set semantics — update wins (even a NULL value), " +
     "inserts and untouched rows kept") {
     val existing = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
       .toDF("id", "name", "score")
-    // update 2 (partial: no name change -> NULL name in update), insert 4
+    // update 2 ($set name to NULL — reference stores doc_vectors=None
+    // for empty docs, worker.py:87-94), insert 4
     val updates = Seq((2L, None: Option[String], 20.0),
       (4L, Some("d"), 4.0))
       .toDF("id", "name", "score")
     val merged = Upsert.mergeByKey(existing, updates, "id")
-      .as[(Long, String, Double)].collect().sortBy(_._1)
+      .as[(Long, Option[String], Double)].collect().sortBy(_._1)
     assert(merged === Array(
-      (1L, "a", 1.0),
-      (2L, "b", 20.0), // score updated, name survived the NULL
-      (3L, "c", 3.0),
-      (4L, "d", 4.0)))
+      (1L, Some("a"), 1.0),
+      (2L, None, 20.0), // the NULL is written back, not coalesced away
+      (3L, Some("c"), 3.0),
+      (4L, Some("d"), 4.0)))
   }
 
   test("mergeByKey handles disjoint column sets") {
