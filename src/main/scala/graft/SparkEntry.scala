@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtensionQueries, ReferenceQueries}
+import graft.queries.{AnalyticsQueries, ExtensionQueries, ReferenceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,7 +15,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.queries ++ ExtensionQueries.queries
+    ReferenceQueries.queries ++ ExtensionQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -27,7 +27,7 @@ object SparkEntry {
     * decimal boundaries.
     */
   def oracleSql: Map[String, String] =
-    (ReferenceQueries.oracleSql ++ ExtensionQueries.oracleSql)
+    (ReferenceQueries.oracleSql ++ ExtensionQueries.oracleSql ++ AnalyticsQueries.oracleSql)
       .map { case (k, v) => k -> rewriteRound(v) }
 
   /** Replace round(inner, d) calls (paren-aware, recursive) with the

@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+import graft.functions.{BinaryToFloats, DotProduct, FloatsToBinary}
+
+/** Config-time Catalyst integration: `--conf
+  * spark.sql.extensions=graft.plans.GraftExtensions` gives every session
+  * the engine's native expressions as SQL functions plus the codec
+  * round-trip elimination rule — no per-session register() call needed.
+  * (`GraftFunctions.register` remains the runtime-registration path for
+  * sessions that already exist.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("floats_to_binary"),
+      new ExpressionInfo(classOf[FloatsToBinary].getName, "floats_to_binary"),
+      (exprs: Seq[Expression]) => FloatsToBinary(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("binary_to_floats"),
+      new ExpressionInfo(classOf[BinaryToFloats].getName, "binary_to_floats"),
+      (exprs: Seq[Expression]) => BinaryToFloats(exprs.head)))
+    ext.injectOptimizerRule(_ => CodecRoundTripElimination)
+  }
+}
+
+/** Optimizer rule: `binary_to_floats(floats_to_binary(x)) = x` whenever
+  * `x` is a non-null-element float array (the codec is bit-exact there —
+  * put/getFloat preserve raw IEEE bits, VecCodecSpec's property test).
+  * The reverse direction is NOT eliminated: decode drops trailing bytes
+  * of a binary whose length is not a multiple of 4, so
+  * `floats_to_binary(binary_to_floats(b))` is not the identity on
+  * arbitrary blobs.
+  *
+  * This is the storage-boundary no-op a pipeline hits when a stage
+  * re-encodes vectors it just decoded (the reference round-trips every
+  * doc vector through bytes at each step, `worker.py:64,90`).
+  */
+object CodecRoundTripElimination extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case BinaryToFloats(FloatsToBinary(child))
+          if child.dataType == ArrayType(FloatType, containsNull = false) =>
+        child
+    }
+}

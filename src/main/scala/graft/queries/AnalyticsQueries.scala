@@ -1,0 +1,445 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.Upsert
+
+/** Generic warehouse / pipeline analytics beyond ReferenceQueries (the
+  * reference surface) and ExtensionQueries (the LLM-data north star):
+  * the SQL entry point, multi-dimensional aggregation, non-equi (range)
+  * joins, time-series gap filling, the full analytic-frame battery,
+  * multi-distinct planning, lateral explosion, map columns, regex
+  * functions, CSV/JSON source round-trips, partition pruning, salted
+  * (skew-resistant) two-phase aggregation, and batch MERGE/upsert.
+  *
+  * Same contract as the sibling objects: every query is deterministic
+  * (total ORDER BY, floor-formula rounding on floats), every computed
+  * column is aliased identically in the Spark plan and the DuckDB
+  * oracle, and a scale note explains why the plan survives 100 TB.
+  */
+object AnalyticsQueries {
+
+  import ReferenceQueries.SqlTok
+
+  /** Deterministic cross-engine rounding — see ReferenceQueries.round. */
+  private def round(c: org.apache.spark.sql.Column, d: Int): org.apache.spark.sql.Column = {
+    val p = math.pow(10, d)
+    floor(c * p + lit(0.5)) / p
+  }
+
+  // ======================================================================
+  // q28: the SQL entry point — the engine is usable through spark.sql
+  // over registered views, not only the DataFrame API. TPC-H Q3 shape:
+  // 3-way join, filtered fact + dimension, grouped revenue, top-k.
+  // Catalyst plans the same broadcast/shuffle joins as the DataFrame
+  // variants; revenue is rounded with the shared floor formula INSIDE
+  // the SQL text so the ORDER BY revenue is identical in both engines.
+  private val Q3Text =
+    """SELECT o_orderkey, CAST(o_orderdate AS STRING) AS orderdate, o_orderpriority,
+      |  floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1998-01-01'
+      |  AND l_shipdate > DATE '1998-01-01'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin
+
+  def q28_sql_api(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem").foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(Q3Text)
+  }
+
+  val q28Sql: String = Q3Text.replace("CAST(o_orderdate AS STRING)", "o_orderdate::VARCHAR")
+
+  // ======================================================================
+  // x30: CUBE multi-dimensional aggregation with a grouping id. The
+  // NULL-marker group keys are coalesced to 'ALL' BEFORE the ORDER BY:
+  // Spark sorts NULLS FIRST, DuckDB NULLS LAST — never order oracle
+  // output by a nullable grouping key. One expand + one shuffle.
+  def x30_grouping_cube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        (when(col("l_returnflag").isNull, 2).otherwise(0) +
+          when(col("l_linestatus").isNull, 1).otherwise(0)).as("gid"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  val x30Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      |  (CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+      |   + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END)::INT AS gid,
+      |  count(*)::BIGINT AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin
+
+  // ======================================================================
+  // x31: range (interval) join — for every signup event, count the same
+  // user's events in the following hour. A naive theta-join is a
+  // BroadcastNestedLoopJoin (quadratic; fatal at scale); instead the
+  // probe side is bucketed by hour and each anchor expands to the ≤2
+  // buckets its window overlaps, turning the range join into an
+  // equi-join on (user_id, bucket) + residual filter — the standard
+  // distributed interval-join decomposition (bucket width = window
+  // span). Each event lands in exactly one probe bucket, so no dedup
+  // pass is needed after the residual filter.
+  def x31_range_join(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val anchors = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("anchor_id"), col("user_id"), col("ts").as("a_ts"))
+    val probes = ev.select(col("user_id"), col("ts").as("e_ts"))
+      .withColumn("bucket", floor(unix_timestamp(col("e_ts")) / 3600))
+    val expanded = anchors
+      .withColumn("b0", floor(unix_timestamp(col("a_ts")) / 3600))
+      .withColumn("bucket", explode(array(col("b0"), col("b0") + 1)))
+    val hits = expanded.join(probes, Seq("user_id", "bucket"))
+      .filter(col("e_ts") > col("a_ts") &&
+        col("e_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy("anchor_id").agg(count(lit(1)).as("n_following"))
+    anchors.join(hits, Seq("anchor_id"), "left")
+      .select(col("anchor_id"), col("user_id"),
+        coalesce(col("n_following"), lit(0L)).as("n_following"))
+      .orderBy("anchor_id")
+  }
+
+  val x31Sql: String =
+    """WITH a AS (SELECT event_id AS anchor_id, user_id, ts::TIMESTAMP AS a_ts
+      |           FROM events WHERE event_type = 'signup'),
+      |j AS (SELECT a.anchor_id, count(*)::BIGINT AS n_following
+      |      FROM a JOIN events e ON e.user_id = a.user_id
+      |        AND e.ts::TIMESTAMP > a.a_ts
+      |        AND e.ts::TIMESTAMP <= a.a_ts + INTERVAL 1 HOUR
+      |      GROUP BY a.anchor_id)
+      |SELECT a.anchor_id, a.user_id, coalesce(j.n_following, 0)::BIGINT AS n_following
+      |FROM a LEFT JOIN j USING (anchor_id) ORDER BY anchor_id""".stripMargin
+
+  // ======================================================================
+  // x32: time-series gap filling / resampling — the hourly spine is
+  // generated with sequence() (a few thousand rows however big the fact
+  // table is), cross-joined with the distinct keys, and the real
+  // aggregates are left-joined in: the only full-data pass is the one
+  // groupBy. Missing buckets surface as explicit zeros.
+  def x32_gap_fill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val hours = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("mn"),
+        date_trunc("hour", max(col("ts"))).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val counts = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+    hours.crossJoin(ev.select("event_type").distinct())
+      .join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), unix_timestamp(col("h")).as("hour_start"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("event_type", "hour_start")
+  }
+
+  val x32Sql: String =
+    """WITH b AS (SELECT date_trunc('hour', min(ts::TIMESTAMP)) AS mn,
+      |                  date_trunc('hour', max(ts::TIMESTAMP)) AS mx FROM events),
+      |hrs AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
+      |cnt AS (SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS h,
+      |          count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+      |        FROM events GROUP BY 1, 2)
+      |SELECT t.event_type, epoch(hrs.h)::BIGINT AS hour_start,
+      |  coalesce(c.n_events, 0)::BIGINT AS n_events,
+      |  coalesce(c.sum_value, 0.0) AS sum_value
+      |FROM hrs CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+      |LEFT JOIN cnt c ON c.event_type = t.event_type AND c.h = hrs.h
+      |ORDER BY 1, 2""".stripMargin
+
+  // ======================================================================
+  // x33: analytic-frame battery — ntile, percent_rank, cume_dist (all
+  // over a TOTAL order: ties broken by key, or the tile assignment is
+  // nondeterministic), plus a value-RANGE frame (deterministic under
+  // ties by construction: the frame depends on the value, not the row
+  // position). Windows are computed over the full partitions; the
+  // output subset is filtered AFTERWARD so both engines rank the same
+  // population. One shuffle per distinct partitioning.
+  private val X33Inner =
+    """SELECT o_orderkey, o_orderpriority,
+      |  ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS tile,
+      |  floor(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) * 1000000 + 0.5) / 1000000 AS pr,
+      |  floor(cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) * 1000000 + 0.5) / 1000000 AS cd,
+      |  floor(sum(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS near_sum
+      |FROM orders""".stripMargin
+
+  def x33_window_frames(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(
+      s"""SELECT * FROM ($X33Inner)
+         |WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey""".stripMargin)
+  }
+
+  // DuckDB's ntile returns BIGINT where Spark returns INT — cast it;
+  // everything else is textually the Spark SQL.
+  val x33Sql: String =
+    s"""SELECT o_orderkey, o_orderpriority, tile::INT AS tile, pr, cd, near_sum
+       |FROM ($X33Inner)
+       |WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey""".stripMargin
+
+  // ======================================================================
+  // x34: multi-distinct aggregation — two COUNT(DISTINCT) on different
+  // columns in one query forces Catalyst's Expand-based planning (one
+  // shuffle carrying a null-padded row per distinct group). The
+  // scale-out alternative for looser precision is approx_count_distinct
+  // (HLL, no expand) — asserted within tolerance in AnalyticsSpec, not
+  // oracle-hashable because the sketches differ across engines.
+  def x34_distinct_battery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(to_date(col("ts"))).as("n_days"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  val x34Sql: String =
+    """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
+      |  count(DISTINCT (ts::TIMESTAMP)::DATE)::BIGINT AS n_days,
+      |  count(*)::BIGINT AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ======================================================================
+  // x35: lateral explosion with position — posexplode splits documents
+  // into sentences keeping the ordinal. Narrow generate (no shuffle
+  // until the final sort); position is computed on the RAW split array
+  // in both engines, then empty fragments are filtered, so ordinals
+  // stay aligned.
+  def x35_sentences(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\. +")).as(Seq("pos", "sentence")))
+      .filter(trim(col("sentence")) =!= "")
+      .select(col("doc_id"), col("pos"), trim(col("sentence")).as("sentence"))
+      .orderBy("doc_id", "pos")
+
+  val x35Sql: String =
+    """SELECT doc_id, pos, trim(sentence) AS sentence FROM (
+      |  SELECT doc_id, unnest(range(0, len(parts)))::INT AS pos, unnest(parts) AS sentence
+      |  FROM (SELECT doc_id, string_split_regex(text, '\. +') AS parts FROM documents))
+      |WHERE trim(sentence) <> '' ORDER BY doc_id, pos""".stripMargin
+
+  // ======================================================================
+  // x36: map columns — per-document token→count maps built with
+  // map_from_entries over a per-doc collect_list (bounded by document
+  // size, NOT corpus size — safe at any corpus scale), then probed with
+  // element_at / map_keys / map_values. The oracle recomputes the same
+  // scalars relationally.
+  def x36_map_funcs(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = ReferenceQueries.docTokens(Tables.documents(spark, sfDir))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+    counts.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("token"), col("cnt")))).as("tokmap"))
+      .select(col("doc_id"),
+        size(map_keys(col("tokmap"))).as("n_distinct"),
+        coalesce(element_at(col("tokmap"), "the"), lit(0L)).as("the_count"),
+        array_max(map_values(col("tokmap"))).as("max_count"))
+      .orderBy("doc_id")
+  }
+
+  val x36Sql: String =
+    s"""WITH tokc AS (SELECT doc_id, token, count(*)::BIGINT AS cnt FROM
+       |  (SELECT doc_id, unnest($SqlTok) AS token FROM documents)
+       |  GROUP BY doc_id, token)
+       |SELECT doc_id, count(*)::INT AS n_distinct,
+       |  coalesce(max(CASE WHEN token = 'the' THEN cnt END), 0)::BIGINT AS the_count,
+       |  max(cnt)::BIGINT AS max_count
+       |FROM tokc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ======================================================================
+  // x37: regex battery — extract / extract_all / replace / rlike. All
+  // patterns are chosen inside the PCRE∩RE2 common subset (character
+  // classes, +), where Java regex (Spark) and RE2 (DuckDB) agree.
+  // Pure codegen'd projection, no shuffle before the sort.
+  def x37_regex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "[0-9]+", 0).as("first_num"),
+        size(expr("regexp_extract_all(text, '[0-9]+')")).as("n_nums"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).as("len_novowel"),
+        col("text").rlike("data").as("mentions_data"))
+      .orderBy("doc_id")
+
+  val x37Sql: String =
+    """SELECT doc_id, regexp_extract(text, '[0-9]+') AS first_num,
+      |  len(regexp_extract_all(text, '[0-9]+'))::INT AS n_nums,
+      |  length(regexp_replace(text, '[aeiou]', '', 'g'))::INT AS len_novowel,
+      |  regexp_matches(text, 'data') AS mentions_data
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ======================================================================
+  // Round-trip scratch dir for the source/sink queries. Unique per SF so
+  // concurrent SF runs can't clobber each other.
+  private def scratch(sfDir: String, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${new java.io.File(sfDir).getName}/$name"
+
+  // x38: CSV source round-trip — write a projection as headered CSV,
+  // read it back with an explicit schema (never inferSchema at scale:
+  // it's an extra full pass), aggregate. The oracle aggregates the
+  // original parquet, so the hash-match proves the CSV write/read is
+  // value-exact (doubles survive via shortest-roundtrip repr, dates as
+  // ISO strings).
+  def x38_csv_roundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_returnflag", "l_shipdate")
+    val src = Tables.lineitem(spark, sfDir).select(cols.map(col): _*)
+    val path = scratch(sfDir, "lineitem_csv")
+    src.write.mode("overwrite").option("header", "true").csv(path)
+    spark.read.schema(src.schema).option("header", "true").csv(path)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        min(col("l_shipdate")).cast("string").as("first_ship"),
+        max(col("l_shipdate")).cast("string").as("last_ship"))
+      .orderBy("l_returnflag")
+  }
+
+  val x38Sql: String =
+    """SELECT l_returnflag, count(*)::BIGINT AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_price,
+      |  min(l_shipdate)::VARCHAR AS first_ship,
+      |  max(l_shipdate)::VARCHAR AS last_ship
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // x39: JSON-lines source round-trip — newline-containing text fields
+  // survive (JSON escapes them), proven by hashing min(md5(text)) per
+  // group against the parquet original.
+  def x39_json_roundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir)
+    val path = scratch(sfDir, "documents_json")
+    src.write.mode("overwrite").json(path)
+    spark.read.schema(src.schema).json(path)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+        min(md5(col("text"))).as("min_md5"))
+      .orderBy("lang", "source")
+  }
+
+  val x39Sql: String =
+    """SELECT lang, source, count(*)::BIGINT AS n,
+      |  sum(n_chars)::BIGINT AS sum_chars, min(md5(text)) AS min_md5
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // x40: partitioned layout + partition pruning — orders written
+  // hive-partitioned by status; the filtered read must prune to one
+  // directory (AnalyticsSpec asserts the plan's partition filters, the
+  // oracle asserts the values). At 100 TB, partition-on-ingest by the
+  // dominant filter column is the difference between scanning 1/|status|
+  // of the data and all of it.
+  def x40_partition_prune(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = scratch(sfDir, "orders_by_status")
+    Tables.orders(spark, sfDir).write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val x40Sql: String =
+    """SELECT o_orderpriority, count(*)::BIGINT AS n,
+      |  round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ======================================================================
+  // x41: salted two-phase aggregation — the skew-resistant shape for
+  // hot grouping keys: a first groupBy on (key, salt) spreads a hot key
+  // over 16 reducers, the second combines the 16 partials. Equivalent
+  // results to the plain single-shuffle groupBy (the oracle IS the
+  // plain groupBy); at scale you pay one extra (tiny) shuffle to avoid
+  // a straggler reducer.
+  def x41_salted_agg(spark: SparkSession, sfDir: String): DataFrame = {
+    val partial = Tables.lineitem(spark, sfDir)
+      .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity")).as("ps"), count(lit(1)).as("pc"))
+    partial.groupBy("l_returnflag")
+      .agg(round(sum(col("ps")), 2).as("sum_qty"), sum(col("pc")).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  val x41Sql: String =
+    """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+      |  count(*)::BIGINT AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ======================================================================
+  // x42: batch MERGE/upsert — Upsert.mergeByKey (the S8-S10 sink recipe)
+  // exercised end-to-end as an oracle-checked query: matched keys take
+  // the update row (price uplift), new keys are inserts, everything
+  // else survives. The oracle recomputes the merge with CASE + UNION.
+  def x42_merge_upsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val updates = orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      .unionByName(orders.filter(col("o_orderkey") % 500 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+    // Money is summed in exact integer MILLS (the ×1.1 uplift makes 3
+    // decimals): per-row floor(p·1000+0.5) recovers the same integer in
+    // both engines, and integer sums are order-independent — a rounded
+    // double sum over ~10⁵ rows can land on a cent boundary and flip
+    // between engines (observed at sf0.1).
+    Upsert.mergeByKey(orders, updates, "o_orderkey")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("o_totalprice") * 1000 + lit(0.5)).cast("long")) / 1000.0)
+          .as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val x42Sql: String =
+    """WITH merged AS (
+      |  SELECT o_orderstatus,
+      |    CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 1.1
+      |         ELSE o_totalprice END AS p
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice AS p FROM orders WHERE o_orderkey % 500 = 0)
+      |SELECT o_orderstatus, count(*)::BIGINT AS n,
+      |  sum(floor(p * 1000 + 0.5)::BIGINT)::BIGINT / 1000.0 AS sum_price
+      |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ======================================================================
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_sql_api" -> (q28_sql_api _),
+    "x30_grouping_cube" -> (x30_grouping_cube _),
+    "x31_range_join" -> (x31_range_join _),
+    "x32_gap_fill" -> (x32_gap_fill _),
+    "x33_window_frames" -> (x33_window_frames _),
+    "x34_distinct_battery" -> (x34_distinct_battery _),
+    "x35_sentences" -> (x35_sentences _),
+    "x36_map_funcs" -> (x36_map_funcs _),
+    "x37_regex" -> (x37_regex _),
+    "x38_csv_roundtrip" -> (x38_csv_roundtrip _),
+    "x39_json_roundtrip" -> (x39_json_roundtrip _),
+    "x40_partition_prune" -> (x40_partition_prune _),
+    "x41_salted_agg" -> (x41_salted_agg _),
+    "x42_merge_upsert" -> (x42_merge_upsert _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q28_sql_api" -> q28Sql,
+    "x30_grouping_cube" -> x30Sql,
+    "x31_range_join" -> x31Sql,
+    "x32_gap_fill" -> x32Sql,
+    "x33_window_frames" -> x33Sql,
+    "x34_distinct_battery" -> x34Sql,
+    "x35_sentences" -> x35Sql,
+    "x36_map_funcs" -> x36Sql,
+    "x37_regex" -> x37Sql,
+    "x38_csv_roundtrip" -> x38Sql,
+    "x39_json_roundtrip" -> x39Sql,
+    "x40_partition_prune" -> x40Sql,
+    "x41_salted_agg" -> x41Sql,
+    "x42_merge_upsert" -> x42Sql)
+}

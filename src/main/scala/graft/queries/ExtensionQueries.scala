@@ -29,8 +29,12 @@ object ExtensionQueries {
     floor(c * p + lit(0.5)) / p
   }
 
+  /** Shared persisted (doc_id, token) posting table — see
+    * [[ReferenceQueries.docTokens]]; both objects build the identical
+    * canonical plan so they hit one cache entry.
+    */
   private def docTok(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("token"))
+    ReferenceQueries.docTokens(docs)
 
   /** Distinct 3-gram shingles per doc. The token array is materialized
     * in its own projection first: `shingles` slices it once per n-gram
@@ -247,16 +251,21 @@ object ExtensionQueries {
     var iter = 0
     val maxIters = 50
     while (!converged && iter < maxIters) {
+      // The convergence test rides the SAME checkpointed plan as the
+      // propagation (old label joined back in, inequality as a flag
+      // column): one distributed action per round instead of a separate
+      // propagated⋈labels count job.
       val propagated = edges
         .join(labels.withColumnRenamed("n", "a"), Seq("a"))
         .select(col("b").as("n"), col("lbl"))
         .union(labels)
         .groupBy("n").agg(min(col("lbl")).as("lbl"))
+        .join(labels.withColumnRenamed("lbl", "old_lbl"), Seq("n"))
+        .withColumn("chg", col("lbl") =!= col("old_lbl"))
+        .select("n", "lbl", "chg")
         .localCheckpoint()
-      val changed = propagated.alias("p")
-        .join(labels.alias("l"), col("p.n") === col("l.n"))
-        .filter(col("p.lbl") =!= col("l.lbl")).count()
-      labels = propagated
+      val changed = propagated.filter(col("chg")).count()
+      labels = propagated.select("n", "lbl")
       converged = changed == 0
       iter += 1
     }
@@ -860,6 +869,40 @@ object ExtensionQueries {
       .toDF().orderBy("media_id", "frame_idx")
   }
 
+  /** x17 oracle — byte statistics recomputed from the hex encoding of
+    * the utf-8 payload (DuckDB cannot unnest BLOBs): exact for ANY
+    * unicode text. mean_byte is integer-sum ÷ length in both engines —
+    * the single IEEE division is bit-identical, no rounding needed.
+    */
+  val x17Sql: String =
+    """WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS h,
+      |            octet_length(encode(text)) AS nb FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+      |  nb::INT AS n_bytes,
+      |  CASE WHEN nb = 0 THEN 0.0 ELSE
+      |    list_sum(list_transform(range(0, nb), i ->
+      |      (strpos('0123456789abcdef', substr(h, (2*i+1)::INT, 1)) - 1) * 16 +
+      |       strpos('0123456789abcdef', substr(h, (2*i+2)::INT, 1)) - 1))::DOUBLE / nb
+      |  END AS mean_byte,
+      |  substr(h, 1, 16) AS head_hex
+      |FROM b ORDER BY media_id""".stripMargin
+
+  /** x18 oracle — frames sliced on the VARCHAR (DuckDB has no BLOB
+    * substring/md5), so chars must equal bytes: exact for the ASCII
+    * testdata (x13's byte-vs-char equality passing proves the corpus is
+    * ASCII; non-ASCII data would need a blob-capable oracle).
+    */
+  val x18Sql: String =
+    """WITH v AS (SELECT doc_id, text, strlen(text) AS nb FROM documents
+      |           WHERE doc_id % 3 = 2),
+      |f AS (SELECT doc_id, text,
+      |        unnest(range(0, ((nb + 63) // 64 + 3) // 4))::INT AS r FROM v)
+      |SELECT doc_id AS media_id, (4*r)::INT AS frame_idx,
+      |  strlen(substr(text, (256*r+1)::INT, 64))::INT AS frame_bytes,
+      |  md5(substr(text, (256*r+1)::INT, 64)) AS frame_hash
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x15_mllib_embed" -> (x15_mllib_embed _),
     "x21_ann_ivf" -> (x21_ann_ivf _),
@@ -892,6 +935,8 @@ object ExtensionQueries {
     "x14_embedding_dup" -> (x14_embedding_dup _))
 
   val oracleSql: Map[String, String] = Map(
+    "x17_media_features" -> x17Sql,
+    "x18_frame_samples" -> x18Sql,
     "x16_codec_roundtrip" -> x16Sql,
     "x19_sliding_windows" -> x19Sql,
     "x20_session_window" -> x20Sql,

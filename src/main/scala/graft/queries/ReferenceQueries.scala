@@ -37,8 +37,19 @@ object ReferenceQueries {
   /** DuckDB fragment: tokenize `text` exactly like [[Tokenize.tokens]]. */
   val SqlTok = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
-  private def docTokens(docs: DataFrame): DataFrame =
+  /** The (doc_id, token) posting table — the shared working set of every
+    * text query (tf, idf, vocab scan, simhash, lang-id, token stats…).
+    * Persisted: regex tokenization is the single most expensive scalar
+    * step, and Spark's CacheManager canonicalizes the plan so every query
+    * building this exact projection — including ExtensionQueries — reads
+    * one materialization instead of re-splitting the corpus. In a
+    * long-lived 100 TB deployment this is the materialized inverted-ish
+    * index a text engine would maintain anyway; MEMORY_AND_DISK degrades
+    * to spill, not OOM.
+    */
+  private[queries] def docTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   // === The derived word-vector dimension table (FIXTURES.md A) ===
   // The reference's `fasttext.word-vectors-<lang>` table (word -> 300-d

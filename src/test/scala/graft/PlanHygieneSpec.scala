@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{AnalyticsQueries, ReferenceQueries}
+
+/** Physical-plan assertions for the properties the 100 TB posture
+  * depends on (SCALE.md): filters reach the parquet scan, dimension
+  * joins broadcast, the bucketed range join never degenerates into a
+  * nested-loop join. Plans are inspected pre-AQE (`sparkPlan`) so the
+  * assertions are stable across runtime re-planning.
+  */
+class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.sparkPlan.toString
+
+  test("q03 point lookup pushes its IN-list into the parquet scan") {
+    // q01's predicate is a synthesized CASE (not pushable by design);
+    // q03's isin IS the pushdown case the scan layer must catch.
+    val p = ReferenceQueries.q03_point_lookup(spark, sf).queryExecution
+      .executedPlan.toString
+    assert(p.contains("PushedFilters: [In(l_orderkey"),
+      s"IN-list not pushed to parquet in:\n$p")
+  }
+
+  test("q06 dimension join is a broadcast hash join") {
+    val p = plan(ReferenceQueries.q06_broadcast_join(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("x31 bucketed range join avoids the nested-loop plan") {
+    val p = plan(AnalyticsQueries.x31_range_join(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a quadratic plan:\n$p")
+  }
+
+  test("q16 aggregation runs inside whole-stage codegen") {
+    // Codegen spans only appear in the FINAL adaptive plan — execute
+    // first, then inspect.
+    val df = ReferenceQueries.q16_tpch_q1(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators print with the "*(stageId)" prefix
+    assert(p.contains("*("), s"no codegen span in:\n$p")
+  }
+
+  test("x41 salted agg keeps both phases map-side combinable") {
+    val p = plan(AnalyticsQueries.x41_salted_agg(spark, sf))
+    // partial -> final HashAggregate pairs for both groupBys
+    assert("HashAggregate".r.findAllIn(p).size >= 4, s"plan:\n$p")
+  }
+}
