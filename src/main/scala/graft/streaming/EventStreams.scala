@@ -42,6 +42,16 @@ object EventStreams {
       .select(unix_timestamp(col("w.start")).as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: duplicate event_ids arriving within the
+    * watermark horizon are dropped; dedup state is bounded by the
+    * watermark (unbounded-state `dropDuplicates` would grow forever on
+    * an infinite stream — this is the 100 TB-safe form). The batch twin
+    * is x01-style hash dedup.
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Ev(user_id: Long, us: Long)
   case class Session(user_id: Long, session_id: Long, n_events: Long,
       sess_start_us: Long, sess_end_us: Long)

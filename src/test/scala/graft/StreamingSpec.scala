@@ -28,6 +28,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming dedup-within-watermark drops exact duplicates") {
+    // Stage the same events file TWICE — every event arrives duplicated.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events_a.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events_b.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val deduped = EventStreams.dedupWithinWatermark(
+      EventStreams.eventStream(spark, dir.toString))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val n = spark.sql("SELECT count(*) FROM dedup_out").head().getLong(0)
+    val distinctIds =
+      spark.sql("SELECT count(DISTINCT event_id) FROM dedup_out").head().getLong(0)
+    val source = graft.Tables.events(spark, sf).count()
+    assert(n === distinctIds, "duplicates survived the streaming dedup")
+    assert(n === source, "dedup dropped non-duplicate events")
+  }
+
   test("stateful sessionization equals the batch x12 session counts") {
     // flatMapGroupsWithState also runs in batch mode (empty state) —
     // one pass per group, which matches the windowless x12 semantics.
