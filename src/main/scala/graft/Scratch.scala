@@ -24,6 +24,13 @@ object Scratch {
       println(f"TIME $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
 
+    if (args.headOption.contains("query")) {
+      args.drop(1).foreach { n =>
+        time(n)(SparkEntry.queries(n)(spark, sfDir).count())
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("explain")) {
       for (n <- Seq("q16_tpch_q1", "q06_broadcast_join", "q12_doc_vectors",
         "x05_ann_topk", "q01_pending_scan")) {

@@ -411,6 +411,88 @@ object AnalyticsQueries {
       |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // ======================================================================
+  // x43: per-group multi-quantile + FILTER-style conditional counts.
+  // Quartiles are computed over exact integer CENTS: with binary-exact
+  // fractions (.25/.5/.75) and integer endpoints the interpolation is
+  // exact real arithmetic in any formula order, so Spark's percentile()
+  // and DuckDB's quantile_cont() produce bit-identical doubles — no
+  // rounding needed (a float-quantile interpolation can differ by an
+  // ulp between engines). One shuffle; percentile is a sort-based agg
+  // per group, bounded by group size.
+  def x43_quantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("cents", floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+      .groupBy("o_orderpriority")
+      .agg((expr("percentile(cents, 0.25)") / 100.0).as("p25"),
+        (expr("percentile(cents, 0.5)") / 100.0).as("p50"),
+        (expr("percentile(cents, 0.75)") / 100.0).as("p75"),
+        count(when(col("o_totalprice") > 200000, 1)).as("n_high"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  val x43Sql: String =
+    """WITH c AS (SELECT o_orderpriority, o_totalprice,
+      |             floor(o_totalprice * 100 + 0.5)::BIGINT AS cents FROM orders)
+      |SELECT o_orderpriority,
+      |  quantile_cont(cents, 0.25) / 100.0 AS p25,
+      |  quantile_cont(cents, 0.5) / 100.0 AS p50,
+      |  quantile_cont(cents, 0.75) / 100.0 AS p75,
+      |  count(*) FILTER (WHERE o_totalprice > 200000)::BIGINT AS n_high,
+      |  count(*)::BIGINT AS n
+      |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // x44: array-function battery — sort, slice, distinct-intersect,
+  // overlap against a constant stoplist. Narrow projection; tokens come
+  // from the shared persisted posting-free array form (one tokenize).
+  def x44_array_funcs(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = array(Seq("the", "and", "of", "to", "a").map(lit): _*)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.Tokenize.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(sort_array(col("toks")), 1, 3)).as("first3"),
+        size(array_intersect(col("toks"), stop)).as("n_stop"),
+        arrays_overlap(col("toks"), stop).as("has_stop"))
+      .orderBy("doc_id")
+  }
+
+  val x44Sql: String =
+    s"""WITH t AS (SELECT doc_id, $SqlTok AS toks FROM documents)
+       |SELECT doc_id,
+       |  array_to_string(list_slice(list_sort(toks), 1, 3), ' ') AS first3,
+       |  len(list_filter(list_distinct(toks),
+       |      x -> list_contains(['the','and','of','to','a'], x)))::INT AS n_stop,
+       |  list_has_any(toks, ['the','and','of','to','a']) AS has_stop
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // x45: ordered string aggregation (LISTAGG/string_agg) — top-5 order
+  // keys per priority as a CSV in rank order. collect_list has no
+  // ordering guarantee, so the rank is captured IN the collected struct
+  // and sort_array restores it deterministically after the shuffle —
+  // the scalable ordered-agg recipe (bounded per group by the rank
+  // filter, never corpus-sized).
+  def x45_string_agg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .groupBy("o_orderpriority")
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("rn"), col("o_orderkey")))),
+          s => s.getField("o_orderkey").cast("string")), ",").as("top5_keys"))
+      .orderBy("o_orderpriority")
+  }
+
+  val x45Sql: String =
+    """WITH ranked AS (SELECT o_orderpriority, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT o_orderpriority, string_agg(o_orderkey, ',' ORDER BY rn) AS top5_keys
+      |FROM ranked WHERE rn <= 5
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ======================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_sql_api" -> (q28_sql_api _),
     "x30_grouping_cube" -> (x30_grouping_cube _),
@@ -425,7 +507,10 @@ object AnalyticsQueries {
     "x39_json_roundtrip" -> (x39_json_roundtrip _),
     "x40_partition_prune" -> (x40_partition_prune _),
     "x41_salted_agg" -> (x41_salted_agg _),
-    "x42_merge_upsert" -> (x42_merge_upsert _))
+    "x42_merge_upsert" -> (x42_merge_upsert _),
+    "x43_quantiles" -> (x43_quantiles _),
+    "x44_array_funcs" -> (x44_array_funcs _),
+    "x45_string_agg" -> (x45_string_agg _))
 
   val oracleSql: Map[String, String] = Map(
     "q28_sql_api" -> q28Sql,
@@ -441,5 +526,8 @@ object AnalyticsQueries {
     "x39_json_roundtrip" -> x39Sql,
     "x40_partition_prune" -> x40Sql,
     "x41_salted_agg" -> x41Sql,
-    "x42_merge_upsert" -> x42Sql)
+    "x42_merge_upsert" -> x42Sql,
+    "x43_quantiles" -> x43Sql,
+    "x44_array_funcs" -> x44Sql,
+    "x45_string_agg" -> x45Sql)
 }

@@ -855,6 +855,12 @@ object ExtensionQueries {
   def x21_ann_ivf(spark: SparkSession, sfDir: String): DataFrame =
     graft.ml.IvfIndex.searchTopK(spark, sfDir)
 
+  // x46: MLlib MinHashLSH approxSimilarityJoin near-dup pairs — the
+  // library-function twin of x02 (rows-only: hash-based features are
+  // not SQL-expressible; MlLshSpec pins recall vs the exact x04 pairs).
+  def x46_ml_lsh_dedup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ml.MlLshDedup.nearDupPairs(spark, sfDir)
+
   // x17/x18: multimodal decode-stub features and frame sampling
   // (typed mapPartitions plumbing; deterministic, rows-only check).
   def x17_media_features(spark: SparkSession, sfDir: String): DataFrame = {
@@ -906,6 +912,7 @@ object ExtensionQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x15_mllib_embed" -> (x15_mllib_embed _),
     "x21_ann_ivf" -> (x21_ann_ivf _),
+    "x46_ml_lsh_dedup" -> (x46_ml_lsh_dedup _),
     "x22_asof_join" -> (x22_asof_join _),
     "x23_normalize" -> (x23_normalize _),
     "x24_top_tokens" -> (x24_top_tokens _),
