@@ -215,7 +215,12 @@ object ExtensionQueries {
       .select(col("d1"), col("d2"),
         round(col("shared").cast("double") / (col("n1") + col("n2") - col("shared")), 6)
           .as("jaccard"))
-      .filter(col("jaccard") >= 0.5).orderBy("d1", "d2")
+      .filter(col("jaccard") >= 0.5)
+      // The verified pair set is the input to clustering (x29) as well as
+      // this query's own output — persist so the expensive posting
+      // self-join runs once per session, not once per consumer.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .orderBy("d1", "d2")
   }
 
   val x04Sql: String =

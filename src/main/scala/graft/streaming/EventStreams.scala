@@ -42,6 +42,30 @@ object EventStreams {
       .select(unix_timestamp(col("w.start")).as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream-stream inner join with watermarks: each click joins the
+    * same user's views from the preceding 30 minutes. Both sides carry
+    * watermarks AND the join condition carries a time bound — the two
+    * things Structured Streaming needs to evict join state; without
+    * them the buffered sides grow forever. Batch-mode execution of the
+    * same plan is the spec oracle.
+    */
+  def clicksAfterViews(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    clicks.join(views,
+      expr("""v_user = c_user AND
+              view_ts < click_ts AND
+              view_ts >= click_ts - INTERVAL 30 MINUTES"""))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   /** Streaming exact dedup: duplicate event_ids arriving within the
     * watermark horizon are dropped; dedup state is bounded by the
     * watermark (unbounded-state `dropDuplicates` would grow forever on

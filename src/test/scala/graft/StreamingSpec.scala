@@ -28,6 +28,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-stream click-after-view join equals the batch join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj_stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val joined = EventStreams.clicksAfterViews(
+      EventStreams.eventStream(spark, dir.toString))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT click_id, view_id FROM ssj_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch-mode execution of the same plan is the oracle
+    val batch = EventStreams.clicksAfterViews(graft.Tables.events(spark, sf))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "expected at least one click-after-view pair")
+  }
+
   test("streaming dedup-within-watermark drops exact duplicates") {
     // Stage the same events file TWICE — every event arrives duplicated.
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
