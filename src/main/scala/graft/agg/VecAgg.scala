@@ -45,6 +45,37 @@ class WeightedVecSum(dim: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }
 
+/** Dimension-adaptive form for the SQL registration (a SQL caller has
+  * no way to pass a dim parameter): the buffer grows to the longest
+  * vector seen, so mixed partitions merge correctly (shorter buffers
+  * zero-pad). Identical results to WeightedVecSum(d) when every vector
+  * has length d.
+  */
+class WeightedVecSumAny
+    extends Aggregator[WeightedVec, Array[Double], Seq[Double]] {
+  private def grown(buf: Array[Double], n: Int): Array[Double] =
+    if (buf.length >= n) buf else java.util.Arrays.copyOf(buf, n)
+  override def zero: Array[Double] = Array.emptyDoubleArray
+  override def reduce(buf: Array[Double], in: WeightedVec): Array[Double] = {
+    val v = in.vec
+    val b = grown(buf, v.length)
+    var i = 0
+    while (i < v.length) { b(i) += in.w * v(i); i += 1 }
+    b
+  }
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
+    var i = 0
+    while (i < small.length) { big(i) += small(i); i += 1 }
+    big
+  }
+  override def finish(buf: Array[Double]): Seq[Double] = buf.toIndexedSeq
+  override def bufferEncoder: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
+
 object VecAgg {
   /** Untyped-DataFrame entry: `.agg(VecAgg.weightedSum(dim)($"w", $"vec"))`. */
   def weightedSum(dim: Int): (Column, Column) => Column = {

@@ -19,5 +19,10 @@ object GraftFunctions {
     spark.udf.register("graft_tokens", (s: String) =>
       if (s == null) Array.empty[String]
       else s.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty))
+    // The axpy Aggregator (A3) for SQL users: SELECT vec_weighted_sum(w,
+    // vec) ... GROUP BY doc. Same single-buffer partial/final merge as
+    // the Column form; dimension-adaptive since SQL can't pass a dim.
+    spark.udf.register("vec_weighted_sum",
+      org.apache.spark.sql.functions.udaf(new graft.agg.WeightedVecSumAny))
   }
 }
