@@ -33,7 +33,8 @@ object Scratch {
 
     if (args.contains("explain")) {
       for (n <- Seq("q16_tpch_q1", "q06_broadcast_join", "q12_doc_vectors",
-        "x05_ann_topk", "q01_pending_scan")) {
+        "x05_ann_topk", "q01_pending_scan", "q28_sql_api", "x31_range_join",
+        "x32_gap_fill", "x41_salted_agg")) {
         println(s"==== PLAN $n ====")
         SparkEntry.queries(n)(spark, sfDir).explain("formatted")
       }

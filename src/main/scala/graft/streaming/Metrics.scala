@@ -44,3 +44,31 @@ object HeartbeatListener {
     l
   }
 }
+
+/** In-plan data-quality counters via `Dataset.observe` — the metrics
+  * ride the existing pass over the data (zero extra jobs, exact even
+  * under retries), surfaced through the same listener channel as the
+  * heartbeat. The reference's only quality signal is the per-batch
+  * `known_tokens_ratio` it writes per row (`worker.py:91`); observe()
+  * is the aggregate, pipeline-level form.
+  */
+object Observe {
+  import org.apache.spark.sql.{DataFrame, Row}
+  import org.apache.spark.sql.functions._
+
+  /** Attach row/null/empty-text counters to a documents-shaped frame
+    * under the given observation name.
+    */
+  def documentQuality(df: DataFrame, name: String): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("n_rows"),
+      count(when(col("text").isNull || length(col("text")) === 0, 1))
+        .as("n_empty_text"),
+      count(when(col("lang").isNull, 1)).as("n_null_lang"))
+
+  /** Collect the named observation after an action ran on the frame. */
+  def metricsOf(df: DataFrame, name: String): Option[Row] = {
+    val o = df.queryExecution.observedMetrics
+    o.get(name)
+  }
+}

@@ -20,4 +20,17 @@ class MetricsSpec extends AnyFunSuite with SparkSpec {
       assert(l.failures.get() === 0)
     } finally spark.listenerManager.unregister(l)
   }
+
+  test("observe() counters ride the existing pass over documents") {
+    val docs = Tables.documents(spark, sf)
+    val observed = graft.streaming.Observe.documentQuality(docs, "doc_quality")
+    // collect() executes THIS frame's QueryExecution (count() would plan
+    // a separate aggregate query whose observation lives elsewhere)
+    val total = observed.collect().length.toLong
+    val m = graft.streaming.Observe.metricsOf(observed, "doc_quality")
+    assert(m.nonEmpty, "observation not recorded")
+    assert(m.get.getAs[Long]("n_rows") === total)
+    assert(m.get.getAs[Long]("n_empty_text") === 0)
+    assert(m.get.getAs[Long]("n_null_lang") === 0)
+  }
 }
