@@ -11,7 +11,7 @@ import graft.functions.Tokenize
   * ExtensionQueries.x02 (SURVEY.md §4: similarity joins belong in a
   * library function, not a Catalyst rule).
   *
-  * Documents become binary 3-gram-SHINGLE-presence vectors (HashingTF,
+  * Documents become binary 5-gram-SHINGLE-presence vectors (HashingTF,
   * binary mode — presence, not counts, so the distance is true Jaccard
   * on the hashed shingle space); the LSH join prunes candidate pairs by
   * matching minhash values and reports the EXACT Jaccard distance of
@@ -25,7 +25,12 @@ import graft.functions.Tokenize
   * most documents — candidate volume degenerates to ~n² (measured:
   * minutes at 5k docs, fatal at scale). The shingle space is vastly
   * larger and its minima are document-specific, so buckets stay small
-  * while genuinely-near docs (which share most shingles) still collide.
+  * while genuinely-near docs (which share most shingles) still collide;
+  * 5-grams (vs x02's 3-grams) push selectivity further. Note the
+  * threshold therefore binds on 5-gram Jaccard, which runs LOWER than
+  * 3-gram Jaccard for the same pair — near-dups at x02/x04's 0.5
+  * 3-gram boundary need a looser maxJaccardDist here (the planted
+  * testdata pairs sit at ~0.95 and clear both comfortably).
   * At 100 TB the join shuffles on hash-bucket keys, never the corpus
   * cross-product.
   *

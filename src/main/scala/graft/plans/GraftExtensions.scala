@@ -17,16 +17,29 @@ import graft.functions.{BinaryToFloats, DotProduct, FloatsToBinary}
   * sessions that already exist.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Arity-checked builder: a wrong-arity SQL call gets a clear
+    * function-named error out of analysis instead of an
+    * IndexOutOfBoundsException from a bare exprs(i).
+    */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == n,
+        s"$name expects $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      arity("dot_product", 2)(exprs => DotProduct(exprs(0), exprs(1)))))
     ext.injectFunction((FunctionIdentifier("floats_to_binary"),
       new ExpressionInfo(classOf[FloatsToBinary].getName, "floats_to_binary"),
-      (exprs: Seq[Expression]) => FloatsToBinary(exprs.head)))
+      arity("floats_to_binary", 1)(exprs => FloatsToBinary(exprs.head))))
     ext.injectFunction((FunctionIdentifier("binary_to_floats"),
       new ExpressionInfo(classOf[BinaryToFloats].getName, "binary_to_floats"),
-      (exprs: Seq[Expression]) => BinaryToFloats(exprs.head)))
+      arity("binary_to_floats", 1)(exprs => BinaryToFloats(exprs.head))))
     ext.injectOptimizerRule(_ => CodecRoundTripElimination)
   }
 }

@@ -275,10 +275,15 @@ object AnalyticsQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ======================================================================
-  // Round-trip scratch dir for the source/sink queries. Unique per SF so
-  // concurrent SF runs can't clobber each other.
-  private def scratch(sfDir: String, name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${new java.io.File(sfDir).getName}/$name"
+  // Round-trip scratch dir for the source/sink queries. Keyed by process
+  // id AND scale factor: two concurrent drivers on the same SF would
+  // otherwise race (one's mode-overwrite delete under the other's
+  // in-flight read). private[graft] so specs derive the path instead of
+  // duplicating the layout.
+  private[graft] def scratch(sfDir: String, name: String): String = {
+    val pid = ProcessHandle.current().pid()
+    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/$pid/${new java.io.File(sfDir).getName}/$name"
+  }
 
   // x38: CSV source round-trip — write a projection as headered CSV,
   // read it back with an explicit schema (never inferSchema at scale:
@@ -381,10 +386,16 @@ object AnalyticsQueries {
   // else survives. The oracle recomputes the merge with CASE + UNION.
   def x42_merge_upsert(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables.orders(spark, sfDir)
+    // Insert keys are offset past max(o_orderkey) so they can never
+    // collide with a real key at ANY scale factor (a fixed +10M offset
+    // would collide once keys exceed 10M, turning "inserts" into
+    // updates and silently diverging from the UNION-ALL oracle). One
+    // driver-side scalar — the same shape as a scalar subquery.
+    val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
     val updates = orders.filter(col("o_orderkey") % 100 === 0)
       .withColumn("o_totalprice", col("o_totalprice") * 1.1)
       .unionByName(orders.filter(col("o_orderkey") % 500 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+        .withColumn("o_orderkey", col("o_orderkey") + lit(maxKey + 1)))
     // Money is summed in exact integer MILLS (the ×1.1 uplift makes 3
     // decimals): per-row floor(p·1000+0.5) recovers the same integer in
     // both engines, and integer sums are order-independent — a rounded

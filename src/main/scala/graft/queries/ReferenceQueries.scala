@@ -46,10 +46,21 @@ object ReferenceQueries {
     * long-lived 100 TB deployment this is the materialized inverted-ish
     * index a text engine would maintain anyway; MEMORY_AND_DISK degrades
     * to spill, not OOM.
+    *
+    * `persist = false` exists for per-micro-batch callers (docVectors
+    * under the streaming vectorizer): each micro-batch has a fresh
+    * plan, so persisting would register a new never-unpersisted cache
+    * entry per trigger — an unbounded leak over a long-running stream.
+    * Batch queries still share the cache entries registered by the
+    * persisting callers (CacheManager matches by canonical plan, not by
+    * who called persist).
     */
-  private[queries] def docTokens(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("token"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private[queries] def docTokens(docs: DataFrame, persist: Boolean = true): DataFrame = {
+    val tok =
+      docs.select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("token"))
+    if (persist) tok.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tok
+  }
 
   // === The derived word-vector dimension table (FIXTURES.md A) ===
   // The reference's `fasttext.word-vectors-<lang>` table (word -> 300-d
@@ -101,7 +112,9 @@ object ReferenceQueries {
     */
   def docVectors(docs: DataFrame, wordvecs: DataFrame, dim: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = docTokens(docs)
+    // no persist: called per micro-batch by the streaming vectorizer
+    // (see docTokens doc); the token rows are consumed exactly once here
+    val tok = docTokens(docs, persist = false)
     val counts = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("doc_id")
     val tf = counts.withColumn("total", sum(col("cnt")).over(w))

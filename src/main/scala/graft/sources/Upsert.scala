@@ -26,14 +26,21 @@ object Upsert {
     */
   def mergeByKey(existing: DataFrame, updates: DataFrame, key: String): DataFrame = {
     val e = existing.alias("e")
-    val u = updates.alias("u")
+    // Row presence is tracked with an explicit always-true marker, NOT
+    // the update key's null-ness: a NULL-key update row never joins
+    // (null === null is false), and key-based dispatch would then read
+    // every shared column from the absent e-side, erasing the row's
+    // real values into NULLs. With the marker, such a row surfaces as
+    // an insert carrying its own values.
+    val marker = "__graft_upd"
+    val u = updates.withColumn(marker, lit(true)).alias("u")
     val joined = e.join(u, col(s"e.$key") === col(s"u.$key"), "full_outer")
-    val updateMatched = col(s"u.$key").isNotNull
+    val updatePresent = col(s"u.$marker").isNotNull
     val cols = (existing.columns ++ updates.columns).distinct.map { c =>
       val inE = existing.columns.contains(c)
       val inU = updates.columns.contains(c)
       val expr =
-        if (inE && inU) when(updateMatched, col(s"u.$c")).otherwise(col(s"e.$c"))
+        if (inE && inU) when(updatePresent, col(s"u.$c")).otherwise(col(s"e.$c"))
         else if (inU) col(s"u.$c")
         else col(s"e.$c")
       expr.as(c)

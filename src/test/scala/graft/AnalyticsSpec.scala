@@ -15,7 +15,7 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     df.collect() // materialize so the write + read actually ran
     // Re-open the partitioned layout and check the filter becomes a
     // partition filter (no o_orderstatus scan filter left behind).
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/sf0.001/orders_by_status"
+    val path = AnalyticsQueries.scratch(sf, "orders_by_status")
     val filtered = spark.read.parquet(path).filter(col("o_orderstatus") === "F")
     // The filter must land in the scan's partitionFilters (pruned before
     // IO), not survive as a post-scan data filter. (df.inputFiles can't

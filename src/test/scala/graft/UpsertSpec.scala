@@ -25,6 +25,20 @@ class UpsertSpec extends AnyFunSuite with SparkSpec {
       (4L, Some("d"), 4.0)))
   }
 
+  test("mergeByKey: a NULL-key update row keeps its values (insert, not erased)") {
+    val existing = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    val updates = Seq((Option.empty[Long], Some("orphan"), 7.0))
+      .toDF("id", "name", "score")
+    val merged = Upsert.mergeByKey(existing, updates, "id")
+      .as[(Option[Long], Option[String], Double)].collect()
+      .sortBy(_._1.getOrElse(Long.MaxValue))
+    assert(merged === Array(
+      (Some(1L), Some("a"), 1.0),
+      // NULL key never joins — the row must surface with its OWN
+      // values, not an all-NULL husk from the absent existing side
+      (None, Some("orphan"), 7.0)))
+  }
+
   test("mergeByKey handles disjoint column sets") {
     val existing = Seq((1L, "a")).toDF("id", "name")
     val updates = Seq((1L, 9.0)).toDF("id", "idf")
