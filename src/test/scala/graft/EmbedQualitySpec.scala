@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.BatchEmbed
+import graft.queries.ExtensionQueries
+
+/** Contracts for the MLlib batch embeddings (x15 is rows-only for the
+  * oracle): structural invariants (unit norm, determinism) plus the
+  * directional ordering dup-pairs > background.
+  *
+  * Measured on this corpus (exact, unhashed TF-IDF as the reference
+  * model): mean cosine 0.665 for planted near-dup pairs vs 0.585 for
+  * background pairs — WEAK separation, because the synthetic documents
+  * are ~a dozen tokens drawn from a tiny shared vocabulary, so one
+  * rare (high-IDF) token can dominate a short doc's vector. This is
+  * precisely why the engine's text near-dup path is shingle-based
+  * (x02/x04), with embedding-cosine dedup (x14) reserved for the real
+  * embedding table; the spec pins the ordering, not a separation the
+  * data cannot support.
+  */
+class EmbedQualitySpec extends AnyFunSuite with SparkSpec {
+
+  test("embeddings are unit-norm, deterministic, and order dups above background") {
+    val sfDir = "/root/testdata/sf0.01" // smallest SF with planted pairs
+
+    val stats = ExtensionQueries.x15_mllib_embed(spark, sfDir).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val l2 = r.getAs[Double]("l2")
+      val nnz = r.getAs[Int]("nnz")
+      assert(nnz > 0, s"doc ${r.getLong(0)} has an empty embedding")
+      assert(math.abs(l2 - 1.0) < 1e-6, s"doc ${r.getLong(0)} not unit-norm: $l2")
+    }
+
+    val vecs = BatchEmbed.embed(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector]("embedding"))
+      .toMap
+    // determinism: a second full computation is bit-identical
+    val again = BatchEmbed.embed(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector]("embedding"))
+      .toMap
+    assert(vecs.keySet === again.keySet)
+    vecs.foreach { case (id, v) => assert(v === again(id), s"doc $id not deterministic") }
+
+    def cos(a: Long, b: Long): Double = {
+      val xs = vecs(a).toArray; val ys = vecs(b).toArray
+      var s = 0.0; var i = 0
+      while (i < xs.length) { s += xs(i) * ys(i); i += 1 }
+      s
+    }
+    val dupPairs = ExtensionQueries.x04_ngram_jaccard(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dupPairs.nonEmpty)
+    val dupSet = dupPairs.toSet
+    val ids = vecs.keys.toArray.sorted
+    val bg = ids.sliding(2).collect {
+      case Array(a, b) if !dupSet((a, b)) && !dupSet((b, a)) => cos(a, b)
+    }.toArray
+    val dupMean = dupPairs.map { case (a, b) => cos(a, b) }.sum / dupPairs.length
+    val bgMean = bg.sum / bg.length
+    info(f"dup-pair mean cos = $dupMean%.3f, background mean = $bgMean%.3f")
+    assert(dupMean > bgMean + 0.03,
+      f"near-dup pairs not ordered above background: $dupMean%.3f vs $bgMean%.3f")
+  }
+}
