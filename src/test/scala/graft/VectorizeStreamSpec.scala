@@ -51,4 +51,43 @@ class VectorizeStreamSpec extends AnyFunSuite with SparkSpec {
     q2.awaitTermination(180000)
     assert(spark.read.parquet(store).count() === batch.count())
   }
+
+  test("restart from the SAME checkpoint processes only newly-arrived files") {
+    val work = Files.createTempDirectory("graft_vresume")
+    val docsDir = work.resolve("docs")
+    Files.createDirectory(docsDir)
+    val store = work.resolve("store").toString
+    val ckpt = work.resolve("ckpt").toString
+    val wordvecs = graft.queries.ReferenceQueries.wordvecs8(spark, sf)
+
+    // stage the corpus as two disjoint halves, arriving one at a time
+    def stage(name: String, cond: org.apache.spark.sql.Column): Long = {
+      val tmp = work.resolve(s"stage_$name")
+      val half = Tables.documents(spark, sf).filter(cond)
+      half.coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.copy(Paths.get(part), docsDir.resolve(s"$name.parquet"))
+      half.count()
+    }
+    val n1 = stage("a", col("doc_id") < 250)
+
+    val q1 = VectorizeStream.start(spark, docsDir.toString, wordvecs, 8,
+      store, ckpt)
+    q1.awaitTermination(180000)
+    val rows1 = q1.recentProgress.map(_.numInputRows).sum
+    assert(rows1 === n1, s"first run should ingest exactly file a ($n1 rows)")
+
+    val n2 = stage("b", col("doc_id") >= 250)
+    val q2 = VectorizeStream.start(spark, docsDir.toString, wordvecs, 8,
+      store, ckpt) // SAME checkpoint — offsets must resume
+    q2.awaitTermination(180000)
+    val rows2 = q2.recentProgress.map(_.numInputRows).sum
+    assert(rows2 === n2,
+      s"resumed run must ingest only file b ($n2 rows), got $rows2 — file a reprocessed?")
+
+    // final store equals the oracle-checked batch pipeline over the full corpus
+    val batch = graft.queries.ReferenceQueries.q12_doc_vectors(spark, sf)
+    assert(spark.read.parquet(store).count() === batch.count())
+  }
 }
