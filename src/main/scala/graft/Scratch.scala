@@ -41,6 +41,32 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("minhash")) {
+      // A/B the x02 signature build: 12 inline md5s per posting row vs
+      // hashing DISTINCT shingles once and joining the minima back.
+      val docs = Tables.documents(spark, sfDir)
+      val sh = docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(array_distinct(Tokenize.shingles(col("toks"), 3))).as("shingle"))
+        .persist()
+      time("posting-build")(sh.count())
+      val K = 12
+      val mhAggs = (0 until K).map(i =>
+        min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+      time("A-inline-12md5")(sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*).count())
+      time("A-inline-again")(sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*).count())
+      val dimAggs = (0 until K).map(i =>
+        min(when(col("i") === i, col("h"))).as(s"mh$i"))
+      val hashed = sh.select(col("shingle")).distinct()
+        .select(col("shingle"), explode(sequence(lit(0), lit(K - 1))).as("i"))
+        .withColumn("h", md5(concat(col("i"), lit(":"), col("shingle"))))
+      val viaDim = sh.join(hashed, Seq("shingle"))
+        .groupBy("doc_id").agg(dimAggs.head, dimAggs.tail: _*)
+      time("B-distinct-dim")(viaDim.count())
+      time("B-distinct-again")(viaDim.count())
+      spark.stop(); return
+    }
+
     val docs = Tables.documents(spark, sfDir)
     val toks = docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
     time("tokens")(toks.count())
