@@ -41,6 +41,40 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("mllsh")) {
+      // Where does x46's wall clock go? fit vs transform vs candidate
+      // join vs keyDistance scoring.
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_distinct(Tokenize.shingles(col("toks"), 5)).as("toks"))
+        .filter(size(col("toks")) > 0)
+      val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+        .setNumFeatures(1 << 18).setBinary(true)
+      val feat = tf.transform(docs).persist()
+      time("feat")(feat.count())
+      val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(8).setSeed(42L)
+      val t0 = System.nanoTime()
+      val model = lsh.fit(feat)
+      println(f"TIME fit: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val hashed = model.transform(feat).persist()
+      time("transform")(hashed.count())
+      val exploded = hashed.select(col("doc_id"), posexplode(col("hashes")))
+        .select(col("doc_id"), col("pos"),
+          org.apache.spark.ml.functions.vector_to_array(col("col")).getItem(0).as("h"))
+      time("explode")(exploded.count())
+      val cand = exploded.as("a").join(exploded.as("b"),
+          col("a.pos") === col("b.pos") && col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+      time("candidates")(cand.count())
+      time("asj-full")(model.approxSimilarityJoin(feat, feat, 0.5, "jdist")
+        .filter(col("datasetA.doc_id") < col("datasetB.doc_id")).count())
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("minhash")) {
       // A/B the x02 signature build: 12 inline md5s per posting row vs
       // hashing DISTINCT shingles once and joining the minima back.

@@ -39,9 +39,8 @@ object BatchEmbed {
     * nonzero count.
     */
   def embedStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val toArr = udf((v: org.apache.spark.ml.linalg.Vector) => v.toArray)
     embed(spark, sfDir)
-      .withColumn("arr", toArr(col("embedding")))
+      .withColumn("arr", org.apache.spark.ml.functions.vector_to_array(col("embedding")))
       .select(col("doc_id"), col("lang"),
         round(sqrt(aggregate(col("arr"), lit(0.0), (a, x) => a + x * x)), 6).as("l2"),
         size(filter(col("arr"), x => x =!= 0.0)).as("nnz"))

@@ -369,11 +369,12 @@ object ReferenceQueries {
   // `fasttext.word-vectors-<lang>`, FIXTURES.md). Exercises the
   // float32->double cast parity and the 64-dim Aggregator path.
   def q15_doc_vectors_real(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir).filter(col("lang") === "en")
-    val ranked = idfTable(spark, sfDir)
-      .withColumn("rank",
-        row_number().over(Window.orderBy("token")) - 1)
+    // vocabulary rank via zipWithIndex, not a single-partition window:
+    // at the reference's real 2M-word vocab the unpartitioned
+    // row_number() is a one-task sort (SCALE.md §vocab-rank).
+    val ranked = graft.operators.GlobalRank
+      .withRank(idfTable(spark, sfDir), "rank", col("token"))
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), VecMath.asDouble(col("embedding")).as("vec"))
     val wv = ranked.join(emb, ranked("rank") === emb("vec_id"))

@@ -47,6 +47,14 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("*("), s"no codegen span in:\n$p")
   }
 
+  test("q15 vocab rank has no single-partition Exchange") {
+    // the vocab rank is zipWithIndex-based (GlobalRank); an unpartitioned
+    // row_number() window would show up as `Exchange SinglePartition`.
+    val p = plan(ReferenceQueries.q15_doc_vectors_real(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition shuffle in q15 plan:\n$p")
+  }
+
   test("x41 salted agg keeps both phases map-side combinable") {
     val p = plan(AnalyticsQueries.x41_salted_agg(spark, sf))
     // partial -> final HashAggregate pairs for both groupBys
