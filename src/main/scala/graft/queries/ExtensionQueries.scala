@@ -36,23 +36,27 @@ object ExtensionQueries {
   private def docTok(docs: DataFrame): DataFrame =
     ReferenceQueries.docTokens(docs)
 
-  /** Distinct 3-gram shingles per doc. The token array is materialized
+  /** Distinct n-gram shingles per doc (default 3 — the measure x02/x04
+    * and the MLlib twin x46 share). The token array is materialized
     * in its own projection first: `shingles` slices it once per n-gram
     * inside a HOF lambda, and if the argument were the raw
     * `tokens(text)` expression the regex split would re-run per lambda
     * call (~100× per doc — measured 37 s vs 1 s at sf0.1).
     */
-  private def docShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+  private[graft] def docShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(Tokenize.shingles(col("toks"), 3))).as("shingle"))
-      // The posting table is the multi-use working set of a dedup pass
-      // (signature build + candidate join + verification all scan it).
-      // Persist instead of recomputing scan+tokenize+shingle per use;
-      // Spark's CacheManager dedups by canonicalized plan, so x02/x04
-      // share one materialization. Memory-and-disk, so an oversized
-      // posting table degrades to spill rather than OOM.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        explode(array_distinct(Tokenize.shingles(col("toks"), n))).as("shingle"))
+    // The posting table is the multi-use working set of a dedup pass
+    // (signature build + candidate join + verification all scan it).
+    // Persist instead of recomputing scan+tokenize+shingle per use;
+    // Spark's CacheManager dedups by canonicalized plan, so x02/x04/x46
+    // share ONE materialization (session-lifetime by design — see
+    // SCALE.md §caching; only the shared default n is pinned, ad-hoc
+    // shingle sizes stay unpersisted).
+    if (n == 3) sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh
+  }
 
   private val SqlShingleCte =
     s"""tok AS (SELECT doc_id, $SqlTok AS toks FROM documents),
@@ -110,8 +114,10 @@ object ExtensionQueries {
 
   /** Exact shingle Jaccard for candidate pairs via two semi-joins into
     * the posting table (never materializes per-doc shingle lists).
+    * Shared with the MLlib LSH path (ml.MlLshDedup), which swaps only
+    * the candidate generator.
     */
-  private def jaccardOf(cand: DataFrame, sh: DataFrame): DataFrame = {
+  private[graft] def jaccardOf(cand: DataFrame, sh: DataFrame): DataFrame = {
     val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val s1 = sh.select(col("doc_id").as("d1"), col("shingle"))
     val s2 = sh.select(col("doc_id").as("d2"), col("shingle"))

@@ -17,11 +17,10 @@ class MlLshSpec extends AnyFunSuite with SparkSpec {
     val exact = ExtensionQueries.x04_ngram_jaccard(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "expected planted near-dup pairs at sf0.01")
-    // x46 thresholds on 5-gram Jaccard (lower than x04's 3-gram measure
-    // for the same pair) — the planted pairs sit at ~0.95 on both, so
-    // the exact-distance filter keeps them all; the <1.0 recall budget
-    // covers LSH candidate pruning misses (8 tables, fixed seed) and
-    // boundary pairs, should future testdata plant any near 0.5.
+    // x46 verifies with the SAME measure as x04 (exact 3-gram Jaccard
+    // >= 0.5), so any divergence is purely LSH candidate-generation
+    // misses (8 single-minhash tables, fixed seed); the <1.0 recall
+    // budget covers those, should future testdata plant boundary pairs.
     val ml = MlLshDedup.nearDupPairs(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recovered = exact.count(ml.contains)
