@@ -20,6 +20,42 @@ object Tokenize {
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => t =!= lit(""))
 
+  /** Per-language letter classes (SURVEY.md F2 fidelity item): the
+    * reference loads a language-specific spaCy model per worker
+    * (`worker.py:17-18`, `calculate_idf_scores.py:21-23` — en/es/de),
+    * whose practical effect on alphabetic text is that diacritic
+    * letters are token CHARACTERS, not separators. The engine encodes
+    * that as a per-language character class; the base ASCII rule is
+    * the `en` rule and the fallback for unknown languages. (`zh` has
+    * no char-class analogue — spaCy segments it by dictionary — so it
+    * deliberately falls through to the ASCII rule; divergence
+    * documented in SURVEY.md §2.9.)
+    *
+    * Ordered Seq, not Map: the dispatch CASE must be deterministic so
+    * Spark and the DuckDB oracle build the same decision chain.
+    */
+  val langLetters: Seq[(String, String)] = Seq(
+    "en" -> "a-z0-9",
+    "es" -> "a-z0-9áéíóúüñ",
+    "de" -> "a-z0-9äöüß",
+    "fr" -> "a-z0-9àâæçéèêëîïôœùûüÿ")
+
+  /** The letter class for `lang` (ASCII fallback for unknown langs). */
+  def letterClass(lang: String): String =
+    langLetters.collectFirst { case (`lang`, cls) => cls }.getOrElse("a-z0-9")
+
+  /** tokens(text, lang): the lang-specific rule, statically chosen. */
+  def tokens(c: Column, lang: String): Column =
+    filter(split(lower(c), s"[^${letterClass(lang)}]+"), t => t =!= lit(""))
+
+  /** tokens dispatched on a lang COLUMN — a codegen'd CASE over the
+    * rule table (no UDF, one pass; each branch is a plain regex split).
+    */
+  def tokensByLang(c: Column, lang: Column): Column =
+    langLetters.foldRight(tokens(c)) { case ((l, _), acc) =>
+      when(lang === lit(l), tokens(c, l)).otherwise(acc)
+    }
+
   /** Word n-gram shingles of the token array (for MinHash / Jaccard
     * dedup). Uses the codegen'd `transform`+`slice` HOFs; returns
     * `array<string>` of space-joined n-grams (fewer than n tokens →

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.agg.VecAgg
-import graft.functions.{Tokenize, VecMath}
+import graft.functions.{Tokenize, VecCodec, VecMath}
 
 /** The reference's operator surface (SURVEY.md §2) re-expressed as
   * idiomatic Spark queries, each with a DuckDB oracle.
@@ -36,6 +36,17 @@ object ReferenceQueries {
 
   /** DuckDB fragment: tokenize `text` exactly like [[Tokenize.tokens]]. */
   val SqlTok = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** DuckDB fragment mirroring [[Tokenize.tokensByLang]]: the same
+    * per-language rule table, as a CASE over `lang` (branch order is
+    * the table's order, so both engines build the identical chain).
+    */
+  val SqlTokByLang: String = {
+    val branches = Tokenize.langLetters.map { case (l, cls) =>
+      s"WHEN lang = '$l' THEN list_filter(string_split_regex(lower(text), '[^$cls]+'), t -> t <> '')"
+    }.mkString(" ")
+    s"(CASE $branches ELSE $SqlTok END)"
+  }
 
   /** The (doc_id, token) posting table — the shared working set of every
     * text query (tf, idf, vocab scan, simhash, lang-id, token stats…).
@@ -110,11 +121,17 @@ object ReferenceQueries {
     * (doc_id, total, known, known_ratio, vec) with vec NULL-semantics
     * deferred to callers (known=0 -> all-zero vec, F12).
     */
-  def docVectors(docs: DataFrame, wordvecs: DataFrame, dim: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def docVectors(docs: DataFrame, wordvecs: DataFrame, dim: Int): DataFrame =
     // no persist: called per micro-batch by the streaming vectorizer
     // (see docTokens doc); the token rows are consumed exactly once here
-    val tok = docTokens(docs, persist = false)
+    docVectorsFromTok(docTokens(docs, persist = false), wordvecs, dim)
+
+  /** [[docVectors]] over an explicit `(doc_id, token)` posting table —
+    * lets callers swap the tokenizer (q30 feeds the per-language rules).
+    */
+  private[queries] def docVectorsFromTok(tok: DataFrame, wordvecs: DataFrame,
+      dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val counts = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("doc_id")
     val tf = counts.withColumn("total", sum(col("cnt")).over(w))
@@ -404,6 +421,85 @@ object ReferenceQueries {
        |  round(CASE WHEN k.known > 0 THEN v.vec_norm END, 6) AS vec_norm,
        |  round(CASE WHEN k.known > 0 THEN v.vec_d0 END, 6) AS vec_d0
        |FROM k LEFT JOIN vagg v USING (doc_id) ORDER BY k.doc_id""".stripMargin
+
+  // F2 fidelity: per-language tokenizer rules. The reference loads a
+  // language-specific spaCy model per worker (`worker.py:17-18`,
+  // `calculate_idf_scores.py:21-23` — en/es/de); the engine encodes the
+  // practical effect (diacritic letters are token characters, not
+  // separators) as a per-language character class dispatched on the
+  // `lang` column — a codegen'd CASE, one pass, no UDF
+  // ([[Tokenize.tokensByLang]]). `zh` deliberately falls back to the
+  // ASCII rule (spaCy's dictionary segmentation has no char-class
+  // analogue; divergence documented). Output: per-doc token stats so
+  // every language's rule contributes rows to the oracle hash.
+  def q29_lang_tokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        Tokenize.tokensByLang(col("text"), col("lang")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        array_min(col("toks")).as("min_token"),
+        array_max(col("toks")).as("max_token"))
+      .orderBy("doc_id")
+
+  val q29Sql: String =
+    s"""WITH t AS (SELECT doc_id, lang, $SqlTokByLang AS toks FROM documents)
+       |SELECT doc_id, lang, len(toks)::INT AS n_tokens,
+       |  len(list_distinct(toks))::INT AS n_distinct,
+       |  list_min(toks) AS min_token, list_max(toks) AS max_token
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // Reference-fidelity output shape (`worker.py:90`, SURVEY §1.2): the
+  // flagship writes `doc_vectors: map<lang, binary>` — the worker for
+  // language L upserts {L: doc_vector.tobytes()} with a NULL entry when
+  // the doc has no known tokens (F12). This query runs the E1 pipeline
+  // with the per-language tokenizer, builds the map with codec-encoded
+  // float32 blobs, then projects SCALARS out of the map (key, null-ness,
+  // blob byte length, float32 component sum) so the DuckDB oracle can
+  // hash it — the map column itself is the user-facing output.
+  def q30_doc_vector_map(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs.select(col("doc_id"),
+      explode(Tokenize.tokensByLang(col("text"), col("lang"))).as("token"))
+    val dv = docVectorsFromTok(tok, wordvecs8(spark, sfDir), VecDim)
+    val withMap = dv.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        map(col("lang"),
+          when(col("known") > 0,
+            VecCodec.floats_to_binary(col("vec").cast("array<float>"))))
+          .as("doc_vectors"))
+    withMap
+      .select(col("doc_id"),
+        map_keys(col("doc_vectors")).getItem(0).as("vec_lang"),
+        element_at(col("doc_vectors"), col("lang")).as("blob"))
+      .select(col("doc_id"), col("vec_lang"),
+        col("blob").isNull.as("null_vec"),
+        length(col("blob")).as("n_bytes"),
+        round(when(col("blob").isNotNull,
+          VecMath.vsum(VecCodec.binary_to_floats(col("blob")))), 6)
+          .as("vec_sum32"))
+      .orderBy("doc_id")
+  }
+
+  val q30Sql: String =
+    s"""WITH $SqlIdfCtes,
+       |ltok AS (SELECT doc_id, unnest($SqlTokByLang) AS token FROM documents),
+       |counts AS (SELECT doc_id, token, count(*) AS cnt FROM ltok GROUP BY doc_id, token),
+       |tf AS (SELECT doc_id, token, cnt::DOUBLE / sum(cnt) OVER (PARTITION BY doc_id) AS tf,
+       |       sum(cnt) OVER (PARTITION BY doc_id) AS total FROM counts),
+       |j AS (SELECT f.doc_id, f.token, f.tf, f.total, w.idf FROM tf f LEFT JOIN wv w USING (token)),
+       |k AS (SELECT doc_id, max(total) AS total, count(idf) AS known FROM j GROUP BY doc_id),
+       |vs AS (SELECT j.doc_id, d.range AS d,
+       |       sum(j.tf * j.idf * (((ascii(substr(j.token, (d.range % length(j.token))::INT + 1, 1)) * (d.range + 1)) % 97) / 97.0)) AS s
+       |       FROM j, range(0, ${VecDim}) d WHERE j.idf IS NOT NULL GROUP BY j.doc_id, d.range),
+       |vagg AS (SELECT doc_id, sum(s::FLOAT::DOUBLE) AS v32 FROM vs GROUP BY doc_id)
+       |SELECT k.doc_id, doc.lang AS vec_lang,
+       |  (k.known = 0) AS null_vec,
+       |  (CASE WHEN k.known > 0 THEN ${VecDim * 4} END)::INT AS n_bytes,
+       |  round(CASE WHEN k.known > 0 THEN v.v32 END, 6) AS vec_sum32
+       |FROM k JOIN documents doc USING (doc_id) LEFT JOIN vagg v USING (doc_id)
+       |ORDER BY k.doc_id""".stripMargin
 
   // F1/F3/F4/F5/F7/F13: scalar function battery.
   def q13_scalar_funcs(spark: SparkSession, sfDir: String): DataFrame =
@@ -714,7 +810,9 @@ object ReferenceQueries {
     "q17_window_rank" -> (q17_window_rank _),
     "q18_topk" -> (q18_topk _),
     "q19_sample" -> (q19_sample _),
-    "q20_group_stats" -> (q20_group_stats _))
+    "q20_group_stats" -> (q20_group_stats _),
+    "q29_lang_tokens" -> (q29_lang_tokens _),
+    "q30_doc_vector_map" -> (q30_doc_vector_map _))
 
   val oracleSql: Map[String, String] = Map(
     "q25_setops" -> q25Sql,
@@ -743,5 +841,7 @@ object ReferenceQueries {
     "q17_window_rank" -> q17Sql,
     "q18_topk" -> q18Sql,
     "q19_sample" -> q19Sql,
-    "q20_group_stats" -> q20Sql)
+    "q20_group_stats" -> q20Sql,
+    "q29_lang_tokens" -> q29Sql,
+    "q30_doc_vector_map" -> q30Sql)
 }

@@ -41,6 +41,32 @@ class TokenizeSpec extends AnyFunSuite with SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("per-language rules keep diacritic letters as token characters") {
+    def tokL(s: String, lang: String): Seq[String] =
+      Seq(s).toDF("text").select(Tokenize.tokens(col("text"), lang).as("t"))
+        .as[Seq[String]].head()
+    // es: ñ and accented vowels are letters, not separators
+    assert(tokL("El Ñandú corre, ñoño 42", "es")
+      === Seq("el", "ñandú", "corre", "ñoño", "42"))
+    // the ASCII rule splits the same text ON the diacritics
+    assert(tok("El Ñandú corre") === Seq("el", "and", "corre"))
+    // de: umlauts + ß
+    assert(tokL("Straße GRÜN über", "de") === Seq("straße", "grün", "über"))
+    // fr: accents, œ ligature, cedilla
+    assert(tokL("Cœur déjà-vu, façade", "fr")
+      === Seq("cœur", "déjà", "vu", "façade"))
+    // unknown lang falls back to the ASCII rule
+    assert(tokL("añb", "zh") === Seq("a", "b"))
+  }
+
+  test("tokensByLang dispatches on the lang column") {
+    val df = Seq(("ñoño", "es"), ("ñoño", "en")).toDF("text", "lang")
+      .select(Tokenize.tokensByLang(col("text"), col("lang")).as("t"))
+      .as[Seq[String]].collect()
+    assert(df(0) === Seq("ñoño"))
+    assert(df(1) === Seq("o", "o")) // ñ is a separator under the en rule
+  }
+
   test("shingles: n-grams in order; short docs yield empty") {
     def sh(words: Seq[String], n: Int): Seq[String] =
       Seq(Tuple1(words)).toDF("toks")
