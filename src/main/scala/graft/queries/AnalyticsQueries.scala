@@ -279,11 +279,21 @@ object AnalyticsQueries {
   // id AND scale factor: two concurrent drivers on the same SF would
   // otherwise race (one's mode-overwrite delete under the other's
   // in-flight read). private[graft] so specs derive the path instead of
-  // duplicating the layout.
-  private[graft] def scratch(sfDir: String, name: String): String = {
-    val pid = ProcessHandle.current().pid()
-    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/$pid/${new java.io.File(sfDir).getName}/$name"
+  // duplicating the layout. The per-pid root is removed by a JVM
+  // shutdown hook (registered once, on first use) so repeated runs
+  // don't accumulate dead pid directories in tmp.
+  private[graft] lazy val scratchRoot: String = {
+    val root = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${ProcessHandle.current().pid()}")
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(root)))
+    root.toString
   }
+
+  private[graft] def scratch(sfDir: String, name: String): String =
+    s"$scratchRoot/${new java.io.File(sfDir).getName}/$name"
 
   // x38: CSV source round-trip — write a projection as headered CSV,
   // read it back with an explicit schema (never inferSchema at scale:

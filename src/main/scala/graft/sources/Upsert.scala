@@ -32,7 +32,13 @@ object Upsert {
     // every shared column from the absent e-side, erasing the row's
     // real values into NULLs. With the marker, such a row surfaces as
     // an insert carrying its own values.
-    val marker = "__graft_upd"
+    // marker name must be free in BOTH frames: an input column named
+    // __graft_upd would be silently overwritten by withColumn (and the
+    // output column set would change), so probe for an unused suffix
+    val marker = Iterator.from(0)
+      .map(i => if (i == 0) "__graft_upd" else s"__graft_upd$i")
+      .find(m => !existing.columns.contains(m) && !updates.columns.contains(m))
+      .get
     val u = updates.withColumn(marker, lit(true)).alias("u")
     val joined = e.join(u, col(s"e.$key") === col(s"u.$key"), "full_outer")
     val updatePresent = col(s"u.$marker").isNotNull

@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Snapshot-versioned parquet store — reproducible dataset versions for
@@ -15,33 +17,73 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet dataset; the versioning cost is one directory level. Full
   * Delta/Iceberg-style row-level time travel is out of scope — this is
   * the dependency-free snapshot recipe.
+  *
+  * All metadata I/O goes through the Hadoop FileSystem of the root path
+  * — the store works wherever the parquet does (HDFS, S3A, local),
+  * not just on a local disk. Crash safety: a failure between the data
+  * write and the marker publish leaves an unpublished orphan `v=N+1`
+  * directory; the next publish allocates ABOVE all existing directories
+  * (not just the published version), so the store never wedges on
+  * `errorifexists`.
   */
 object VersionedStore {
 
-  private def markerPath(root: String) =
-    java.nio.file.Paths.get(root, "_latest")
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def marker(root: String) = new Path(root, "_latest")
+
+  private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
 
   /** Highest published version, or None for an empty store. */
   def latestVersion(root: String): Option[Long] = {
-    val m = markerPath(root)
-    if (java.nio.file.Files.exists(m))
-      Some(java.nio.file.Files.readString(m).trim.toLong)
-    else None
+    val m = marker(root)
+    val fs = fsOf(m)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        Some(new String(out.toByteArray, "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** All `v=N` directories under the root, published or orphaned. */
+  private def versionDirs(root: String): Seq[Long] = {
+    val p = new Path(root)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=") }
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
   }
 
   /** Write `df` as the next snapshot and publish it; returns the new
-    * version number. The marker is written to a temp file then moved
-    * with ATOMIC_MOVE so a concurrent reader sees either the old or the
-    * new version, never a torn marker.
+    * version number. The next version is allocated above ALL existing
+    * `v=N` directories (orphan recovery — see object doc). The marker
+    * is written to a temp file then renamed with
+    * `FileContext.rename(OVERWRITE)`, which is atomic on HDFS and
+    * POSIX-local filesystems: a concurrent reader sees either the old
+    * or the new version, never a torn marker.
     */
   def publish(df: DataFrame, root: String): Long = {
-    val next = latestVersion(root).getOrElse(-1L) + 1L
+    val next =
+      (latestVersion(root).getOrElse(-1L) +: versionDirs(root)).max + 1L
     df.write.mode("errorifexists").parquet(s"$root/v=$next")
-    val tmp = java.nio.file.Paths.get(root, s"_latest.tmp.$next")
-    java.nio.file.Files.writeString(tmp, next.toString)
-    java.nio.file.Files.move(tmp, markerPath(root),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val m = marker(root)
+    val fs = fsOf(m)
+    val tmp = new Path(root, s"_latest.tmp.$next")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(fs.getUri, hadoopConf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(m),
+      Options.Rename.OVERWRITE)
     next
   }
 
@@ -54,5 +96,27 @@ object VersionedStore {
     val v = latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
     readVersion(spark, root, v)
+  }
+
+  /** Retention: delete version directories older than the `keepLast`
+    * most recent published versions (i.e. keep
+    * `[latest - keepLast + 1, latest]`); returns the deleted versions.
+    * Orphan directories ABOVE the published version are never touched
+    * (they may be a publish in flight). Readers pinned to a retained
+    * version are unaffected; pinning older than the retention window is
+    * a policy error by definition — choose keepLast to cover every
+    * version a live consumer pins.
+    */
+  def vacuum(root: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    latestVersion(root) match {
+      case None => Nil
+      case Some(latest) =>
+        val cutoff = latest - keepLast + 1
+        val victims = versionDirs(root).filter(_ < cutoff).sorted
+        val fs = fsOf(new Path(root))
+        victims.foreach(v => fs.delete(new Path(root, s"v=$v"), true))
+        victims
+    }
   }
 }

@@ -49,6 +49,19 @@ class UpsertSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Double]("idf") === 9.0)
   }
 
+  test("mergeByKey survives an input column named like the marker") {
+    val existing = Seq((1L, "a", false)).toDF("id", "name", "__graft_upd")
+    val updates = Seq((1L, "b", true), (2L, "c", false))
+      .toDF("id", "name", "__graft_upd")
+    val merged = Upsert.mergeByKey(existing, updates, "id")
+    // the user's column must survive, not be overwritten by the
+    // internal row-presence marker
+    assert(merged.columns.toSet === Set("id", "name", "__graft_upd"))
+    val rows = merged.orderBy("id")
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(rows === Seq((1L, "b", true), (2L, "c", false)))
+  }
+
   test("overwriteParquet is idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")

@@ -27,6 +27,39 @@ class VersionedStoreSpec extends AnyFunSuite with SparkSpec {
     assert(latest === Seq((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("orphan recovery: a crashed publish does not wedge the store") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vstore3").toString
+    VersionedStore.publish(Seq((1L, "a")).toDF("id", "v"), root) // v=0
+    // simulate a crash AFTER the v=1 parquet write but BEFORE the
+    // marker publish: the directory exists, the marker still says 0
+    Seq((9L, "x")).toDF("id", "v").write.parquet(s"$root/v=1")
+    assert(VersionedStore.latestVersion(root) === Some(0L))
+    // the next publish must skip past the orphan instead of dying on
+    // errorifexists, and the orphan stays unpublished
+    val v = VersionedStore.publish(Seq((2L, "b")).toDF("id", "v"), root)
+    assert(v === 2L)
+    assert(VersionedStore.latestVersion(root) === Some(2L))
+    assert(VersionedStore.readLatest(spark, root)
+      .as[(Long, String)].collect().toSeq === Seq((2L, "b")))
+  }
+
+  test("vacuum keeps the last K published versions; pinned reader survives") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vstore4").toString
+    for (i <- 0 to 3)
+      VersionedStore.publish(Seq((i.toLong, s"v$i")).toDF("id", "v"), root)
+    val deleted = VersionedStore.vacuum(root, keepLast = 2)
+    assert(deleted === Seq(0L, 1L))
+    // a reader pinned to a RETAINED version is unaffected by the vacuum
+    assert(VersionedStore.readVersion(spark, root, 2L)
+      .as[(Long, String)].collect().toSeq === Seq((2L, "v2")))
+    assert(VersionedStore.readLatest(spark, root)
+      .as[(Long, String)].collect().toSeq === Seq((3L, "v3")))
+    // vacuumed versions are gone; vacuum is idempotent
+    intercept[Exception](VersionedStore.readVersion(spark, root, 0L)
+      .collect())
+    assert(VersionedStore.vacuum(root, keepLast = 2) === Seq.empty)
+  }
+
   test("a merge publishes as a new version, never rewriting the old one") {
     val root = java.nio.file.Files.createTempDirectory("graft_vstore2").toString
     val base = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "score")
