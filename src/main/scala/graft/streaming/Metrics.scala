@@ -43,6 +43,37 @@ object HeartbeatListener {
     spark.listenerManager.register(l)
     l
   }
+
+  /** Install the HTTP-transport variant pushing to `url`. */
+  def installHttp(spark: SparkSession, url: String): HttpHeartbeatListener = {
+    val l = new HttpHeartbeatListener(url)
+    spark.listenerManager.register(l)
+    l
+  }
+}
+
+/** The reference's actual heartbeat transport (`worker.py:128-137`):
+  * `GET {url}?msg=OK&ping={elapsed_ms}` with failures SWALLOWED — a
+  * monitoring outage must never take down the pipeline (the reference
+  * prints and continues; here the failure is counted so tests and
+  * operators can still see it).
+  */
+class HttpHeartbeatListener(url: String) extends HeartbeatListener {
+  val publishFailures = new AtomicLong(0)
+
+  @transient private lazy val client: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(2)).build()
+
+  override protected def publish(msg: String, pingNs: Long): Unit =
+    try {
+      val uri = java.net.URI.create(s"$url?msg=$msg&ping=${pingNs / 1000000}")
+      client.send(java.net.http.HttpRequest.newBuilder(uri).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.discarding())
+      ()
+    } catch {
+      case _: Exception => publishFailures.incrementAndGet(): Unit
+    }
 }
 
 /** In-plan data-quality counters via `Dataset.observe` — the metrics

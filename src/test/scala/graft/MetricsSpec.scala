@@ -21,6 +21,41 @@ class MetricsSpec extends AnyFunSuite with SparkSpec {
     } finally spark.listenerManager.unregister(l)
   }
 
+  test("http heartbeat GETs msg+ping params; transport failures are swallowed") {
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.HttpServer
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/beat", ex => {
+      seen.add(ex.getRequestURI.getQuery)
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/beat"
+    val l = HeartbeatListener.installHttp(spark, url)
+    try {
+      Seq(1, 2).toDF("x").count()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!seen.isEmpty, "no heartbeat arrived")
+      val q = seen.peek()
+      assert(q.startsWith("msg=OK&ping="), s"unexpected query: $q")
+    } finally { spark.listenerManager.unregister(l); server.stop(0) }
+
+    // dead endpoint: the pipeline must keep running (reference swallows)
+    val dead = HeartbeatListener.installHttp(spark, "http://127.0.0.1:1/beat")
+    try {
+      Seq(1).toDF("x").count()
+      // successes increments BEFORE publish runs, so poll the publish
+      // failure counter itself
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (dead.publishFailures.get() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(dead.successes.get() >= 1) // query completed despite outage
+      assert(dead.publishFailures.get() >= 1)
+    } finally spark.listenerManager.unregister(dead)
+  }
+
   test("observe() counters ride the existing pass over documents") {
     val docs = Tables.documents(spark, sf)
     val observed = graft.streaming.Observe.documentQuality(docs, "doc_quality")
