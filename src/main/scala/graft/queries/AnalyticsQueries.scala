@@ -262,7 +262,9 @@ object AnalyticsQueries {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         regexp_extract(col("text"), "[0-9]+", 0).as("first_num"),
-        size(expr("regexp_extract_all(text, '[0-9]+')")).as("n_nums"),
+        // explicit group 0: Spark defaults to group 1 and throws on a
+        // groupless pattern AT MATCH TIME (latent on digit-free data)
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_nums"),
         length(regexp_replace(col("text"), "[aeiou]", "")).as("len_novowel"),
         col("text").rlike("data").as("mentions_data"))
       .orderBy("doc_id")
@@ -514,6 +516,107 @@ object AnalyticsQueries {
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ======================================================================
+  // x47: repetition-based quality signals (the Gopher/Dolma-style
+  // filters an LLM-data pipeline runs before training): per doc, the
+  // fraction of 3-gram occurrences that are duplicates and the share
+  // of the single most frequent 2-gram. Highly repetitive docs
+  // (boilerplate, keyword stuffing, generation loops) score high on
+  // both. Plan: the n-gram arrays stay per-row (array functions — no
+  // explode) for the dup fraction; the top-2-gram needs the gram
+  // posting, one explode + two groupBys keyed by doc_id — per-doc
+  // cardinality is bounded by doc length, shuffles are linear in
+  // corpus size, nothing is quadratic at 100 TB.
+  def x47_repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Tokenize
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        Tokenize.shingles(col("toks"), 2).as("g2"),
+        Tokenize.shingles(col("toks"), 3).as("g3"))
+    val arr = base.select(col("doc_id"),
+      size(col("g3")).as("total3"),
+      size(array_distinct(col("g3"))).as("distinct3"),
+      size(col("g2")).as("total2"))
+    val top2 = base.select(col("doc_id"), explode(col("g2")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max(col("cnt")).as("top2"))
+    arr.join(top2, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(when(col("total3") > 0,
+          lit(1.0) - col("distinct3").cast("double") / col("total3"))
+          .otherwise(lit(0.0)), 6).as("dup_3gram_frac"),
+        round(when(col("total2") > 0,
+          coalesce(col("top2"), lit(0L)).cast("double") / col("total2"))
+          .otherwise(lit(0.0)), 6).as("top_2gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val x47Sql: String =
+    s"""WITH tok AS (SELECT doc_id, $SqlTok AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+       |    i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS g2,
+       |  list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+       |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS g3
+       |  FROM tok),
+       |arrs AS (SELECT doc_id, len(g3) AS total3,
+       |         len(list_distinct(g3)) AS distinct3, len(g2) AS total2 FROM sh),
+       |g2e AS (SELECT doc_id, unnest(g2) AS g FROM sh),
+       |cnt AS (SELECT doc_id, g, count(*) AS c FROM g2e GROUP BY doc_id, g),
+       |top2 AS (SELECT doc_id, max(c) AS top2 FROM cnt GROUP BY doc_id)
+       |SELECT a.doc_id,
+       |  round(CASE WHEN a.total3 > 0 THEN 1.0 - a.distinct3::DOUBLE / a.total3 ELSE 0.0 END, 6) AS dup_3gram_frac,
+       |  round(CASE WHEN a.total2 > 0 THEN coalesce(t.top2, 0)::DOUBLE / a.total2 ELSE 0.0 END, 6) AS top_2gram_frac
+       |FROM arrs a LEFT JOIN top2 t USING (doc_id) ORDER BY a.doc_id""".stripMargin
+
+  // ======================================================================
+  // x48: PII masking — the redaction pass an LLM-data pipeline runs
+  // before training (emails, URLs, long digit runs). Patterns live in
+  // the PCRE∩RE2 common subset with NO backslash metachars ([.]
+  // instead of \\.) so the identical pattern text parses the same in
+  // Java regex and RE2. Masking order matters (emails contain digits,
+  // URLs contain dots) and is identical in both engines. Output keeps
+  // the counts and an md5 of the masked text — value-exact proof of
+  // the full replacement, without hashing megabytes into the result.
+  // Pure codegen'd projection; no shuffle before the sort.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val UrlRe = "https?://[^ ]+"
+  private val NumRe = "[0-9]{4,}"
+
+  /** The x48 projection over any (doc_id, text) frame — private[graft]
+    * so the spec can drive the rewrite on synthetic PII (the testdata
+    * corpus contains none, which exercises only the no-op path).
+    */
+  private[graft] def piiMask(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      // group idx 0 (whole match) MUST be explicit: Spark's default is
+      // group 1, which THROWS on a groupless pattern — but only when a
+      // row actually matches, so the bug hides on match-free data
+      size(expr(s"regexp_extract_all(text, '$EmailRe', 0)")).as("n_emails"),
+      size(expr(s"regexp_extract_all(text, '$UrlRe', 0)")).as("n_urls"),
+      size(expr(s"regexp_extract_all(text, '$NumRe', 0)")).as("n_longnums"),
+      md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        EmailRe, "<EMAIL>"), UrlRe, "<URL>"), NumRe, "<NUM>"))
+        .as("masked_hash"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        EmailRe, "<EMAIL>"), UrlRe, "<URL>"), NumRe, "<NUM>")
+        .as("masked"))
+      .orderBy("doc_id")
+
+  def x48_pii_mask(spark: SparkSession, sfDir: String): DataFrame =
+    piiMask(Tables.documents(spark, sfDir)).drop("masked")
+
+  val x48Sql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EmailRe'))::INT AS n_emails,
+       |  len(regexp_extract_all(text, '$UrlRe'))::INT AS n_urls,
+       |  len(regexp_extract_all(text, '$NumRe'))::INT AS n_longnums,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$UrlRe', '<URL>', 'g'),
+       |    '$NumRe', '<NUM>', 'g')) AS masked_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ======================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_sql_api" -> (q28_sql_api _),
     "x30_grouping_cube" -> (x30_grouping_cube _),
@@ -531,7 +634,9 @@ object AnalyticsQueries {
     "x42_merge_upsert" -> (x42_merge_upsert _),
     "x43_quantiles" -> (x43_quantiles _),
     "x44_array_funcs" -> (x44_array_funcs _),
-    "x45_string_agg" -> (x45_string_agg _))
+    "x45_string_agg" -> (x45_string_agg _),
+    "x47_repetition" -> (x47_repetition _),
+    "x48_pii_mask" -> (x48_pii_mask _))
 
   val oracleSql: Map[String, String] = Map(
     "q28_sql_api" -> q28Sql,
@@ -550,5 +655,7 @@ object AnalyticsQueries {
     "x42_merge_upsert" -> x42Sql,
     "x43_quantiles" -> x43Sql,
     "x44_array_funcs" -> x44Sql,
-    "x45_string_agg" -> x45Sql)
+    "x45_string_agg" -> x45Sql,
+    "x47_repetition" -> x47Sql,
+    "x48_pii_mask" -> x48Sql)
 }

@@ -70,6 +70,26 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(bucketed.toSeq === naive.toSeq)
   }
 
+  test("x48 masking rewrites synthetic PII (the corpus has none to hit)") {
+    import spark.implicits._
+    // drive the exact x48 projection over a frame WITH emails/urls/nums
+    // — on the testdata corpus all counts are 0, which proves the
+    // no-op path but not the rewrite itself
+    val docs = Seq(
+      (1L, "mail Jane.Doe+x@corp.example.org or call 123456"),
+      (2L, "see https://example.org/a?b=c for details"),
+      (3L, "clean text, short num 123")).toDF("doc_id", "text")
+    val out = AnalyticsQueries.piiMask(docs)
+      .select("doc_id", "n_emails", "n_urls", "n_longnums", "masked")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    assert(out.toSeq === Seq(
+      (1L, 1, 0, 1, "mail <EMAIL> or call <NUM>"),
+      (2L, 0, 1, 0, "see <URL> for details"),
+      (3L, 0, 0, 0, "clean text, short num 123")))
+  }
+
   test("x35 every document splits into at least one sentence, pos 0 first") {
     val s = AnalyticsQueries.x35_sentences(spark, sf)
     val docs = Tables.documents(spark, sf).count()
