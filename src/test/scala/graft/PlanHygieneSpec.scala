@@ -55,6 +55,31 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"single-partition shuffle in q15 plan:\n$p")
   }
 
+  test("q30 map-output pipeline broadcasts the wordvec dim, no single partition") {
+    val p = plan(ReferenceQueries.q30_doc_vector_map(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition shuffle in q30 plan:\n$p")
+    // scalar 1-row broadcasts (corpus N, idf floor) legitimately plan
+    // as broadcast nested-loop crosses; only an unbroadcast cartesian
+    // would be a scale bug
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q29 lang-dispatched tokenizer is a pure projection (no UDF, no shuffle before sort)") {
+    val p = plan(ReferenceQueries.q29_lang_tokens(spark, sf))
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      s"UDF in q29 plan:\n$p")
+    // exactly the one Exchange the final orderBy needs
+    assert("Exchange".r.findAllIn(p).size <= 1, s"unexpected shuffles:\n$p")
+  }
+
+  test("x47 repetition signals never build a quadratic plan") {
+    val p = plan(AnalyticsQueries.x47_repetition(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic plan in x47:\n$p")
+  }
+
   test("x41 salted agg keeps both phases map-side combinable") {
     val p = plan(AnalyticsQueries.x41_salted_agg(spark, sf))
     // partial -> final HashAggregate pairs for both groupBys
