@@ -920,7 +920,60 @@ object ExtensionQueries {
       |  md5(substr(text, (256*r+1)::INT, 64)) AS frame_hash
       |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
+  // ======================================================================
+  // x49: int8 scalar quantization of the embedding store — the storage
+  // compression a 100 TB vector corpus runs before ANN serving (4×
+  // smaller than float32, 16× than float64). Per-vector affine code:
+  // scale = (max-min)/255, q[i] = floor((v[i]-min)/scale + 0.5); the
+  // query reports the exact integer code sum (engine-exact cross-check)
+  // plus reconstruction quality (L2 error, cosine of original vs
+  // dequantized). Constant vectors (scale undefined) encode as q=0 with
+  // dequant = vmin. Pure per-row HOF arithmetic — codegen'd, no
+  // shuffle before the final sort, embarrassingly parallel at scale.
+  def x49_quantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val eps = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), VecMath.asDouble(col("embedding")).as("v"))
+      .withColumn("vmin", array_min(col("v")))
+      .withColumn("vmax", array_max(col("v")))
+      .withColumn("scale",
+        when(col("vmax") > col("vmin"), (col("vmax") - col("vmin")) / 255.0))
+      // q/deq in separate projections: HOF lambdas re-evaluate
+      // non-attribute arguments per element (see docShingles note)
+      .withColumn("q", transform(col("v"), x =>
+        when(col("scale").isNotNull,
+          floor((x - col("vmin")) / col("scale") + 0.5)).otherwise(lit(0.0))))
+      .withColumn("deq", transform(col("q"), t =>
+        when(col("scale").isNotNull, col("vmin") + t * col("scale"))
+          .otherwise(col("vmin"))))
+    eps.select(col("vec_id"),
+      aggregate(col("q"), lit(0L), (acc, t) => acc + t.cast("long"))
+        .as("qsum"),
+      round(sqrt(aggregate(
+        zip_with(col("v"), col("deq"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, t) => acc + t)), 6).as("recon_l2"),
+      round(VecMath.cosine(col("v"), col("deq")), 6).as("cos_deq"),
+      round(col("vmin"), 6).as("vmin"),
+      round(col("vmax"), 6).as("vmax"))
+      .orderBy("vec_id")
+  }
+
+  val x49Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM e),
+      |sc AS (SELECT *, CASE WHEN vmax > vmin THEN (vmax - vmin) / 255.0 END AS scale FROM s),
+      |qd AS (SELECT vec_id, v, vmin, vmax, scale,
+      |  list_transform(v, x -> CASE WHEN scale IS NOT NULL THEN floor((x - vmin) / scale + 0.5) ELSE 0.0 END) AS q FROM sc),
+      |dd AS (SELECT *, list_transform(q, t -> CASE WHEN scale IS NOT NULL THEN vmin + t * scale ELSE vmin END) AS deq FROM qd)
+      |SELECT vec_id,
+      |  list_sum(list_transform(q, t -> t::BIGINT))::BIGINT AS qsum,
+      |  round(sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> (v[i] - deq[i]) * (v[i] - deq[i])))), 6) AS recon_l2,
+      |  round(CASE WHEN list_sum(list_transform(v, x -> x * x)) > 0 AND list_sum(list_transform(deq, x -> x * x)) > 0
+      |        THEN list_cosine_similarity(v, deq) ELSE 0.0 END, 6) AS cos_deq,
+      |  round(vmin, 6) AS vmin, round(vmax, 6) AS vmax
+      |FROM dd ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x49_quantize" -> (x49_quantize _),
     "x15_mllib_embed" -> (x15_mllib_embed _),
     "x21_ann_ivf" -> (x21_ann_ivf _),
     "x46_ml_lsh_dedup" -> (x46_ml_lsh_dedup _),
@@ -979,5 +1032,6 @@ object ExtensionQueries {
     "x11_event_windows" -> x11Sql,
     "x12_sessionize" -> x12Sql,
     "x13_multimodal" -> x13Sql,
-    "x14_embedding_dup" -> x14Sql)
+    "x14_embedding_dup" -> x14Sql,
+    "x49_quantize" -> x49Sql)
 }
