@@ -972,8 +972,90 @@ object ExtensionQueries {
       |  round(vmin, 6) AS vmin, round(vmax, 6) AS vmax
       |FROM dd ORDER BY vec_id""".stripMargin
 
+  // ======================================================================
+  // x50: per-language Zipf slope — the corpus-statistics fingerprint a
+  // data pipeline tracks across snapshots (natural text runs near -1;
+  // big drift flags boilerplate floods or tokenizer breakage). Token
+  // frequencies per lang, rank by freq (deterministic tie-break on
+  // token), slope = regr_slope(ln f, ln rank). One posting shuffle +
+  // one lang-partitioned window over the VOCABULARY (not the corpus) —
+  // vocab per lang is bounded, so the window partition never explodes
+  // at 100 TB.
+  def x50_zipf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docTok(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy("lang").orderBy(col("f").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w))
+      .groupBy("lang").agg(
+        count(lit(1)).as("vocab_size"),
+        round(regr_slope(log(col("f")), log(col("rank"))), 6)
+          .as("zipf_slope"))
+      .orderBy("lang")
+  }
+
+  val x50Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |counts AS (SELECT d.lang, t.token, count(*) AS f
+       |           FROM tok t JOIN documents d USING (doc_id) GROUP BY d.lang, t.token),
+       |ranked AS (SELECT lang, f,
+       |           row_number() OVER (PARTITION BY lang ORDER BY f DESC, token) AS rank
+       |           FROM counts)
+       |SELECT lang, count(*)::BIGINT AS vocab_size,
+       |  round(regr_slope(ln(f), ln(rank)), 6) AS zipf_slope
+       |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ======================================================================
+  // x51: eval-set contamination check — the decontamination pass every
+  // LLM data pipeline runs before training (a train doc sharing long
+  // n-grams with a benchmark leaks the eval). Here the "benchmark" is
+  // the deterministic doc_id % 100 = 0 slice; overlap measure = the
+  // fraction of a train doc's DISTINCT 8-grams that appear anywhere in
+  // the eval set. Inverted-index shape: distinct eval grams (a small
+  // dimension at 100 TB — benchmarks are tiny — so it broadcasts),
+  // semi-join counted per train doc; nothing pairwise, nothing
+  // quadratic. 8-grams (vs dedup's 3) make overlap specific: a shared
+  // 8-gram is a copied phrase, not a common idiom.
+  def x51_contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sh8 = docShingles(docs, 8)
+    val evalGrams = sh8.filter(col("doc_id") % 100 === 0)
+      .select("shingle").distinct()
+    val train = sh8.filter(col("doc_id") % 100 =!= 0)
+    val hits = train.join(broadcast(evalGrams), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("contam_frac"))
+      .withColumn("flagged", col("contam_frac") >= 0.5)
+      .orderBy("doc_id")
+  }
+
+  val x51Sql: String =
+    s"""WITH tok AS (SELECT doc_id, $SqlTok AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |  range(1, greatest(len(toks) - 7, 0) + 1),
+       |  i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS shingle FROM tok),
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0),
+       |train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 100 <> 0),
+       |tot AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+       |hits AS (SELECT t.doc_id, count(*) AS n_contaminated FROM train t
+       |         WHERE EXISTS (SELECT 1 FROM ev e WHERE e.shingle = t.shingle)
+       |         GROUP BY t.doc_id)
+       |SELECT tot.doc_id, tot.n_grams::BIGINT AS n_grams,
+       |  coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+       |  round(coalesce(h.n_contaminated, 0)::DOUBLE / tot.n_grams, 6) AS contam_frac,
+       |  (round(coalesce(h.n_contaminated, 0)::DOUBLE / tot.n_grams, 6) >= 0.5) AS flagged
+       |FROM tot LEFT JOIN hits h USING (doc_id) ORDER BY tot.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x49_quantize" -> (x49_quantize _),
+    "x50_zipf" -> (x50_zipf _),
+    "x51_contamination" -> (x51_contamination _),
     "x15_mllib_embed" -> (x15_mllib_embed _),
     "x21_ann_ivf" -> (x21_ann_ivf _),
     "x46_ml_lsh_dedup" -> (x46_ml_lsh_dedup _),
@@ -1033,5 +1115,7 @@ object ExtensionQueries {
     "x12_sessionize" -> x12Sql,
     "x13_multimodal" -> x13Sql,
     "x14_embedding_dup" -> x14Sql,
-    "x49_quantize" -> x49Sql)
+    "x49_quantize" -> x49Sql,
+    "x50_zipf" -> x50Sql,
+    "x51_contamination" -> x51Sql)
 }
