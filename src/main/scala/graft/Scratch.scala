@@ -75,6 +75,23 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("repart")) {
+      // Does a pre-tokenize repartition pay for itself on a single-row-
+      // group small-SF file? (file-split tuning can't parallelize one
+      // row group; only a real shuffle redistributes the rows)
+      val docs = Tables.documents(spark, sfDir)
+      time("tok-asis")(docs.select(col("doc_id"),
+        explode(Tokenize.tokens(col("text"))).as("token")).count())
+      time("tok-asis2")(docs.select(col("doc_id"),
+        explode(Tokenize.tokens(col("text"))).as("token")).count())
+      val rep = docs.repartition(32)
+      time("tok-repart")(rep.select(col("doc_id"),
+        explode(Tokenize.tokens(col("text"))).as("token")).count())
+      time("tok-repart2")(rep.select(col("doc_id"),
+        explode(Tokenize.tokens(col("text"))).as("token")).count())
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("minhash")) {
       // A/B the x02 signature build: 12 inline md5s per posting row vs
       // hashing DISTINCT shingles once and joining the minima back.
