@@ -357,6 +357,47 @@ object ReferenceQueries {
        |SELECT token, occurrences::BIGINT AS occurrences, round(idf, 6) AS idf
        |FROM wv ORDER BY token""".stripMargin
 
+  // x52: incremental idf maintenance — the scale answer to the
+  // reference's periodic full recompute (`calculate_idf_scores.py`
+  // re-reads the whole corpus each run). At 100 TB the corpus arrives
+  // in batches; each batch contributes ASSOCIATIVE state (vocab set,
+  // qualifying-post count, per-token occurrence counts) and the idf
+  // table is rebuilt from merged state without re-tokenizing history.
+  // Here the corpus splits into two deterministic "batches" (doc_id %
+  // 10), each batch's state is computed independently, merged (set
+  // union / scalar add / counts-by-key sum), and run through the
+  // reference idf formula. The ORACLE is the DIRECT full recompute
+  // (q11's SQL) — the hash match proves the merge algebra is exact.
+  def x52_incremental_idf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    def state(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      val tok = docTokens(d, persist = false)
+      val vocab = tok.select("token").distinct().filter(length(col("token")) >= 4)
+      val posts = d.filter(col("lang") === "en" && col("n_chars") >= 100)
+      val n = posts.agg(count(lit(1)).as("n"))
+      val occ = docTokens(posts, persist = false)
+        .groupBy("token").agg(count(lit(1)).as("c"))
+      (vocab, n, occ)
+    }
+    val (vb, nb, ob) = state(docs.filter(col("doc_id") % 10 =!= 0))
+    val (vd, nd, od) = state(docs.filter(col("doc_id") % 10 === 0))
+    val vocab = vb.union(vd).distinct()
+    val nn = nb.union(nd).agg(sum(col("n")).cast("double").as("n_posts"))
+    val occ = ob.union(od).groupBy("token").agg(sum(col("c")).as("c"))
+    val raw = vocab.join(occ, Seq("token"), "left")
+      .withColumn("occurrences", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(nn))
+      .withColumn("raw",
+        when(col("occurrences") > 0, log10(col("n_posts") / col("occurrences")))
+          .otherwise(lit(-1.0)))
+    val minDf = raw.agg(min(col("raw")).as("min_raw"))
+    raw.crossJoin(broadcast(minDf))
+      .withColumn("idf",
+        when(col("raw") > 0, col("raw")).otherwise(col("min_raw")))
+      .select(col("token"), col("occurrences"), round(col("idf"), 6).as("idf"))
+      .orderBy("token")
+  }
+
   // E1: the flagship doc-vector pipeline (`worker.py:69-94`): tf ->
   // broadcast-join wordvecs -> axpy-aggregate Σ tf·idf·vec via the custom
   // Aggregator (A3) -> known_tokens_ratio (A5/A6) -> null vector when no
@@ -828,7 +869,8 @@ object ReferenceQueries {
     "q19_sample" -> (q19_sample _),
     "q20_group_stats" -> (q20_group_stats _),
     "q29_lang_tokens" -> (q29_lang_tokens _),
-    "q30_doc_vector_map" -> (q30_doc_vector_map _))
+    "q30_doc_vector_map" -> (q30_doc_vector_map _),
+    "x52_incremental_idf" -> (x52_incremental_idf _))
 
   val oracleSql: Map[String, String] = Map(
     "q25_setops" -> q25Sql,
@@ -859,5 +901,7 @@ object ReferenceQueries {
     "q19_sample" -> q19Sql,
     "q20_group_stats" -> q20Sql,
     "q29_lang_tokens" -> q29Sql,
-    "q30_doc_vector_map" -> q30Sql)
+    "q30_doc_vector_map" -> q30Sql,
+    // deliberately q11's FULL-recompute SQL: incremental == direct
+    "x52_incremental_idf" -> q11Sql)
 }
