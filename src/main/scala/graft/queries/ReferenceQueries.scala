@@ -368,25 +368,30 @@ object ReferenceQueries {
   // union / scalar add / counts-by-key sum), and run through the
   // reference idf formula. The ORACLE is the DIRECT full recompute
   // (q11's SQL) — the hash match proves the merge algebra is exact.
-  def x52_incremental_idf(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    def state(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-      val tok = docTokens(d, persist = false)
-      val vocab = tok.select("token").distinct().filter(length(col("token")) >= 4)
-      val posts = d.filter(col("lang") === "en" && col("n_chars") >= 100)
-      val n = posts.agg(count(lit(1)).as("n"))
-      val occ = docTokens(posts, persist = false)
-        .groupBy("token").agg(count(lit(1)).as("c"))
-      (vocab, n, occ)
-    }
-    val (vb, nb, ob) = state(docs.filter(col("doc_id") % 10 =!= 0))
-    val (vd, nd, od) = state(docs.filter(col("doc_id") % 10 === 0))
-    val vocab = vb.union(vd).distinct()
-    val nn = nb.union(nd).agg(sum(col("n")).cast("double").as("n_posts"))
-    val occ = ob.union(od).groupBy("token").agg(sum(col("c")).as("c"))
-    val raw = vocab.join(occ, Seq("token"), "left")
+  /** Per-batch associative idf state: (vocab tokens, qualifying-post
+    * count, per-token occurrence counts). Shared by x52 and the
+    * streaming idf maintainer (streaming/IdfStream).
+    */
+  private[graft] def idfBatchState(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val tok = docTokens(d, persist = false)
+    val vocab = tok.select("token").distinct().filter(length(col("token")) >= 4)
+    val posts = d.filter(col("lang") === "en" && col("n_chars") >= 100)
+    val n = posts.agg(count(lit(1)).as("n"))
+    val occ = docTokens(posts, persist = false)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    (vocab, n, occ)
+  }
+
+  /** The reference idf formula over MERGED state — (token, occurrences,
+    * idf) rounded and token-ordered, exactly q11's shape.
+    */
+  private[graft] def idfFromState(vocab: DataFrame, nn: DataFrame,
+      occ: DataFrame): DataFrame = {
+    val nPosts = nn.agg(sum(col("n")).cast("double").as("n_posts"))
+    val occR = occ.groupBy("token").agg(sum(col("c")).as("c"))
+    val raw = vocab.distinct().join(occR, Seq("token"), "left")
       .withColumn("occurrences", coalesce(col("c"), lit(0L)))
-      .crossJoin(broadcast(nn))
+      .crossJoin(broadcast(nPosts))
       .withColumn("raw",
         when(col("occurrences") > 0, log10(col("n_posts") / col("occurrences")))
           .otherwise(lit(-1.0)))
@@ -396,6 +401,13 @@ object ReferenceQueries {
         when(col("raw") > 0, col("raw")).otherwise(col("min_raw")))
       .select(col("token"), col("occurrences"), round(col("idf"), 6).as("idf"))
       .orderBy("token")
+  }
+
+  def x52_incremental_idf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val (vb, nb, ob) = idfBatchState(docs.filter(col("doc_id") % 10 =!= 0))
+    val (vd, nd, od) = idfBatchState(docs.filter(col("doc_id") % 10 === 0))
+    idfFromState(vb.union(vd), nb.union(nd), ob.union(od))
   }
 
   // E1: the flagship doc-vector pipeline (`worker.py:69-94`): tf ->
