@@ -617,6 +617,58 @@ object AnalyticsQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ======================================================================
+  // x53: ordered conversion funnel (view -> click -> purchase) — the
+  // classic event-analytics shape: each stage's timestamp is the
+  // earliest qualifying event STRICTLY AFTER the previous stage, so an
+  // out-of-order click-before-view does not count. Three user-keyed
+  // aggregations chained by joins — every shuffle is on user_id,
+  // stage tables shrink monotonically, nothing scans event pairs.
+  // Timestamps surface as whole epoch seconds (truncation agreed with
+  // the oracle) for hash-stable output.
+  def x53_funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("user_id", "event_type", "ts")
+    val users = ev.select("user_id").distinct()
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id")).filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id")).filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    users.join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        unix_timestamp(col("t_view")).as("t_view"),
+        unix_timestamp(col("t_click")).as("t_click"),
+        unix_timestamp(col("t_purchase")).as("t_purchase"),
+        (col("t_view").isNotNull.cast("int") +
+          col("t_click").isNotNull.cast("int") +
+          col("t_purchase").isNotNull.cast("int")).as("funnel_stage"))
+      .orderBy("user_id")
+  }
+
+  val x53Sql: String =
+    """WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |s1 AS (SELECT user_id, min(ts) AS t_view FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t_view GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY e.user_id)
+      |SELECT u.user_id,
+      |  floor(epoch(s1.t_view))::BIGINT AS t_view,
+      |  floor(epoch(s2.t_click))::BIGINT AS t_click,
+      |  floor(epoch(s3.t_purchase))::BIGINT AS t_purchase,
+      |  ((s1.user_id IS NOT NULL)::INT + (s2.user_id IS NOT NULL)::INT +
+      |   (s3.user_id IS NOT NULL)::INT) AS funnel_stage
+      |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |  LEFT JOIN s3 USING (user_id)
+      |ORDER BY u.user_id""".stripMargin
+
+  // ======================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_sql_api" -> (q28_sql_api _),
     "x30_grouping_cube" -> (x30_grouping_cube _),
@@ -636,7 +688,8 @@ object AnalyticsQueries {
     "x44_array_funcs" -> (x44_array_funcs _),
     "x45_string_agg" -> (x45_string_agg _),
     "x47_repetition" -> (x47_repetition _),
-    "x48_pii_mask" -> (x48_pii_mask _))
+    "x48_pii_mask" -> (x48_pii_mask _),
+    "x53_funnel" -> (x53_funnel _))
 
   val oracleSql: Map[String, String] = Map(
     "q28_sql_api" -> q28Sql,
@@ -657,5 +710,6 @@ object AnalyticsQueries {
     "x44_array_funcs" -> x44Sql,
     "x45_string_agg" -> x45Sql,
     "x47_repetition" -> x47Sql,
-    "x48_pii_mask" -> x48Sql)
+    "x48_pii_mask" -> x48Sql,
+    "x53_funnel" -> x53Sql)
 }
