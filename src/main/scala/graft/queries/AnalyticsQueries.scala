@@ -669,6 +669,47 @@ object AnalyticsQueries {
       |ORDER BY u.user_id""".stripMargin
 
   // ======================================================================
+  // x54: weekly cohort retention — users cohorted by the week of their
+  // first event, activity counted per (cohort, week-offset). Two
+  // user-keyed aggregations + one (cohort, offset) rollup; the
+  // activity table is distinct (user, week) so its size is bounded by
+  // users × weeks, never raw events. Both engines truncate weeks to
+  // Monday, so the cohort keys agree.
+  def x54_cohort_retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+    val first = ev.groupBy("user_id").agg(min(col("w")).as("cohort_w"))
+    val active = ev.distinct()
+    val joined = active.join(first, Seq("user_id"))
+      .withColumn("offset",
+        (datediff(col("w"), col("cohort_w")) / 7).cast("int"))
+    val ret = joined.groupBy("cohort_w", "offset")
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = first.groupBy("cohort_w").agg(count(lit(1)).as("cohort_size"))
+    ret.join(sizes, Seq("cohort_w"))
+      .select(col("cohort_w").cast("date").cast("string").as("cohort_week"),
+        col("offset"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy("cohort_week", "offset")
+  }
+
+  val x54Sql: String =
+    """WITH e AS (SELECT DISTINCT user_id, date_trunc('week', ts::TIMESTAMP) AS w FROM events),
+      |f AS (SELECT user_id, min(w) AS cohort_w FROM e GROUP BY user_id),
+      |j AS (SELECT e.user_id, f.cohort_w, e.w,
+      |      (date_diff('day', f.cohort_w, e.w) // 7)::INT AS "offset"
+      |      FROM e JOIN f USING (user_id)),
+      |ret AS (SELECT cohort_w, "offset", count(*) AS n_active
+      |        FROM j GROUP BY cohort_w, "offset"),
+      |sizes AS (SELECT cohort_w, count(*) AS cohort_size FROM f GROUP BY cohort_w)
+      |SELECT r.cohort_w::DATE::VARCHAR AS cohort_week, r."offset",
+      |  r.n_active::BIGINT AS n_active, s.cohort_size::BIGINT AS cohort_size,
+      |  round(r.n_active::DOUBLE / s.cohort_size, 6) AS retention
+      |FROM ret r JOIN sizes s USING (cohort_w)
+      |ORDER BY cohort_week, r."offset"""".stripMargin
+
+  // ======================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_sql_api" -> (q28_sql_api _),
     "x30_grouping_cube" -> (x30_grouping_cube _),
@@ -689,7 +730,8 @@ object AnalyticsQueries {
     "x45_string_agg" -> (x45_string_agg _),
     "x47_repetition" -> (x47_repetition _),
     "x48_pii_mask" -> (x48_pii_mask _),
-    "x53_funnel" -> (x53_funnel _))
+    "x53_funnel" -> (x53_funnel _),
+    "x54_cohort_retention" -> (x54_cohort_retention _))
 
   val oracleSql: Map[String, String] = Map(
     "q28_sql_api" -> q28Sql,
@@ -711,5 +753,6 @@ object AnalyticsQueries {
     "x45_string_agg" -> x45Sql,
     "x47_repetition" -> x47Sql,
     "x48_pii_mask" -> x48Sql,
-    "x53_funnel" -> x53Sql)
+    "x53_funnel" -> x53Sql,
+    "x54_cohort_retention" -> x54Sql)
 }
