@@ -922,6 +922,71 @@ object ExtensionQueries {
       |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
   // ======================================================================
+  // x55: SimHash near-dup PAIRS — the consumer of x03's fingerprints.
+  // 32-bit weighted simhash per doc (32 bit-vote agg expressions, one
+  // shuffle), banded into 4×8-bit keys: by pigeonhole, any pair within
+  // Hamming distance 3 shares at least one exact band, so candidates
+  // come from a band-key equi-join (bucketed, never all-pairs) and are
+  // verified with a codegen'd bit_count(xor). The reported threshold
+  // is Hamming <= 1 (near-certain rewrites; on short synthetic docs a
+  // 32-bit simhash at <= 3 admits an exponentially growing accidental
+  // tail — 63k pairs at sf0.1 vs 3.4k at <= 1); the banding supports
+  // loosening to 3 without a plan change. 100 TB story is x02's:
+  // shuffle on (band, value) keys, candidate volume bounded by bucket
+  // sizes, no quadratic stage.
+  private def sqlHexN(n: Int, posFn: String): String =
+    (0 until n).map { i =>
+      s"CAST(($posFn('0123456789abcdef', substr(md5(token), ${i + 1}, 1)) - 1) AS BIGINT) * ${1L << (4 * (n - 1 - i))}"
+    }.mkString("(", " + ", ")")
+
+  def x55_simhash_pairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = docTok(Tables.documents(spark, sfDir))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("h32", expr(sqlHexN(8, "instr")))
+    val voteAggs = (0 until 32).map(b =>
+      sum(col("cnt") * (expr(s"(h32 div ${1L << b}) % 2") * 2 - 1)).as(s"v$b"))
+    val sim = counts.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
+    val bands = sim.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map(b =>
+        expr(s"(fp div ${1L << (8 * b)}) % 256")): _*)).as(Seq("band", "bv")))
+    val b1 = bands.select(col("doc_id").as("d1"), col("fp").as("fp1"),
+      col("band"), col("bv"))
+    val b2 = bands.select(col("doc_id").as("d2"), col("fp").as("fp2"),
+      col("band"), col("bv"))
+    val cand = b1.join(b2, Seq("band", "bv")).filter(col("d1") < col("d2"))
+      .select("d1", "d2", "fp1", "fp2").distinct()
+    cand.withColumn("hamming", expr("bit_count(fp1 ^ fp2)").cast("int"))
+      .filter(col("hamming") <= 1)
+      .select("d1", "d2", "hamming")
+      .orderBy("d1", "d2")
+  }
+
+  val x55Sql: String = {
+    val hex32 = sqlHexN(8, "strpos")
+    s"""WITH tokc AS (
+       |  SELECT doc_id, token, count(*) AS cnt FROM
+       |    (SELECT doc_id, unnest($SqlTok) AS token FROM documents)
+       |  GROUP BY doc_id, token),
+       |bits AS (SELECT doc_id, bb.range AS b, CAST(pow(2, bb.range) AS BIGINT) AS p2,
+       |  sum(cnt * ((($hex32 // CAST(pow(2, bb.range) AS BIGINT)) % 2) * 2 - 1)) AS v
+       |  FROM tokc, range(0, 32) bb GROUP BY doc_id, bb.range),
+       |sim AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN p2 ELSE 0 END)::BIGINT AS fp
+       |        FROM bits GROUP BY doc_id),
+       |bands AS (SELECT doc_id, fp, bb.range::INT AS band,
+       |          (fp // CAST(pow(256, bb.range) AS BIGINT)) % 256 AS bv
+       |          FROM sim, range(0, 4) bb),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.fp AS fp1, b.fp AS fp2
+       |         FROM bands a JOIN bands b
+       |         ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, bit_count(xor(fp1, fp2))::INT AS hamming
+       |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 1 ORDER BY d1, d2""".stripMargin
+  }
+
+  // ======================================================================
   // x49: int8 scalar quantization of the embedding store — the storage
   // compression a 100 TB vector corpus runs before ANN serving (4×
   // smaller than float32, 16× than float64). Per-vector affine code:
@@ -1057,6 +1122,7 @@ object ExtensionQueries {
     "x49_quantize" -> (x49_quantize _),
     "x50_zipf" -> (x50_zipf _),
     "x51_contamination" -> (x51_contamination _),
+    "x55_simhash_pairs" -> (x55_simhash_pairs _),
     "x15_mllib_embed" -> (x15_mllib_embed _),
     "x21_ann_ivf" -> (x21_ann_ivf _),
     "x46_ml_lsh_dedup" -> (x46_ml_lsh_dedup _),
@@ -1118,5 +1184,6 @@ object ExtensionQueries {
     "x14_embedding_dup" -> x14Sql,
     "x49_quantize" -> x49Sql,
     "x50_zipf" -> x50Sql,
-    "x51_contamination" -> x51Sql)
+    "x51_contamination" -> x51Sql,
+    "x55_simhash_pairs" -> x55Sql)
 }
