@@ -987,6 +987,54 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x56: training-mix sampler — the "data mixture" step of an LLM
+  // pipeline: given per-source weights, draw a deterministic sample
+  // hitting each source's quota exactly (floor(w_s/Σw · target)).
+  // Weights here derive from the source id (1 + idx % 3) so the mix is
+  // reproducible without a config table; selection within a source is
+  // by md5 rank — stable under reruns AND under corpus growth (a doc's
+  // hash never changes, so adding documents only appends to the
+  // ranking). Per-source window partitions are source-sized; quotas
+  // ride a 1-row broadcast. Nothing global except two scalar aggs.
+  def x56_mixture_sample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val w = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      .withColumn("w",
+        (lit(1) + pmod(expr("CAST(substr(source, 4, 10) AS INT)"), lit(3)))
+          .cast("double"))
+    val tot = w.agg(sum(col("w")).as("sum_w"),
+      sum(col("n_src")).cast("double").as("n_total"))
+    val quota = w.crossJoin(broadcast(tot))
+      .withColumn("quota",
+        floor(col("w") / col("sum_w") * floor(col("n_total") / 5)).cast("long"))
+      .select("source", "quota")
+    val ranked = docs
+      .withColumn("h", md5(concat_ws("|", col("source"), col("doc_id"))))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))
+    ranked.join(broadcast(quota), Seq("source"))
+      .filter(col("rnk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rnk"))
+      .orderBy("doc_id")
+  }
+
+  val x56Sql: String =
+    """WITH d AS (SELECT doc_id, source FROM documents),
+      |w AS (SELECT source, count(*) AS n_src,
+      |      (1 + (substr(source, 4, 10)::INT % 3))::DOUBLE AS w FROM d GROUP BY source),
+      |t AS (SELECT sum(w) AS sum_w, sum(n_src)::DOUBLE AS n_total FROM w),
+      |q AS (SELECT source,
+      |      floor(w / (SELECT sum_w FROM t) * floor((SELECT n_total FROM t) / 5))::BIGINT AS quota
+      |      FROM w),
+      |r AS (SELECT doc_id, source,
+      |      row_number() OVER (PARTITION BY source
+      |        ORDER BY md5(source || '|' || doc_id::VARCHAR), doc_id) AS rnk
+      |      FROM d)
+      |SELECT r.doc_id, r.source, r.rnk::INT AS rnk
+      |FROM r JOIN q USING (source) WHERE r.rnk <= q.quota
+      |ORDER BY r.doc_id""".stripMargin
+
+  // ======================================================================
   // x49: int8 scalar quantization of the embedding store — the storage
   // compression a 100 TB vector corpus runs before ANN serving (4×
   // smaller than float32, 16× than float64). Per-vector affine code:
@@ -1123,6 +1171,7 @@ object ExtensionQueries {
     "x50_zipf" -> (x50_zipf _),
     "x51_contamination" -> (x51_contamination _),
     "x55_simhash_pairs" -> (x55_simhash_pairs _),
+    "x56_mixture_sample" -> (x56_mixture_sample _),
     "x15_mllib_embed" -> (x15_mllib_embed _),
     "x21_ann_ivf" -> (x21_ann_ivf _),
     "x46_ml_lsh_dedup" -> (x46_ml_lsh_dedup _),
@@ -1185,5 +1234,6 @@ object ExtensionQueries {
     "x49_quantize" -> x49Sql,
     "x50_zipf" -> x50Sql,
     "x51_contamination" -> x51Sql,
-    "x55_simhash_pairs" -> x55Sql)
+    "x55_simhash_pairs" -> x55Sql,
+    "x56_mixture_sample" -> x56Sql)
 }
