@@ -1035,6 +1035,79 @@ object ExtensionQueries {
       |ORDER BY r.doc_id""".stripMargin
 
   // ======================================================================
+  // x57: the preprocessing VERDICT — what a data pipeline actually
+  // materializes before training: per doc, keep/drop plus the reasons
+  // (lang gate, exact-dup canonicalization, quality floor, repetition
+  // ceiling), composing the x01/x08/x47 signals in one pass. Reasons
+  // concatenate in a fixed order so the verdict is hash-stable; a doc
+  // failing several gates lists them all (an auditor wants every
+  // reason, not the first). One posting aggregation + one
+  // content-hash window + one per-row shingle projection — all
+  // corpus-linear, and the whole verdict is a single scan downstream
+  // consumers can write back as a column.
+  def x57_filter_verdict(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val stats = docTok(docs).groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      avg(length(col("token"))).as("avg_tok_len"),
+      sum(when(col("token").isin(stopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+    val rep = docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Tokenize.shingles(col("toks"), 3).as("g3"))
+      .select(col("doc_id"), size(col("g3")).as("total3"),
+        size(array_distinct(col("g3"))).as("distinct3"))
+    val stopRatio = coalesce(col("n_stop") / col("n_tokens"), lit(0.0))
+    docs.select(col("doc_id"), col("lang"),
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
+          .as("canonical_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .withColumn("quality", round(
+        lit(0.4) * least(coalesce(col("n_tokens"), lit(0L)).cast("double") / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - stopRatio) +
+          lit(0.3) * least(coalesce(col("avg_tok_len"), lit(0.0)) / 8.0, lit(1.0)), 6))
+      .withColumn("dup_frac", round(
+        when(col("total3") > 0,
+          lit(1.0) - col("distinct3").cast("double") / col("total3"))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("reasons", concat_ws(",",
+        when(col("lang") =!= "en", lit("lang")),
+        when(col("canonical_id") =!= col("doc_id"), lit("duplicate")),
+        when(col("quality") < 0.6, lit("low_quality")),
+        when(col("dup_frac") > 0.02, lit("repetitive"))))
+      .withColumn("keep", col("reasons") === "")
+      .select(col("doc_id"), col("keep"), col("reasons"),
+        col("quality"), col("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val x57Sql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
+       |       sum(CASE WHEN token IN ($stopList) THEN 1 ELSE 0 END) AS n_stop
+       |       FROM tok GROUP BY doc_id),
+       |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+       |         i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS g3
+       |       FROM (SELECT doc_id, $SqlTok AS toks FROM documents)),
+       |rep AS (SELECT doc_id, len(g3) AS total3, len(list_distinct(g3)) AS distinct3 FROM sh),
+       |base AS (SELECT d.doc_id, d.lang,
+       |  min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS canonical_id,
+       |  round(0.4 * least(coalesce(st.n_tokens, 0)::DOUBLE / 100.0, 1.0)
+       |      + 0.3 * (1.0 - coalesce(st.n_stop::DOUBLE / st.n_tokens, 0.0))
+       |      + 0.3 * least(coalesce(st.avg_tok_len, 0.0) / 8.0, 1.0), 6) AS quality,
+       |  round(CASE WHEN r.total3 > 0 THEN 1.0 - r.distinct3::DOUBLE / r.total3 ELSE 0.0 END, 6) AS dup_frac
+       |  FROM documents d LEFT JOIN st USING (doc_id) LEFT JOIN rep r USING (doc_id)),
+       |v AS (SELECT doc_id, quality, dup_frac, concat_ws(',',
+       |    CASE WHEN lang <> 'en' THEN 'lang' END,
+       |    CASE WHEN canonical_id <> doc_id THEN 'duplicate' END,
+       |    CASE WHEN quality < 0.6 THEN 'low_quality' END,
+       |    CASE WHEN dup_frac > 0.02 THEN 'repetitive' END) AS reasons
+       |  FROM base)
+       |SELECT doc_id, (reasons = '') AS keep, reasons, quality, dup_frac
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  // ======================================================================
   // x49: int8 scalar quantization of the embedding store — the storage
   // compression a 100 TB vector corpus runs before ANN serving (4×
   // smaller than float32, 16× than float64). Per-vector affine code:
@@ -1172,6 +1245,7 @@ object ExtensionQueries {
     "x51_contamination" -> (x51_contamination _),
     "x55_simhash_pairs" -> (x55_simhash_pairs _),
     "x56_mixture_sample" -> (x56_mixture_sample _),
+    "x57_filter_verdict" -> (x57_filter_verdict _),
     "x15_mllib_embed" -> (x15_mllib_embed _),
     "x21_ann_ivf" -> (x21_ann_ivf _),
     "x46_ml_lsh_dedup" -> (x46_ml_lsh_dedup _),
@@ -1235,5 +1309,6 @@ object ExtensionQueries {
     "x50_zipf" -> x50Sql,
     "x51_contamination" -> x51Sql,
     "x55_simhash_pairs" -> x55Sql,
-    "x56_mixture_sample" -> x56Sql)
+    "x56_mixture_sample" -> x56Sql,
+    "x57_filter_verdict" -> x57Sql)
 }
