@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native token counting (SURVEY.md §2.9 — the codegen'd hot-path form
+  * of F2's counting use).
+  *
+  * `size(Tokenize.tokens(text))` materializes the full token ARRAY
+  * (regex split + filter + array alloc) just to take its length; for
+  * per-document token budgets over a 100 TB scan that allocation is
+  * the cost. `TokenCount` is a single pass over the UTF8String's bytes
+  * counting maximal `[A-Za-z0-9]` runs — no regex, no allocation, and
+  * `doGenCode` keeps it inside whole-stage codegen.
+  *
+  * Semantics are EXACTLY `size(tokens(text))` for any input: the
+  * tokenizer lowercases then splits on `[^a-z0-9]+`, and lowercasing
+  * never turns an ASCII alnum into a separator or vice versa, while
+  * every non-ASCII byte (>= 0x80) is a separator both ways —
+  * TokenCountSpec pins the equivalence by property test.
+  */
+case class TokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    TokenCount.count(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenCount.count($c);")
+  override protected def withNewChildInternal(c: Expression): TokenCount =
+    copy(child = c)
+  override def prettyName: String = "graft_token_count"
+}
+
+object TokenCount {
+  def apply(c: Column): Column =
+    ColumnShim.column(TokenCount(ColumnShim.expression(c)))
+
+  def count(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var i = 0
+    var cnt = 0
+    var inRun = false
+    while (i < n) {
+      val b = s.getByte(i).toInt
+      val alnum = (b >= 'a'.toInt && b <= 'z'.toInt) ||
+        (b >= 'A'.toInt && b <= 'Z'.toInt) ||
+        (b >= '0'.toInt && b <= '9'.toInt)
+      if (alnum) {
+        if (!inRun) { cnt += 1; inRun = true }
+      } else inRun = false
+      i += 1
+    }
+    cnt
+  }
+}

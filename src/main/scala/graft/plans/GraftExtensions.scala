@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-import graft.functions.{BinaryToFloats, DotProduct, FloatsToBinary}
+import graft.functions.{BinaryToFloats, DotProduct, FloatsToBinary, TokenCount}
 
 /** Config-time Catalyst integration: `--conf
   * spark.sql.extensions=graft.plans.GraftExtensions` gives every session
@@ -40,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("binary_to_floats"),
       new ExpressionInfo(classOf[BinaryToFloats].getName, "binary_to_floats"),
       arity("binary_to_floats", 1)(exprs => BinaryToFloats(exprs.head))))
+    ext.injectFunction((FunctionIdentifier("graft_token_count"),
+      new ExpressionInfo(classOf[TokenCount].getName, "graft_token_count"),
+      arity("graft_token_count", 1)(exprs => TokenCount(exprs.head))))
     ext.injectOptimizerRule(_ => CodecRoundTripElimination)
   }
 }
