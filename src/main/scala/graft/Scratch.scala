@@ -75,6 +75,18 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("tokencount")) {
+      // native byte-scan TokenCount vs size(tokens(text)) array form
+      val docs = Tables.documents(spark, sfDir)
+      def viaArray = docs.select(size(Tokenize.tokens(col("text"))).cast("long").as("n"))
+        .agg(sum("n")).head().getLong(0)
+      def viaNative = docs.select(graft.functions.TokenCount(col("text")).cast("long").as("n"))
+        .agg(sum("n")).head().getLong(0)
+      time("array-cold")(viaArray); time("array-warm")(viaArray)
+      time("native-cold")(viaNative); time("native-warm")(viaNative)
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("repart")) {
       // Does a pre-tokenize repartition pay for itself on a single-row-
       // group small-SF file? (file-split tuning can't parallelize one
