@@ -15,7 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-document token budgets over a 100 TB scan that allocation is
   * the cost. `TokenCount` is a single pass over the UTF8String's bytes
   * counting maximal `[A-Za-z0-9]` runs — no regex, no allocation, and
-  * `doGenCode` keeps it inside whole-stage codegen.
+  * `doGenCode` keeps it inside whole-stage codegen. Measured (sf0.1,
+  * Scratch `tokencount`): 0.21 s vs 0.32 s warm and 0.37 s vs 4.6 s
+  * cold against the array form (the cold gap is regex/JIT machinery
+  * the byte loop never touches).
   *
   * Semantics are EXACTLY `size(tokens(text))` for any input: the
   * tokenizer lowercases then splits on `[^a-z0-9]+`, and lowercasing
