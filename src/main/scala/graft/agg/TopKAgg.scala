@@ -1,0 +1,44 @@
+package graft.agg
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One scored item: the input row AND the buffer element of [[TopK]]. */
+case class Scored(score: Long, item: String)
+
+/** Bounded per-group top-k aggregation.
+  *
+  * The window form (`row_number().over(partitionBy(key)) <= k`) sorts
+  * EVERY group's full row set, and `collect_list`-then-slice holds the
+  * whole group in memory before trimming — both are fine at bench
+  * scale and wrong at 100 TB, where a hot key's group is unbounded.
+  * This `Aggregator` keeps at most k elements through `reduce` AND
+  * `merge`, so per-(partition, group) state is O(k), map-side partials
+  * ship k rows each, and the final merge touches k·partitions rows per
+  * key — the bounded-heap shape a distributed top-k wants.
+  *
+  * Ordering: score DESC with item ASC tiebreak — identical to the
+  * window form x24 uses, which is what lets the x58 oracle be x24's
+  * own SQL. k is small by construction; the per-insert sort is
+  * O(k log k) on a k+1 buffer, not a data-sized cost.
+  */
+class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  private def better(a: Scored, b: Scored): Boolean =
+    a.score > b.score || (a.score == b.score && a.item < b.item)
+
+  private def trim(s: Seq[Scored]): Seq[Scored] = s.sortWith(better).take(k)
+
+  override def zero: Seq[Scored] = Seq.empty
+  override def reduce(buf: Seq[Scored], in: Scored): Seq[Scored] =
+    trim(buf :+ in)
+  override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+    trim(a ++ b)
+  override def finish(buf: Seq[Scored]): Seq[Scored] = trim(buf)
+  override def bufferEncoder: Encoder[Seq[Scored]] =
+    ExpressionEncoder[Seq[Scored]]()
+  override def outputEncoder: Encoder[Seq[Scored]] =
+    ExpressionEncoder[Seq[Scored]]()
+}

@@ -673,6 +673,27 @@ object ExtensionQueries {
        |SELECT lang, rnk, token, occ::BIGINT AS occ FROM ranked
        |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
 
+  // x58: per-key top-k via the BOUNDED aggregation (agg/TopK) — the
+  // scale-safe twin of x24's window form. row_number() sorts every
+  // group's full row set; the Aggregator keeps O(k) state through
+  // partials and merges, so a hot key costs k rows per partition, not
+  // its whole group. The oracle is deliberately x24's own SQL: the
+  // hash match proves the bounded form returns exactly the window
+  // form's answer (same DESC/token tiebreak ordering).
+  def x58_top_tokens_agg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(Tokenize.tokens(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("occ"))
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.agg.TopK(5), ExpressionEncoder[graft.agg.Scored]())
+    counts.groupBy("lang").agg(topk(col("occ"), col("token")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("p", "s")))
+      .select(col("lang"), (col("p") + 1).cast("int").as("rnk"),
+        col("s.item").as("token"), col("s.score").as("occ"))
+      .orderBy("lang", "rnk")
+  }
+
   // x25: stratified systematic sample — every 7th doc per (lang) stratum
   // in doc_id order (deterministic; the reproducible-sampling operator
   // for training-data curation).
@@ -1246,6 +1267,7 @@ object ExtensionQueries {
     "x55_simhash_pairs" -> (x55_simhash_pairs _),
     "x56_mixture_sample" -> (x56_mixture_sample _),
     "x57_filter_verdict" -> (x57_filter_verdict _),
+    "x58_top_tokens_agg" -> (x58_top_tokens_agg _),
     "x15_mllib_embed" -> (x15_mllib_embed _),
     "x21_ann_ivf" -> (x21_ann_ivf _),
     "x46_ml_lsh_dedup" -> (x46_ml_lsh_dedup _),
@@ -1310,5 +1332,7 @@ object ExtensionQueries {
     "x51_contamination" -> x51Sql,
     "x55_simhash_pairs" -> x55Sql,
     "x56_mixture_sample" -> x56Sql,
-    "x57_filter_verdict" -> x57Sql)
+    "x57_filter_verdict" -> x57Sql,
+    // deliberately x24's window-form SQL: bounded agg == window answer
+    "x58_top_tokens_agg" -> x24Sql)
 }
