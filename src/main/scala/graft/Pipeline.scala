@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{ExtensionQueries, ReferenceQueries}
+import graft.sources.VersionedStore
+
+/** End-to-end training-data pipeline over one corpus snapshot — the
+  * "a reference user could switch" demo, wiring the library's stages
+  * the way a production job would:
+  *
+  *   1. preprocessing verdict (x57: lang / exact-dup / quality /
+  *      repetition) → keep set
+  *   2. near-dup pruning on the keep set (banded MinHash x02 shape:
+  *      drop the higher doc_id of every verified near-dup pair)
+  *   3. doc vectors for the survivors (the reference's E1 flagship)
+  *   4. publish as an immutable snapshot version (VersionedStore) a
+  *      training run can pin forever
+  *
+  * Every stage is the already-oracle-checked query; this object only
+  * composes them. Returns (version, kept, pruned, vectorized) so
+  * callers/specs can assert the funnel.
+  */
+object Pipeline {
+
+  case class Result(version: Long, kept: Long, prunedNearDup: Long,
+      vectorized: Long)
+
+  def run(spark: SparkSession, sfDir: String, storeRoot: String): Result = {
+    val docs = Tables.documents(spark, sfDir)
+
+    // 1. verdict gate
+    val keepIds = ExtensionQueries.x57_filter_verdict(spark, sfDir)
+      .filter(col("keep")).select("doc_id")
+    val kept = keepIds.count()
+
+    // 2. near-dup pruning: for every verified pair, the lower doc_id
+    // is canonical; drop the rest (anti-join — no collect)
+    val dupLosers = ExtensionQueries.x02_dedup_minhash(spark, sfDir)
+      .select(col("d2").as("doc_id")).distinct()
+    val survivors = keepIds.join(dupLosers, Seq("doc_id"), "left_anti")
+
+    // 3. flagship vectors for the surviving docs
+    val corpus = docs.join(survivors, Seq("doc_id"), "left_semi")
+    val vecs = ReferenceQueries.docVectors(
+      corpus, ReferenceQueries.wordvecs8(spark, sfDir), ReferenceQueries.VecDim)
+      .select(col("doc_id"), col("known_ratio"), col("vec"))
+
+    // 4. immutable snapshot a training run can pin
+    val version = VersionedStore.publish(vecs, storeRoot)
+    val vectorized = VersionedStore.readVersion(spark, storeRoot, version).count()
+    Result(version, kept, kept - survivors.count(), vectorized)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val store = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_pipeline").toString + "/store")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, sfDir, store)
+    println(s"""{"version":${r.version},"kept":${r.kept},""" +
+      s""""pruned_near_dup":${r.prunedNearDup},"vectorized":${r.vectorized}}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.VersionedStore
+
+/** The composed pipeline must behave like its parts: the funnel counts
+  * reconcile with the stage queries, the published snapshot is pinned
+  * and complete, and a second run publishes a NEW version without
+  * touching the first.
+  */
+class PipelineSpec extends AnyFunSuite with SparkSpec {
+
+  test("verdict -> dedup -> vectorize -> snapshot, counts reconcile") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_pipe").toString + "/store"
+    val r = Pipeline.run(spark, sf, store)
+
+    val keep = graft.queries.ExtensionQueries.x57_filter_verdict(spark, sf)
+      .filter(col("keep")).count()
+    assert(r.kept === keep)
+    assert(r.prunedNearDup >= 0 && r.prunedNearDup <= r.kept)
+    assert(r.vectorized > 0)
+    // vectorized <= survivors: docVectors drops token-less docs only
+    assert(r.vectorized <= r.kept - r.prunedNearDup)
+
+    // snapshot is pinned: a second pipeline run appends a new version
+    // and the first is untouched
+    val before = VersionedStore.readVersion(spark, store, r.version).count()
+    val r2 = Pipeline.run(spark, sf, store)
+    assert(r2.version === r.version + 1)
+    assert(VersionedStore.readVersion(spark, store, r.version).count() === before)
+  }
+}
