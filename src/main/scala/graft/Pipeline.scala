@@ -30,16 +30,25 @@ object Pipeline {
   def run(spark: SparkSession, sfDir: String, storeRoot: String): Result = {
     val docs = Tables.documents(spark, sfDir)
 
-    // 1. verdict gate
+    // 1. verdict gate (persisted: the funnel counts AND the corpus
+    // join below all read it — without the persist each action re-runs
+    // the whole verdict lineage)
     val keepIds = ExtensionQueries.x57_filter_verdict(spark, sfDir)
-      .filter(col("keep")).select("doc_id")
+      .filter(col("keep")).select("doc_id").persist()
     val kept = keepIds.count()
 
-    // 2. near-dup pruning: for every verified pair, the lower doc_id
-    // is canonical; drop the rest (anti-join — no collect)
-    val dupLosers = ExtensionQueries.x02_dedup_minhash(spark, sfDir)
-      .select(col("d2").as("doc_id")).distinct()
-    val survivors = keepIds.join(dupLosers, Seq("doc_id"), "left_anti")
+    // 2. near-dup pruning among the KEPT docs: for a verified pair
+    // with both sides kept, the lower doc_id is canonical and the
+    // higher is dropped. Pairs whose canonical already fell to the
+    // verdict gate must NOT drop the survivor — restricting both pair
+    // sides to the keep set guarantees every dropped doc leaves a
+    // kept canonical behind (anti-join — no collect).
+    val pairs = ExtensionQueries.x02_dedup_minhash(spark, sfDir)
+    val keptPairs = pairs
+      .join(keepIds.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_semi")
+      .join(keepIds.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_semi")
+    val dupLosers = keptPairs.select(col("d2").as("doc_id")).distinct()
+    val survivors = keepIds.join(dupLosers, Seq("doc_id"), "left_anti").persist()
 
     // 3. flagship vectors for the surviving docs
     val corpus = docs.join(survivors, Seq("doc_id"), "left_semi")
@@ -50,7 +59,9 @@ object Pipeline {
     // 4. immutable snapshot a training run can pin
     val version = VersionedStore.publish(vecs, storeRoot)
     val vectorized = VersionedStore.readVersion(spark, storeRoot, version).count()
-    Result(version, kept, kept - survivors.count(), vectorized)
+    val pruned = kept - survivors.count()
+    keepIds.unpersist(); survivors.unpersist()
+    Result(version, kept, pruned, vectorized)
   }
 
   def main(args: Array[String]): Unit = {

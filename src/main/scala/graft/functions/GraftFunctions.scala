@@ -15,7 +15,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("binary_to_floats",
       exprs => BinaryToFloats(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_token_count",
-      exprs => TokenCount(exprs.head), "scala_udf")
+      exprs => TokenCount(
+        org.apache.spark.sql.catalyst.expressions.Lower(exprs.head)),
+      "scala_udf")
     // Tokenizer as a plain UDF for SQL contexts (the Column form in
     // Tokenize.tokens is pure built-ins and preferred in plans).
     spark.udf.register("graft_tokens", (s: String) =>

@@ -20,11 +20,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * cold against the array form (the cold gap is regex/JIT machinery
   * the byte loop never touches).
   *
-  * Semantics are EXACTLY `size(tokens(text))` for any input: the
-  * tokenizer lowercases then splits on `[^a-z0-9]+`, and lowercasing
-  * never turns an ASCII alnum into a separator or vice versa, while
-  * every non-ASCII byte (>= 0x80) is a separator both ways —
-  * TokenCountSpec pins the equivalence by property test.
+  * The raw byte scan alone matches `size(tokens(text))` for ASCII and
+  * for almost all Unicode — but not for the handful of code points
+  * whose LOWERCASE form maps into ASCII (KELVIN SIGN → 'k', İ → 'i…'):
+  * the tokenizer sees those as letters after `lower()`, the byte scan
+  * would not. The Column form therefore applies the codegen'd
+  * `lower()` first, which restores EXACT equivalence for any input
+  * (after lowering, ASCII alnum bytes are alnum and every other byte
+  * is a separator under both definitions) — TokenCountSpec pins it by
+  * property test including those code points.
   */
 case class TokenCount(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
@@ -40,7 +44,8 @@ case class TokenCount(child: Expression) extends UnaryExpression {
 
 object TokenCount {
   def apply(c: Column): Column =
-    ColumnShim.column(TokenCount(ColumnShim.expression(c)))
+    ColumnShim.column(TokenCount(ColumnShim.expression(
+      org.apache.spark.sql.functions.lower(c))))
 
   def count(s: UTF8String): Int = {
     val n = s.numBytes()

@@ -42,7 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("binary_to_floats", 1)(exprs => BinaryToFloats(exprs.head))))
     ext.injectFunction((FunctionIdentifier("graft_token_count"),
       new ExpressionInfo(classOf[TokenCount].getName, "graft_token_count"),
-      arity("graft_token_count", 1)(exprs => TokenCount(exprs.head))))
+      arity("graft_token_count", 1)(exprs => TokenCount(
+        org.apache.spark.sql.catalyst.expressions.Lower(exprs.head)))))
     ext.injectOptimizerRule(_ => CodecRoundTripElimination)
   }
 }

@@ -1227,7 +1227,12 @@ object ExtensionQueries {
   // 8-gram is a copied phrase, not a common idiom.
   def x51_contamination(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    // persisted: the 8-gram posting is scanned three times below (eval
+    // grams, train totals, train hits) and would re-run tokenize +
+    // shingle per scan; session-lifetime cache policy as per SCALE.md
+    // §caching (CacheManager dedupes repeat x51 calls by plan)
     val sh8 = docShingles(docs, 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalGrams = sh8.filter(col("doc_id") % 100 === 0)
       .select("shingle").distinct()
     val train = sh8.filter(col("doc_id") % 100 =!= 0)

@@ -26,8 +26,13 @@ object FastTextVec {
     * position — position is meaningless across file splits.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
+    // split on WS runs and drop empties: real .vec files carry
+    // trailing (and occasionally doubled) spaces, which a single-space
+    // split would turn into empty fields — a null vector component, or
+    // a 3-field header slipping past the header filter
     val parts = spark.read.text(path)
-      .select(split(col("value"), " ").as("f"))
+      .select(filter(split(col("value"), "[ \\t]+"), t => t =!= lit(""))
+        .as("f"))
     parts
       .filter(size(col("f")) > 2) // header is "nwords dim"
       .select(col("f").getItem(0).as("word"),
@@ -36,7 +41,9 @@ object FastTextVec {
         transform(slice(col("f"), lit(2), size(col("f")) - 1),
           x => x.cast("float")).as("vec"))
       .filter(length(col("word")) < 100) // enter_wordvecs.py:36
-      .filter(col("word") =!= "")
+      // a non-numeric field casts to null — drop the malformed line
+      // loudly absent rather than carrying a poisoned vector
+      .filter(!exists(col("vec"), x => x.isNull))
   }
 
   /** Round-trip writer for specs and fixtures: (word, vec) → `.vec`

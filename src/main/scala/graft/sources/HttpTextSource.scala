@@ -35,8 +35,15 @@ object HttpTextSource {
 
   /** One client per executor JVM — HttpClient is thread-safe and pools
     * connections; `lazy` defers construction to first task use.
+    * Connect AND request timeouts are mandatory: a half-open service
+    * that accepts the TCP connection but never responds would
+    * otherwise hang the task (and its stage) forever instead of
+    * failing into Spark's retry machinery.
     */
-  @transient private lazy val client: HttpClient = HttpClient.newHttpClient()
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+
+  private val requestTimeout = java.time.Duration.ofSeconds(30)
 
   private val respSchema =
     StructType(Seq(StructField("text", ArrayType(StringType))))
@@ -54,8 +61,12 @@ object HttpTextSource {
       .mapPartitions { it =>
         val c = client
         it.map { case (target, id) =>
-          val uri = URI.create(s"$baseUri/$target/$id?filter=$langFilter")
-          val resp = c.send(HttpRequest.newBuilder(uri).GET().build(),
+          // encode the path segment: a target with a space or '?'
+          // must not reshape the URL
+          val t = java.net.URLEncoder.encode(target, "UTF-8")
+          val uri = URI.create(s"$baseUri/$t/$id?filter=$langFilter")
+          val resp = c.send(
+            HttpRequest.newBuilder(uri).timeout(requestTimeout).GET().build(),
             HttpResponse.BodyHandlers.ofString())
           if (resp.statusCode() != 200)
             throw new RuntimeException("Could not get text from lang-detector: " +

@@ -54,14 +54,22 @@ object TableMaintenance {
     val nFiles = math.max(1,
       math.ceil(dataBytes(spark, dir).toDouble / targetBytes).toInt)
     val tmp = s"$dir.compact.tmp"
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // coalesce, not repartition: compaction must not pay a shuffle,
     // only a rewrite (narrow dependency merging input splits)
     src.coalesce(nFiles).write.mode("overwrite").parquet(tmp)
     val got = spark.read.parquet(tmp).count()
-    require(got == expected,
-      s"compaction row-count mismatch: $got != $expected — keeping original")
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (got != expected) {
+      fs.delete(new Path(tmp), true) // don't leave a full copy behind
+      throw new IllegalStateException(
+        s"compaction row-count mismatch: $got != $expected — keeping original")
+    }
+    // two renames cannot be one atomic step: a crash between them
+    // leaves the table at $dir.compact.old and the compacted copy at
+    // $dir.compact.tmp — both intact, recoverable by renaming either
+    // back into place (the original is never deleted until the
+    // compacted copy is live)
     val bak = new Path(s"$dir.compact.old")
     fs.delete(bak, true)
     require(fs.rename(p, bak), s"could not move $dir aside")

@@ -1,8 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
-
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -12,26 +10,34 @@ import graft.queries.ReferenceQueries
   * periodic `calculate_idf_scores.py` job (and of the batch x52 merge).
   *
   * Each micro-batch contributes ASSOCIATIVE state — vocab tokens,
-  * qualifying-post count, per-token occurrence counts — which folds
-  * into a parquet state store by pure set-union / scalar-add /
-  * counts-by-key-sum; history is never re-tokenized. `currentIdf`
-  * materializes the serving table from state on demand through the
-  * same reference formula the batch queries use, so the streamed
-  * result is bit-identical to a full recompute (IdfStreamSpec pins
-  * that against the oracle-checked q11).
+  * qualifying-post count, per-token occurrence counts — written as an
+  * APPEND-ONLY per-batch delta directory (`state/batch=<id>/…`) with a
+  * `_done` marker committed last. Append-only is what makes replay
+  * exactly-once: foreachBatch is at-least-once, and a replayed batch
+  * simply overwrites its own delta with identical deterministic
+  * content before re-marking it — no read-modify-write fold exists to
+  * double-count, and a crash at ANY point leaves either a complete
+  * marked delta or an unmarked one the replay rewrites. `currentIdf`
+  * reduces across all marked deltas through the same reference
+  * formula the batch queries use, so the streamed result is
+  * bit-identical to a full recompute (IdfStreamSpec pins that against
+  * the oracle-checked q11).
   *
   * At 100 TB: per-batch work is proportional to the BATCH (tokenize +
-  * one shuffle), the state store is vocabulary-sized (not corpus-
-  * sized), and the checkpointed file source gives exactly-once state
-  * accumulation — the swap-write makes replayed batches idempotent at
-  * the store level only if the batch was fully applied, which the
-  * checkpoint guarantees (offsets commit after foreachBatch returns).
+  * one shuffle), each delta is vocabulary-sized, and serving reads
+  * reduce over #batches deltas — compact old deltas into one (the
+  * merge is the same associative union) when the batch count grows.
+  * All metadata I/O goes through the Hadoop FileSystem of the state
+  * path, so the store works wherever the parquet does.
   */
 object IdfStream {
 
-  /** Start the maintainer: stream docs from `docsDir`, fold state into
-    * `stateDir/{vocab,n,occ}`. One file per micro-batch so multi-batch
-    * accumulation is actually exercised.
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Start the maintainer: stream docs from `docsDir`, write one delta
+    * per micro-batch under `stateDir`. One file per micro-batch so
+    * multi-batch accumulation is actually exercised.
     */
   def start(spark: SparkSession, docsDir: String, stateDir: String,
       checkpoint: String): StreamingQuery = {
@@ -40,41 +46,39 @@ object IdfStream {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val dir = s"$stateDir/batch=$id"
         val (vocab, n, occ) = ReferenceQueries.idfBatchState(batch)
-        fold(spark, vocab, s"$stateDir/vocab", _.distinct())
-        fold(spark, n, s"$stateDir/n", identity)
-        fold(spark, occ, s"$stateDir/occ",
-          _.groupBy("token").sum("c").withColumnRenamed("sum(c)", "c"))
+        // overwrite, not errorifexists: a replayed batch regenerates
+        // the identical delta, and a half-written delta from a crash
+        // is simply rewritten before the marker goes back down
+        vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+        n.write.mode("overwrite").parquet(s"$dir/n")
+        occ.write.mode("overwrite").parquet(s"$dir/occ")
+        val fs = fsOf(batch.sparkSession, dir)
+        fs.create(new Path(dir, "_done"), true).close()
       }
       .start()
   }
 
-  /** The serving idf table from current state (q11's exact shape). */
-  def currentIdf(spark: SparkSession, stateDir: String): DataFrame =
-    ReferenceQueries.idfFromState(
-      spark.read.parquet(s"$stateDir/vocab"),
-      spark.read.parquet(s"$stateDir/n"),
-      spark.read.parquet(s"$stateDir/occ"))
-
-  /** Merge a batch contribution into a parquet state path: union with
-    * existing, re-reduce, swap-write (a parquet dir can't be
-    * overwritten while being read).
-    */
-  private def fold(spark: SparkSession, update: DataFrame, path: String,
-      reduce: DataFrame => DataFrame): Unit = {
-    val p = Paths.get(path)
-    val merged =
-      if (Files.exists(p)) reduce(spark.read.parquet(path).unionByName(update))
-      else reduce(update)
-    val tmp = path + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    deleteRecursively(p)
-    Files.move(Paths.get(tmp), p)
+  /** Completed (marked) batch delta directories under `stateDir`. */
+  private def doneBatches(spark: SparkSession, stateDir: String): Seq[String] = {
+    val root = new Path(stateDir)
+    val fs = fsOf(spark, stateDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => fs.exists(new Path(st.getPath, "_done")))
+      .map(_.getPath.toString)
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+  /** The serving idf table from all completed deltas (q11's shape). */
+  def currentIdf(spark: SparkSession, stateDir: String): DataFrame = {
+    val dirs = doneBatches(spark, stateDir)
+    require(dirs.nonEmpty, s"no completed idf state under $stateDir")
+    def readAll(part: String): DataFrame =
+      dirs.map(d => spark.read.parquet(s"$d/$part")).reduce(_.unionByName(_))
+    ReferenceQueries.idfFromState(
+      readAll("vocab"), readAll("n"), readAll("occ"))
+  }
 }

@@ -68,7 +68,11 @@ class HttpHeartbeatListener(url: String) extends HeartbeatListener {
   override protected def publish(msg: String, pingNs: Long): Unit =
     try {
       val uri = java.net.URI.create(s"$url?msg=$msg&ping=${pingNs / 1000000}")
-      client.send(java.net.http.HttpRequest.newBuilder(uri).GET().build(),
+      // request timeout as well as connect: an endpoint that accepts
+      // the connection but never answers must not wedge the listener
+      // thread for every subsequent query
+      client.send(java.net.http.HttpRequest.newBuilder(uri)
+        .timeout(java.time.Duration.ofSeconds(2)).GET().build(),
         java.net.http.HttpResponse.BodyHandlers.discarding())
       ()
     } catch {

@@ -25,6 +25,24 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     // vectorized <= survivors: docVectors drops token-less docs only
     assert(r.vectorized <= r.kept - r.prunedNearDup)
 
+    // every near-dup pair with BOTH sides passing the verdict keeps
+    // its canonical: d2 pruned, d1 either present or itself the d2 of
+    // another kept pair (transitive chains) — never both lost
+    val snapIds = VersionedStore.readVersion(spark, store, r.version)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptSet = graft.queries.ExtensionQueries.x57_filter_verdict(spark, sf)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptPairs = graft.queries.ExtensionQueries
+      .x02_dedup_minhash(spark, sf)
+      .collect().map(p => (p.getLong(0), p.getLong(1)))
+      .filter { case (a, b) => keptSet(a) && keptSet(b) }
+    val losers = keptPairs.map(_._2).toSet
+    keptPairs.foreach { case (d1, d2) =>
+      assert(!snapIds.contains(d2), s"near-dup loser $d2 kept")
+      assert(snapIds.contains(d1) || losers.contains(d1),
+        s"pair ($d1,$d2): canonical lost without replacement")
+    }
+
     // snapshot is pinned: a second pipeline run appends a new version
     // and the first is untouched
     val before = VersionedStore.readVersion(spark, store, r.version).count()
