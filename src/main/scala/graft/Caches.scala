@@ -1,0 +1,85 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.storage.StorageLevel
+
+/** Registry for the session-lifetime shared caches (docTokens,
+  * docShingles, the x04 verified-pair set, x51's 8-gram posting — see
+  * SCALE.md §caching). The caches themselves are ordinary
+  * `DataFrame.persist` entries deduped by Spark's CacheManager; what was
+  * missing (round-3 ADVICE, round-4 verdict #5) is a RELEASE hook: in a
+  * long-lived server that touches many datasets, every dataset pins its
+  * posting tables forever. `clear(sfDir)` unpersists exactly the frames
+  * whose plans read from that dataset's files, so one dataset can be
+  * evicted without disturbing the others' warm caches.
+  *
+  * Keyed by canonicalized logical plan, mirroring CacheManager's own
+  * dedup: re-persisting an equivalent plan (every x04 call re-creates
+  * the frame) registers one entry, not one per call.
+  */
+object Caches {
+
+  private val reg = new ConcurrentHashMap[LogicalPlan, DataFrame]()
+
+  /** Persist `df` (MEMORY_AND_DISK — degrades to spill, not OOM) and
+    * register it for targeted release. Returns the persisted frame.
+    */
+  def persist(df: DataFrame): DataFrame = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    reg.putIfAbsent(df.queryExecution.analyzed.canonicalized, df)
+    df
+  }
+
+  /** Scheme-less root paths of every file source in `df`'s plan. */
+  private def sourceRoots(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath).toSeq
+        case _ => Seq.empty[String]
+      }
+    }.flatten.distinct
+
+  private def normalize(dir: String): String =
+    new org.apache.hadoop.fs.Path(dir).toUri.getPath.stripSuffix("/")
+
+  private def readsFrom(df: DataFrame, dir: String): Boolean = {
+    val d = normalize(dir)
+    sourceRoots(df).exists(r => r == d || r.startsWith(d + "/"))
+  }
+
+  /** Registered cache entries whose plans read files under `sfDir`. */
+  def registered(sfDir: String): Seq[DataFrame] =
+    reg.values().asScala.toSeq.filter(readsFrom(_, sfDir))
+
+  /** Unpersist (blocking) every registered cache reading from `sfDir`
+    * and drop the dataset's memoized IVF indexes. Returns the number of
+    * cache entries released. Safe to call while other datasets' caches
+    * are live; safe to re-run the queries afterwards (they transparently
+    * rebuild their caches on next use).
+    */
+  def clear(sfDir: String): Int = {
+    val hit = reg.entrySet().asScala.toSeq
+      .filter(e => readsFrom(e.getValue, sfDir))
+    hit.foreach { e =>
+      e.getValue.unpersist(blocking = true)
+      reg.remove(e.getKey)
+    }
+    graft.ml.IvfIndex.clear(sfDir)
+    hit.size
+  }
+
+  /** Release everything: all registered caches and all IVF indexes. */
+  def clearAll(): Int = {
+    val n = reg.size()
+    reg.values().asScala.foreach(_.unpersist(blocking = true))
+    reg.clear()
+    graft.ml.IvfIndex.clear()
+    n
+  }
+}

@@ -44,17 +44,54 @@ object Tokenize {
   def letterClass(lang: String): String =
     langLetters.collectFirst { case (`lang`, cls) => cls }.getOrElse("a-z0-9")
 
-  /** tokens(text, lang): the lang-specific rule, statically chosen. */
+  /** tokens(text, lang): the lang-specific rule, statically chosen
+    * (`zh` routes to [[cjkTokens]], same as the column dispatch).
+    */
   def tokens(c: Column, lang: String): Column =
-    filter(split(lower(c), s"[^${letterClass(lang)}]+"), t => t =!= lit(""))
+    if (lang == "zh") cjkTokens(c)
+    else filter(split(lower(c), s"[^${letterClass(lang)}]+"), t => t =!= lit(""))
+
+  /** CJK Unified Ideographs, as a character-class BODY of literal chars
+    * (no backslash escapes — Java regex and DuckDB's RE2 parse the
+    * range identically; the x48 escaping lesson).
+    */
+  val CjkRange = "一-鿿"
+
+  /** Dictionary-less CJK segmentation: character BIGRAMS over ideograph
+    * runs — the standard IR fallback when no segmentation dictionary is
+    * available (the reference loads a per-language spaCy model,
+    * `worker.py:17-18`; bigrams are the model-free approximation with
+    * near-dictionary retrieval quality on CJK). Mixed text is split
+    * into maximal runs of alnum OR ideographs; an alnum run is one
+    * token (the ASCII rule), an ideograph run of length L emits its
+    * L-1 consecutive bigrams (a lone ideograph emits itself).
+    *
+    * Pure codegen'd HOFs — extract runs once, then per-run either
+    * wrap or slide a 2-char window; no UDF, stays in whole-stage
+    * codegen at scan scale.
+    */
+  def cjkTokens(c: Column): Column = {
+    val segs = regexp_extract_all(lower(c), lit(s"[a-z0-9]+|[$CjkRange]+"), lit(0))
+    flatten(transform(segs, s =>
+      when(s.rlike(s"^[$CjkRange]") && length(s) >= 2,
+        // sequence(a,b) counts DOWN when a > b — the length>=2 guard
+        // above keeps the bound ascending.
+        transform(sequence(lit(1), length(s) - 1), i => s.substr(i, lit(2))))
+        .otherwise(array(s))))
+  }
 
   /** tokens dispatched on a lang COLUMN — a codegen'd CASE over the
     * rule table (no UDF, one pass; each branch is a plain regex split).
+    * `zh` is checked first and routes to [[cjkTokens]]; the DuckDB
+    * mirror (ReferenceQueries.SqlTokByLang) builds the same chain in
+    * the same order.
     */
-  def tokensByLang(c: Column, lang: Column): Column =
-    langLetters.foldRight(tokens(c)) { case ((l, _), acc) =>
+  def tokensByLang(c: Column, lang: Column): Column = {
+    val alpha = langLetters.foldRight(tokens(c)) { case ((l, _), acc) =>
       when(lang === lit(l), tokens(c, l)).otherwise(acc)
     }
+    when(lang === lit("zh"), cjkTokens(c)).otherwise(alpha)
+  }
 
   /** Word n-gram shingles of the token array (for MinHash / Jaccard
     * dedup). Uses the codegen'd `transform`+`slice` HOFs; returns

@@ -80,10 +80,50 @@ object IvfIndex {
     })
   }
 
+  /** Publish a built index as a versioned on-disk artifact (round-4
+    * verdict #2): at 100 TB you build ONCE and ship the artifact — the
+    * reference's own wordvec store is exactly a persisted model table
+    * (`enter_wordvecs.py:40-53`). Centroids + assignments go out as one
+    * atomic multi-table snapshot, so a reader can never pair one
+    * version's centroids with another's assignments. Returns the
+    * published version.
+    */
+  def save(spark: SparkSession, sfDir: String, root: String, k: Int = 16): Long = {
+    val ix = build(spark, sfDir, k)
+    graft.sources.VersionedStore.publishAll(
+      Map("centroids" -> ix.centroids, "assigned" -> ix.assigned), root)
+  }
+
+  /** Load a published index (the latest snapshot, or a pinned
+    * `version`). The assignments are persisted through
+    * [[graft.Caches]] — keyed by the artifact root, so
+    * `Caches.clear(root)` releases a loaded index the same way
+    * `clear(sfDir)` drops a built one. No k-means, no corpus scan: a
+    * fresh session probes immediately.
+    */
+  def load(spark: SparkSession, root: String, version: Option[Long] = None): Index = {
+    val v = version.orElse(graft.sources.VersionedStore.latestVersion(root))
+      .getOrElse(throw new IllegalStateException(s"no published index under $root"))
+    val assigned = graft.Caches.persist(
+      graft.sources.VersionedStore.readTable(spark, root, v, "assigned"))
+    Index(assigned, graft.sources.VersionedStore.readTable(spark, root, v, "centroids"))
+  }
+
   /** Drop all built indexes (frees the persisted assignment frames). */
   def clear(): Unit = {
     cache.values().forEach(ix => { ix.assigned.unpersist(); () })
     cache.clear()
+  }
+
+  /** Drop only the indexes built over one dataset — the per-dataset
+    * eviction twin of [[graft.Caches.clear]].
+    */
+  def clear(sfDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    cache.keySet().asScala.filter(_._2 == sfDir).toList.foreach { k =>
+      val ix = cache.remove(k)
+      if (ix != null) ix.assigned.unpersist()
+    }
   }
 
   private def embFrame(spark: SparkSession, sfDir: String): DataFrame =

@@ -625,8 +625,16 @@ object AnalyticsQueries {
   // stage tables shrink monotonically, nothing scans event pairs.
   // Timestamps surface as whole epoch seconds (truncation agreed with
   // the oracle) for hash-stable output.
-  def x53_funnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir).select("user_id", "event_type", "ts")
+  def x53_funnel(spark: SparkSession, sfDir: String): DataFrame =
+    funnelFrom(Tables.events(spark, sfDir).select("user_id", "event_type", "ts"))
+
+  /** The funnel core over any (user_id, event_type, ts) frame — split
+    * out so the strict-ordering tie semantics (a click at EXACTLY
+    * t_view does not advance the funnel) are pinned on a fixture in
+    * SemanticsSpec, not only exercised through whatever ties the
+    * generated testdata happens to contain.
+    */
+  private[graft] def funnelFrom(ev: DataFrame): DataFrame = {
     val users = ev.select("user_id").distinct()
     val s1 = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("ts")).as("t_view"))

@@ -55,7 +55,7 @@ object ExtensionQueries {
     // share ONE materialization (session-lifetime by design — see
     // SCALE.md §caching; only the shared default n is pinned, ad-hoc
     // shingle sizes stay unpersisted).
-    if (n == 3) sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (n == 3) graft.Caches.persist(sh)
     else sh
   }
 
@@ -216,18 +216,17 @@ object ExtensionQueries {
       .join(shr.select(col("doc_id").as("d2"), col("shingle")), Seq("shingle"))
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
-    shared
+    val pairs = shared
       .join(nsh.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
       .join(nsh.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
       .select(col("d1"), col("d2"),
         round(col("shared").cast("double") / (col("n1") + col("n2") - col("shared")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      // The verified pair set is the input to clustering (x29) as well as
-      // this query's own output — persist so the expensive posting
-      // self-join runs once per session, not once per consumer.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .orderBy("d1", "d2")
+    // The verified pair set is the input to clustering (x29) as well as
+    // this query's own output — persist so the expensive posting
+    // self-join runs once per session, not once per consumer.
+    graft.Caches.persist(pairs).orderBy("d1", "d2")
   }
 
   val x04Sql: String =
@@ -1231,8 +1230,7 @@ object ExtensionQueries {
     // grams, train totals, train hits) and would re-run tokenize +
     // shingle per scan; session-lifetime cache policy as per SCALE.md
     // §caching (CacheManager dedupes repeat x51 calls by plan)
-    val sh8 = docShingles(docs, 8)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh8 = graft.Caches.persist(docShingles(docs, 8))
     val evalGrams = sh8.filter(col("doc_id") % 100 === 0)
       .select("shingle").distinct()
     val train = sh8.filter(col("doc_id") % 100 =!= 0)

@@ -76,6 +76,35 @@ object VersionedStore {
     val next =
       (latestVersion(root).getOrElse(-1L) +: versionDirs(root)).max + 1L
     df.write.mode("errorifexists").parquet(s"$root/v=$next")
+    publishMarker(root, next)
+    next
+  }
+
+  /** Multi-table snapshot: write several named frames under ONE version
+    * directory (`v=N/<name>/`) and publish them with a single marker —
+    * the publish-together a model ARTIFACT needs (an IVF index is
+    * centroids + assignments; a reader must never pair version 5's
+    * centroids with version 4's assignments). Same crash safety as
+    * [[publish]]: a failure mid-write leaves an unpublished orphan
+    * `v=N` that later publishes allocate past.
+    */
+  def publishAll(dfs: Map[String, DataFrame], root: String): Long = {
+    require(dfs.nonEmpty, "publishAll needs at least one table")
+    val next =
+      (latestVersion(root).getOrElse(-1L) +: versionDirs(root)).max + 1L
+    dfs.foreach { case (name, df) =>
+      df.write.mode("errorifexists").parquet(s"$root/v=$next/$name")
+    }
+    publishMarker(root, next)
+    next
+  }
+
+  /** Read one named table of a pinned multi-table snapshot. */
+  def readTable(spark: SparkSession, root: String, version: Long,
+      name: String): DataFrame =
+    spark.read.parquet(s"$root/v=$version/$name")
+
+  private def publishMarker(root: String, next: Long): Unit = {
     val m = marker(root)
     val fs = fsOf(m)
     val tmp = new Path(root, s"_latest.tmp.$next")
@@ -84,7 +113,6 @@ object VersionedStore {
     val fc = FileContext.getFileContext(fs.getUri, hadoopConf)
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(m),
       Options.Rename.OVERWRITE)
-    next
   }
 
   /** Read a pinned snapshot. */

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.ExtensionQueries
+
+/** The session-lifetime shared caches must be releasable per dataset
+  * (round-3 ADVICE / round-4 verdict #5): a long-lived multi-dataset
+  * server evicts one dataset's postings without disturbing another's.
+  */
+class CachesSpec extends AnyFunSuite with SparkSpec {
+
+  test("clear(sfDir) releases every registered cache for that dataset and queries still work") {
+    // Populate the shared caches: docTokens (via q04-style vocab),
+    // docShingles + the x04 pair set, and x51's 8-gram posting.
+    val x04Before = ExtensionQueries.x04_ngram_jaccard(spark, sf).collect()
+    ExtensionQueries.x51_contamination(spark, sf).count()
+    graft.ml.IvfIndex.build(spark, sf)
+
+    val live = Caches.registered(sf)
+    assert(live.nonEmpty, "expected registered caches after running x04/x51")
+    assert(live.forall(_.storageLevel != StorageLevel.NONE))
+
+    val released = Caches.clear(sf)
+    assert(released >= live.size && released > 0)
+    assert(Caches.registered(sf).isEmpty, "registry must be empty for sfDir after clear")
+    assert(live.forall(_.storageLevel == StorageLevel.NONE),
+      "every previously-registered frame must be unpersisted")
+
+    // Eviction is transparent: the query rebuilds its cache and returns
+    // identical rows.
+    val x04After = ExtensionQueries.x04_ngram_jaccard(spark, sf).collect()
+    assert(x04After.toSeq == x04Before.toSeq)
+    Caches.clear(sf)
+  }
+
+  test("clear(sfDir) leaves other datasets' caches alone") {
+    val other = "/root/testdata/sf0.01"
+    ExtensionQueries.x04_ngram_jaccard(spark, sf).count()
+    ExtensionQueries.x04_ngram_jaccard(spark, other).count()
+    assert(Caches.registered(sf).nonEmpty && Caches.registered(other).nonEmpty)
+
+    Caches.clear(sf)
+    assert(Caches.registered(sf).isEmpty)
+    val survivors = Caches.registered(other)
+    assert(survivors.nonEmpty, "the other dataset's caches must survive")
+    assert(survivors.forall(_.storageLevel != StorageLevel.NONE))
+    Caches.clear(other)
+  }
+
+  test("IvfIndex.clear(sfDir) drops only that dataset's memoized index") {
+    val ixA = graft.ml.IvfIndex.build(spark, sf)
+    graft.ml.IvfIndex.clear(sf)
+    assert(ixA.assigned.storageLevel == StorageLevel.NONE)
+    // a rebuild after clear is a fresh index, not the dropped memo
+    val ixB = graft.ml.IvfIndex.build(spark, sf)
+    assert(ixB ne ixA)
+    graft.ml.IvfIndex.clear(sf)
+  }
+}

@@ -34,4 +34,37 @@ class IvfRecallSpec extends AnyFunSuite with SparkSpec {
     info(f"IVF recall@3 = $recall%.2f (${hits}/${bruteTop3.size})")
     assert(recall >= 0.3, f"recall@3 too low: $recall%.2f")
   }
+
+  test("saved artifact round-trip: the loaded index answers identically to the built one") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/ix"
+
+    val builtRows = graft.ml.IvfIndex.searchTopK(spark, sf).collect().toSeq
+    val v = graft.ml.IvfIndex.save(spark, sf, root)
+    assert(v === 0L)
+
+    // drop the in-process memo entirely: the load path must stand alone
+    graft.ml.IvfIndex.clear(sf)
+    val loaded = graft.ml.IvfIndex.load(spark, root)
+    val queries = loaded.assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val loadedRows = graft.ml.IvfIndex.search(loaded, queries).collect().toSeq
+
+    assert(loadedRows === builtRows,
+      "x21's result must be row-identical from the loaded artifact")
+
+    // the loaded assignments are released through the Caches registry,
+    // keyed by the artifact root
+    assert(Caches.registered(root).nonEmpty)
+    Caches.clear(root)
+    assert(loaded.assigned.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+
+    // a re-publish allocates the next version; load(version) pins the old one
+    val v2 = graft.ml.IvfIndex.save(spark, sf, root)
+    assert(v2 === 1L)
+    assert(graft.ml.IvfIndex.load(spark, root, Some(0L))
+      .centroids.count() === loaded.centroids.count())
+    graft.ml.IvfIndex.clear(sf)
+    Caches.clear(root)
+  }
 }

@@ -63,4 +63,32 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     val known = tf.join(vocab, Seq("token"), "left_semi").count()
     assert(known.toDouble / total === 0.5)
   }
+
+  test("x53 funnel: a same-timestamp next-stage event does NOT advance the funnel") {
+    // The classic funnel off-by-one: stage N+1 must be STRICTLY after
+    // stage N. Ties are pinned here because the generated testdata may
+    // or may not contain one.
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      // u1: click exactly at t_view is ignored; the later click counts
+      ("u1", "view", ts(100)), ("u1", "click", ts(100)), ("u1", "click", ts(101)),
+      // u2: ONLY a tied click -> funnel stops at stage 1
+      ("u2", "view", ts(100)), ("u2", "click", ts(100)),
+      // u3: click BEFORE the first view is ignored too (out-of-order)
+      ("u3", "click", ts(50)), ("u3", "view", ts(100)), ("u3", "click", ts(150)),
+      // u4: purchase tied with click -> stage 2, not 3
+      ("u4", "view", ts(10)), ("u4", "click", ts(20)), ("u4", "purchase", ts(20)),
+      // u5: clean 3-stage conversion
+      ("u5", "view", ts(1)), ("u5", "click", ts(2)), ("u5", "purchase", ts(3)))
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.queries.AnalyticsQueries.funnelFrom(ev)
+      .select("user_id", "t_view", "t_click", "t_purchase", "funnel_stage")
+      .as[(String, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("u1") === ("u1", Some(100L), Some(101L), None, 2))
+    assert(got("u2") === ("u2", Some(100L), None, None, 1))
+    assert(got("u3") === ("u3", Some(100L), Some(150L), None, 2))
+    assert(got("u4") === ("u4", Some(10L), Some(20L), None, 2))
+    assert(got("u5") === ("u5", Some(1L), Some(2L), Some(3L), 3))
+  }
 }

@@ -56,7 +56,29 @@ class TokenizeSpec extends AnyFunSuite with SparkSpec {
     assert(tokL("Cœur déjà-vu, façade", "fr")
       === Seq("cœur", "déjà", "vu", "façade"))
     // unknown lang falls back to the ASCII rule
-    assert(tokL("añb", "zh") === Seq("a", "b"))
+    assert(tokL("añb", "xx") === Seq("a", "b"))
+  }
+
+  test("zh: character bigrams over ideograph runs, ASCII runs pass through") {
+    def cjk(s: String): Seq[String] =
+      Seq(s).toDF("text").select(Tokenize.cjkTokens(col("text")).as("t"))
+        .as[Seq[String]].head()
+    assert(cjk("大数据") === Seq("大数", "数据"))
+    assert(cjk("中") === Seq("中"))           // lone ideograph: itself
+    assert(cjk("Spark大数据引擎Test42")
+      === Seq("spark", "大数", "数据", "据引", "引擎", "test42"))
+    assert(cjk("no cjk at all") === Seq("no", "cjk", "at", "all"))
+    assert(cjk("") === Seq.empty)
+    // static zh rule and the column dispatch both route to bigrams
+    def tokL(s: String, lang: String): Seq[String] =
+      Seq(s).toDF("text").select(Tokenize.tokens(col("text"), lang).as("t"))
+        .as[Seq[String]].head()
+    assert(tokL("大数据x", "zh") === Seq("大数", "数据", "x"))
+    val byCol = Seq(("大数据", "zh"), ("大数据", "en")).toDF("text", "lang")
+      .select(Tokenize.tokensByLang(col("text"), col("lang")).as("t"))
+      .as[Seq[String]].collect()
+    assert(byCol(0) === Seq("大数", "数据"))
+    assert(byCol(1) === Seq.empty) // en rule: ideographs are separators
   }
 
   test("tokensByLang dispatches on the lang column") {
