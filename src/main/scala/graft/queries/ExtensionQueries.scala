@@ -1263,7 +1263,119 @@ object ExtensionQueries {
        |  (round(coalesce(h.n_contaminated, 0)::DOUBLE / tot.n_grams, 6) >= 0.5) AS flagged
        |FROM tot LEFT JOIN hits h USING (doc_id) ORDER BY tot.doc_id""".stripMargin
 
+  // ======================================================================
+  // x59: sequence PACKING (pack-then-chunk) — the training-data step
+  // after filtering and dedup: concatenate the corpus in a
+  // deterministic hash-shuffled order and cut it into fixed
+  // CAPACITY-token training sequences. Per doc: token count, start/end
+  // offsets in the concatenated token stream, the first/last sequence
+  // ids it lands in, and how many sequence boundaries it spans (the
+  // cross-boundary fraction is a standard packing-quality metric).
+  //
+  // The corpus-wide running offset is the one dangerous shape here: a
+  // plain `sum() OVER (ORDER BY ...)` plans to a SINGLE-PARTITION
+  // window. It runs through operators/PrefixSum instead (range-sort +
+  // per-partition totals + broadcast offsets — distributed at any
+  // corpus size); the DuckDB oracle uses the window form, which at
+  // test SF is the same total order, so the equivalence also pins
+  // PrefixSum's correctness corpus-wide.
+  def x59_seq_pack(spark: SparkSession, sfDir: String): DataFrame = {
+    val cap = 256 // tokens per training sequence
+    val counted = docTok(Tables.documents(spark, sfDir))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      // the training shuffle, reproducible: hash order, like x56
+      .withColumn("h", md5(concat_ws("|", lit("pack"), col("doc_id"))))
+    val withStart = graft.operators.PrefixSum.withPrefixSum(
+      counted, "n_tokens", "start_off", col("h"), col("doc_id"))
+    withStart
+      .withColumn("end_off", col("start_off") + col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"), col("end_off"),
+        floor(col("start_off") / cap).cast("long").as("first_seq"),
+        floor(greatest(col("end_off") - 1, col("start_off")) / cap)
+          .cast("long").as("last_seq"))
+      .withColumn("spans", col("last_seq") - col("first_seq") + 1)
+      .orderBy("doc_id")
+  }
+
+  val x59Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |c AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+       |o AS (SELECT doc_id, n_tokens, md5('pack|' || doc_id::VARCHAR) AS h FROM c),
+       |s AS (SELECT doc_id, n_tokens,
+       |      coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+       |      FROM o)
+       |SELECT doc_id, n_tokens::BIGINT AS n_tokens, start_off::BIGINT AS start_off,
+       |  (start_off + n_tokens)::BIGINT AS end_off,
+       |  floor(start_off / 256)::BIGINT AS first_seq,
+       |  floor(greatest(start_off + n_tokens - 1, start_off) / 256)::BIGINT AS last_seq,
+       |  (floor(greatest(start_off + n_tokens - 1, start_off) / 256)
+       |    - floor(start_off / 256) + 1)::BIGINT AS spans
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  // ======================================================================
+  // x60: INCREMENTAL near-dedup — the arriving-batch shape. At 100 TB a
+  // store never re-pairs the whole corpus when a batch lands: the
+  // existing corpus's band postings are a maintained artifact (kept
+  // fresh with Upsert.mergeByKeyPartitioned; band is the partition
+  // key), the new batch computes its own signatures, and the candidate
+  // join is new-batch × all — O(batch) band probes, not O(corpus²).
+  // "New batch" here is the stable 10% slice doc_id % 10 == 7;
+  // signature parameters are exactly x02's (k=12 min-md5 over
+  // 3-gram shingles, 4 bands of 3, exact-Jaccard ≥ 0.5 verify), so
+  // reported pairs are a subset of x02's — restricted to those
+  // touching the batch, with flags for which side is new.
+  def x60_incremental_dedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 12; val BandSize = 3
+    val sh = docShingles(Tables.documents(spark, sfDir))
+    val mhAggs = (0 until K).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+    val sig = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    val bandCols = (0 until K / BandSize).map(b =>
+      concat_ws("|", (0 until BandSize).map(j => col(s"mh${b * BandSize + j}")): _*))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    val bNew = bands.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id").as("dn"), col("band"), col("sig"))
+    val bAll = bands.select(col("doc_id").as("da"), col("band"), col("sig"))
+    val cand = bNew.join(bAll, Seq("band", "sig"))
+      .filter(col("dn") =!= col("da"))
+      .select(least(col("dn"), col("da")).as("d1"),
+        greatest(col("dn"), col("da")).as("d2"))
+      .distinct()
+    jaccardOf(cand, sh).filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("jaccard"),
+        (pmod(col("d1"), lit(10)) === 7).as("d1_new"),
+        (pmod(col("d2"), lit(10)) === 7).as("d2_new"))
+      .orderBy("d1", "d2")
+  }
+
+  val x60Sql: String =
+    s"""WITH $SqlShingleCte,
+       |hs AS (SELECT shingle, r.range::INT AS i,
+       |       md5(r.range || ':' || shingle) AS h
+       |       FROM (SELECT DISTINCT shingle FROM sh), range(0, 12) r),
+       |mh AS (SELECT doc_id, i, min(h) AS mh FROM sh JOIN hs USING (shingle) GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 3 AS band, string_agg(mh, '|' ORDER BY i) AS sig
+       |          FROM mh GROUP BY doc_id, i // 3),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a
+       |         JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |         WHERE a.doc_id % 10 = 7 OR b.doc_id % 10 = 7),
+       |nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |shared AS (SELECT c.d1, c.d2, count(*) AS sh_n FROM cand c
+       |  JOIN sh s1 ON s1.doc_id = c.d1
+       |  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+       |  GROUP BY c.d1, c.d2)
+       |SELECT s.d1, s.d2,
+       |  round(s.sh_n::DOUBLE / (n1.n + n2.n - s.sh_n), 6) AS jaccard,
+       |  (s.d1 % 10 = 7) AS d1_new, (s.d2 % 10 = 7) AS d2_new
+       |FROM shared s JOIN nsh n1 ON n1.doc_id = s.d1 JOIN nsh n2 ON n2.doc_id = s.d2
+       |WHERE s.sh_n::DOUBLE / (n1.n + n2.n - s.sh_n) >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x60_incremental_dedup" -> (x60_incremental_dedup _),
+    "x59_seq_pack" -> (x59_seq_pack _),
     "x49_quantize" -> (x49_quantize _),
     "x50_zipf" -> (x50_zipf _),
     "x51_contamination" -> (x51_contamination _),
@@ -1303,6 +1415,8 @@ object ExtensionQueries {
     "x14_embedding_dup" -> (x14_embedding_dup _))
 
   val oracleSql: Map[String, String] = Map(
+    "x60_incremental_dedup" -> x60Sql,
+    "x59_seq_pack" -> x59Sql,
     "x17_media_features" -> x17Sql,
     "x18_frame_samples" -> x18Sql,
     "x16_codec_roundtrip" -> x16Sql,

@@ -48,6 +48,43 @@ object VectorizeStream {
       .start()
   }
 
+  /** The reference worker's TRUE loop shape (round-4 verdict #6): text
+    * is fetched over the lang-detector RPC INSIDE the poll loop
+    * (`worker.py:24-31` runs in `process_post`, per post), not joined
+    * from a snapshot. The engine's preferred form is still the join
+    * (q05 — bulk data should be snapshotted, not row-polled), but when
+    * the corpus genuinely lives behind a service this composition is
+    * the honest stream: per micro-batch, RPC-fetch the batch's texts
+    * ([[graft.sources.HttpTextSource.fetchTexts]], pooled client, loud
+    * non-200), run the same vectorize plan, merge idempotently.
+    *
+    * Exactly-once still holds WITH the RPC in the loop: checkpointed
+    * file-source offsets make each input file process once per
+    * checkpoint lineage, and a replayed batch re-fetches and overwrites
+    * the same keys — the merge is idempotent, so a crash between fetch
+    * and commit costs duplicate HTTP GETs, never duplicate rows.
+    */
+  def startWithRpc(spark: SparkSession, docsDir: String, wordvecs: DataFrame,
+      dim: Int, storePath: String, checkpoint: String, baseUri: String,
+      lang: String = "en", target: String = "posts"): StreamingQuery = {
+    val docs = spark.readStream.schema(docSchema).parquet(docsDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the stream carries only identity; text is the service's
+        val pending = batch.filter(col("lang") === lang).select("doc_id")
+        val texts = graft.sources.HttpTextSource.fetchTexts(
+          pending.select(lit(target).as("target"), col("doc_id")),
+          baseUri, lang)
+        val vecs = ReferenceQueries
+          .docVectors(pending.join(texts, Seq("doc_id")), wordvecs, dim)
+          .select("doc_id", "known_ratio", "vec")
+        upsertStore(spark, vecs, storePath)
+      }
+      .start()
+  }
+
   /** Merge-by-key into a parquet store with a write-to-side + swap (a
     * parquet path can't be overwritten while it is being read).
     */

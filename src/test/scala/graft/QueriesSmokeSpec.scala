@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class QueriesSmokeSpec extends AnyFunSuite with SparkSpec {
 
   private val mayBeEmpty = Set("x02_dedup_minhash", "x04_ngram_jaccard",
-    "x14_embedding_dup", "x46_ml_lsh_dedup")
+    "x14_embedding_dup", "x46_ml_lsh_dedup", "x60_incremental_dedup")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs on sf0.001" +
