@@ -1373,7 +1373,81 @@ object ExtensionQueries {
        |WHERE s.sh_n::DOUBLE / (n1.n + n2.n - s.sh_n) >= 0.5
        |ORDER BY d1, d2""".stripMargin
 
+  // ======================================================================
+  // x61: overlapping token-window CHUNKING — the retrieval-ingestion
+  // shape (RAG): each document yields windows of CH=64 tokens at
+  // stride ST=32, so consecutive chunks share half their tokens and no
+  // sentence is stranded at a hard boundary. Per chunk: index, token
+  // span, and a content hash (the retrieval store's key). Pure per-doc
+  // HOFs over the projected token array — corpus-linear, no shuffle
+  // beyond the final presentation sort.
+  def x61_chunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val CH = 64; val ST = 32
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+    toks
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(0L), col("n") - 1, lit(ST.toLong)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("start_tok"),
+        least(lit(CH.toLong), col("n") - col("start_tok")).as("chunk_len"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("start_tok") + 1).cast("int"), lit(CH))))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val x61Sql: String =
+    s"""WITH tok AS (SELECT doc_id, $SqlTok AS toks FROM documents),
+       |nn AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM tok WHERE len(toks) > 0),
+       |st AS (SELECT doc_id, toks, n, unnest(range(0, n, 32)) AS start_tok FROM nn)
+       |SELECT doc_id, (start_tok // 32)::INT AS chunk_idx,
+       |  start_tok::BIGINT AS start_tok,
+       |  least(64, n - start_tok)::BIGINT AS chunk_len,
+       |  md5(array_to_string(list_slice(toks, (start_tok + 1)::INT,
+       |    (start_tok + 64)::INT), ' ')) AS chunk_hash
+       |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ======================================================================
+  // x62: the DATASET CARD — the one-page summary a training-data
+  // release ships with: per language, document and source counts,
+  // token volume, exact-duplicate share, and mean document length.
+  // Composes the shared posting table with an exact-dup window — two
+  // shuffles total (hash window + final groupBy), corpus-linear.
+  def x62_dataset_card(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tc = docTok(docs).groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val dupW = Window.partitionBy(md5(col("text")))
+    docs.withColumn("dup_n", count(lit(1)).over(dupW))
+      .join(tc, Seq("doc_id"), "left")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(coalesce(col("n_tokens"), lit(0L))).as("total_tokens"),
+        sum(when(col("dup_n") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        round(avg(length(col("text"))), 6).as("avg_chars"))
+      .orderBy("lang")
+  }
+
+  val x62Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |tc AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+       |d AS (SELECT doc_id, lang, source, text,
+       |      count(*) OVER (PARTITION BY md5(text)) AS dup_n FROM documents)
+       |SELECT lang, count(*)::BIGINT AS n_docs,
+       |  count(DISTINCT source)::BIGINT AS n_sources,
+       |  sum(coalesce(tc.n_tokens, 0))::BIGINT AS total_tokens,
+       |  sum(CASE WHEN dup_n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+       |  round(avg(length(text)), 6) AS avg_chars
+       |FROM d LEFT JOIN tc USING (doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x61_chunks" -> (x61_chunks _),
+    "x62_dataset_card" -> (x62_dataset_card _),
     "x60_incremental_dedup" -> (x60_incremental_dedup _),
     "x59_seq_pack" -> (x59_seq_pack _),
     "x49_quantize" -> (x49_quantize _),
@@ -1415,6 +1489,8 @@ object ExtensionQueries {
     "x14_embedding_dup" -> (x14_embedding_dup _))
 
   val oracleSql: Map[String, String] = Map(
+    "x61_chunks" -> x61Sql,
+    "x62_dataset_card" -> x62Sql,
     "x60_incremental_dedup" -> x60Sql,
     "x59_seq_pack" -> x59Sql,
     "x17_media_features" -> x17Sql,

@@ -85,4 +85,23 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     // partial -> final HashAggregate pairs for both groupBys
     assert("HashAggregate".r.findAllIn(p).size >= 4, s"plan:\n$p")
   }
+
+  test("q31 CJK tokenizer is a pure projection (no UDF)") {
+    val p = plan(ReferenceQueries.q31_cjk_tokens(spark, sf))
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      s"UDF in q31 plan:\n$p")
+  }
+
+  test("x60 incremental dedup joins candidates by hash, never all-pairs") {
+    val p = plan(graft.queries.ExtensionQueries.x60_incremental_dedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic plan in x60:\n$p")
+  }
+
+  test("x61 chunking is per-doc HOFs — no join, no quadratic plan") {
+    val p = plan(graft.queries.ExtensionQueries.x61_chunks(spark, sf))
+    assert(!p.contains("Join"), s"unexpected join in x61 plan:\n$p")
+    // exactly the one Exchange the final orderBy needs
+    assert("Exchange".r.findAllIn(p).size <= 1, s"unexpected shuffles:\n$p")
+  }
 }
