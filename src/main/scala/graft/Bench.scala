@@ -12,6 +12,23 @@ object Bench {
       try src.getLines().next().split("\\s+")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
 
+  /** (stealTicks, totalTicks) from /proc/stat's aggregate cpu line.
+    * loadavg can't separate OUR 32 bench threads from external load,
+    * and a start-of-run sample misses contention that arrives mid-run;
+    * steal time is charged only when the hypervisor runs someone else
+    * on our vCPUs, so the steal share across the WHOLE run is direct
+    * evidence of host contention (observed on this VM: identical code
+    * measuring 48 s vs 106 s with uniform ~1.7x per-query inflation).
+    */
+  private def cpuTicks: (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } finally src.close()
+    } catch { case _: Throwable => (0L, -1L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the target environment is local[32] (see build docs); honor an
@@ -31,6 +48,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadavg1
+    val (stealStart0, totalStart0) = cpuTicks
     // Warm the JIT, parquet footers, and filesystem cache once so the
     // per-query numbers measure the queries, not first-touch costs.
     Tables.names.foreach { t =>
@@ -55,16 +73,22 @@ object Bench {
       (name, if (anyOk) best else -best)
     }
     val loadEnd = loadavg1
+    val (stealEnd, totalEnd) = cpuTicks
+    val stealPct =
+      if (totalEnd > totalStart0) 100.0 * (stealEnd - stealStart0) / (totalEnd - totalStart0)
+      else -1.0
     val qs = timed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = timed.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = timed.map { case (_, v) => math.abs(v) }.sum
     // loadavg is the whole-machine 1-min run-queue length; with 32 bench
-    // threads of our own, load_start >> cpus means external contention and
-    // the artifact should not be trusted as a round-over-round signal.
-    val contended = loadStart > cpus.toDouble / 2
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contended_start":$contended}""")
+    // threads of our own, load_start >> cpus means external contention at
+    // the start; steal_pct > ~5 means the HOST ran someone else on our
+    // vCPUs during the run — either way the total is not a trustworthy
+    // round-over-round signal.
+    val contended = loadStart > cpus.toDouble / 2 || stealPct > 5.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_pct":${math.rint(stealPct * 100) / 100},"contended":$contended}""")
     spark.stop()
   }
 }
