@@ -15,17 +15,21 @@ import graft.sources.VersionedStore
   *   2. near-dup pruning on the keep set (banded MinHash x02 shape:
   *      drop the higher doc_id of every verified near-dup pair)
   *   3. doc vectors for the survivors (the reference's E1 flagship)
-  *   4. publish as an immutable snapshot version (VersionedStore) a
-  *      training run can pin forever
+  *   4. sequence packing of the survivors into fixed-size training
+  *      sequences (the x59 pack-then-chunk shape, survivor-only)
+  *   5. publish vectors + packing as ONE immutable multi-table
+  *      snapshot version (VersionedStore.publishAll) a training run
+  *      can pin forever — vectors of v=N can never pair with packing
+  *      of v=N-1
   *
   * Every stage is the already-oracle-checked query; this object only
-  * composes them. Returns (version, kept, pruned, vectorized) so
-  * callers/specs can assert the funnel.
+  * composes them. Returns (version, kept, pruned, vectorized,
+  * sequences, packedTokens) so callers/specs can assert the funnel.
   */
 object Pipeline {
 
   case class Result(version: Long, kept: Long, prunedNearDup: Long,
-      vectorized: Long)
+      vectorized: Long, sequences: Long, packedTokens: Long)
 
   def run(spark: SparkSession, sfDir: String, storeRoot: String): Result = {
     val docs = Tables.documents(spark, sfDir)
@@ -56,12 +60,23 @@ object Pipeline {
       corpus, ReferenceQueries.wordvecs8(spark, sfDir), ReferenceQueries.VecDim)
       .select(col("doc_id"), col("known_ratio"), col("vec"))
 
-    // 4. immutable snapshot a training run can pin
-    val version = VersionedStore.publish(vecs, storeRoot)
-    val vectorized = VersionedStore.readVersion(spark, storeRoot, version).count()
+    // 4. pack ONLY the survivors into training sequences (no shared
+    // corpus cache: the survivor posting is this run's private frame)
+    val packed = ExtensionQueries.seqPackOf(corpus, sharedCache = false)
+
+    // 5. one atomic multi-table snapshot: vectors + packing together
+    val version = VersionedStore.publishAll(
+      Map("vectors" -> vecs, "packing" -> packed), storeRoot)
+    val vectorized =
+      VersionedStore.readTable(spark, storeRoot, version, "vectors").count()
+    val packStats = VersionedStore.readTable(spark, storeRoot, version, "packing")
+      .agg(coalesce(max(col("last_seq")) + 1, lit(0L)).as("n_seq"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("tot"))
+      .head()
     val pruned = kept - survivors.count()
     keepIds.unpersist(); survivors.unpersist()
-    Result(version, kept, pruned, vectorized)
+    Result(version, kept, pruned, vectorized,
+      packStats.getLong(0), packStats.getLong(1))
   }
 
   def main(args: Array[String]): Unit = {
@@ -77,7 +92,8 @@ object Pipeline {
     spark.sparkContext.setLogLevel("WARN")
     val r = run(spark, sfDir, store)
     println(s"""{"version":${r.version},"kept":${r.kept},""" +
-      s""""pruned_near_dup":${r.prunedNearDup},"vectorized":${r.vectorized}}""")
+      s""""pruned_near_dup":${r.prunedNearDup},"vectorized":${r.vectorized},""" +
+      s""""sequences":${r.sequences},"packed_tokens":${r.packedTokens}}""")
     spark.stop()
   }
 }

@@ -1279,9 +1279,16 @@ object ExtensionQueries {
   // corpus size); the DuckDB oracle uses the window form, which at
   // test SF is the same total order, so the equivalence also pins
   // PrefixSum's correctness corpus-wide.
-  def x59_seq_pack(spark: SparkSession, sfDir: String): DataFrame = {
+  def x59_seq_pack(spark: SparkSession, sfDir: String): DataFrame =
+    seqPackOf(Tables.documents(spark, sfDir), sharedCache = true)
+
+  /** The packing core over any documents frame — split out so the
+    * end-to-end Pipeline can pack its SURVIVOR set (post-verdict,
+    * post-dedup) without touching the shared corpus posting cache.
+    */
+  private[graft] def seqPackOf(docs: DataFrame, sharedCache: Boolean): DataFrame = {
     val cap = 256 // tokens per training sequence
-    val counted = docTok(Tables.documents(spark, sfDir))
+    val counted = ReferenceQueries.docTokens(docs, persist = sharedCache)
       .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
       // the training shuffle, reproducible: hash order, like x56
       .withColumn("h", md5(concat_ws("|", lit("pack"), col("doc_id"))))

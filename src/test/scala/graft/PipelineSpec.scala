@@ -12,7 +12,7 @@ import graft.sources.VersionedStore
   */
 class PipelineSpec extends AnyFunSuite with SparkSpec {
 
-  test("verdict -> dedup -> vectorize -> snapshot, counts reconcile") {
+  test("verdict -> dedup -> vectorize -> pack -> snapshot, counts reconcile") {
     val store = java.nio.file.Files
       .createTempDirectory("graft_pipe").toString + "/store"
     val r = Pipeline.run(spark, sf, store)
@@ -25,11 +25,25 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     // vectorized <= survivors: docVectors drops token-less docs only
     assert(r.vectorized <= r.kept - r.prunedNearDup)
 
+    // packing reconciles: the packed doc set is exactly the vectorized
+    // set (both are the token-having survivors), the token stream is
+    // contiguous (max end == total), and the sequence count is
+    // ceil(total / capacity)
+    val packing = VersionedStore.readTable(spark, store, r.version, "packing")
+    assert(packing.count() === r.vectorized)
+    val contig = packing.agg(max(col("end_off")), sum(col("n_tokens"))).head()
+    assert(contig.getLong(0) === contig.getLong(1),
+      "packed offsets must be gap-free")
+    assert(r.packedTokens === contig.getLong(1))
+    assert(r.sequences === (r.packedTokens + 255) / 256)
+
     // every near-dup pair with BOTH sides passing the verdict keeps
     // its canonical: d2 pruned, d1 either present or itself the d2 of
     // another kept pair (transitive chains) — never both lost
-    val snapIds = VersionedStore.readVersion(spark, store, r.version)
+    val snapIds = VersionedStore.readTable(spark, store, r.version, "vectors")
       .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(packing.select("doc_id").collect().map(_.getLong(0)).toSet
+      === snapIds)
     val keptSet = graft.queries.ExtensionQueries.x57_filter_verdict(spark, sf)
       .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
     val keptPairs = graft.queries.ExtensionQueries
@@ -45,9 +59,10 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
 
     // snapshot is pinned: a second pipeline run appends a new version
     // and the first is untouched
-    val before = VersionedStore.readVersion(spark, store, r.version).count()
+    val before = VersionedStore.readTable(spark, store, r.version, "vectors").count()
     val r2 = Pipeline.run(spark, sf, store)
     assert(r2.version === r.version + 1)
-    assert(VersionedStore.readVersion(spark, store, r.version).count() === before)
+    assert(VersionedStore.readTable(spark, store, r.version, "vectors").count()
+      === before)
   }
 }
