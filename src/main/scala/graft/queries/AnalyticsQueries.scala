@@ -401,13 +401,17 @@ object AnalyticsQueries {
     // Insert keys are offset past max(o_orderkey) so they can never
     // collide with a real key at ANY scale factor (a fixed +10M offset
     // would collide once keys exceed 10M, turning "inserts" into
-    // updates and silently diverging from the UNION-ALL oracle). One
-    // driver-side scalar — the same shape as a scalar subquery.
-    val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    // updates and silently diverging from the UNION-ALL oracle). The
+    // scalar rides a 1-row broadcast cross join — a scalar subquery's
+    // plan shape, no driver action.
+    val maxKey = orders.agg(max(col("o_orderkey")).as("__mk"))
+    val inserts = orders.filter(col("o_orderkey") % 500 === 0)
+      .crossJoin(broadcast(maxKey))
+      .withColumn("o_orderkey", col("o_orderkey") + col("__mk") + 1)
+      .drop("__mk")
     val updates = orders.filter(col("o_orderkey") % 100 === 0)
       .withColumn("o_totalprice", col("o_totalprice") * 1.1)
-      .unionByName(orders.filter(col("o_orderkey") % 500 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(maxKey + 1)))
+      .unionByName(inserts)
     // Money is summed in exact integer MILLS (the ×1.1 uplift makes 3
     // decimals): per-row floor(p·1000+0.5) recovers the same integer in
     // both engines, and integer sums are order-independent — a rounded
