@@ -104,6 +104,33 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("prefixsum")) {
+      // A/B the x59 running-offset shapes at a size where the plan
+      // difference matters: the un-partitioned window funnels ALL rows
+      // through one task; PrefixSum stays distributed (range-sort +
+      // broadcast per-partition offsets). 20M synthetic rows.
+      import org.apache.spark.sql.expressions.Window
+      val n = 20000000L
+      val df = spark.range(n)
+        .select(col("id").as("k"), pmod(col("id") * 37, lit(211)).as("v"))
+        .repartition(32).persist()
+      time("materialize")(df.count())
+      // force ps to be COMPUTED: aggregate over it (a bare count() lets
+      // the optimizer prune the never-referenced window column away)
+      val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+      def force(d: org.apache.spark.sql.DataFrame): Long =
+        d.agg(sum(col("ps"))).head().getLong(0)
+      time("A-window-1partition")(force(
+        df.withColumn("ps", coalesce(sum(col("v")).over(w), lit(0L)))))
+      time("A-window-again")(force(
+        df.withColumn("ps", coalesce(sum(col("v")).over(w), lit(0L)))))
+      time("B-prefixsum-distributed")(force(
+        graft.operators.PrefixSum.withPrefixSum(df, "v", "ps", col("k"))))
+      time("B-prefixsum-again")(force(
+        graft.operators.PrefixSum.withPrefixSum(df, "v", "ps", col("k"))))
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("minhash")) {
       // A/B the x02 signature build: 12 inline md5s per posting row vs
       // hashing DISTINCT shingles once and joining the minima back.
