@@ -23,6 +23,13 @@ object GraftFunctions {
     spark.udf.register("graft_tokens", (s: String) =>
       if (s == null) Array.empty[String]
       else s.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty))
+    // Per-language dispatch (incl. the zh bigram rule) for SQL users:
+    // SELECT graft_tokens_lang(text, lang). A UDF over the JVM
+    // reference rule — TokenizeSpec pins it equal to the Column-form
+    // tokensByLang (expression injection is impossible for
+    // lambda-bearing Column trees in Spark 4; see tokensLangRef doc).
+    spark.udf.register("graft_tokens_lang",
+      (s: String, lang: String) => Tokenize.tokensLangRef(s, lang))
     // The axpy Aggregator (A3) for SQL users: SELECT vec_weighted_sum(w,
     // vec) ... GROUP BY doc. Same single-buffer partial/final merge as
     // the Column form; dimension-adaptive since SQL can't pass a dim.

@@ -93,6 +93,38 @@ object Tokenize {
     when(lang === lit("zh"), cjkTokens(c)).otherwise(alpha)
   }
 
+  /** JVM reference implementation of the per-language rule — the SQL
+    * UDF body (`graft_tokens_lang`) and the spec's cross-check against
+    * the Column form. (An expression-injection registration is not
+    * possible here: Spark 4's Column→Expression bridge wraps
+    * lambda-bearing Column trees in an Unevaluable ColumnNodeExpression,
+    * which dies at codegen when planted directly in the function
+    * registry.) Same locale caveat as the base tokenizer: JVM
+    * toLowerCase and UTF8String lower agree except on exotic case
+    * mappings (İ, KELVIN) — which every rule treats as separators
+    * anyway.
+    */
+  def tokensLangRef(s: String, lang: String): Array[String] = {
+    if (s == null) return Array.empty[String]
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    if (lang == "zh") {
+      val m = java.util.regex.Pattern
+        .compile(s"[a-z0-9]+|[$CjkRange]+").matcher(lower)
+      val out = Array.newBuilder[String]
+      while (m.find()) {
+        val seg = m.group()
+        if (seg.charAt(0) >= '一' && seg.charAt(0) <= '鿿' && seg.length >= 2) {
+          var i = 0
+          while (i < seg.length - 1) { out += seg.substring(i, i + 2); i += 1 }
+        } else out += seg
+      }
+      out.result()
+    } else {
+      val cls = letterClass(if (lang == null) "unknown" else lang)
+      lower.split(s"[^$cls]+").filter(_.nonEmpty)
+    }
+  }
+
   /** Word n-gram shingles of the token array (for MinHash / Jaccard
     * dedup). Uses the codegen'd `transform`+`slice` HOFs; returns
     * `array<string>` of space-joined n-grams (fewer than n tokens →

@@ -89,6 +89,19 @@ class TokenizeSpec extends AnyFunSuite with SparkSpec {
     assert(df(1) === Seq("o", "o")) // ñ is a separator under the en rule
   }
 
+  test("graft_tokens_lang SQL function equals the Column dispatch (incl. zh)") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(("大数据Spark引擎", "zh"), ("Ñoño 42", "es"), ("Ñoño 42", "en"))
+      .toDF("text", "lang")
+    df.createOrReplaceTempView("graft_tl")
+    val viaSql = spark.sql("SELECT graft_tokens_lang(text, lang) AS t FROM graft_tl")
+      .collect().map(_.getSeq[String](0).toList).toSeq
+    val viaCol = df.select(Tokenize.tokensByLang(col("text"), col("lang")).as("t"))
+      .as[Seq[String]].collect().toSeq
+    assert(viaSql === viaCol)
+    assert(viaSql.head === Seq("大数", "数据", "spark", "引擎"))
+  }
+
   test("shingles: n-grams in order; short docs yield empty") {
     def sh(words: Seq[String], n: Int): Seq[String] =
       Seq(Tuple1(words)).toDF("toks")
