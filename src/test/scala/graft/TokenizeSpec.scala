@@ -89,6 +89,24 @@ class TokenizeSpec extends AnyFunSuite with SparkSpec {
     assert(df(1) === Seq("o", "o")) // ñ is a separator under the en rule
   }
 
+  test("property: zh Column rule equals the JVM reference on mixed CJK/ASCII") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val gen = Gen.listOf(Gen.frequency(
+      4 -> Gen.oneOf('大', '数', '据', '处', '理', '引', '擎', '中', '文'),
+      3 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', ',', '。', '!', '\n'))).map(_.mkString)
+    val prop = forAll(gen) { s =>
+      val viaCol = Seq(s).toDF("text")
+        .select(Tokenize.cjkTokens(col("text")).as("t"))
+        .as[Seq[String]].head()
+      viaCol == Tokenize.tokensLangRef(s, "zh").toSeq
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("graft_tokens_lang SQL function equals the Column dispatch (incl. zh)") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq(("大数据Spark引擎", "zh"), ("Ñoño 42", "es"), ("Ñoño 42", "en"))
