@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   /** First float of /proc/loadavg (1-minute load), or -1 where unavailable.
     * Recorded so a contended run is distinguishable from a regression:
@@ -29,6 +30,46 @@ object Bench {
       } finally src.close()
     } catch { case _: Throwable => (0L, -1L) }
 
+  /** Per-query ledger of clean-run seconds, committed as
+    * BENCH_LEDGER.json. The steal detector is blind to I/O and
+    * page-cache contention (round-5 verdict: x39 13.1 s vs 0.39 s
+    * reproduced, steal 0.06%), so plausibility is checked against
+    * pinned HISTORY, not host counters.
+    */
+  private[graft] def loadLedger(path: String): Map[String, Double] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      val txt = try src.mkString finally src.close()
+      // the ledger is a flat {"name": secs, ...} object; a hand-rolled
+      // scan avoids a JSON dependency the build doesn't have
+      """"([^"]+)"\s*:\s*([-0-9.eE]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
+  /** Queries whose measured time is implausible against the ledger.
+    *
+    * A query is suspect when its time exceeds `factor` x its ledger
+    * value, normalized by the run's median ledger-ratio so a uniformly
+    * slower box (older CPU, cold cache) doesn't flag everything — only
+    * per-query spikes that break from the run's own trend do. Times
+    * under `floorSec` are never suspect (sub-half-second noise is not
+    * evidence). Pure so a spec can pin the gate's behavior.
+    */
+  private[graft] def suspects(times: Map[String, Double],
+      ledger: Map[String, Double], factor: Double = 3.0,
+      floorSec: Double = 0.5): Seq[String] = {
+    val ratios = times.collect {
+      case (q, t) if t > 0 && ledger.getOrElse(q, 0.0) > 0 => q -> t / ledger(q)
+    }
+    if (ratios.isEmpty) return Seq.empty
+    val sortedR = ratios.values.toSeq.sorted
+    val median = sortedR(sortedR.size / 2)
+    val bar = factor * math.max(1.0, median)
+    ratios.collect {
+      case (q, r) if r > bar && times(q) > floorSec => q
+    }.toSeq.sorted
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the target environment is local[32] (see build docs); honor an
@@ -38,6 +79,8 @@ object Bench {
     // timing multiplicatively; the min over repeats is the least
     // contaminated estimate of the query's true cost on this box.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val ledgerPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEDGER", "BENCH_LEDGER.json")
+    val ledger = loadLedger(ledgerPath)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -55,40 +98,67 @@ object Bench {
       try Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        n: Int): Seq[(Boolean, Double)] =
+      (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        (ok, (System.nanoTime() - t0) / 1e9)
+      }
+    def best(samples: Seq[(Boolean, Double)]): Double = {
+      val anyOk = samples.exists(_._1)
+      val b = samples.collect { case (ok, s) if ok == anyOk => s }.min
+      if (anyOk) b else -b
+    }
     // A throwing query must be distinguishable from a green run: its wall
     // clock is recorded NEGATIVE and its name is listed under "failed".
     // Each query runs `runs` times and reports the MINIMUM wall clock;
     // repeat 1 additionally warms the session-lifetime shared caches
     // (docTokens / shingles / postings), so the min is a warm, steady
     // -state number — the quantity a round-over-round comparison needs.
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        val secs = (System.nanoTime() - t0) / 1e9
-        (ok, secs)
-      }
-      val anyOk = samples.exists(_._1)
-      val best = samples.collect { case (ok, s) if ok == anyOk => s }.min
-      (name, if (anyOk) best else -best)
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, best(sample(name, fn, runs)))
     }
+    // Plausibility gate (round-5 verdict #1): min-of-N fails when EVERY
+    // repeat ran under the same interference burst (r5's x39 13.1 s vs
+    // a reproduced 0.39 s, with steal silent). Any query that breaks 3x
+    // from its pinned ledger value — trend-normalized — is re-sampled
+    // twice more after the burst has had time to pass; the surviving
+    // min replaces the tainted one. Queries STILL over the bar after
+    // the retry are published under "suspect" so a reader never has to
+    // reverse-engineer which numbers to distrust.
+    val times0 = firstPass.toMap
+    val retried = suspects(times0, ledger)
+    val timedMap = times0 ++ retried.map { q =>
+      q -> best(sample(q, SparkEntry.queries(q), 2).:+((times0(q) > 0, math.abs(times0(q)))))
+    }.toMap
+    val stillSuspect = suspects(timedMap, ledger)
+    val timed = timedMap.toSeq.sortBy(_._1)
     val loadEnd = loadavg1
     val (stealEnd, totalEnd) = cpuTicks
+    // steal share needs BOTH samples valid; a failed start read would
+    // otherwise yield steal-since-boot, which can false-positive on a
+    // chronically-stolen VM (round-5 ADVICE)
     val stealPct =
-      if (totalEnd > totalStart0) 100.0 * (stealEnd - stealStart0) / (totalEnd - totalStart0)
+      if (totalStart0 >= 0 && totalEnd > totalStart0)
+        100.0 * (stealEnd - stealStart0) / (totalEnd - totalStart0)
       else -1.0
     val qs = timed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = timed.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = timed.map { case (_, v) => math.abs(v) }.sum
-    // loadavg is the whole-machine 1-min run-queue length; with 32 bench
-    // threads of our own, load_start >> cpus means external contention at
-    // the start; steal_pct > ~5 means the HOST ran someone else on our
-    // vCPUs during the run — either way the total is not a trustworthy
-    // round-over-round signal.
-    val contended = loadStart > cpus.toDouble / 2 || stealPct > 5.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_pct":${math.rint(stealPct * 100) / 100},"contended":$contended}""")
+    // loadavg_start is the machine's 1-min run-queue length BEFORE the
+    // bench contributes anything: >2 means several external runnable
+    // threads were competing at start (r5's garbage artifact started at
+    // 5.35 and passed the old cpus/2 bar); steal_pct > ~5 means the
+    // HOST ran someone else on our vCPUs mid-run; an unresolved suspect
+    // means a query's own history contradicts its number. Any of the
+    // three taints the artifact.
+    val contended = loadStart > 2.0 || stealPct > 5.0 || stillSuspect.nonEmpty
+    val suspectJson = stillSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_pct":${math.rint(stealPct * 100) / 100},"ledger_queries":${ledger.size},"retried":$retriedJson,"suspect":$suspectJson,"contended":$contended}""")
     spark.stop()
   }
 }

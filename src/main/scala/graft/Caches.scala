@@ -28,13 +28,18 @@ object Caches {
   private val reg = new ConcurrentHashMap[LogicalPlan, DataFrame]()
 
   /** Persist `df` (MEMORY_AND_DISK — degrades to spill, not OOM) and
-    * register it for targeted release. Returns the persisted frame.
+    * register it for targeted release. Returns the REGISTERED frame:
+    * when an equivalent plan is already pinned (every x04 call
+    * re-creates the frame), the caller gets the first frame back and
+    * no second `persist()` runs — persisting before checking re-marked
+    * the plan in CacheManager and spammed "Asked to cache already
+    * cached data" on every warm call (round-5 verdict #6).
     */
-  def persist(df: DataFrame): DataFrame = {
-    df.persist(StorageLevel.MEMORY_AND_DISK)
-    reg.putIfAbsent(df.queryExecution.analyzed.canonicalized, df)
-    df
-  }
+  def persist(df: DataFrame): DataFrame =
+    reg.computeIfAbsent(df.queryExecution.analyzed.canonicalized, _ => {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      df
+    })
 
   /** Scheme-less root paths of every file source in `df`'s plan. */
   private def sourceRoots(df: DataFrame): Seq[String] =

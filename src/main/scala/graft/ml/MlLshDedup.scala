@@ -77,8 +77,7 @@ object MlLshDedup {
       .select("d1", "d2").distinct()
     // Exact-Jaccard verification on the raw shingle posting table —
     // the same measure (and code) as x02/x04.
-    graft.queries.ExtensionQueries.jaccardOf(cand, sh)
-      .filter(col("jaccard") >= minJaccard)
+    graft.queries.ExtensionQueries.jaccardOf(cand, sh, minJaccard)
       .select(col("d1"), col("d2"), col("jaccard").as("jaccard_sim"))
       .orderBy("d1", "d2")
   }

@@ -27,7 +27,20 @@ object PrefixSum {
     require(!df.columns.contains(outCol), s"column $outCol already exists")
     val sorted = df.orderBy(order: _*)
     val idx = sorted.schema.fieldIndex(valueCol)
-    val partTotals = sorted.rdd
+    // Both jobs below MUST see the same evaluation of the sorted
+    // lineage: the totals job fixes each partition's offset, and the
+    // row job applies it. An unpersisted lineage would be evaluated
+    // twice, and a nondeterministic input (rand(), source files
+    // changing between the jobs) would silently desync offsets from
+    // rows (round-5 ADVICE). Persisting pins one materialization —
+    // the totals collect below is also the job that populates the
+    // cache. Release is automatic: once the caller drops the returned
+    // frame, the pinned RDD is unreachable and Spark's ContextCleaner
+    // unpersists its blocks. Residual caveat (same as zipWithIndex):
+    // recomputation after executor loss still re-evaluates lineage.
+    val sortedRdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partTotals = sortedRdd
       .mapPartitionsWithIndex { case (i, it) =>
         var s = 0L
         it.foreach(r => s += r.getLong(idx))
@@ -37,7 +50,7 @@ object PrefixSum {
     val offsets = partTotals.scanLeft(0L)(_ + _) // offsets(i) = sum before partition i
     val bc = df.sparkSession.sparkContext.broadcast(offsets)
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
-    val out = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+    val out = sortedRdd.mapPartitionsWithIndex { case (i, it) =>
       var acc = bc.value(i)
       it.map { r =>
         val row = Row.fromSeq(r.toSeq :+ acc)

@@ -110,15 +110,21 @@ object ExtensionQueries {
     val b2 = bands.select(col("doc_id").as("d2"), col("band"), col("sig"))
     val cand = b1.join(b2, Seq("band", "sig")).filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    jaccardOf(cand, sh).filter(col("jaccard") >= 0.5).orderBy("d1", "d2")
+    jaccardOf(cand, sh).orderBy("d1", "d2")
   }
 
   /** Exact shingle Jaccard for candidate pairs via two semi-joins into
     * the posting table (never materializes per-doc shingle lists).
     * Shared with the MLlib LSH path (ml.MlLshDedup), which swaps only
     * the candidate generator.
+    *
+    * The threshold filter runs on the UNROUNDED ratio and the 6-dp
+    * round is presentation-only, matching the SQL oracles'
+    * filter-then-round order (a pair with true Jaccard in
+    * [minJaccard - 5e-7, minJaccard) must fail in both engines).
     */
-  private[graft] def jaccardOf(cand: DataFrame, sh: DataFrame): DataFrame = {
+  private[graft] def jaccardOf(cand: DataFrame, sh: DataFrame,
+      minJaccard: Double = 0.5): DataFrame = {
     val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val s1 = sh.select(col("doc_id").as("d1"), col("shingle"))
     val s2 = sh.select(col("doc_id").as("d2"), col("shingle"))
@@ -128,8 +134,10 @@ object ExtensionQueries {
       .join(nsh.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
       .join(nsh.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
       .select(col("d1"), col("d2"),
-        round(col("shared").cast("double") / (col("n1") + col("n2") - col("shared")), 6)
-          .as("jaccard"))
+        (col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
+          .as("jac_raw"))
+      .filter(col("jac_raw") >= minJaccard)
+      .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jaccard"))
   }
 
   private val SqlJaccardTail =
@@ -216,13 +224,16 @@ object ExtensionQueries {
       .join(shr.select(col("doc_id").as("d2"), col("shingle")), Seq("shingle"))
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+    // Filter on the unrounded ratio (the 6-dp round is presentation
+    // only) — same filter-then-round order as the SQL oracle.
     val pairs = shared
       .join(nsh.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
       .join(nsh.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
       .select(col("d1"), col("d2"),
-        round(col("shared").cast("double") / (col("n1") + col("n2") - col("shared")), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+        (col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
+          .as("jac_raw"))
+      .filter(col("jac_raw") >= 0.5)
+      .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jaccard"))
     // The verified pair set is the input to clustering (x29) as well as
     // this query's own output — persist so the expensive posting
     // self-join runs once per session, not once per consumer.
@@ -1294,12 +1305,15 @@ object ExtensionQueries {
       .withColumn("h", md5(concat_ws("|", lit("pack"), col("doc_id"))))
     val withStart = graft.operators.PrefixSum.withPrefixSum(
       counted, "n_tokens", "start_off", col("h"), col("doc_id"))
+    // `div` is long integer division — exact at any corpus size, where
+    // floor(double / cap) loses exactness once offsets pass 2^53
+    // (round-5 ADVICE; the oracle uses DuckDB's `//` for the same
+    // reason).
     withStart
       .withColumn("end_off", col("start_off") + col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("start_off"), col("end_off"),
-        floor(col("start_off") / cap).cast("long").as("first_seq"),
-        floor(greatest(col("end_off") - 1, col("start_off")) / cap)
-          .cast("long").as("last_seq"))
+        expr(s"start_off div $cap").as("first_seq"),
+        expr(s"greatest(end_off - 1, start_off) div $cap").as("last_seq"))
       .withColumn("spans", col("last_seq") - col("first_seq") + 1)
       .orderBy("doc_id")
   }
@@ -1314,10 +1328,10 @@ object ExtensionQueries {
        |      FROM o)
        |SELECT doc_id, n_tokens::BIGINT AS n_tokens, start_off::BIGINT AS start_off,
        |  (start_off + n_tokens)::BIGINT AS end_off,
-       |  floor(start_off / 256)::BIGINT AS first_seq,
-       |  floor(greatest(start_off + n_tokens - 1, start_off) / 256)::BIGINT AS last_seq,
-       |  (floor(greatest(start_off + n_tokens - 1, start_off) / 256)
-       |    - floor(start_off / 256) + 1)::BIGINT AS spans
+       |  (start_off::BIGINT // 256)::BIGINT AS first_seq,
+       |  (greatest(start_off + n_tokens - 1, start_off)::BIGINT // 256)::BIGINT AS last_seq,
+       |  ((greatest(start_off + n_tokens - 1, start_off)::BIGINT // 256)
+       |    - (start_off::BIGINT // 256) + 1)::BIGINT AS spans
        |FROM s ORDER BY doc_id""".stripMargin
 
   // ======================================================================
@@ -1350,7 +1364,7 @@ object ExtensionQueries {
       .select(least(col("dn"), col("da")).as("d1"),
         greatest(col("dn"), col("da")).as("d2"))
       .distinct()
-    jaccardOf(cand, sh).filter(col("jaccard") >= 0.5)
+    jaccardOf(cand, sh)
       .select(col("d1"), col("d2"), col("jaccard"),
         (pmod(col("d1"), lit(10)) === 7).as("d1_new"),
         (pmod(col("d2"), lit(10)) === 7).as("d2_new"))

@@ -85,14 +85,15 @@ object Upsert {
     * value would leave the old partition's row in place (the old
     * partition is, by design, never read or rewritten).
     *
-    * The merged slice is materialized (`localCheckpoint`) before the
-    * write because the write replaces directories its own lazy plan
-    * reads from; on a real cluster this is `checkpoint()` to the
-    * cluster FS — or stage-and-publish through VersionedStore when
-    * cross-partition atomicity matters.
+    * The merged slice is materialized before the write because the
+    * write replaces directories its own lazy plan reads from; the
+    * CALLER picks the [[Materialize]] strategy because the right one
+    * is a property of the deployment, not of the merge (round-5
+    * ADVICE: a hard-coded `localCheckpoint` silently carries
+    * executor-loss corruption risk onto real clusters).
     */
   def mergeByKeyPartitioned(path: String, updates: DataFrame, key: String,
-      partCol: String): Unit = {
+      partCol: String, materialize: Materialize = Materialize.Local): Unit = {
     val spark = updates.sparkSession
     val vals = updates.select(partCol).distinct().collect().map(_.get(0)).toSeq
     require(!vals.contains(null),
@@ -105,10 +106,56 @@ object Upsert {
       else mergeByKey(
         spark.read.parquet(path).filter(col(partCol).isin(vals: _*)),
         updates, key)
-    merged.localCheckpoint(eager = true)
-      .write.mode(SaveMode.Overwrite)
+    val pinned = materialize match {
+      case Materialize.Local =>
+        // localCheckpoint blocks live on executors: if one dies while
+        // the overwrite below is in flight, recomputation falls back to
+        // the lineage — which reads the directories being replaced.
+        // Loud failure here beats silent corruption there.
+        require(!spark.conf.getOption("spark.dynamicAllocation.enabled")
+            .contains("true"),
+          "Materialize.Local is unsafe with dynamic executor allocation " +
+            "(released executors drop checkpoint blocks mid-write); use " +
+            "Materialize.Reliable(dir) or Materialize.Stage")
+        merged.localCheckpoint(eager = true)
+      case Materialize.Reliable(dir) =>
+        spark.sparkContext.setCheckpointDir(dir)
+        merged.checkpoint(eager = true)
+      case Materialize.Stage =>
+        val stage = new org.apache.hadoop.fs.Path(path + "__graft_stage")
+        merged.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+        spark.read.parquet(stage.toString)
+    }
+    pinned.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(path)
+    if (materialize == Materialize.Stage)
+      fs.delete(new org.apache.hadoop.fs.Path(path + "__graft_stage"), true)
   }
+}
+
+/** Materialization strategy for [[Upsert.mergeByKeyPartitioned]]'s
+  * read-modify-overwrite cycle.
+  */
+sealed trait Materialize
+object Materialize {
+  /** `localCheckpoint` to executor storage — cheapest, correct on
+    * local[n] and static-executor clusters; REFUSED (loudly) under
+    * dynamic allocation.
+    */
+  case object Local extends Materialize
+
+  /** Reliable `checkpoint()` into `dir` on the cluster FS — survives
+    * executor loss; right for long-lived clusters with a durable
+    * checkpoint root.
+    */
+  final case class Reliable(dir: String) extends Materialize
+
+  /** Stage the merged slice to `<path>__graft_stage` as parquet,
+    * re-read it, overwrite, delete the stage — fault-tolerant with no
+    * checkpoint-dir configuration, at the cost of one extra write of
+    * the touched slice (never the whole table).
+    */
+  case object Stage extends Materialize
 }

@@ -58,6 +58,27 @@ class PartitionedMergeSpec extends AnyFunSuite with SparkSpec {
       (4L, "d", "d3"), (20L, "new", "d2")))
   }
 
+  test("Materialize.Stage gives the same merge and cleans up its staging dir") {
+    val dir = Files.createTempDirectory("graft_pmerge_stage").toString + "/t"
+    seed(dir)
+    val before = fileHashes(dir)
+
+    Upsert.mergeByKeyPartitioned(dir,
+      Seq((2L, "d2", "B!"), (20L, "d2", "new")).toDF("id", "day", "v"),
+      key = "id", partCol = "day", materialize = graft.sources.Materialize.Stage)
+
+    val untouched = (p: String) => p.contains("day=d1") || p.contains("day=d3")
+    val after = fileHashes(dir)
+    assert(before.view.filterKeys(untouched).toMap
+      === after.view.filterKeys(untouched).toMap)
+    val got = spark.read.parquet(dir).orderBy("id")
+      .select("id", "v", "day").as[(Long, String, String)].collect().toSeq
+    assert(got === Seq((1L, "a", "d1"), (2L, "B!", "d2"), (3L, "c", "d2"),
+      (4L, "d", "d3"), (20L, "new", "d2")))
+    assert(!Files.exists(Paths.get(dir + "__graft_stage")),
+      "fault-tolerance staging must not outlive the merge")
+  }
+
   test("a batch with a brand-new partition adds it without touching the rest") {
     val dir = Files.createTempDirectory("graft_pmerge2").toString + "/t"
     seed(dir)
