@@ -43,7 +43,8 @@ object ExtensionQueries {
     * `tokens(text)` expression the regex split would re-run per lambda
     * call (~100× per doc — measured 37 s vs 1 s at sf0.1).
     */
-  private[graft] def docShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  private[graft] def docShingles(docs: DataFrame, n: Int = 3,
+      persistShared: Boolean = true): DataFrame = {
     val sh = ReferenceQueries.parallelized(docs)
       .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
@@ -54,8 +55,10 @@ object ExtensionQueries {
     // Spark's CacheManager dedups by canonicalized plan, so x02/x04/x46
     // share ONE materialization (session-lifetime by design — see
     // SCALE.md §caching; only the shared default n is pinned, ad-hoc
-    // shingle sizes stay unpersisted).
-    if (n == 3) graft.Caches.persist(sh)
+    // shingle sizes stay unpersisted). Run-scoped frames (the
+    // Pipeline's survivor corpus) pass persistShared=false and manage
+    // their own, shorter-lived persist.
+    if (n == 3 && persistShared) graft.Caches.persist(sh)
     else sh
   }
 
@@ -92,9 +95,20 @@ object ExtensionQueries {
   // rows: the plan stays narrow (scan -> explode -> hash -> one groupBy
   // shuffle); a distinct-shingle hash dimension would add a join shuffle
   // that costs more than re-hashing, md5 being ~100ns/row.
-  def x02_dedup_minhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def x02_dedup_minhash(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairsFromShingles(docShingles(Tables.documents(spark, sfDir)))
+      .orderBy("d1", "d2")
+
+  /** x02's banded-MinHash core over ANY (doc_id, shingle) posting —
+    * split out so the Pipeline can band ONLY its survivor frame
+    * (round-5 verdict #3: full-corpus banding + post-filter is
+    * correct but wasteful once an aggressive gate has already dropped
+    * most of the corpus). Per-doc signatures don't depend on the rest
+    * of the corpus, so banding a restricted posting yields exactly
+    * the full run's pairs among those docs.
+    */
+  private[graft] def minhashPairsFromShingles(sh: DataFrame): DataFrame = {
     val K = 12; val BandSize = 3
-    val sh = docShingles(Tables.documents(spark, sfDir))
     // All K minhashes in ONE groupBy pass (K agg expressions over the
     // posting rows) — no K-way row blowup, no second shuffle, no
     // collect_list: the signature build is a single map-side-combinable
@@ -110,7 +124,7 @@ object ExtensionQueries {
     val b2 = bands.select(col("doc_id").as("d2"), col("band"), col("sig"))
     val cand = b1.join(b2, Seq("band", "sig")).filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    jaccardOf(cand, sh).orderBy("d1", "d2")
+    jaccardOf(cand, sh)
   }
 
   /** Exact shingle Jaccard for candidate pairs via two semi-joins into
