@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{ExtensionQueries, ReferenceQueries}
+import graft.queries.{AnalyticsQueries, ExtensionQueries, ReferenceQueries}
 import graft.sources.VersionedStore
 
 /** End-to-end training-data pipeline over one corpus snapshot — the
@@ -12,24 +12,51 @@ import graft.sources.VersionedStore
   *
   *   1. preprocessing verdict (x57: lang / exact-dup / quality /
   *      repetition) → keep set
-  *   2. near-dup pruning on the keep set (banded MinHash x02 shape:
-  *      drop the higher doc_id of every verified near-dup pair)
-  *   3. doc vectors for the survivors (the reference's E1 flagship)
-  *   4. sequence packing of the survivors into fixed-size training
+  *   2. PII masking (x48's rewrite) of the WHOLE corpus — train side
+  *      and eval slice must be masked identically or the
+  *      contamination n-gram match below compares different text
+  *   3. eval hold-out: the benchmark slice (doc_id % 100 == 0, x51's
+  *      convention) never reaches the published training set
+  *   4. near-dup pruning banded over ONLY the surviving train corpus
+  *      (x02's core via minhashPairsFromShingles — per-doc signatures
+  *      don't depend on the rest of the corpus, so banding the
+  *      restricted posting yields exactly the full run's pairs among
+  *      those docs, at a fraction of the cost once the verdict +
+  *      hold-out gates have already dropped most rows)
+  *   5. contamination gate (x51's core): survivors sharing ≥ 50% of
+  *      their distinct 8-grams with the eval slice are dropped
+  *   6. doc vectors for the final corpus (the reference's E1 flagship)
+  *   7. sequence packing of the final corpus into fixed-size training
   *      sequences (the x59 pack-then-chunk shape, survivor-only)
-  *   5. publish vectors + packing as ONE immutable multi-table
-  *      snapshot version (VersionedStore.publishAll) a training run
-  *      can pin forever — vectors of v=N can never pair with packing
-  *      of v=N-1
+  *   8. publish masked documents + vectors + packing as ONE immutable
+  *      multi-table snapshot version (VersionedStore.publishAll) a
+  *      training run can pin forever — vectors of v=N can never pair
+  *      with packing of v=N-1, and the text a model trains on is
+  *      exactly the masked text in the same snapshot
   *
   * Every stage is the already-oracle-checked query; this object only
-  * composes them. Returns (version, kept, pruned, vectorized,
-  * sequences, packedTokens) so callers/specs can assert the funnel.
+  * composes them. Returns the full funnel so callers/specs can
+  * reconcile each gate against the stage queries.
   */
 object Pipeline {
 
-  case class Result(version: Long, kept: Long, prunedNearDup: Long,
+  case class Result(version: Long, kept: Long, heldOutEval: Long,
+      prunedNearDup: Long, droppedContaminated: Long, piiMaskedDocs: Long,
       vectorized: Long, sequences: Long, packedTokens: Long)
+
+  /** The near-dup pair generator over a run-private corpus frame —
+    * split out so PlanHygieneSpec can pin that the banding input is
+    * the survivor frame itself (no full-corpus parquet rescans hide
+    * in the plan). Caller persists `corpus`; the shingle posting is
+    * scanned several times (signature build + Jaccard verify), so it
+    * is persisted here and MUST be unpersisted by the caller via the
+    * returned handle.
+    */
+  private[graft] def dedupPairsOf(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val sh = ExtensionQueries
+      .docShingles(corpus, persistShared = false).persist()
+    (ExtensionQueries.minhashPairsFromShingles(sh), sh)
+  }
 
   def run(spark: SparkSession, sfDir: String, storeRoot: String): Result = {
     val docs = Tables.documents(spark, sfDir)
@@ -41,42 +68,74 @@ object Pipeline {
       .filter(col("keep")).select("doc_id").persist()
     val kept = keepIds.count()
 
-    // 2. near-dup pruning among the KEPT docs: for a verified pair
-    // with both sides kept, the lower doc_id is canonical and the
-    // higher is dropped. Pairs whose canonical already fell to the
-    // verdict gate must NOT drop the survivor — restricting both pair
-    // sides to the keep set guarantees every dropped doc leaves a
-    // kept canonical behind (anti-join — no collect).
-    val pairs = ExtensionQueries.x02_dedup_minhash(spark, sfDir)
-    val keptPairs = pairs
-      .join(keepIds.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_semi")
-      .join(keepIds.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_semi")
-    val dupLosers = keptPairs.select(col("d2").as("doc_id")).distinct()
-    val survivors = keepIds.join(dupLosers, Seq("doc_id"), "left_anti").persist()
+    // 2. mask the whole corpus once (one codegen'd projection — doing
+    // it pre-split keeps train text and eval grams byte-identical)
+    val masked = AnalyticsQueries.piiMaskOf(docs)
+      .select(col("doc_id"), col("masked").as("text"),
+        (col("n_emails") + col("n_urls") + col("n_longnums")).as("n_pii"))
 
-    // 3. flagship vectors for the surviving docs
-    val corpus = docs.join(survivors, Seq("doc_id"), "left_semi")
+    // 3. hold out the eval slice, then pin the masked train corpus:
+    // dedup banding, the contamination totals, vectors and packing
+    // all scan it
+    val trainCorpus = masked
+      .join(keepIds, Seq("doc_id"), "left_semi")
+      .filter(pmod(col("doc_id"), lit(100)) =!= 0)
+      .persist()
+    val heldOut = kept - trainCorpus.count()
+
+    // 4. near-dup pruning banded over ONLY the train survivors: every
+    // pair has both sides in the train set by construction, the lower
+    // doc_id is canonical and the higher is dropped (anti-join — no
+    // collect; a dropped doc always leaves its kept canonical behind)
+    val (pairs, sh3) = dedupPairsOf(trainCorpus)
+    val dupLosers = pairs.select(col("d2").as("doc_id")).distinct()
+    val afterDedup = trainCorpus
+      .join(dupLosers, Seq("doc_id"), "left_anti").persist()
+    val prunedNearDup = trainCorpus.count() - afterDedup.count()
+    sh3.unpersist()
+
+    // 5. contamination gate: benchmark grams come from the masked
+    // FULL-corpus eval slice (external benchmarks don't pass anyone's
+    // verdict), survivors' postings are scanned exactly once by the
+    // single-pass core — no persist needed on top of afterDedup's
+    val evalGrams = ExtensionQueries
+      .docShingles(masked.filter(pmod(col("doc_id"), lit(100)) === 0),
+        8, persistShared = false)
+      .select("shingle").distinct()
+    val flagged = ExtensionQueries
+      .contaminationOf(
+        ExtensionQueries.docShingles(afterDedup, 8, persistShared = false),
+        evalGrams)
+      .filter(col("flagged")).select("doc_id")
+    val corpus = afterDedup.join(flagged, Seq("doc_id"), "left_anti").persist()
+    val droppedContaminated = afterDedup.count() - corpus.count()
+    val piiMaskedDocs = corpus.filter(col("n_pii") > 0).count()
+    afterDedup.unpersist()
+
+    // 6. flagship vectors for the final corpus
     val vecs = ReferenceQueries.docVectors(
       corpus, ReferenceQueries.wordvecs8(spark, sfDir), ReferenceQueries.VecDim)
       .select(col("doc_id"), col("known_ratio"), col("vec"))
 
-    // 4. pack ONLY the survivors into training sequences (no shared
+    // 7. pack ONLY the final corpus into training sequences (no shared
     // corpus cache: the survivor posting is this run's private frame)
-    val packed = ExtensionQueries.seqPackOf(corpus, sharedCache = false)
+    val packed = ExtensionQueries.seqPackOf(
+      corpus.select("doc_id", "text"), sharedCache = false)
 
-    // 5. one atomic multi-table snapshot: vectors + packing together
+    // 8. one atomic multi-table snapshot: the masked text a model
+    // trains on + vectors + packing, versioned together
     val version = VersionedStore.publishAll(
-      Map("vectors" -> vecs, "packing" -> packed), storeRoot)
+      Map("documents" -> corpus, "vectors" -> vecs, "packing" -> packed),
+      storeRoot)
     val vectorized =
       VersionedStore.readTable(spark, storeRoot, version, "vectors").count()
     val packStats = VersionedStore.readTable(spark, storeRoot, version, "packing")
       .agg(coalesce(max(col("last_seq")) + 1, lit(0L)).as("n_seq"),
         coalesce(sum(col("n_tokens")), lit(0L)).as("tot"))
       .head()
-    val pruned = kept - survivors.count()
-    keepIds.unpersist(); survivors.unpersist()
-    Result(version, kept, pruned, vectorized,
-      packStats.getLong(0), packStats.getLong(1))
+    keepIds.unpersist(); trainCorpus.unpersist(); corpus.unpersist()
+    Result(version, kept, heldOut, prunedNearDup, droppedContaminated,
+      piiMaskedDocs, vectorized, packStats.getLong(0), packStats.getLong(1))
   }
 
   def main(args: Array[String]): Unit = {
@@ -92,8 +151,12 @@ object Pipeline {
     spark.sparkContext.setLogLevel("WARN")
     val r = run(spark, sfDir, store)
     println(s"""{"version":${r.version},"kept":${r.kept},""" +
-      s""""pruned_near_dup":${r.prunedNearDup},"vectorized":${r.vectorized},""" +
-      s""""sequences":${r.sequences},"packed_tokens":${r.packedTokens}}""")
+      s""""held_out_eval":${r.heldOutEval},""" +
+      s""""pruned_near_dup":${r.prunedNearDup},""" +
+      s""""dropped_contaminated":${r.droppedContaminated},""" +
+      s""""pii_masked_docs":${r.piiMaskedDocs},""" +
+      s""""vectorized":${r.vectorized},"sequences":${r.sequences},""" +
+      s""""packed_tokens":${r.packedTokens}}""")
     spark.stop()
   }
 }

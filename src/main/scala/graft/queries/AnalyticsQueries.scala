@@ -592,6 +592,14 @@ object AnalyticsQueries {
     * corpus contains none, which exercises only the no-op path).
     */
   private[graft] def piiMask(docs: DataFrame): DataFrame =
+    piiMaskOf(docs).orderBy("doc_id")
+
+  /** The mask projection WITHOUT the presentation sort — the Pipeline
+    * rewrites its whole corpus through this and every downstream stage
+    * re-shuffles anyway, so x48's orderBy would be a wasted global
+    * sort there.
+    */
+  private[graft] def piiMaskOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       // group idx 0 (whole match) MUST be explicit: Spark's default is
       // group 1, which THROWS on a groupless pattern — but only when a
@@ -605,7 +613,6 @@ object AnalyticsQueries {
       regexp_replace(regexp_replace(regexp_replace(col("text"),
         EmailRe, "<EMAIL>"), UrlRe, "<URL>"), NumRe, "<NUM>")
         .as("masked"))
-      .orderBy("doc_id")
 
   def x48_pii_mask(spark: SparkSession, sfDir: String): DataFrame =
     piiMask(Tables.documents(spark, sfDir)).drop("masked")

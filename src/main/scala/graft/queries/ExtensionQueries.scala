@@ -1251,25 +1251,38 @@ object ExtensionQueries {
   // 8-gram is a copied phrase, not a common idiom.
   def x51_contamination(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    // persisted: the 8-gram posting is scanned three times below (eval
-    // grams, train totals, train hits) and would re-run tokenize +
-    // shingle per scan; session-lifetime cache policy as per SCALE.md
-    // §caching (CacheManager dedupes repeat x51 calls by plan)
+    // persisted: the 8-gram posting is scanned twice below (eval grams,
+    // train side) and would re-run tokenize + shingle per scan;
+    // session-lifetime cache policy as per SCALE.md §caching
+    // (CacheManager dedupes repeat x51 calls by plan)
     val sh8 = graft.Caches.persist(docShingles(docs, 8))
     val evalGrams = sh8.filter(col("doc_id") % 100 === 0)
       .select("shingle").distinct()
-    val train = sh8.filter(col("doc_id") % 100 =!= 0)
-    val hits = train.join(broadcast(evalGrams), Seq("shingle"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-    train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
-          col("n_grams"), 6).as("contam_frac"))
-      .withColumn("flagged", col("contam_frac") >= 0.5)
+    contaminationOf(sh8.filter(col("doc_id") % 100 =!= 0), evalGrams)
       .orderBy("doc_id")
   }
+
+  /** x51's overlap measure over ANY (doc_id, shingle) train posting vs
+    * a DISTINCT benchmark-gram set — split out so the end-to-end
+    * Pipeline can gate its survivor corpus against the eval slice
+    * without recomputing the full-corpus posting. ONE pass over the
+    * posting: the broadcast left join marks hits and a single groupBy
+    * counts totals and hits together (the previous two-aggregation +
+    * rejoin shape cost an extra shuffle for nothing — `evalGrams` is
+    * distinct, so the join never duplicates a posting row).
+    */
+  private[graft] def contaminationOf(trainSh: DataFrame,
+      evalGrams: DataFrame): DataFrame =
+    trainSh
+      .join(broadcast(evalGrams.withColumn("__hit", lit(1))),
+        Seq("shingle"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6)
+          .as("contam_frac"))
+      .withColumn("flagged", col("contam_frac") >= 0.5)
 
   val x51Sql: String =
     s"""WITH tok AS (SELECT doc_id, $SqlTok AS toks FROM documents),

@@ -6,24 +6,71 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.VersionedStore
 
 /** The composed pipeline must behave like its parts: the funnel counts
-  * reconcile with the stage queries, the published snapshot is pinned
-  * and complete, and a second run publishes a NEW version without
-  * touching the first.
+  * reconcile with the stage queries (verdict x57, near-dup x02,
+  * contamination x51, mask x48), the published snapshot is pinned and
+  * complete, and a second run publishes a NEW version without touching
+  * the first.
   */
 class PipelineSpec extends AnyFunSuite with SparkSpec {
 
-  test("verdict -> dedup -> vectorize -> pack -> snapshot, counts reconcile") {
+  test("verdict -> mask -> holdout -> dedup -> contam -> vectorize -> pack" +
+      " -> snapshot, counts reconcile") {
     val store = java.nio.file.Files
       .createTempDirectory("graft_pipe").toString + "/store"
     val r = Pipeline.run(spark, sf, store)
 
-    val keep = graft.queries.ExtensionQueries.x57_filter_verdict(spark, sf)
-      .filter(col("keep")).count()
-    assert(r.kept === keep)
-    assert(r.prunedNearDup >= 0 && r.prunedNearDup <= r.kept)
+    val keptSet = graft.queries.ExtensionQueries.x57_filter_verdict(spark, sf)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r.kept === keptSet.size)
+    val trainSet = keptSet.filterNot(_ % 100 == 0)
+    assert(r.heldOutEval === keptSet.size - trainSet.size)
+
+    // near-dup reconcile: banding the restricted train corpus yields
+    // exactly x02's pairs among those docs (per-doc signatures are
+    // corpus-independent), so the pruned count is x02's loser set
+    // restricted to the train set. The testdata corpus is PII-free, so
+    // masked text == raw text and x02 over raw text is the oracle.
+    val keptPairs = graft.queries.ExtensionQueries
+      .x02_dedup_minhash(spark, sf)
+      .collect().map(p => (p.getLong(0), p.getLong(1)))
+      .filter { case (a, b) => trainSet(a) && trainSet(b) }
+    val losers = keptPairs.map(_._2).toSet
+    assert(r.prunedNearDup === losers.size)
+
+    // contamination reconcile: contam_frac is per-doc (own grams vs
+    // the full-corpus eval slice), so x51's flagged set restricted to
+    // the dedup survivors is the pipeline's drop set
+    val flagged = graft.queries.ExtensionQueries.x51_contamination(spark, sf)
+      .filter(col("flagged")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val expectSnap = trainSet -- losers -- flagged
+    assert(r.droppedContaminated === (trainSet -- losers).count(flagged))
+
+    val snapDocs = VersionedStore.readTable(spark, store, r.version, "documents")
+    val snapIds = snapDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(snapIds === expectSnap)
+    assert(snapIds.forall(_ % 100 != 0), "eval slice leaked into snapshot")
+    keptPairs.foreach { case (d1, d2) =>
+      assert(!snapIds.contains(d2), s"near-dup loser $d2 kept")
+      assert(snapIds.contains(d1) || losers.contains(d1) || flagged(d1),
+        s"pair ($d1,$d2): canonical lost without a gate dropping it")
+    }
+
+    // published text is the MASKED text (byte-identical to raw on the
+    // PII-free testdata — the rewrite itself is pinned by the
+    // synthetic-PII test below), and the pii funnel count reconciles
+    assert(r.piiMaskedDocs ===
+      snapDocs.filter(col("n_pii") > 0).count())
+    val rawById = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(row => row.getLong(0) -> row.getString(1)).toMap
+    snapDocs.select("doc_id", "text").collect().foreach { row =>
+      assert(row.getString(1) === rawById(row.getLong(0)))
+    }
+
     assert(r.vectorized > 0)
-    // vectorized <= survivors: docVectors drops token-less docs only
-    assert(r.vectorized <= r.kept - r.prunedNearDup)
+    // vectorized <= snapshot docs: docVectors drops token-less docs only
+    assert(r.vectorized <= snapIds.size)
 
     // packing reconciles: the packed doc set is exactly the vectorized
     // set (both are the token-having survivors), the token stream is
@@ -36,26 +83,9 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "packed offsets must be gap-free")
     assert(r.packedTokens === contig.getLong(1))
     assert(r.sequences === (r.packedTokens + 255) / 256)
-
-    // every near-dup pair with BOTH sides passing the verdict keeps
-    // its canonical: d2 pruned, d1 either present or itself the d2 of
-    // another kept pair (transitive chains) — never both lost
-    val snapIds = VersionedStore.readTable(spark, store, r.version, "vectors")
+    assert(VersionedStore.readTable(spark, store, r.version, "vectors")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(packing.select("doc_id").collect().map(_.getLong(0)).toSet
-      === snapIds)
-    val keptSet = graft.queries.ExtensionQueries.x57_filter_verdict(spark, sf)
-      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
-    val keptPairs = graft.queries.ExtensionQueries
-      .x02_dedup_minhash(spark, sf)
-      .collect().map(p => (p.getLong(0), p.getLong(1)))
-      .filter { case (a, b) => keptSet(a) && keptSet(b) }
-    val losers = keptPairs.map(_._2).toSet
-    keptPairs.foreach { case (d1, d2) =>
-      assert(!snapIds.contains(d2), s"near-dup loser $d2 kept")
-      assert(snapIds.contains(d1) || losers.contains(d1),
-        s"pair ($d1,$d2): canonical lost without replacement")
-    }
+      === packing.select("doc_id").collect().map(_.getLong(0)).toSet)
 
     // snapshot is pinned: a second pipeline run appends a new version
     // and the first is untouched
@@ -64,5 +94,37 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(r2.version === r.version + 1)
     assert(VersionedStore.readTable(spark, store, r.version, "vectors").count()
       === before)
+  }
+
+  test("synthetic PII is masked in the published snapshot") {
+    import spark.implicits._
+    // the testdata corpus is PII-free, so the reconcile test above
+    // only proves the no-op path; this fixture drives the rewrite
+    // end-to-end through the pipeline. Docs must PASS the x57 verdict:
+    // ~120 distinct long tokens -> quality 1.0, dup_frac 0, lang en.
+    def body(seed: String) =
+      (0 until 120).map(i => s"${seed}unique${i}word").mkString(" ")
+    val rows = Seq(
+      (1L, s"reach Jane.Doe+x@corp.example.org now ${body("alpha")}"),
+      (2L, s"see https://example.org/a?b=c then ${body("bravo")}"),
+      (3L, s"card 4111222233334444 noted ${body("charlie")}"),
+      (4L, body("delta")))
+      .map { case (id, t) => (id, t, "en", "fixture", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pii").toString
+    rows.write.parquet(s"$dir/documents.parquet")
+
+    val r = Pipeline.run(spark, dir, s"$dir/store")
+    assert(r.kept === 4 && r.heldOutEval === 0 && r.prunedNearDup === 0)
+    assert(r.piiMaskedDocs === 3)
+    val pub = VersionedStore.readTable(spark, s"$dir/store", r.version, "documents")
+      .select("doc_id", "text", "n_pii").collect()
+      .map(row => row.getLong(0) -> ((row.getString(1), row.getInt(2)))).toMap
+    assert(pub(1L)._1.startsWith("reach <EMAIL> now"))
+    assert(pub(2L)._1.startsWith("see <URL> then"))
+    assert(pub(3L)._1.startsWith("card <NUM> noted"))
+    assert(!pub.values.exists(v => v._1.contains("@") || v._1.contains("http")
+      || v._1.contains("4111222233334444")))
+    assert(pub(1L)._2 === 1 && pub(4L)._2 === 0)
   }
 }

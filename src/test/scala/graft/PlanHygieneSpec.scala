@@ -104,4 +104,20 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     // exactly the one Exchange the final orderBy needs
     assert("Exchange".r.findAllIn(p).size <= 1, s"unexpected shuffles:\n$p")
   }
+
+  test("Pipeline near-dup banding scans ONLY the survivor frame") {
+    // round-6 verdict #1: the banding core must take the run-private
+    // survivor corpus as its scan root — a full-corpus parquet rescan
+    // (the old x02 + semi-join shape) would show up here as a
+    // FileSourceScan / parquet relation in the pair plan.
+    import spark.implicits._
+    val survivors = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val (pairs, sh) = Pipeline.dedupPairsOf(survivors)
+    try {
+      val p = pairs.queryExecution.optimizedPlan.toString
+      assert(!p.toLowerCase.contains("parquet") && !p.contains("FileScan"),
+        s"banding input is not the survivor frame:\n$p")
+    } finally sh.unpersist()
+  }
 }
