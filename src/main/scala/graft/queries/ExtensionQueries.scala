@@ -1263,18 +1263,24 @@ object ExtensionQueries {
   }
 
   /** x51's overlap measure over ANY (doc_id, shingle) train posting vs
-    * a DISTINCT benchmark-gram set — split out so the end-to-end
-    * Pipeline can gate its survivor corpus against the eval slice
-    * without recomputing the full-corpus posting. ONE pass over the
-    * posting: the broadcast left join marks hits and a single groupBy
-    * counts totals and hits together (the previous two-aggregation +
-    * rejoin shape cost an extra shuffle for nothing — `evalGrams` is
-    * distinct, so the join never duplicates a posting row).
+    * a benchmark-gram set — split out so the end-to-end Pipeline can
+    * gate its survivor corpus against the eval slice without
+    * recomputing the full-corpus posting. ONE pass over the posting:
+    * the broadcast left join marks hits and a single groupBy counts
+    * totals and hits together (the previous two-aggregation + rejoin
+    * shape cost an extra shuffle for nothing). The single-pass shape
+    * is only correct when the gram side is distinct — a duplicate
+    * gram row would multiply posting rows through the left join,
+    * inflating BOTH counts — so distinctness is enforced HERE, at the
+    * definition, not trusted to each call site (round-7 ADVICE); a
+    * caller passing an already-distinct frame pays nothing, Catalyst
+    * collapses distinct-over-distinct.
     */
   private[graft] def contaminationOf(trainSh: DataFrame,
       evalGrams: DataFrame): DataFrame =
     trainSh
-      .join(broadcast(evalGrams.withColumn("__hit", lit(1))),
+      .join(broadcast(evalGrams.select("shingle").distinct()
+          .withColumn("__hit", lit(1))),
         Seq("shingle"), "left")
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_grams"),

@@ -106,7 +106,16 @@ object Upsert {
       else mergeByKey(
         spark.read.parquet(path).filter(col(partCol).isin(vals: _*)),
         updates, key)
-    val pinned = materialize match {
+    def writeBack(pinned: DataFrame): Unit =
+      pinned.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol)
+        .parquet(path)
+    // per-invocation token: concurrent merges to ONE table must not
+    // share a staging path (round-7 verdict #2 — the fixed
+    // `<path>__graft_stage` name collided)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    materialize match {
       case Materialize.Local =>
         // localCheckpoint blocks live on executors: if one dies while
         // the overwrite below is in flight, recomputation falls back to
@@ -117,21 +126,39 @@ object Upsert {
           "Materialize.Local is unsafe with dynamic executor allocation " +
             "(released executors drop checkpoint blocks mid-write); use " +
             "Materialize.Reliable(dir) or Materialize.Stage")
-        merged.localCheckpoint(eager = true)
+        writeBack(merged.localCheckpoint(eager = true))
       case Materialize.Reliable(dir) =>
-        spark.sparkContext.setCheckpointDir(dir)
-        merged.checkpoint(eager = true)
+        stageAndWrite(merged,
+          new org.apache.hadoop.fs.Path(dir, s"graft_stage_$token"), writeBack)
       case Materialize.Stage =>
-        val stage = new org.apache.hadoop.fs.Path(path + "__graft_stage")
-        merged.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-        spark.read.parquet(stage.toString)
+        stageAndWrite(merged,
+          new org.apache.hadoop.fs.Path(s"${path}__graft_stage_$token"),
+          writeBack)
     }
-    pinned.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol)
-      .parquet(path)
-    if (materialize == Materialize.Stage)
-      fs.delete(new org.apache.hadoop.fs.Path(path + "__graft_stage"), true)
+  }
+
+  /** Stage `merged` as parquet under `stage` (a durable-FS directory),
+    * hand the re-read — lineage severed from the table being
+    * overwritten — to `write`, and ALWAYS delete the stage, also on
+    * failure (round-7 verdict #2: a success-only delete leaked the
+    * staging directory on any failed overwrite). Parquet staging is
+    * also how Reliable materializes now: the previous RDD
+    * `checkpoint()` clobbered any session checkpoint dir via
+    * `setCheckpointDir` and its `rdd-*` directories were never
+    * cleaned without `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * (round-7 verdict #3); a parquet stage on the same durable root
+    * has the identical fault-tolerance — survives executor loss, no
+    * lineage back to the target — with scoped cleanup and no session
+    * mutation.
+    */
+  private def stageAndWrite(merged: DataFrame,
+      stage: org.apache.hadoop.fs.Path, write: DataFrame => Unit): Unit = {
+    val spark = merged.sparkSession
+    val sfs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      merged.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      write(spark.read.parquet(stage.toString))
+    } finally sfs.delete(stage, true)
   }
 }
 
@@ -146,16 +173,20 @@ object Materialize {
     */
   case object Local extends Materialize
 
-  /** Reliable `checkpoint()` into `dir` on the cluster FS — survives
-    * executor loss; right for long-lived clusters with a durable
-    * checkpoint root.
+  /** Stage the merged slice as parquet under `dir` on a durable
+    * cluster FS — survives executor loss; right for long-lived
+    * clusters with a durable scratch root. The staging subdirectory
+    * is per-invocation and deleted after the write (also on failure);
+    * the session's checkpoint configuration is never touched.
     */
   final case class Reliable(dir: String) extends Materialize
 
-  /** Stage the merged slice to `<path>__graft_stage` as parquet,
-    * re-read it, overwrite, delete the stage — fault-tolerant with no
-    * checkpoint-dir configuration, at the cost of one extra write of
-    * the touched slice (never the whole table).
+  /** Stage the merged slice to `<path>__graft_stage_<token>` as
+    * parquet, re-read it, overwrite, delete the stage (also on
+    * failure) — fault-tolerant with no scratch-dir configuration, at
+    * the cost of one extra write of the touched slice (never the
+    * whole table). The per-invocation token keeps concurrent merges
+    * to one table from sharing a staging path.
     */
   case object Stage extends Materialize
 }

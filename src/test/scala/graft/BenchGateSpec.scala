@@ -53,6 +53,60 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.suspects(times, ledger).isEmpty)
   }
 
+  test("a uniform 7x contended run still flags under the median cap") {
+    // round-6 ADVICE: an UNCAPPED median normalization would raise the
+    // spike bar to 3 x 7 = 21x and certify the whole run; capped at
+    // 2.0 the bar is 6x and every >0.5 s query at 7x surfaces
+    val times = ledger.view.mapValues(_ * 7.0).toMap
+    assert(Bench.suspects(times, ledger).nonEmpty)
+  }
+
+  test("p90LedgerRatio surfaces the tail and ignores sub-floor noise") {
+    val led = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 0.1)
+    // d is 4x its ledger but measured at 0.4 s — noise-scale, excluded
+    val times = Map("a" -> 1.0, "b" -> 1.1, "c" -> 2.6, "d" -> 0.4)
+    assert(Bench.p90LedgerRatio(times, led) === 2.6)
+    assert(Bench.p90LedgerRatio(Map("d" -> 0.4), led) === -1.0)
+  }
+
+  test("contendedVerdict: judge-idle shape — high loadavg downgraded by per-query evidence") {
+    // round-6 verdict #1: loadavg 2.63 from a just-exited JVM, zero
+    // suspects, steal 0.06%, median ~1.0, tail at trend => clean
+    assert(!Bench.contendedVerdict(2.63, 0.06, 0, 1.0, 1.1))
+  }
+
+  test("contendedVerdict: the committed-r7 artifact shape — median at trend, 2-2.7x tails => contended") {
+    // round-7 verdict #1: median 1.114 passed the old median-only bar
+    // while x56/x55/x28 ran at 2.1-2.7x ledger under loadavg 8.12
+    assert(Bench.contendedVerdict(8.12, 0.5, 0, 1.114, 2.1))
+  }
+
+  test("contendedVerdict: steal > 5% or an unresolved suspect always taints") {
+    assert(Bench.contendedVerdict(0.5, 7.2, 0, 1.0, 1.0))
+    assert(Bench.contendedVerdict(0.5, 0.1, 1, 1.0, 1.0))
+  }
+
+  test("contendedVerdict: an invalid steal sample cannot prove a high-loadavg run clean") {
+    assert(Bench.contendedVerdict(2.63, -1.0, 0, 1.0, 1.0))
+    // ... but a low-loadavg run needs no proof in the first place
+    assert(!Bench.contendedVerdict(1.0, -1.0, 0, 1.0, 1.0))
+  }
+
+  test("contendedVerdict: no ledger overlap (ratios -1) cannot prove a high-loadavg run clean") {
+    assert(Bench.contendedVerdict(2.63, 0.06, 0, -1.0, -1.0))
+    // p90 of -1 alone (all overlapping queries under the evidence
+    // floor) is absence of tail evidence — the median still certifies
+    assert(!Bench.contendedVerdict(2.63, 0.06, 0, 1.0, -1.0))
+  }
+
+  test("loadLedger drops only a malformed entry, never the whole gate") {
+    val f = java.nio.file.Files.createTempFile("ledger_bad", ".json")
+    // "." matches the numeric charset but fails toDouble — round-6
+    // ADVICE: one bad token must not silently disable the gate
+    java.nio.file.Files.writeString(f, """{"good":0.45,"bad":.,"also":1.2}""")
+    assert(Bench.loadLedger(f.toString) == Map("good" -> 0.45, "also" -> 1.2))
+  }
+
   test("loadLedger parses the flat JSON object Bench emits") {
     val f = java.nio.file.Files.createTempFile("ledger", ".json")
     java.nio.file.Files.writeString(f,
