@@ -108,23 +108,33 @@ object ExtensionQueries {
     * the full run's pairs among those docs.
     */
   private[graft] def minhashPairsFromShingles(sh: DataFrame): DataFrame = {
-    val K = 12; val BandSize = 3
-    // All K minhashes in ONE groupBy pass (K agg expressions over the
-    // posting rows) — no K-way row blowup, no second shuffle, no
-    // collect_list: the signature build is a single map-side-combinable
-    // aggregation, which is what survives 100 TB.
-    val mhAggs = (0 until K).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
-    val sig = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-    val bandCols = (0 until K / BandSize).map(b =>
-      concat_ws("|", (0 until BandSize).map(j => col(s"mh${b * BandSize + j}")): _*))
-    val bands = sig.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    val bands = bandsOf(sh)
     val b1 = bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
     val b2 = bands.select(col("doc_id").as("d2"), col("band"), col("sig"))
     val cand = b1.join(b2, Seq("band", "sig")).filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
     jaccardOf(cand, sh)
+  }
+
+  /** The x02 LSH band signatures — (doc_id, band, sig) — over any
+    * (doc_id, shingle) posting. All K minhashes in ONE groupBy pass (K
+    * agg expressions over the posting rows) — no K-way row blowup, no
+    * second shuffle, no collect_list: the signature build is a single
+    * map-side-combinable aggregation, which is what survives 100 TB.
+    * Per-doc signatures don't depend on the rest of the corpus, which
+    * is exactly why banded postings compose: restricted corpora (the
+    * Pipeline's survivors), incremental batches (x60, the dedup
+    * stream), and the full corpus (x02) all share this one definition.
+    */
+  private[graft] def bandsOf(sh: DataFrame): DataFrame = {
+    val K = 12; val BandSize = 3
+    val mhAggs = (0 until K).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+    val sig = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    val bandCols = (0 until K / BandSize).map(b =>
+      concat_ws("|", (0 until BandSize).map(j => col(s"mh${b * BandSize + j}")): _*))
+    sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
   }
 
   /** Exact shingle Jaccard for candidate pairs via two semi-joins into
@@ -1380,15 +1390,8 @@ object ExtensionQueries {
   // reported pairs are a subset of x02's — restricted to those
   // touching the batch, with flags for which side is new.
   def x60_incremental_dedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val K = 12; val BandSize = 3
     val sh = docShingles(Tables.documents(spark, sfDir))
-    val mhAggs = (0 until K).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
-    val sig = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-    val bandCols = (0 until K / BandSize).map(b =>
-      concat_ws("|", (0 until BandSize).map(j => col(s"mh${b * BandSize + j}")): _*))
-    val bands = sig.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    val bands = bandsOf(sh)
     val bNew = bands.filter(pmod(col("doc_id"), lit(10)) === 7)
       .select(col("doc_id").as("dn"), col("band"), col("sig"))
     val bAll = bands.select(col("doc_id").as("da"), col("band"), col("sig"))

@@ -1,0 +1,190 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.queries.{ExtensionQueries, ReferenceQueries}
+
+/** The always-on ingest the reference's worker actually is
+  * (`worker.py:139-150`: poll, process the batch, mark it done, loop)
+  * — WITH the near-dedup gate a production corpus needs in that loop:
+  * each micro-batch drops near-duplicates against everything already
+  * accepted BEFORE vectorizing, so duplicate text never costs
+  * tokenize+join+axpy work and never reaches the training store.
+  *
+  * This composes x60's incremental shape into the streaming loop. The
+  * accepted corpus's LSH band postings are a maintained artifact —
+  * nothing re-tokenizes or re-minhashes history when a batch lands:
+  *
+  *   - `postings/batch=N/` — (doc_id, band, sig) of every ACCEPTED
+  *     doc, written once when its batch was processed. Candidate
+  *     generation per batch is batch-bands x postings — O(batch) band
+  *     probes against an indexed artifact, never O(corpus^2) and
+  *     never a corpus re-scan.
+  *   - `docs/batch=N/` — (doc_id, text) of every accepted doc. Read
+  *     ONLY with the candidate ids pushed down as a parquet `In`
+  *     filter: exact-Jaccard verification re-shingles the handful of
+  *     history docs a candidate pair touches, not the corpus.
+  *   - `vectors/` — the same merged doc-vector store VectorizeStream
+  *     maintains, now fed survivors only.
+  *
+  * Exactly-once: checkpointed file-source offsets make each input
+  * file process once per checkpoint lineage, and every per-batch write
+  * is idempotent — postings/docs land in a `batch=N` directory that a
+  * replayed batch OVERWRITES (same batch id, same content), and the
+  * vector store is merge-by-key. A replayed batch must also see the
+  * same history it saw the first time, so history reads anti-join the
+  * current batch's ids: a crash between the postings write and the
+  * vector write would otherwise replay the batch against its own
+  * half-written postings and resolve new-vs-new ties as new-vs-history
+  * (dropping the wrong side).
+  *
+  * Drop policy (arrival order is canonical, matching the Pipeline's
+  * anti-join shape): a batch doc that pairs with an accepted history
+  * doc drops; of a within-batch pair, the higher doc_id drops. Dropped
+  * docs leave NO trace in the artifacts — later batches dedup against
+  * survivors, exactly like the Pipeline's survivor-only banding.
+  */
+object DedupStream {
+
+  private[streaming] val bandSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("band", IntegerType),
+    StructField("sig", StringType)))
+
+  private[streaming] val keptDocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** Stream docs from `docsDir`; per micro-batch drop near-dups
+    * against the accepted corpus, then vectorize survivors with the
+    * given word-vector dim table into `storeRoot/vectors`.
+    */
+  def start(spark: SparkSession, docsDir: String, wordvecs: DataFrame,
+      dim: Int, storeRoot: String, checkpoint: String): StreamingQuery = {
+    val docs = spark.readStream.schema(VectorizeStream.docSchema).parquet(docsDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch.select("doc_id", "text"), batchId,
+          wordvecs, dim, storeRoot)
+      }
+      .start()
+  }
+
+  /** One micro-batch: dedup against history, persist the survivors'
+    * artifacts idempotently, vectorize survivors.
+    */
+  private[streaming] def processBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, wordvecs: DataFrame, dim: Int, storeRoot: String): Unit = {
+    val batchDocs = batch.persist()
+    try {
+      val batchIds = batchDocs.select("doc_id")
+      // replay safety: a re-run batch subtracts itself from history
+      // (its own ids are unique stream-wide, so the anti-join restores
+      // exactly the pre-batch state)
+      val histBands = readOrEmpty(spark, s"$storeRoot/postings", bandSchema)
+        .select("doc_id", "band", "sig")
+        .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+      val histDocs = readOrEmpty(spark, s"$storeRoot/docs", keptDocSchema)
+        .select("doc_id", "text")
+        .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+      val sh = ExtensionQueries.docShingles(batchDocs, persistShared = false)
+        .persist()
+      val batchBands = ExtensionQueries.bandsOf(sh).persist()
+      try {
+        val (drops, cand) = dropsOf(sh, batchBands, histBands, histDocs)
+        try {
+          val survivors = batchDocs
+            .join(drops, Seq("doc_id"), "left_anti").persist()
+          try {
+            batchBands
+              .join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+              .write.mode(SaveMode.Overwrite)
+              .parquet(s"$storeRoot/postings/batch=$batchId")
+            survivors.write.mode(SaveMode.Overwrite)
+              .parquet(s"$storeRoot/docs/batch=$batchId")
+            val vecs = ReferenceQueries.docVectors(survivors, wordvecs, dim)
+              .select("doc_id", "known_ratio", "vec")
+            VectorizeStream.upsertStore(spark, vecs, s"$storeRoot/vectors")
+          } finally survivors.unpersist()
+        } finally cand.unpersist()
+      } finally { batchBands.unpersist(); sh.unpersist() }
+    } finally batchDocs.unpersist()
+  }
+
+  /** The per-batch dedup core — split out so the spec can pin both
+    * its answer (equality with a batch replay of the x02 core) and
+    * its PLAN (history enters as the postings artifact and an
+    * id-pruned docs read; the corpus is never re-banded or re-read).
+    *
+    * The candidate join scans the postings artifact linearly — but
+    * that is ~20 bytes/doc of (doc_id, band, sig), not the text: the
+    * expensive tokenize+minhash work happens only on the batch. At
+    * warehouse scale the artifact would additionally be bucketed by
+    * (band, sig) so the probe co-locates without a shuffle — here it
+    * is batch-appended and the equi-join shuffles both (small) sides.
+    *
+    * NOT lazy: the candidate historical ids are collected and pushed
+    * into the docs read as a parquet `In` filter. The set is bounded
+    * metadata — O(batch x band-collisions), the same class as
+    * Upsert's distinct partition values — and the pushdown is what
+    * keeps the text artifact read candidate-sized instead of
+    * corpus-sized (a semi join would bound the shingling but still
+    * scan every text row).
+    *
+    * Returns (drop ids, candidate handle). The tagged candidate frame
+    * is scanned three times (historical-id extraction, Jaccard
+    * verification, drop attribution), so it is persisted here and
+    * MUST be unpersisted by the caller — same contract as
+    * [[graft.Pipeline.dedupPairsOf]].
+    */
+  private[graft] def dropsOf(batchSh: DataFrame, batchBands: DataFrame,
+      histBands: DataFrame, histDocs: DataFrame): (DataFrame, DataFrame) = {
+    val bNew = batchBands.select(col("doc_id").as("dn"), col("band"), col("sig"))
+    val bHist = histBands.select(col("doc_id").as("da"), col("band"), col("sig"))
+      .withColumn("da_new", lit(false))
+    val bSelf = batchBands.select(col("doc_id").as("da"), col("band"), col("sig"))
+      .withColumn("da_new", lit(true))
+    // one tagged candidate row per (unordered pair): who drops if the
+    // pair verifies, and which side needs history shingles. A
+    // within-batch pair surfaces from both directions of the band
+    // join; least/greatest + distinct collapses it (both directions
+    // agree: the higher id drops).
+    val tagged = bNew.join(bSelf.unionByName(bHist), Seq("band", "sig"))
+      .filter(col("dn") =!= col("da"))
+      .select(
+        least(col("dn"), col("da")).as("d1"),
+        greatest(col("dn"), col("da")).as("d2"),
+        when(col("da_new"), greatest(col("dn"), col("da")))
+          .otherwise(col("dn")).as("drop_id"),
+        when(col("da_new"), lit(null).cast("long"))
+          .otherwise(col("da")).as("hist_id"))
+      .distinct()
+      .persist()
+    // exact-Jaccard verify needs shingles for both sides: the batch's
+    // are already in hand; history's are re-shingled for ONLY the
+    // candidate docs, ids pushed down into the parquet scan
+    val histIds = tagged.select(col("hist_id"))
+      .filter(col("hist_id").isNotNull).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val histSh = ExtensionQueries.docShingles(
+      if (histIds.isEmpty) histDocs.limit(0)
+      else histDocs.filter(col("doc_id").isin(histIds: _*)),
+      persistShared = false)
+    val verified = ExtensionQueries.jaccardOf(
+      tagged.select("d1", "d2").distinct(), batchSh.unionByName(histSh))
+    val drops = verified.join(tagged, Seq("d1", "d2"))
+      .select(col("drop_id").as("doc_id")).distinct()
+    (drops, tagged)
+  }
+
+  private def readOrEmpty(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+}

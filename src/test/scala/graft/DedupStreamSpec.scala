@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.DedupStream
+
+/** Round-7 verdict #1 (open since r5): the always-on ingest must drop
+  * near-dups against the accepted corpus per micro-batch, paying
+  * O(batch), not the full-corpus cost. Answer equality is pinned
+  * against a batch replay built from the oracle-checked x02 core
+  * (`minhashPairsFromShingles` — hash-verified via x02/x60 at sf0.01),
+  * plus the stream's arrival-order drop policy applied in plain Scala.
+  */
+class DedupStreamSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def stage(docsDir: java.nio.file.Path, work: java.nio.file.Path,
+      name: String, cond: Column): DataFrame = {
+    val tmp = work.resolve(s"stage_$name")
+    val half = Tables.documents(spark, sf).filter(cond)
+    half.coalesce(1).write.parquet(tmp.toString)
+    val part = Files.list(tmp).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.copy(Paths.get(part), docsDir.resolve(s"$name.parquet"))
+    half
+  }
+
+  /** Batch replay of the stream's drop policy via the x02 core: pairs
+    * over accepted ∪ batch (per-doc signatures are corpus-independent,
+    * so the restricted banding equals the full run restricted);
+    * history side canonical, within-batch the higher id drops.
+    */
+  private def expectedDrops(accepted: DataFrame, batch: DataFrame): Set[Long] = {
+    val all = accepted.select("doc_id", "text")
+      .unionByName(batch.select("doc_id", "text"))
+    val sh = graft.queries.ExtensionQueries
+      .docShingles(all, persistShared = false).persist()
+    try {
+      val pairs = graft.queries.ExtensionQueries
+        .minhashPairsFromShingles(sh).select("d1", "d2")
+        .as[(Long, Long)].collect()
+      val histIds = accepted.select("doc_id").as[Long].collect().toSet
+      pairs.flatMap { case (d1, d2) =>
+        if (histIds(d1) && histIds(d2)) None // pair untouched by the batch
+        else if (histIds(d1)) Some(d2)
+        else if (histIds(d2)) Some(d1)
+        else Some(math.max(d1, d2))
+      }.toSet
+    } finally { sh.unpersist(); () }
+  }
+
+  test("streamed keep/drop equals the batch replay; checkpoint resume is exactly-once") {
+    val work = Files.createTempDirectory("graft_dstream")
+    val docsDir = work.resolve("docs_in")
+    Files.createDirectory(docsDir)
+    val store = work.resolve("store").toString
+    val ckpt = work.resolve("ckpt").toString
+    val wordvecs = graft.queries.ReferenceQueries.wordvecs8(spark, sf)
+
+    // ---- batch 1: first half of the corpus, empty history
+    val b1 = stage(docsDir, work, "a", col("doc_id") < 250)
+    DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt)
+      .awaitTermination(180000)
+    val drops1 = expectedDrops(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      b1.select("doc_id", "text"))
+    val acc1Exp = b1.select("doc_id").as[Long].collect().toSet -- drops1
+    val acc1Got = spark.read.parquet(s"$store/docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(acc1Got === acc1Exp, "batch-1 survivors diverge from the x02 replay")
+
+    // ---- batch 2: second half, deduped against batch-1 SURVIVORS
+    val b2 = stage(docsDir, work, "b", col("doc_id") >= 250)
+    val q2 = DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt)
+    q2.awaitTermination(180000)
+    assert(q2.recentProgress.map(_.numInputRows).sum === b2.count(),
+      "resumed run must ingest only the newly-arrived file")
+
+    val accepted1 = b1.select("doc_id", "text")
+      .filter(!col("doc_id").isin(drops1.toSeq: _*))
+    val drops2 = expectedDrops(accepted1, b2.select("doc_id", "text"))
+    val accExp = acc1Exp ++ (b2.select("doc_id").as[Long].collect().toSet -- drops2)
+    val accGot = spark.read.parquet(s"$store/docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(accGot === accExp, "batch-2 survivors diverge from the x02 replay")
+
+    // the testdata plants near-dups across the split: both drop modes fired
+    assert(drops1.nonEmpty, "expected within-batch near-dups in batch 1")
+    assert(drops2.nonEmpty, "expected batch-vs-history near-dups in batch 2")
+
+    // vector store holds exactly the survivors (vectorize ran post-gate)
+    assert(spark.read.parquet(s"$store/vectors").count() === accExp.size)
+
+    // postings artifact covers exactly the survivors, K/BandSize rows each
+    val postings = spark.read.parquet(s"$store/postings")
+    assert(postings.select("doc_id").distinct()
+      .as[Long].collect().toSet === accExp)
+    assert(postings.count() === accExp.size * 4L)
+  }
+
+  test("per-batch plan touches history only through the artifacts (no corpus rescan)") {
+    val work = Files.createTempDirectory("graft_dstream_plan")
+    val root = work.resolve("store").toString
+    // toy artifacts standing in for accepted history: doc 10's REAL
+    // band signatures (fakes would never collide with the batch's)
+    val hist = Seq((10L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    hist.write.parquet(s"$root/docs/batch=0")
+    graft.queries.ExtensionQueries.bandsOf(
+        graft.queries.ExtensionQueries.docShingles(hist, persistShared = false))
+      .write.parquet(s"$root/postings/batch=0")
+
+    // the batch doc is a verbatim dup of history doc 10: every band
+    // collides, so the candidate/verify path is fully exercised
+    val batch = Seq((11L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val sh = graft.queries.ExtensionQueries
+      .docShingles(batch, persistShared = false).persist()
+    val bands = graft.queries.ExtensionQueries.bandsOf(sh).persist()
+    val histBands = spark.read.parquet(s"$root/postings")
+      .select("doc_id", "band", "sig")
+    val histDocs = spark.read.parquet(s"$root/docs").select("doc_id", "text")
+    // candidate generation itself must never read text: the postings
+    // probe's scan carries no text column by construction (bandSchema)
+    val (drops, cand) = DedupStream.dropsOf(sh, bands, histBands, histDocs)
+    try {
+      assert(!cand.columns.contains("text"))
+      val physical = drops.queryExecution.executedPlan.toString
+      // the docs-artifact read is candidate-pruned: ids pushed into
+      // the parquet scan, not a corpus-wide text scan (a 1-element In
+      // is rewritten to EqualTo before pushdown — both count)
+      assert("(In|EqualTo)\\(doc_id".r.findFirstIn(physical).isDefined,
+        s"docs read is not id-pruned:\n$physical")
+      // and NOTHING in the per-batch plan rescans the corpus source:
+      // every file relation is one of the two maintained artifacts
+      val rels = drops.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString).mkString(",")
+            case other => other.toString
+          }
+      }
+      assert(rels.nonEmpty, "expected the docs artifact in the verify plan")
+      assert(rels.forall(p => p.contains("/docs") || p.contains("/postings")),
+        s"unexpected non-artifact scan in the per-batch plan: $rels")
+      // and the verdict itself: the history doc is canonical, the new
+      // dup drops
+      assert(drops.as[Long].collect().toSeq === Seq(11L))
+    } finally { cand.unpersist(); bands.unpersist(); sh.unpersist() }
+  }
+}
