@@ -25,7 +25,10 @@ import graft.sources.VersionedStore
   *      hold-out gates have already dropped most rows)
   *   5. contamination gate (x51's core): survivors sharing ≥ 50% of
   *      their distinct 8-grams with the eval slice are dropped
-  *   6. doc vectors for the final corpus (the reference's E1 flagship)
+  *   6. doc vectors for the final corpus (the reference's E1
+  *      flagship), per-language: each doc tokenized by its own
+  *      language's rule and joined to its own language's word-vector
+  *      table (q32's `docVectorsByLang` core)
   *   7. sequence packing of the final corpus into fixed-size training
   *      sequences (the x59 pack-then-chunk shape, survivor-only)
   *   8. publish masked documents + vectors + packing as ONE immutable
@@ -69,9 +72,10 @@ object Pipeline {
     val kept = keepIds.count()
 
     // 2. mask the whole corpus once (one codegen'd projection — doing
-    // it pre-split keeps train text and eval grams byte-identical)
-    val masked = AnalyticsQueries.piiMaskOf(docs)
-      .select(col("doc_id"), col("masked").as("text"),
+    // it pre-split keeps train text and eval grams byte-identical);
+    // lang rides through to the per-language vectorizer in step 6
+    val masked = AnalyticsQueries.piiMaskOf(docs, keep = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("masked").as("text"),
         (col("n_emails") + col("n_urls") + col("n_longnums")).as("n_pii"))
 
     // 3. hold out the eval slice, then pin the masked train corpus:
@@ -112,10 +116,14 @@ object Pipeline {
     val piiMaskedDocs = corpus.filter(col("n_pii") > 0).count()
     afterDedup.unpersist()
 
-    // 6. flagship vectors for the final corpus
-    val vecs = ReferenceQueries.docVectors(
-      corpus, ReferenceQueries.wordvecs8(spark, sfDir), ReferenceQueries.VecDim)
-      .select(col("doc_id"), col("known_ratio"), col("vec"))
+    // 6. flagship vectors for the final corpus — per-language end to
+    // end (q32's core): each doc tokenized by its own language's rule,
+    // joined to its own language's word-vector table, the way the
+    // reference runs one worker per language
+    val vecs = ReferenceQueries.docVectorsByLang(
+      corpus, ReferenceQueries.wordvecsByLang(spark, sfDir),
+      ReferenceQueries.VecDim)
+      .select(col("doc_id"), col("lang"), col("known_ratio"), col("vec"))
 
     // 7. pack ONLY the final corpus into training sequences (no shared
     // corpus cache: the survivor posting is this run's private frame)

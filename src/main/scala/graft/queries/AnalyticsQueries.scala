@@ -597,10 +597,13 @@ object AnalyticsQueries {
   /** The mask projection WITHOUT the presentation sort — the Pipeline
     * rewrites its whole corpus through this and every downstream stage
     * re-shuffles anyway, so x48's orderBy would be a wasted global
-    * sort there.
+    * sort there. `keep` names input columns to carry through untouched
+    * (the Pipeline threads `lang` to the per-language vectorizer);
+    * x48's own output schema stays pinned by passing none.
     */
-  private[graft] def piiMaskOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+  private[graft] def piiMaskOf(docs: DataFrame,
+      keep: Seq[String] = Nil): DataFrame =
+    docs.select((col("doc_id") +: keep.map(col)) ++ Seq(
       // group idx 0 (whole match) MUST be explicit: Spark's default is
       // group 1, which THROWS on a groupless pattern — but only when a
       // row actually matches, so the bug hides on match-free data
@@ -612,7 +615,7 @@ object AnalyticsQueries {
         .as("masked_hash"),
       regexp_replace(regexp_replace(regexp_replace(col("text"),
         EmailRe, "<EMAIL>"), UrlRe, "<URL>"), NumRe, "<NUM>")
-        .as("masked"))
+        .as("masked")): _*)
 
   def x48_pii_mask(spark: SparkSession, sfDir: String): DataFrame =
     piiMask(Tables.documents(spark, sfDir)).drop("masked")

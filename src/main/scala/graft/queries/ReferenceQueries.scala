@@ -615,6 +615,137 @@ object ReferenceQueries {
        |FROM k JOIN documents doc USING (doc_id) LEFT JOIN vagg v USING (doc_id)
        |ORDER BY k.doc_id""".stripMargin
 
+  // ======================================================================
+  // The MULTI-LANGUAGE flagship. The reference deploys one worker per
+  // language, each against its own `fasttext.word-vectors-<lang>` table
+  // (`worker.py:17-20`, `enter_wordvecs.py:8`); the engine-native form
+  // is ONE plan over the mixed corpus: tokenize each doc by its own
+  // language's rule, join a (lang, token)-keyed dimension, axpy per
+  // doc. q30 exercised the per-language tokenizer against the single
+  // shared table; q32 completes the deployment shape with per-language
+  // vocabularies and idf.
+
+  /** Per-language word-vector dimension — every language's vocabulary,
+    * occurrence counts, and idf (quirks A2 + F6) computed WITHIN that
+    * language, exactly what the reference's per-collection idf job
+    * produces (`calculate_idf_scores.py:28-77` runs per deployment),
+    * stacked into one (lang, token, idf, vec) frame. A language with
+    * zero qualifying posts has no dimension rows — the reference would
+    * not deploy a worker for it.
+    */
+  def wordvecsByLang(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tok = parallelized(docs).select(col("doc_id"), col("lang"),
+      explode(Tokenize.tokensByLang(col("text"), col("lang"))).as("token"))
+    val vocab = tok.select("lang", "token").distinct()
+      .filter(length(col("token")) >= 4)
+    val posts = docs.filter(col("n_chars") >= 100).select("doc_id", "lang")
+    val nDf = posts.groupBy("lang").agg(count(lit(1)).cast("double").as("n_posts"))
+    val occ = tok.join(posts.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("lang", "token").agg(count(lit(1)).as("c"))
+    val raw = vocab.join(occ, Seq("lang", "token"), "left")
+      .withColumn("occurrences", coalesce(col("c"), lit(0L)))
+      .join(broadcast(nDf), Seq("lang"))
+      .withColumn("raw",
+        when(col("occurrences") > 0, log10(col("n_posts") / col("occurrences")))
+          .otherwise(lit(-1.0)))
+    val minDf = raw.groupBy("lang").agg(min(col("raw")).as("min_raw"))
+    raw.join(broadcast(minDf), Seq("lang"))
+      .withColumn("idf",
+        when(col("raw") > 0, col("raw")).otherwise(col("min_raw")))
+      .withColumn("vec", pseudoVec(col("token")))
+      .select("lang", "token", "idf", "vec")
+  }
+
+  /** [[docVectors]] for a mixed-language corpus: per-language
+    * tokenization, dimension join on (lang, token), same tf/axpy core.
+    * `docs` needs (doc_id, text, lang). Output adds `lang` to the
+    * [[docVectors]] shape. The dimension stays a broadcast — per-lang
+    * vocabularies are each bounded the same way the single table is
+    * (vocab bound, BASELINE.md) and the stacked frame is their sum.
+    */
+  def docVectorsByLang(docs: DataFrame, wordvecsLang: DataFrame,
+      dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = parallelized(docs).select(col("doc_id"), col("lang"),
+      explode(Tokenize.tokensByLang(col("text"), col("lang"))).as("token"))
+    val counts = tok.groupBy("doc_id", "lang", "token")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("doc_id")
+    val tf = counts.withColumn("total", sum(col("cnt")).over(w))
+      .withColumn("tf", col("cnt").cast("double") / col("total"))
+    val joined = tf.join(broadcast(wordvecsLang), Seq("lang", "token"), "left")
+    joined.groupBy("doc_id", "lang").agg(
+      max(col("total")).as("total"),
+      count(col("idf")).as("known"),
+      VecAgg.weightedSum(dim)(
+        coalesce(col("tf") * col("idf"), lit(0.0)),
+        coalesce(col("vec"), VecMath.zeros(dim))).as("vec"))
+      .withColumn("known_ratio",
+        when(col("total") > 0, col("known").cast("double") / col("total"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** The mixed-corpus per-language vector query — q30's
+    * `map<lang, binary>` output shape over [[docVectorsByLang]] with
+    * the per-language dimension, projected to oracle-hashable scalars
+    * exactly like q30.
+    */
+  def q32_multilang_vectors(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dv = docVectorsByLang(docs, wordvecsByLang(spark, sfDir), VecDim)
+    val withMap = dv.select(col("doc_id"), col("lang"), col("known_ratio"),
+      map(col("lang"),
+        when(col("known") > 0,
+          VecCodec.floats_to_binary(col("vec").cast("array<float>"))))
+        .as("doc_vectors"))
+    withMap
+      .select(col("doc_id"),
+        map_keys(col("doc_vectors")).getItem(0).as("vec_lang"),
+        element_at(col("doc_vectors"), col("lang")).as("blob"),
+        col("known_ratio"))
+      .select(col("doc_id"), col("vec_lang"),
+        col("blob").isNull.as("null_vec"),
+        length(col("blob")).as("n_bytes"),
+        round(when(col("blob").isNotNull,
+          VecMath.vsum(VecCodec.binary_to_floats(col("blob")))), 6)
+          .as("vec_sum32"),
+        round(col("known_ratio"), 6).as("known_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val q32Sql: String =
+    s"""WITH ltok AS (SELECT doc_id, lang, unnest($SqlTokByLang) AS token FROM documents),
+       |vocab AS (SELECT DISTINCT lang, token FROM ltok WHERE length(token) >= 4),
+       |posts AS (SELECT doc_id, lang FROM documents WHERE n_chars >= 100),
+       |nn AS (SELECT lang, count(*)::DOUBLE AS n_posts FROM posts GROUP BY lang),
+       |occ AS (SELECT t.lang, t.token, count(*) AS c FROM ltok t
+       |        JOIN posts p USING (doc_id) GROUP BY t.lang, t.token),
+       |raw AS (SELECT v.lang, v.token, coalesce(o.c, 0) AS occurrences,
+       |        CASE WHEN coalesce(o.c, 0) > 0 THEN log10(n.n_posts / coalesce(o.c, 0)) ELSE -1.0 END AS raw
+       |        FROM vocab v LEFT JOIN occ o ON o.lang = v.lang AND o.token = v.token
+       |        JOIN nn n ON n.lang = v.lang),
+       |mn AS (SELECT lang, min(raw) AS min_raw FROM raw GROUP BY lang),
+       |wv AS (SELECT r.lang, r.token, CASE WHEN r.raw > 0 THEN r.raw ELSE m.min_raw END AS idf
+       |       FROM raw r JOIN mn m ON m.lang = r.lang),
+       |counts AS (SELECT doc_id, lang, token, count(*) AS cnt FROM ltok GROUP BY doc_id, lang, token),
+       |tf AS (SELECT doc_id, lang, token, cnt::DOUBLE / sum(cnt) OVER (PARTITION BY doc_id) AS tf,
+       |       sum(cnt) OVER (PARTITION BY doc_id) AS total FROM counts),
+       |j AS (SELECT f.doc_id, f.lang, f.token, f.tf, f.total, w.idf FROM tf f
+       |      LEFT JOIN wv w ON w.lang = f.lang AND w.token = f.token),
+       |k AS (SELECT doc_id, lang, max(total) AS total, count(idf) AS known FROM j GROUP BY doc_id, lang),
+       |vs AS (SELECT j.doc_id, d.range AS d,
+       |       sum(j.tf * j.idf * (((ascii(substr(j.token, (d.range % length(j.token))::INT + 1, 1)) * (d.range + 1)) % 97) / 97.0)) AS s
+       |       FROM j, range(0, ${VecDim}) d WHERE j.idf IS NOT NULL GROUP BY j.doc_id, d.range),
+       |vagg AS (SELECT doc_id, sum(s::FLOAT::DOUBLE) AS v32 FROM vs GROUP BY doc_id)
+       |SELECT k.doc_id, k.lang AS vec_lang,
+       |  (k.known = 0) AS null_vec,
+       |  (CASE WHEN k.known > 0 THEN ${VecDim * 4} END)::INT AS n_bytes,
+       |  round(CASE WHEN k.known > 0 THEN v.v32 END, 6) AS vec_sum32,
+       |  round(CASE WHEN k.total > 0 THEN k.known::DOUBLE / k.total ELSE 0.0 END, 6) AS known_ratio
+       |FROM k LEFT JOIN vagg v USING (doc_id)
+       |ORDER BY k.doc_id""".stripMargin
+
   // F1/F3/F4/F5/F7/F13: scalar function battery.
   def q13_scalar_funcs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.part(spark, sfDir).select(
@@ -898,6 +1029,7 @@ object ReferenceQueries {
       |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_multilang_vectors" -> (q32_multilang_vectors _),
     "q25_setops" -> (q25_setops _),
     "q26_running" -> (q26_running _),
     "q27_strings" -> (q27_strings _),
@@ -931,6 +1063,7 @@ object ReferenceQueries {
     "x52_incremental_idf" -> (x52_incremental_idf _))
 
   val oracleSql: Map[String, String] = Map(
+    "q32_multilang_vectors" -> q32Sql,
     "q25_setops" -> q25Sql,
     "q26_running" -> q26Sql,
     "q27_strings" -> q27Sql,

@@ -57,18 +57,19 @@ object DedupStream {
     StructField("doc_id", LongType), StructField("text", StringType)))
 
   /** Stream docs from `docsDir`; per micro-batch drop near-dups
-    * against the accepted corpus, then vectorize survivors with the
-    * given word-vector dim table into `storeRoot/vectors`.
+    * against the accepted corpus, then vectorize survivors — every
+    * language, against the (lang, token)-keyed dimension table — into
+    * `storeRoot/vectors`.
     */
-  def start(spark: SparkSession, docsDir: String, wordvecs: DataFrame,
+  def start(spark: SparkSession, docsDir: String, wordvecsLang: DataFrame,
       dim: Int, storeRoot: String, checkpoint: String): StreamingQuery = {
     val docs = spark.readStream.schema(VectorizeStream.docSchema).parquet(docsDir)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(spark, batch.select("doc_id", "text"), batchId,
-          wordvecs, dim, storeRoot)
+        processBatch(spark, batch.select("doc_id", "text", "lang"), batchId,
+          wordvecsLang, dim, storeRoot)
       }
       .start()
   }
@@ -77,7 +78,8 @@ object DedupStream {
     * artifacts idempotently, vectorize survivors.
     */
   private[streaming] def processBatch(spark: SparkSession, batch: DataFrame,
-      batchId: Long, wordvecs: DataFrame, dim: Int, storeRoot: String): Unit = {
+      batchId: Long, wordvecsLang: DataFrame, dim: Int,
+      storeRoot: String): Unit = {
     val batchDocs = batch.persist()
     try {
       val batchIds = batchDocs.select("doc_id")
@@ -105,8 +107,9 @@ object DedupStream {
               .parquet(s"$storeRoot/postings/batch=$batchId")
             survivors.write.mode(SaveMode.Overwrite)
               .parquet(s"$storeRoot/docs/batch=$batchId")
-            val vecs = ReferenceQueries.docVectors(survivors, wordvecs, dim)
-              .select("doc_id", "known_ratio", "vec")
+            val vecs = ReferenceQueries
+              .docVectorsByLang(survivors, wordvecsLang, dim)
+              .select("doc_id", "lang", "known_ratio", "vec")
             VectorizeStream.upsertStore(spark, vecs, s"$storeRoot/vectors")
           } finally survivors.unpersist()
         } finally cand.unpersist()

@@ -30,10 +30,18 @@ object VectorizeStream {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Start the vectorizer: stream docs from `docsDir`, join the given
-    * word-vector dim table, merge into `storePath` per micro-batch.
+  /** Start the vectorizer: stream docs from `docsDir`, vectorize EVERY
+    * language in each micro-batch against the (lang, token)-keyed
+    * dimension table, merge into `storePath`. The reference deploys
+    * one worker process per language (`worker.py:17-20`); the
+    * engine-native form is one stream whose per-language dispatch is a
+    * column expression (`Tokenize.tokensByLang`) and whose dimension
+    * join is keyed by (lang, token) — no language is hard-coded
+    * anywhere in the path. A doc whose language has no dimension rows
+    * still flows through with known=0 and a NULL vector (F12), exactly
+    * as the reference stores `doc_vectors=None`.
     */
-  def start(spark: SparkSession, docsDir: String, wordvecs: DataFrame,
+  def start(spark: SparkSession, docsDir: String, wordvecsLang: DataFrame,
       dim: Int, storePath: String, checkpoint: String): StreamingQuery = {
     val docs = spark.readStream.schema(docSchema).parquet(docsDir)
     docs.writeStream
@@ -41,8 +49,8 @@ object VectorizeStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val vecs = ReferenceQueries
-          .docVectors(batch.filter(col("lang") === "en"), wordvecs, dim)
-          .select("doc_id", "known_ratio", "vec")
+          .docVectorsByLang(batch, wordvecsLang, dim)
+          .select("doc_id", "lang", "known_ratio", "vec")
         upsertStore(spark, vecs, storePath)
       }
       .start()
@@ -66,7 +74,7 @@ object VectorizeStream {
     */
   def startWithRpc(spark: SparkSession, docsDir: String, wordvecs: DataFrame,
       dim: Int, storePath: String, checkpoint: String, baseUri: String,
-      lang: String = "en", target: String = "posts"): StreamingQuery = {
+      lang: String, target: String = "posts"): StreamingQuery = {
     val docs = spark.readStream.schema(docSchema).parquet(docsDir)
     docs.writeStream
       .option("checkpointLocation", checkpoint)

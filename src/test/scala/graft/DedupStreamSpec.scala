@@ -59,7 +59,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     Files.createDirectory(docsDir)
     val store = work.resolve("store").toString
     val ckpt = work.resolve("ckpt").toString
-    val wordvecs = graft.queries.ReferenceQueries.wordvecs8(spark, sf)
+    val wordvecs = graft.queries.ReferenceQueries.wordvecsByLang(spark, sf)
 
     // ---- batch 1: first half of the corpus, empty history
     val b1 = stage(docsDir, work, "a", col("doc_id") < 250)

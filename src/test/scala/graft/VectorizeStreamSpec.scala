@@ -9,7 +9,7 @@ import graft.streaming.VectorizeStream
 
 class VectorizeStreamSpec extends AnyFunSuite with SparkSpec {
 
-  test("streaming vectorizer produces the same doc vectors as batch q12") {
+  test("streaming vectorizer matches the batch multi-language pipeline (q32 core)") {
     val work = Files.createTempDirectory("graft_vstream")
     val docsDir = work.resolve("docs")
     Files.createDirectory(docsDir)
@@ -18,35 +18,38 @@ class VectorizeStreamSpec extends AnyFunSuite with SparkSpec {
     val store = work.resolve("store").toString
     val ckpt = work.resolve("ckpt").toString
 
-    // the exact q12 word-vector dim table (8-dim pseudo vectors + idf)
-    val wordvecs = graft.queries.ReferenceQueries.wordvecs8(spark, sf)
+    // the per-language dimension (one table per language, stacked) —
+    // the stream vectorizes EVERY language, like the reference's
+    // one-worker-per-language fleet in a single plan
+    val wvl = graft.queries.ReferenceQueries.wordvecsByLang(spark, sf)
 
-    val q = VectorizeStream.start(spark, docsDir.toString, wordvecs, 8,
+    val q = VectorizeStream.start(spark, docsDir.toString, wvl, 8,
       store, ckpt)
     q.awaitTermination(180000)
 
     val streamed = spark.read.parquet(store)
-    val batch = graft.queries.ReferenceQueries.q12_doc_vectors(spark, sf)
+    val batch = graft.queries.ReferenceQueries.docVectorsByLang(
+      Tables.documents(spark, sf), wvl, 8)
     assert(streamed.count() === batch.count())
 
-    // values match the oracle-checked batch pipeline (norms rounded with
-    // the same floor-formula the queries use — see ReferenceQueries.round)
+    // values match the oracle-checked batch core (q32 is its
+    // hash-verified projection): per-doc lang, known_ratio and l2 norm
+    // rounded with the same floor-formula the queries use
     def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + lit(0.5)) / 1e6
-    val s = streamed.select(col("doc_id"),
-      r6(col("known_ratio")).as("kr"),
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      col("lang"), r6(col("known_ratio")).as("kr"),
       r6(sqrt(graft.functions.VecMath.dot(col("vec"), col("vec")))).as("nrm"))
-      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val b = batch.collect().map { r =>
-      r.getLong(0) -> (r.getDouble(1), Option(r.get(3)).map(_.asInstanceOf[Double]))
-    }.toMap
-    assert(s.keySet === b.keySet)
-    for ((id, (kr, nrm)) <- s) {
-      assert(kr === b(id)._1, s"known_ratio doc $id")
-      b(id)._2.foreach(expected => assert(nrm === expected, s"norm doc $id"))
-    }
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val s = keyed(streamed)
+    val b = keyed(batch.select("doc_id", "lang", "known_ratio", "vec"))
+    assert(s === b)
+    // the corpus is genuinely mixed: several languages flowed through
+    assert(streamed.select("lang").distinct().count() >= 3)
 
     // re-running the same stream (fresh checkpoint) is idempotent
-    val q2 = VectorizeStream.start(spark, docsDir.toString, wordvecs, 8,
+    val q2 = VectorizeStream.start(spark, docsDir.toString, wvl, 8,
       store, work.resolve("ckpt2").toString)
     q2.awaitTermination(180000)
     assert(spark.read.parquet(store).count() === batch.count())
@@ -58,7 +61,7 @@ class VectorizeStreamSpec extends AnyFunSuite with SparkSpec {
     Files.createDirectory(docsDir)
     val store = work.resolve("store").toString
     val ckpt = work.resolve("ckpt").toString
-    val wordvecs = graft.queries.ReferenceQueries.wordvecs8(spark, sf)
+    val wordvecs = graft.queries.ReferenceQueries.wordvecsByLang(spark, sf)
 
     // stage the corpus as two disjoint halves, arriving one at a time
     def stage(name: String, cond: org.apache.spark.sql.Column): Long = {
@@ -87,7 +90,8 @@ class VectorizeStreamSpec extends AnyFunSuite with SparkSpec {
       s"resumed run must ingest only file b ($n2 rows), got $rows2 — file a reprocessed?")
 
     // final store equals the oracle-checked batch pipeline over the full corpus
-    val batch = graft.queries.ReferenceQueries.q12_doc_vectors(spark, sf)
+    val batch = graft.queries.ReferenceQueries.docVectorsByLang(
+      Tables.documents(spark, sf), wordvecs, 8)
     assert(spark.read.parquet(store).count() === batch.count())
   }
 }
