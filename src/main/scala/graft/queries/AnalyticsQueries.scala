@@ -583,9 +583,18 @@ object AnalyticsQueries {
   // the counts and an md5 of the masked text — value-exact proof of
   // the full replacement, without hashing megabytes into the result.
   // Pure codegen'd projection; no shuffle before the sort.
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
-  private val UrlRe = "https?://[^ ]+"
-  private val NumRe = "[0-9]{4,}"
+  private[queries] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private[queries] val UrlRe = "https?://[^ ]+"
+  private[queries] val NumRe = "[0-9]{4,}"
+
+  /** Total PII hit count over the named text column — the x48 counters
+    * as one reusable expression (the dataset card flags docs with any
+    * hit).
+    */
+  private[queries] def piiCount(textCol: String): org.apache.spark.sql.Column =
+    size(expr(s"regexp_extract_all($textCol, '$EmailRe', 0)")) +
+      size(expr(s"regexp_extract_all($textCol, '$UrlRe', 0)")) +
+      size(expr(s"regexp_extract_all($textCol, '$NumRe', 0)"))
 
   /** The x48 projection over any (doc_id, text) frame — private[graft]
     * so the spec can drive the rewrite on synthetic PII (the testdata

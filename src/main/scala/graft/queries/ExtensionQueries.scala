@@ -1471,35 +1471,97 @@ object ExtensionQueries {
   // ======================================================================
   // x62: the DATASET CARD — the one-page summary a training-data
   // release ships with: per language, document and source counts,
-  // token volume, exact-duplicate share, and mean document length.
-  // Composes the shared posting table with an exact-dup window — two
-  // shuffles total (hash window + final groupBy), corpus-linear.
+  // token volume, exact-duplicate share, NEAR-dup membership (x02's
+  // banded pairs), eval-contamination flags (x51's rule), PII-bearing
+  // doc counts (x48's patterns), and mean document length. Everything
+  // expensive rides the SAME session caches the stage queries use —
+  // the 3-gram posting (x02/x04/x46) and the 8-gram posting (x51) —
+  // so the card costs marginal aggregation, not a fresh corpus pass;
+  // the near-dup/contam flag frames are doc-id lists, joined back to
+  // the corpus with plain (broadcastable, tiny) left joins.
   def x62_dataset_card(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val tc = docTok(docs).groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
     val dupW = Window.partitionBy(md5(col("text")))
+    val pairs = minhashPairsFromShingles(docShingles(docs))
+    val nearDup = pairs.select(col("d1").as("doc_id"))
+      .unionByName(pairs.select(col("d2").as("doc_id"))).distinct()
+      .withColumn("is_near_dup", lit(1L))
+    val sh8 = graft.Caches.persist(docShingles(docs, 8))
+    val contam = contaminationOf(
+        sh8.filter(col("doc_id") % 100 =!= 0),
+        sh8.filter(col("doc_id") % 100 === 0).select("shingle"))
+      .filter(col("flagged")).select("doc_id")
+      .withColumn("is_contam", lit(1L))
     docs.withColumn("dup_n", count(lit(1)).over(dupW))
+      .withColumn("has_pii", AnalyticsQueries.piiCount("text") > 0)
       .join(tc, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
       .groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("source")).as("n_sources"),
         sum(coalesce(col("n_tokens"), lit(0L))).as("total_tokens"),
         sum(when(col("dup_n") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(coalesce(col("is_near_dup"), lit(0L))).as("n_near_dup_docs"),
+        sum(coalesce(col("is_contam"), lit(0L))).as("n_contaminated_docs"),
+        sum(when(col("has_pii"), 1L).otherwise(0L)).as("n_pii_docs"),
         round(avg(length(col("text"))), 6).as("avg_chars"))
       .orderBy("lang")
   }
 
   val x62Sql: String =
-    s"""WITH tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
-       |tc AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+    s"""WITH tok AS (SELECT doc_id, $SqlTok AS toks FROM documents),
+       |flat AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+       |tc AS (SELECT doc_id, count(*) AS n_tokens FROM flat GROUP BY doc_id),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |  range(1, greatest(len(toks) - 2, 0) + 1),
+       |  i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle FROM tok),
+       |hs AS (SELECT shingle, r.range::INT AS i,
+       |       md5(r.range || ':' || shingle) AS h
+       |       FROM (SELECT DISTINCT shingle FROM sh), range(0, 12) r),
+       |mh AS (SELECT doc_id, i, min(h) AS mh FROM sh JOIN hs USING (shingle) GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 3 AS band, string_agg(mh, '|' ORDER BY i) AS sig
+       |          FROM mh GROUP BY doc_id, i // 3),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a
+       |         JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |shared AS (SELECT c.d1, c.d2, count(*) AS sh_n FROM cand c
+       |  JOIN sh s1 ON s1.doc_id = c.d1
+       |  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+       |  GROUP BY c.d1, c.d2),
+       |prs AS (SELECT s.d1, s.d2 FROM shared s
+       |  JOIN nsh n1 ON n1.doc_id = s.d1 JOIN nsh n2 ON n2.doc_id = s.d2
+       |  WHERE s.sh_n::DOUBLE / (n1.n + n2.n - s.sh_n) >= 0.5),
+       |neardup AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT d1 AS doc_id FROM prs UNION ALL SELECT d2 FROM prs)),
+       |sh8 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |  range(1, greatest(len(toks) - 7, 0) + 1),
+       |  i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS shingle FROM tok),
+       |ev AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 100 = 0),
+       |train AS (SELECT doc_id, shingle FROM sh8 WHERE doc_id % 100 <> 0),
+       |tot AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+       |hits AS (SELECT t.doc_id, count(*) AS n_c FROM train t
+       |         WHERE EXISTS (SELECT 1 FROM ev e WHERE e.shingle = t.shingle)
+       |         GROUP BY t.doc_id),
+       |contam AS (SELECT tot.doc_id FROM tot LEFT JOIN hits h USING (doc_id)
+       |  WHERE round(coalesce(h.n_c, 0)::DOUBLE / tot.n_grams, 6) >= 0.5),
        |d AS (SELECT doc_id, lang, source, text,
        |      count(*) OVER (PARTITION BY md5(text)) AS dup_n FROM documents)
        |SELECT lang, count(*)::BIGINT AS n_docs,
        |  count(DISTINCT source)::BIGINT AS n_sources,
        |  sum(coalesce(tc.n_tokens, 0))::BIGINT AS total_tokens,
        |  sum(CASE WHEN dup_n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+       |  sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_near_dup_docs,
+       |  sum(CASE WHEN ct.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated_docs,
+       |  sum(CASE WHEN len(regexp_extract_all(text, '${AnalyticsQueries.EmailRe}'))
+       |         + len(regexp_extract_all(text, '${AnalyticsQueries.UrlRe}'))
+       |         + len(regexp_extract_all(text, '${AnalyticsQueries.NumRe}')) > 0
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_pii_docs,
        |  round(avg(length(text)), 6) AS avg_chars
        |FROM d LEFT JOIN tc USING (doc_id)
+       |  LEFT JOIN neardup nd USING (doc_id)
+       |  LEFT JOIN contam ct USING (doc_id)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
