@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.{AnalyticsQueries, ExtensionQueries, ReferenceQueries}
 import graft.sources.VersionedStore
+import graft.streaming.Observe
 
 /** End-to-end training-data pipeline over one corpus snapshot — the
   * "a reference user could switch" demo, wiring the library's stages
@@ -64,86 +65,116 @@ object Pipeline {
   def run(spark: SparkSession, sfDir: String, storeRoot: String): Result = {
     val docs = Tables.documents(spark, sfDir)
 
-    // 1. verdict gate (persisted: the funnel counts AND the corpus
-    // join below all read it — without the persist each action re-runs
-    // the whole verdict lineage)
-    val keepIds = ExtensionQueries.x57_filter_verdict(spark, sfDir)
-      .filter(col("keep")).select("doc_id").persist()
-    val kept = keepIds.count()
+    // Funnel accounting beyond the four materializing counts rides the
+    // jobs that run anyway, as observe() counters (round-7 verdict: the
+    // pii/vector/packing stats each fired their own count job). The
+    // capture listener collects them; try/finally guarantees the
+    // run-private caches and the listener never outlive a failed run.
+    val cap = Observe.capture(spark)
+    var keepIds: DataFrame = null
+    var trainCorpus: DataFrame = null
+    var afterDedup: DataFrame = null
+    var corpus: DataFrame = null
+    var sh3: DataFrame = null
+    try {
+      // 1. verdict gate (persisted: the funnel counts AND the corpus
+      // join below all read it — without the persist each action
+      // re-runs the whole verdict lineage)
+      keepIds = ExtensionQueries.x57_filter_verdict(spark, sfDir)
+        .filter(col("keep")).select("doc_id").persist()
+      val kept = keepIds.count()
 
-    // 2. mask the whole corpus once (one codegen'd projection — doing
-    // it pre-split keeps train text and eval grams byte-identical);
-    // lang rides through to the per-language vectorizer in step 6
-    val masked = AnalyticsQueries.piiMaskOf(docs, keep = Seq("lang"))
-      .select(col("doc_id"), col("lang"), col("masked").as("text"),
-        (col("n_emails") + col("n_urls") + col("n_longnums")).as("n_pii"))
+      // 2. mask the whole corpus once (one codegen'd projection — doing
+      // it pre-split keeps train text and eval grams byte-identical);
+      // lang rides through to the per-language vectorizer in step 6
+      val masked = AnalyticsQueries.piiMaskOf(docs, keep = Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("masked").as("text"),
+          (col("n_emails") + col("n_urls") + col("n_longnums")).as("n_pii"))
 
-    // 3. hold out the eval slice, then pin the masked train corpus:
-    // dedup banding, the contamination totals, vectors and packing
-    // all scan it
-    val trainCorpus = masked
-      .join(keepIds, Seq("doc_id"), "left_semi")
-      .filter(pmod(col("doc_id"), lit(100)) =!= 0)
-      .persist()
-    val heldOut = kept - trainCorpus.count()
+      // 3. hold out the eval slice, then pin the masked train corpus:
+      // dedup banding, the contamination totals, vectors and packing
+      // all scan it
+      trainCorpus = masked
+        .join(keepIds, Seq("doc_id"), "left_semi")
+        .filter(pmod(col("doc_id"), lit(100)) =!= 0)
+        .persist()
+      val trainCount = trainCorpus.count()
+      val heldOut = kept - trainCount
 
-    // 4. near-dup pruning banded over ONLY the train survivors: every
-    // pair has both sides in the train set by construction, the lower
-    // doc_id is canonical and the higher is dropped (anti-join — no
-    // collect; a dropped doc always leaves its kept canonical behind)
-    val (pairs, sh3) = dedupPairsOf(trainCorpus)
-    val dupLosers = pairs.select(col("d2").as("doc_id")).distinct()
-    val afterDedup = trainCorpus
-      .join(dupLosers, Seq("doc_id"), "left_anti").persist()
-    val prunedNearDup = trainCorpus.count() - afterDedup.count()
-    sh3.unpersist()
+      // 4. near-dup pruning banded over ONLY the train survivors: every
+      // pair has both sides in the train set by construction, the lower
+      // doc_id is canonical and the higher is dropped (anti-join — no
+      // collect; a dropped doc always leaves its kept canonical behind)
+      val (pairs, shHandle) = dedupPairsOf(trainCorpus)
+      sh3 = shHandle
+      val dupLosers = pairs.select(col("d2").as("doc_id")).distinct()
+      afterDedup = trainCorpus
+        .join(dupLosers, Seq("doc_id"), "left_anti").persist()
+      val afterCount = afterDedup.count()
+      val prunedNearDup = trainCount - afterCount
+      sh3.unpersist()
 
-    // 5. contamination gate: benchmark grams come from the masked
-    // FULL-corpus eval slice (external benchmarks don't pass anyone's
-    // verdict), survivors' postings are scanned exactly once by the
-    // single-pass core — no persist needed on top of afterDedup's
-    val evalGrams = ExtensionQueries
-      .docShingles(masked.filter(pmod(col("doc_id"), lit(100)) === 0),
-        8, persistShared = false)
-      .select("shingle").distinct()
-    val flagged = ExtensionQueries
-      .contaminationOf(
-        ExtensionQueries.docShingles(afterDedup, 8, persistShared = false),
-        evalGrams)
-      .filter(col("flagged")).select("doc_id")
-    val corpus = afterDedup.join(flagged, Seq("doc_id"), "left_anti").persist()
-    val droppedContaminated = afterDedup.count() - corpus.count()
-    val piiMaskedDocs = corpus.filter(col("n_pii") > 0).count()
-    afterDedup.unpersist()
+      // 5. contamination gate: benchmark grams come from the masked
+      // FULL-corpus eval slice (external benchmarks don't pass anyone's
+      // verdict), survivors' postings are scanned exactly once by the
+      // single-pass core — no persist needed on top of afterDedup's.
+      // The pii-doc counter observes the same materializing pass.
+      val evalGrams = ExtensionQueries
+        .docShingles(masked.filter(pmod(col("doc_id"), lit(100)) === 0),
+          8, persistShared = false)
+        .select("shingle").distinct()
+      val flagged = ExtensionQueries
+        .contaminationOf(
+          ExtensionQueries.docShingles(afterDedup, 8, persistShared = false),
+          evalGrams)
+        .filter(col("flagged")).select("doc_id")
+      corpus = afterDedup.join(flagged, Seq("doc_id"), "left_anti")
+        .observe("graft_pipe_corpus",
+          count(when(col("n_pii") > 0, 1)).as("n_pii_docs"))
+        .persist()
+      val corpusCount = corpus.count()
+      val droppedContaminated = afterCount - corpusCount
+      afterDedup.unpersist()
 
-    // 6. flagship vectors for the final corpus — per-language end to
-    // end (q32's core): each doc tokenized by its own language's rule,
-    // joined to its own language's word-vector table, the way the
-    // reference runs one worker per language
-    val vecs = ReferenceQueries.docVectorsByLang(
-      corpus, ReferenceQueries.wordvecsByLang(spark, sfDir),
-      ReferenceQueries.VecDim)
-      .select(col("doc_id"), col("lang"), col("known_ratio"), col("vec"))
+      // 6. flagship vectors for the final corpus — per-language end to
+      // end (q32's core): each doc tokenized by its own language's
+      // rule, joined to its own language's word-vector table, the way
+      // the reference runs one worker per language
+      val vecs = ReferenceQueries.docVectorsByLang(
+        corpus, ReferenceQueries.wordvecsByLang(spark, sfDir),
+        ReferenceQueries.VecDim)
+        .select(col("doc_id"), col("lang"), col("known_ratio"), col("vec"))
+        .observe("graft_pipe_vectors", count(lit(1)).as("n_rows"))
 
-    // 7. pack ONLY the final corpus into training sequences (no shared
-    // corpus cache: the survivor posting is this run's private frame)
-    val packed = ExtensionQueries.seqPackOf(
-      corpus.select("doc_id", "text"), sharedCache = false)
+      // 7. pack ONLY the final corpus into training sequences (no
+      // shared corpus cache: the survivor posting is this run's private
+      // frame)
+      val packed = ExtensionQueries.seqPackOf(
+        corpus.select("doc_id", "text"), sharedCache = false)
+        .observe("graft_pipe_packing",
+          max(col("last_seq")).as("max_seq"),
+          sum(col("n_tokens")).as("tot"))
 
-    // 8. one atomic multi-table snapshot: the masked text a model
-    // trains on + vectors + packing, versioned together
-    val version = VersionedStore.publishAll(
-      Map("documents" -> corpus, "vectors" -> vecs, "packing" -> packed),
-      storeRoot)
-    val vectorized =
-      VersionedStore.readTable(spark, storeRoot, version, "vectors").count()
-    val packStats = VersionedStore.readTable(spark, storeRoot, version, "packing")
-      .agg(coalesce(max(col("last_seq")) + 1, lit(0L)).as("n_seq"),
-        coalesce(sum(col("n_tokens")), lit(0L)).as("tot"))
-      .head()
-    keepIds.unpersist(); trainCorpus.unpersist(); corpus.unpersist()
-    Result(version, kept, heldOut, prunedNearDup, droppedContaminated,
-      piiMaskedDocs, vectorized, packStats.getLong(0), packStats.getLong(1))
+      // 8. one atomic multi-table snapshot: the masked text a model
+      // trains on + vectors + packing, versioned together. The vector /
+      // packing stats are observations on the write jobs themselves —
+      // what was WRITTEN, with no read-back scan (PipelineSpec pins
+      // published-snapshot readability separately).
+      val version = VersionedStore.publishAll(
+        Map("documents" -> corpus, "vectors" -> vecs, "packing" -> packed),
+        storeRoot)
+      val piiMaskedDocs = cap.await("graft_pipe_corpus").getLong(0)
+      val vectorized = cap.await("graft_pipe_vectors").getLong(0)
+      val packRow = cap.await("graft_pipe_packing")
+      val sequences = if (packRow.isNullAt(0)) 0L else packRow.getLong(0) + 1
+      val packedTokens = if (packRow.isNullAt(1)) 0L else packRow.getLong(1)
+      Result(version, kept, heldOut, prunedNearDup, droppedContaminated,
+        piiMaskedDocs, vectorized, sequences, packedTokens)
+    } finally {
+      Observe.release(spark, cap)
+      Seq(keepIds, trainCorpus, afterDedup, corpus, sh3)
+        .filter(_ != null).foreach(_.unpersist(false))
+    }
   }
 
   def main(args: Array[String]): Unit = {

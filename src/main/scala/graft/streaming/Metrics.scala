@@ -106,4 +106,59 @@ object Observe {
     val o = df.queryExecution.observedMetrics
     o.get(name)
   }
+
+  /** Register a [[MetricsCapture]] on the session. Callers MUST
+    * [[release]] it (try/finally) — the listener manager holds a strong
+    * reference for the session lifetime otherwise.
+    */
+  def capture(spark: SparkSession): MetricsCapture = {
+    val c = new MetricsCapture
+    spark.listenerManager.register(c)
+    c
+  }
+
+  def release(spark: SparkSession, c: MetricsCapture): Unit =
+    spark.listenerManager.unregister(c)
+}
+
+/** Captures observed metrics from ANY action on the session — including
+  * batch writes, where the executing QueryExecution is internal to the
+  * writer and `Observe.metricsOf` can't reach it. Spark delivers
+  * CollectMetrics through cached plans and AQE stages
+  * (`CollectMetricsExec.collect` descends into
+  * `InMemoryTableScanExec.relation.cachedPlan` and uses
+  * AdaptiveSparkPlanHelper), so one capture sees a whole pipeline's
+  * counters regardless of which action materialized each frame.
+  * Delivery rides the async listener bus — hence [[await]], not a
+  * plain get, after the triggering action returns.
+  */
+final class MetricsCapture extends QueryExecutionListener {
+  import org.apache.spark.sql.Row
+
+  private val seen = new java.util.concurrent.ConcurrentHashMap[String, Row]()
+
+  override def onSuccess(funcName: String, qe: QueryExecution,
+      durationNs: Long): Unit =
+    qe.observedMetrics.foreach { case (name, row) => seen.put(name, row) }
+
+  override def onFailure(funcName: String, qe: QueryExecution,
+      exception: Exception): Unit = ()
+
+  def get(name: String): Option[Row] = Option(seen.get(name))
+
+  /** Block until the named observation is delivered (the action that
+    * computed it has already returned on the calling thread; this only
+    * waits out listener-bus dispatch).
+    */
+  def await(name: String, timeoutMs: Long = 60000L): Row = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var r = seen.get(name)
+    while (r == null && System.nanoTime() < deadline) {
+      Thread.sleep(10)
+      r = seen.get(name)
+    }
+    if (r == null) throw new IllegalStateException(
+      s"observed metric '$name' not delivered within ${timeoutMs}ms")
+    r
+  }
 }

@@ -96,6 +96,99 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       === before)
   }
 
+  test("run() folds funnel metrics into existing jobs; banding roots at the survivor cache") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+
+    // One cache level of a physical plan: descend AQE wrappers and
+    // query stages, stop at InMemoryTableScan leaves (nested caches are
+    // inspected at their own level via relation.cachedPlan).
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+
+    def body(seed: String) =
+      (0 until 120).map(i => s"${seed}tok${i}x").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fold").toString
+    (1L to 6L).map(i => (i, body(s"doc$i"), "en", "fixture", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val qes = new java.util.concurrent.ConcurrentLinkedQueue[(String, QueryExecution)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = {
+        qes.add((f, qe)); ()
+      }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Pipeline.run(spark, dir, s"$dir/store")
+      // the listener bus is async — wait until the event count is
+      // stable for a second before asserting on it
+      var last = -1; var stable = 0
+      while (stable < 10) {
+        val n = qes.size
+        if (n == last) stable += 1 else { stable = 0; last = n }
+        Thread.sleep(100)
+      }
+    } finally spark.listenerManager.unregister(listener)
+
+    // Job folding (round-7 verdict #8): one run is 4 materializing
+    // counts + 3 snapshot writes — the pii / vector / packing stats
+    // ride those as observe() counters. The unfolded shape fired 12
+    // (double counts on the persisted frames, a pii filter count, two
+    // snapshot read-backs). Bounded-metadata internals (prefix-sum
+    // offsets, vocab-rank zipWithIndex) surface as "rdd" executions
+    // and are pinned separately by their own specs.
+    val actions = qes.asScala.toVector
+    val folded = actions.filter(_._1 != "rdd")
+    assert(folded.size <= 7,
+      s"pipeline fired ${folded.size} count/write executions:\n" +
+        actions.map(_._1).mkString(", "))
+
+    // Round-7 ADVICE: pin that run() itself wires the banding to the
+    // survivor frame. The near-dup stage is a persisted frame, so the
+    // band lineage lives in an InMemoryRelation's cached physical plan
+    // (physical traversal stops at nested InMemoryTableScan leaves, so
+    // each cache is inspected at exactly its own level). The banding
+    // cache must contain no file scan (an unpersisted full-corpus
+    // rescan), and every shingle-posting cache it reads must itself
+    // root at an in-memory frame — wiring the SHARED docShingles cache
+    // would show a parquet scan inside that nested cached plan.
+    val bandingCaches = actions.flatMap { case (f, qe) =>
+      if (f != "count") Nil
+      else qe.optimizedPlan.collect {
+        case m: InMemoryRelation
+            if nodes(m.cachedPlan).exists(_.output.exists(_.name == "band")) =>
+          m.cachedPlan
+      }
+    }
+    assert(bandingCaches.nonEmpty, "no banding cache captured")
+    bandingCaches.foreach { cached =>
+      val level = nodes(cached)
+      val direct = level.collect { case f: FileSourceScanExec => f }
+      assert(direct.isEmpty,
+        s"banding reads a file relation directly:\n$cached")
+      level.foreach {
+        case s: InMemoryTableScanExec
+            if s.output.map(_.name) == Seq("doc_id", "shingle") =>
+          val fileScans = nodes(s.relation.cachedPlan).collect {
+            case f: FileSourceScanExec => f
+          }
+          assert(fileScans.isEmpty,
+            s"shingle posting cache roots at a parquet scan, not the " +
+              s"survivor frame:\n${s.relation.cachedPlan}")
+        case _ => ()
+      }
+    }
+  }
+
   test("synthetic PII is masked in the published snapshot") {
     import spark.implicits._
     // the testdata corpus is PII-free, so the reconcile test above
