@@ -129,14 +129,30 @@ object Bench {
     * of tail evidence, not evidence of a tail). Steal > 5% or an
     * unresolved suspect always taints — those are direct evidence,
     * not proxies.
+    *
+    * The ledger evidence also taints INDEPENDENTLY of loadavg: a
+    * measured round-8 run at loadavg_start 0.8 / steal 1.99% came in
+    * at median ratio 1.34 and p90 2.59 — host contention the
+    * idle-looking proxies missed entirely, while an idle re-run 10
+    * minutes later reproduced the ledger at median 0.79 / p90 1.20.
+    * A run whose own history says it's uniformly off-trend (median
+    * > 1.5) or tail-contaminated (p90 > 2.5) is not comparable
+    * evidence no matter what the host counters claim. The bars sit
+    * above the provablyClean ones (1.25/1.5) because this direction
+    * CONDEMNS alone rather than excuses: re-pinning the ledger after
+    * intentional optimization keeps a clean box near 1.0, and a
+    * stale-slow ledger only ever LOWERS these ratios.
     */
   private[graft] def contendedVerdict(loadStart: Double, stealPct: Double,
       nSuspects: Int, medianRatio: Double, p90Ratio: Double): Boolean = {
     val stealHigh = stealPct > 5.0
+    val offTrend = (medianRatio >= 0 && medianRatio > 1.5) ||
+      (p90Ratio >= 0 && p90Ratio > 2.5)
     val tailClean = p90Ratio < 0 || p90Ratio <= 1.5
     val provablyClean = nSuspects == 0 && stealPct >= 0 && !stealHigh &&
       medianRatio >= 0 && medianRatio <= 1.25 && tailClean
-    stealHigh || nSuspects > 0 || (loadStart > 2.0 && !provablyClean)
+    stealHigh || nSuspects > 0 || offTrend ||
+      (loadStart > 2.0 && !provablyClean)
   }
 
   def main(args: Array[String]): Unit = {

@@ -92,6 +92,21 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!Bench.contendedVerdict(1.0, -1.0, 0, 1.0, 1.0))
   }
 
+  test("contendedVerdict: off-trend ledger evidence taints a low-loadavg run") {
+    // measured round-8 shape: loadavg_start 0.8, steal 1.99%, zero
+    // suspects — every host proxy idle-looking — but median ratio
+    // 1.342 / p90 2.589 vs ledger; an idle re-run 10 min later
+    // reproduced the ledger (median 0.785, p90 1.202). The ledger
+    // evidence must condemn on its own.
+    assert(Bench.contendedVerdict(0.8, 1.99, 0, 1.342, 2.589))
+    // uniform >1.5x with a quiet tail is still off-trend
+    assert(Bench.contendedVerdict(0.3, 0.1, 0, 1.6, 1.7))
+    // the clean re-run shape stays clean
+    assert(!Bench.contendedVerdict(0.65, 0.01, 0, 0.785, 1.202))
+    // post-optimization staleness only LOWERS ratios — never taints
+    assert(!Bench.contendedVerdict(0.5, 0.1, 0, 0.5, 0.9))
+  }
+
   test("contendedVerdict: no ledger overlap (ratios -1) cannot prove a high-loadavg run clean") {
     assert(Bench.contendedVerdict(2.63, 0.06, 0, -1.0, -1.0))
     // p90 of -1 alone (all overlapping queries under the evidence
