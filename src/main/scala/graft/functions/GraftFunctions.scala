@@ -35,5 +35,15 @@ object GraftFunctions {
     // the Column form; dimension-adaptive since SQL can't pass a dim.
     spark.udf.register("vec_weighted_sum",
       org.apache.spark.sql.functions.udaf(new graft.agg.WeightedVecSumAny))
+    // Mergeable KLL quantile sketches (hll_sketch_agg's missing
+    // quantile sibling): SELECT graft_kll_quantile(graft_kll_merge(sk),
+    // 0.5) over per-slice sketch tables. The analyzer wraps the raw
+    // AggregateFunction, same as injectFunction does.
+    reg.createOrReplaceTempFunction("graft_kll_agg",
+      KllExpressions.kllAggBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_kll_merge",
+      exprs => KllMergeAgg(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_kll_quantile",
+      exprs => KllQuantile(exprs(0), exprs(1)), "scala_udf")
   }
 }

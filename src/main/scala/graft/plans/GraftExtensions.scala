@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-import graft.functions.{BinaryToFloats, DotProduct, FloatsToBinary, TokenCount}
+import graft.functions.{BinaryToFloats, DotProduct, FloatsToBinary, KllMergeAgg, KllQuantile, KllSketchAgg, TokenCount}
 
 /** Config-time Catalyst integration: `--conf
   * spark.sql.extensions=graft.plans.GraftExtensions` gives every session
@@ -44,6 +44,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TokenCount].getName, "graft_token_count"),
       arity("graft_token_count", 1)(exprs => TokenCount(
         org.apache.spark.sql.catalyst.expressions.Lower(exprs.head)))))
+    // mergeable KLL quantile sketches (hll_sketch_agg's quantile
+    // sibling, which Spark SQL lacks): k comes in as a foldable int
+    // literal, matching how hll_sketch_agg takes lgConfigK
+    ext.injectFunction((FunctionIdentifier("graft_kll_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_agg"),
+      arity("graft_kll_agg", 2)(graft.functions.KllExpressions.kllAggBuilder)))
+    ext.injectFunction((FunctionIdentifier("graft_kll_merge"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "graft_kll_merge"),
+      arity("graft_kll_merge", 1)(exprs => KllMergeAgg(exprs.head))))
+    ext.injectFunction((FunctionIdentifier("graft_kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "graft_kll_quantile"),
+      arity("graft_kll_quantile", 2)(exprs =>
+        KllQuantile(exprs(0), exprs(1)))))
     ext.injectOptimizerRule(_ => CodecRoundTripElimination)
   }
 }

@@ -741,6 +741,56 @@ object AnalyticsQueries {
       |ORDER BY cohort_week, r."offset"""".stripMargin
 
   // ======================================================================
+  // x63: distinct counts from MERGED sketch artifacts — x34's battery
+  // re-answered without a full-data distinct. The corpus is sketched in
+  // two independent slices (stand-ins for ingest batches) and the
+  // slices' HLL sketches are unioned on read (SketchStore.merge): at
+  // 100 TB each batch aggregates once into kilobyte sketch rows, and
+  // corpus-wide distincts never rescan history — countDistinct's exact
+  // shuffle moves every (group, value) pair, the sketch table moves one
+  // small row per (slice, group). Approximate by design (HLL lgK=12
+  // ≈ 1.6% RSE; SketchSpec pins the bound against exact x34), so
+  // rows-only in the oracle contract, like the other ML/approx queries.
+  def x63_sketch_distinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+    val slices = Seq(0, 1).map(h => graft.sources.SketchStore.sketchTable(
+      ev.filter(pmod(col("user_id"), lit(2)) === h),
+      Seq("event_type"), Seq("user_id", "day"), Nil))
+    graft.sources.SketchStore.merge(slices, Seq("event_type"))
+      .select(col("event_type"),
+        hll_sketch_estimate(col("user_id_hll")).as("n_users_est"),
+        hll_sketch_estimate(col("day_hll")).as("n_days_est"),
+        col("n_rows").as("n_events"))
+      .orderBy("event_type")
+  }
+
+  // x64: quantiles from MERGED sketch artifacts — x43's percentiles
+  // without holding each group's full value set. Spark has no mergeable
+  // quantile sketch in SQL, so this exercises the engine's own KLL
+  // aggregation (functions.KllExpressions, DataSketches KLL k=200
+  // ≈ 1.65% rank error — SketchSpec pins the rank bound against exact
+  // x43). Same two-slice merge shape as x63; exact percentile() sorts
+  // every group in memory, the sketch table is map-side combinable and
+  // O(k) per group. Rows-only: KLL compaction is randomized, values
+  // within the rank bound vary run to run.
+  def x64_sketch_quantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("cents", floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+    val slices = Seq(0, 1).map(h => graft.sources.SketchStore.sketchTable(
+      o.filter(pmod(col("o_orderkey"), lit(2)) === h),
+      Seq("o_orderpriority"), Nil, Seq("cents")))
+    import graft.functions.KllExpressions.kll_quantile
+    graft.sources.SketchStore.merge(slices, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"),
+        (kll_quantile(col("cents_kll"), 0.25) / 100.0).as("p25"),
+        (kll_quantile(col("cents_kll"), 0.5) / 100.0).as("p50"),
+        (kll_quantile(col("cents_kll"), 0.75) / 100.0).as("p75"),
+        col("n_rows").as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ======================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_sql_api" -> (q28_sql_api _),
     "x30_grouping_cube" -> (x30_grouping_cube _),
@@ -762,7 +812,11 @@ object AnalyticsQueries {
     "x47_repetition" -> (x47_repetition _),
     "x48_pii_mask" -> (x48_pii_mask _),
     "x53_funnel" -> (x53_funnel _),
-    "x54_cohort_retention" -> (x54_cohort_retention _))
+    "x54_cohort_retention" -> (x54_cohort_retention _),
+    // rows-only (approx sketch estimates — no DuckDB oracle): the
+    // tolerance bounds vs exact x34/x43 are pinned in SketchSpec
+    "x63_sketch_distinct" -> (x63_sketch_distinct _),
+    "x64_sketch_quantiles" -> (x64_sketch_quantiles _))
 
   val oracleSql: Map[String, String] = Map(
     "q28_sql_api" -> q28Sql,

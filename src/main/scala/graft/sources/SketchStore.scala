@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.KllExpressions
+
+/** Mergeable corpus-statistics artifacts: per-slice sketch tables
+  * published through [[VersionedStore]] and merged on read.
+  *
+  * The problem at 100 TB: "how many distinct users per event type" or
+  * "the p50 document length" rescans the whole corpus every time
+  * someone asks, and an arriving ingest batch invalidates yesterday's
+  * answer. The sketch-table shape fixes both ends:
+  *
+  *   - each corpus slice (a source, a day, an ingest batch) aggregates
+  *     ONCE into a row of mergeable sketches — HLL for distinct counts
+  *     (Spark's built-in DataSketches functions), KLL for quantiles
+  *     (`functions.KllExpressions`), plus exact additive counters;
+  *   - the slice tables are published as [[VersionedStore]] versions —
+  *     one version per batch, immutable, kilobytes each;
+  *   - a stats reader UNIONS the sketch rows (`hll_union_agg` /
+  *     `kll_merge_agg` / `sum`) — cost proportional to the number of
+  *     slices, never to corpus rows. A new batch = sketch the batch,
+  *     publish, done; no historical row is ever re-read.
+  *
+  * Estimates carry the sketches' published error bounds (HLL lgK=12
+  * ≈ 1.6% RSE; KLL k=200 ≈ 1.65% rank error — SketchSpec pins both
+  * against the exact x34/x43 queries). Sketch columns carry a type
+  * suffix (`_hll`, `_kll`) so [[merge]] can re-aggregate any sketch
+  * table from its schema alone.
+  */
+object SketchStore {
+
+  private val HllSuffix = "_hll"
+  private val KllSuffix = "_kll"
+
+  /** Aggregate `df` into one sketch row per `keys` combination:
+    * `n_rows` (exact), an HLL sketch per `distinctCols` entry, a KLL
+    * sketch per `quantileCols` entry. Distinct-count inputs are cast
+    * to string (one canonical binding for any input type);
+    * quantile inputs cast to double.
+    */
+  def sketchTable(df: DataFrame, keys: Seq[String],
+      distinctCols: Seq[String], quantileCols: Seq[String],
+      lgK: Int = 12, kllK: Int = KllExpressions.DefaultK): DataFrame = {
+    val aggs =
+      Seq(count(lit(1)).as("n_rows")) ++
+        distinctCols.map(c =>
+          hll_sketch_agg(col(c).cast("string"), lgK).as(c + HllSuffix)) ++
+        quantileCols.map(c =>
+          KllExpressions.kll_agg(col(c).cast("double"), kllK).as(c + KllSuffix))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge sketch tables of the same shape back to one row per key:
+    * counters add, HLL sketches union, KLL sketches merge. The result
+    * is again a sketch table — merges compose associatively, so
+    * batch-of-batches rollups are free.
+    */
+  def merge(tables: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(tables.nonEmpty, "merge needs at least one sketch table")
+    val all = tables.reduce(_.unionByName(_))
+    val aggs = all.schema.fields.toSeq.collect {
+      case f if f.name == "n_rows" => sum(col(f.name)).as(f.name)
+      case f if f.name.endsWith(HllSuffix) =>
+        hll_union_agg(col(f.name)).as(f.name)
+      case f if f.name.endsWith(KllSuffix) =>
+        KllExpressions.kll_merge_agg(col(f.name)).as(f.name)
+    }
+    all.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Publish one batch's sketch table as the next immutable version.
+    * Unlike a data snapshot, a version here is one SLICE, not the
+    * whole corpus — [[mergedStats]] combines all published slices.
+    */
+  def publishBatch(table: DataFrame, root: String): Long =
+    VersionedStore.publish(table, root)
+
+  /** The whole-corpus sketch table: every published batch merged on
+    * read. Scans only the kilobyte sketch parquet under `root` — never
+    * a corpus row (SketchSpec pins the plan).
+    */
+  def mergedStats(spark: SparkSession, root: String, keys: Seq[String]): DataFrame = {
+    val latest = VersionedStore.latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published sketch batches under $root"))
+    merge((0L to latest).map(v => VersionedStore.readVersion(spark, root, v)), keys)
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.AnalyticsQueries
+import graft.sources.{SketchStore, VersionedStore}
+
+/** Mergeable sketch artifacts: the estimates must sit inside the
+  * sketches' published error bounds against the EXACT twin queries
+  * (x34 distinct battery, x43 quantiles), slice-merged sketches must
+  * agree with whole-corpus sketches, and the published store must
+  * answer corpus stats without ever rescanning a corpus row.
+  */
+class SketchSpec extends AnyFunSuite with SparkSpec {
+
+  test("x63 HLL estimates track exact x34 within the sketch error bound") {
+    val est = AnalyticsQueries.x63_sketch_distinct(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val exact = AnalyticsQueries.x34_distinct_battery(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (k, (users, days, events)) =>
+      val (uEst, dEst, nEv) = est(k)
+      // the additive counter rides exactly
+      assert(nEv === events, s"$k n_events")
+      // lgK=12 => RSE ~= 1.04/sqrt(4096) ~= 1.6%; 3 sigma bound (and
+      // below ~2^12 distincts HLL is still in exact sparse mode, so
+      // test-scale estimates are typically spot-on)
+      assert(math.abs(uEst.toDouble / users - 1) <= 0.05,
+        s"$k n_users est $uEst vs exact $users")
+      assert(math.abs(dEst.toDouble / days - 1) <= 0.05,
+        s"$k n_days est $dEst vs exact $days")
+    }
+  }
+
+  test("HLL: slice sketches merged == whole-corpus sketch, estimate-exact") {
+    val ev = Tables.events(spark, sf)
+    def estimates(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select(col("event_type"),
+        hll_sketch_estimate(col("user_id_hll")).as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val whole = SketchStore.sketchTable(
+      ev, Seq("event_type"), Seq("user_id"), Nil)
+    val slices = Seq(0, 1).map(h => SketchStore.sketchTable(
+      ev.filter(pmod(col("user_id"), lit(2)) === h),
+      Seq("event_type"), Seq("user_id"), Nil))
+    // HLL state is register-max, order- and partition-independent:
+    // union of slice sketches carries the SAME registers as the
+    // whole-corpus sketch, so the estimates are identical, not merely
+    // close — this is what makes per-batch sketch tables a lossless
+    // substitute for a full rescan
+    assert(estimates(SketchStore.merge(slices, Seq("event_type")))
+      === estimates(whole))
+  }
+
+  test("x64 KLL quantiles sit within the rank-error bound of exact x43 data") {
+    // KLL guarantees RANK accuracy, not value accuracy: assert that
+    // each returned quantile VALUE's true rank in the group's data is
+    // within eps of the requested rank (2x: two slice sketches merged)
+    val eps = 2 * org.apache.datasketches.kll.KllSketch.getNormalizedRankError(
+      graft.functions.KllExpressions.DefaultK, false)
+    val byPrio = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val rows = AnalyticsQueries.x64_sketch_quantiles(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet === byPrio.keySet)
+    rows.foreach { r =>
+      val data = byPrio(r.getString(0))
+      assert(r.getLong(4) === data.length.toLong, "n must be exact")
+      Seq(0.25 -> r.getDouble(1), 0.5 -> r.getDouble(2), 0.75 -> r.getDouble(3))
+        .foreach { case (p, dollars) =>
+          val cents = math.rint(dollars * 100).toLong
+          val rank = data.count(_ <= cents).toDouble / data.length
+          assert(math.abs(rank - p) <= eps,
+            s"${r.getString(0)} p$p: value $cents has rank $rank")
+        }
+    }
+  }
+
+  test("published sketch batches merge on read; no corpus row is rescanned") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sketch").toString + "/store"
+    val ev = Tables.events(spark, sf)
+    // three ingest batches (disjoint corpus slices), sketched and
+    // published independently — history is never re-read
+    (0 until 3).foreach { h =>
+      SketchStore.publishBatch(SketchStore.sketchTable(
+        ev.filter(pmod(col("user_id"), lit(3)) === h),
+        Seq("event_type"), Seq("user_id"), Seq("value")), root)
+    }
+    val merged = SketchStore.mergedStats(spark, root, Seq("event_type"))
+
+    // contract: the merged-stats plan reads ONLY the sketch store —
+    // a regression recomputing from raw events would scan their parquet
+    val scans = merged.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toUri.getPath.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+    assert(scans.nonEmpty && scans.forall(_.startsWith(
+      new org.apache.hadoop.fs.Path(root).toUri.getPath.toString)),
+      s"merged stats scans outside the sketch store: $scans")
+
+    // and the merged artifact answers like a whole-corpus sketch
+    val whole = SketchStore.sketchTable(
+      ev, Seq("event_type"), Seq("user_id"), Seq("value"))
+    def users(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select(col("event_type"),
+        hll_sketch_estimate(col("user_id_hll")).as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(users(merged) === users(whole))
+    assert(merged.select(sum("n_rows")).head().getLong(0) === ev.count())
+  }
+
+  test("KLL SQL surface: agg, merge, quantile; empty sketch is NULL") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.orders(spark, sf).createOrReplaceTempView("sk_orders")
+    val q = spark.sql(
+      """WITH sk AS (
+        |  SELECT o_orderpriority,
+        |         graft_kll_agg(CAST(o_totalprice AS DOUBLE), 200) AS s
+        |  FROM sk_orders GROUP BY o_orderpriority)
+        |SELECT graft_kll_quantile(graft_kll_merge(s), 0.5d) AS p50 FROM sk
+        |""".stripMargin).head().getDouble(0)
+    // merged-sketch median must land inside the global value range
+    val mm = Tables.orders(spark, sf)
+      .agg(min("o_totalprice"), max("o_totalprice")).head()
+    assert(q >= mm.getDouble(0) && q <= mm.getDouble(1))
+
+    // an empty sketch (empty corpus slice) has no quantiles -> NULL
+    import spark.implicits._
+    val empty = KllDoublesSketch.newHeapInstance(200).toByteArray
+    val row = Seq(Tuple1(empty)).toDF("s")
+      .select(graft.functions.KllExpressions.kll_quantile(col("s"), 0.5))
+      .head()
+    assert(row.isNullAt(0))
+  }
+}
