@@ -45,5 +45,13 @@ object GraftFunctions {
       exprs => KllMergeAgg(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_kll_quantile",
       exprs => KllQuantile(exprs(0), exprs(1)), "scala_udf")
+    // Mergeable frequent-items sketches: SELECT
+    // graft_freq_top_k(graft_freq_merge(sk), 5) over sketch tables.
+    reg.createOrReplaceTempFunction("graft_freq_agg",
+      FreqExpressions.freqAggBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_freq_merge",
+      exprs => FreqMergeAgg(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_freq_top_k",
+      exprs => FreqTopK(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-import graft.functions.{BinaryToFloats, DotProduct, FloatsToBinary, KllMergeAgg, KllQuantile, KllSketchAgg, TokenCount}
+import graft.functions.{BinaryToFloats, DotProduct, FloatsToBinary, FreqMergeAgg, FreqSketchAgg, FreqTopK, KllMergeAgg, KllQuantile, KllSketchAgg, TokenCount}
 
 /** Config-time Catalyst integration: `--conf
   * spark.sql.extensions=graft.plans.GraftExtensions` gives every session
@@ -57,6 +57,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KllQuantile].getName, "graft_kll_quantile"),
       arity("graft_kll_quantile", 2)(exprs =>
         KllQuantile(exprs(0), exprs(1)))))
+    // mergeable frequent-items sketches (the frequency leg)
+    ext.injectFunction((FunctionIdentifier("graft_freq_agg"),
+      new ExpressionInfo(classOf[FreqSketchAgg].getName, "graft_freq_agg"),
+      arity("graft_freq_agg", 2)(graft.functions.FreqExpressions.freqAggBuilder)))
+    ext.injectFunction((FunctionIdentifier("graft_freq_merge"),
+      new ExpressionInfo(classOf[FreqMergeAgg].getName, "graft_freq_merge"),
+      arity("graft_freq_merge", 1)(exprs => FreqMergeAgg(exprs.head))))
+    ext.injectFunction((FunctionIdentifier("graft_freq_top_k"),
+      new ExpressionInfo(classOf[FreqTopK].getName, "graft_freq_top_k"),
+      arity("graft_freq_top_k", 2)(exprs => FreqTopK(exprs(0), exprs(1)))))
     ext.injectOptimizerRule(_ => CodecRoundTripElimination)
   }
 }

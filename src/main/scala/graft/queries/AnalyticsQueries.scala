@@ -791,6 +791,35 @@ object AnalyticsQueries {
   }
 
   // ======================================================================
+  // x65: top tokens from MERGED frequency sketches — x24's heavy
+  // hitters without shuffling every distinct (lang, token) pair. The
+  // frequent-items aggregation (functions.FreqExpressions, DataSketches
+  // Misra-Gries) carries at most maxMapSize entries per group through
+  // partials, merges, and the artifact, so the state is bounded no
+  // matter how wide the vocabulary gets at 100 TB; estimates come with
+  // lower/upper bounds and a no-false-negatives guarantee (SketchSpec
+  // pins both against exact x24). Same two-slice merge shape as
+  // x63/x64. Rows-only: items near the error boundary may differ
+  // run to run (the top-5 of a Zipf corpus never does, but the
+  // CONTRACT is approximate).
+  def x65_sketch_topk(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        explode(graft.functions.Tokenize.tokens(col("text"))).as("token"))
+    val slices = Seq(0, 1).map(h => graft.sources.SketchStore.sketchTable(
+      toks.filter(pmod(col("doc_id"), lit(2)) === h),
+      Seq("lang"), Nil, Nil, Seq("token")))
+    graft.sources.SketchStore.merge(slices, Seq("lang"))
+      .select(col("lang"), posexplode(
+        graft.functions.FreqExpressions.freq_top_k(col("token_freq"), 5))
+        .as(Seq("idx", "hit")))
+      .select(col("lang"), (col("idx") + 1).cast("int").as("rnk"),
+        col("hit.item").as("token"), col("hit.est").as("occ_est"),
+        col("hit.lb").as("occ_lb"), col("hit.ub").as("occ_ub"))
+      .orderBy("lang", "rnk")
+  }
+
+  // ======================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_sql_api" -> (q28_sql_api _),
     "x30_grouping_cube" -> (x30_grouping_cube _),
@@ -816,7 +845,8 @@ object AnalyticsQueries {
     // rows-only (approx sketch estimates — no DuckDB oracle): the
     // tolerance bounds vs exact x34/x43 are pinned in SketchSpec
     "x63_sketch_distinct" -> (x63_sketch_distinct _),
-    "x64_sketch_quantiles" -> (x64_sketch_quantiles _))
+    "x64_sketch_quantiles" -> (x64_sketch_quantiles _),
+    "x65_sketch_topk" -> (x65_sketch_topk _))
 
   val oracleSql: Map[String, String] = Map(
     "q28_sql_api" -> q28Sql,

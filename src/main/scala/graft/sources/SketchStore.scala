@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.KllExpressions
+import graft.functions.{FreqExpressions, KllExpressions}
 
 /** Mergeable corpus-statistics artifacts: per-slice sketch tables
   * published through [[VersionedStore]] and merged on read.
@@ -34,31 +34,41 @@ object SketchStore {
 
   private val HllSuffix = "_hll"
   private val KllSuffix = "_kll"
+  private val FreqSuffix = "_freq"
 
   /** Aggregate `df` into one sketch row per `keys` combination:
     * `n_rows` (exact), an HLL sketch per `distinctCols` entry, a KLL
-    * sketch per `quantileCols` entry. Distinct-count inputs are cast
-    * to string (one canonical binding for any input type);
-    * quantile inputs cast to double.
+    * sketch per `quantileCols` entry, a frequent-items sketch per
+    * `freqCols` entry. Distinct-count and frequency inputs are cast to
+    * string (one canonical binding for any input type); quantile
+    * inputs cast to double.
     */
   def sketchTable(df: DataFrame, keys: Seq[String],
       distinctCols: Seq[String], quantileCols: Seq[String],
-      lgK: Int = 12, kllK: Int = KllExpressions.DefaultK): DataFrame = {
+      freqCols: Seq[String] = Nil,
+      lgK: Int = 12, kllK: Int = KllExpressions.DefaultK,
+      freqMapSize: Int = FreqExpressions.DefaultMapSize): DataFrame = {
     val aggs =
       Seq(count(lit(1)).as("n_rows")) ++
         distinctCols.map(c =>
           hll_sketch_agg(col(c).cast("string"), lgK).as(c + HllSuffix)) ++
         quantileCols.map(c =>
-          KllExpressions.kll_agg(col(c).cast("double"), kllK).as(c + KllSuffix))
+          KllExpressions.kll_agg(col(c).cast("double"), kllK).as(c + KllSuffix)) ++
+        freqCols.map(c =>
+          FreqExpressions.freq_agg(col(c).cast("string"), freqMapSize)
+            .as(c + FreqSuffix))
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Merge sketch tables of the same shape back to one row per key:
-    * counters add, HLL sketches union, KLL sketches merge. The result
-    * is again a sketch table — merges compose associatively, so
-    * batch-of-batches rollups are free.
+    * counters add, HLL sketches union, KLL sketches merge,
+    * frequent-items sketches merge. The result is again a sketch
+    * table — merges compose associatively, so batch-of-batches rollups
+    * are free. `freqMapSize` must match the size the tables were built
+    * with (the merge TARGET's map governs merged accuracy).
     */
-  def merge(tables: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+  def merge(tables: Seq[DataFrame], keys: Seq[String],
+      freqMapSize: Int = FreqExpressions.DefaultMapSize): DataFrame = {
     require(tables.nonEmpty, "merge needs at least one sketch table")
     val all = tables.reduce(_.unionByName(_))
     val aggs = all.schema.fields.toSeq.collect {
@@ -67,6 +77,8 @@ object SketchStore {
         hll_union_agg(col(f.name)).as(f.name)
       case f if f.name.endsWith(KllSuffix) =>
         KllExpressions.kll_merge_agg(col(f.name)).as(f.name)
+      case f if f.name.endsWith(FreqSuffix) =>
+        FreqExpressions.freq_merge_agg(col(f.name), freqMapSize).as(f.name)
     }
     all.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -82,9 +94,11 @@ object SketchStore {
     * read. Scans only the kilobyte sketch parquet under `root` — never
     * a corpus row (SketchSpec pins the plan).
     */
-  def mergedStats(spark: SparkSession, root: String, keys: Seq[String]): DataFrame = {
+  def mergedStats(spark: SparkSession, root: String, keys: Seq[String],
+      freqMapSize: Int = FreqExpressions.DefaultMapSize): DataFrame = {
     val latest = VersionedStore.latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no published sketch batches under $root"))
-    merge((0L to latest).map(v => VersionedStore.readVersion(spark, root, v)), keys)
+    merge((0L to latest).map(v => VersionedStore.readVersion(spark, root, v)),
+      keys, freqMapSize)
   }
 }

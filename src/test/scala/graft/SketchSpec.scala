@@ -121,6 +121,63 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     assert(merged.select(sum("n_rows")).head().getLong(0) === ev.count())
   }
 
+  test("x65 frequency-sketch top tokens equal exact x24 while under capacity") {
+    // the corpus vocabulary (~31 tokens/lang) fits the 128-entry map,
+    // and a Misra-Gries sketch that never evicts is EXACT — so the
+    // merged-slice top-5 must reproduce x24's window-ranked answer
+    // including counts and the occ-desc/token-asc tiebreak
+    val est = AnalyticsQueries.x65_sketch_topk(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val exact = graft.queries.ExtensionQueries.x24_top_tokens(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(est.toSeq === exact.toSeq)
+  }
+
+  test("frequency sketch under eviction pressure: bounds hold, no false negatives") {
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+    // force the approximate regime: map of 8 over a ~31-token
+    // vocabulary must evict, so estimates carry real error
+    val toks = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select(explode(graft.functions.Tokenize.tokens(col("text"))).as("token"))
+    val bytes = toks
+      .agg(graft.functions.FreqExpressions.freq_agg(col("token"), 8).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val sk = ItemsSketch.getInstance(
+      org.apache.datasketches.memory.Memory.wrap(bytes), new ArrayOfStringsSerDe)
+    val exact = toks.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk.getStreamLength === exact.values.sum)
+    assert(sk.getMaximumError > 0, "a map of 8 over 31 tokens must evict")
+    // every estimate brackets the true count
+    exact.foreach { case (t, n) =>
+      assert(sk.getLowerBound(t) <= n && n <= sk.getUpperBound(t),
+        s"$t: true $n outside [${sk.getLowerBound(t)}, ${sk.getUpperBound(t)}]")
+    }
+    // no false negatives: every token above the error bound surfaces
+    val surfaced = sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      .map(_.getItem).toSet
+    exact.collect { case (t, n) if n > sk.getMaximumError => t }
+      .foreach(t => assert(surfaced.contains(t), s"heavy hitter $t missed"))
+  }
+
+  test("frequency sketches of slices merged == whole-corpus sketch under capacity") {
+    val toks = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"),
+        explode(graft.functions.Tokenize.tokens(col("text"))).as("token"))
+    def top(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+      df.select(col("lang"), graft.functions.FreqExpressions
+        .freq_top_k(col("token_freq"), 3).cast("string").as("top"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toSeq.sorted
+    val whole = SketchStore.sketchTable(
+      toks, Seq("lang"), Nil, Nil, Seq("token"))
+    val slices = Seq(0, 1, 2).map(h => SketchStore.sketchTable(
+      toks.filter(pmod(col("doc_id"), lit(3)) === h),
+      Seq("lang"), Nil, Nil, Seq("token")))
+    assert(top(SketchStore.merge(slices, Seq("lang"))) === top(whole))
+  }
+
   test("KLL SQL surface: agg, merge, quantile; empty sketch is NULL") {
     graft.functions.GraftFunctions.register(spark)
     Tables.orders(spark, sf).createOrReplaceTempView("sk_orders")
