@@ -155,13 +155,25 @@ object Pipeline {
           max(col("last_seq")).as("max_seq"),
           sum(col("n_tokens")).as("tot"))
 
-      // 8. one atomic multi-table snapshot: the masked text a model
-      // trains on + vectors + packing, versioned together. The vector /
-      // packing stats are observations on the write jobs themselves —
-      // what was WRITTEN, with no read-back scan (PipelineSpec pins
-      // published-snapshot readability separately).
+      // 8. corpus statistics as a mergeable sketch table (per-language
+      // token count, distinct-token HLL, heavy-token frequency sketch)
+      // shipped IN the snapshot: a consumer reads the vocabulary shape
+      // of the exact text it trains on from kilobytes, without a text
+      // scan — and can union it with other snapshots' stats later
+      // (SketchStore.merge). One extra pass over the persisted corpus.
+      val stats = graft.sources.SketchStore.sketchTable(
+        corpus.select(col("lang"),
+          explode(graft.functions.Tokenize.tokens(col("text"))).as("token")),
+        Seq("lang"), Seq("token"), Nil, Seq("token"))
+
+      // 9. one atomic multi-table snapshot: the masked text a model
+      // trains on + vectors + packing + stats, versioned together. The
+      // vector / packing stats are observations on the write jobs
+      // themselves — what was WRITTEN, with no read-back scan
+      // (PipelineSpec pins published-snapshot readability separately).
       val version = VersionedStore.publishAll(
-        Map("documents" -> corpus, "vectors" -> vecs, "packing" -> packed),
+        Map("documents" -> corpus, "vectors" -> vecs, "packing" -> packed,
+          "stats" -> stats),
         storeRoot)
       val piiMaskedDocs = cap.await("graft_pipe_corpus").getLong(0)
       val vectorized = cap.await("graft_pipe_vectors").getLong(0)

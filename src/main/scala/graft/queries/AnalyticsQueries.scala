@@ -752,12 +752,17 @@ object AnalyticsQueries {
   // ≈ 1.6% RSE; SketchSpec pins the bound against exact x34), so
   // rows-only in the oracle contract, like the other ML/approx queries.
   def x63_sketch_distinct(spark: SparkSession, sfDir: String): DataFrame = {
+    // slice = the ingest-batch stand-in: per-(slice, group) sketches
+    // built in ONE scan (slice as an extra group key), then merged
+    // per group — exactly the shape of N batch sketch tables unioned
+    // on read, without paying N scans to stage the demo
     val ev = Tables.events(spark, sfDir)
       .withColumn("day", to_date(col("ts")).cast("string"))
-    val slices = Seq(0, 1).map(h => graft.sources.SketchStore.sketchTable(
-      ev.filter(pmod(col("user_id"), lit(2)) === h),
-      Seq("event_type"), Seq("user_id", "day"), Nil))
-    graft.sources.SketchStore.merge(slices, Seq("event_type"))
+      .withColumn("slice", pmod(col("user_id"), lit(2)))
+    val sliced = graft.sources.SketchStore.sketchTable(
+      ev, Seq("event_type", "slice"), Seq("user_id", "day"), Nil)
+    graft.sources.SketchStore.merge(
+      Seq(sliced.drop("slice")), Seq("event_type"))
       .select(col("event_type"),
         hll_sketch_estimate(col("user_id_hll")).as("n_users_est"),
         hll_sketch_estimate(col("day_hll")).as("n_days_est"),
@@ -775,13 +780,15 @@ object AnalyticsQueries {
   // O(k) per group. Rows-only: KLL compaction is randomized, values
   // within the rank bound vary run to run.
   def x64_sketch_quantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    // same one-scan slice shape as x63
     val o = Tables.orders(spark, sfDir)
       .withColumn("cents", floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
-    val slices = Seq(0, 1).map(h => graft.sources.SketchStore.sketchTable(
-      o.filter(pmod(col("o_orderkey"), lit(2)) === h),
-      Seq("o_orderpriority"), Nil, Seq("cents")))
+      .withColumn("slice", pmod(col("o_orderkey"), lit(2)))
+    val sliced = graft.sources.SketchStore.sketchTable(
+      o, Seq("o_orderpriority", "slice"), Nil, Seq("cents"))
     import graft.functions.KllExpressions.kll_quantile
-    graft.sources.SketchStore.merge(slices, Seq("o_orderpriority"))
+    graft.sources.SketchStore.merge(
+      Seq(sliced.drop("slice")), Seq("o_orderpriority"))
       .select(col("o_orderpriority"),
         (kll_quantile(col("cents_kll"), 0.25) / 100.0).as("p25"),
         (kll_quantile(col("cents_kll"), 0.5) / 100.0).as("p50"),
@@ -804,12 +811,12 @@ object AnalyticsQueries {
   // CONTRACT is approximate).
   def x65_sketch_topk(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
-      .select(col("lang"), col("doc_id"),
+      .select(col("lang"), pmod(col("doc_id"), lit(2)).as("slice"),
         explode(graft.functions.Tokenize.tokens(col("text"))).as("token"))
-    val slices = Seq(0, 1).map(h => graft.sources.SketchStore.sketchTable(
-      toks.filter(pmod(col("doc_id"), lit(2)) === h),
-      Seq("lang"), Nil, Nil, Seq("token")))
-    graft.sources.SketchStore.merge(slices, Seq("lang"))
+    val sliced = graft.sources.SketchStore.sketchTable(
+      toks, Seq("lang", "slice"), Nil, Nil, Seq("token"))
+    graft.sources.SketchStore.merge(
+      Seq(sliced.drop("slice")), Seq("lang"))
       .select(col("lang"), posexplode(
         graft.functions.FreqExpressions.freq_top_k(col("token_freq"), 5))
         .as(Seq("idx", "hit")))

@@ -105,6 +105,19 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 1, s"unexpected shuffles:\n$p")
   }
 
+  test("x63/x64/x65 sketch queries scan their source exactly once") {
+    // the slice dimension is a GROUP KEY, not a per-slice filter — N
+    // ingest slices must not mean N source scans
+    Seq(graft.queries.AnalyticsQueries.x63_sketch_distinct(spark, sf),
+      graft.queries.AnalyticsQueries.x64_sketch_quantiles(spark, sf),
+      graft.queries.AnalyticsQueries.x65_sketch_topk(spark, sf))
+      .foreach { df =>
+        val p = plan(df)
+        assert("FileScan".r.findAllIn(p).size === 1,
+          s"expected exactly one source scan:\n$p")
+      }
+  }
+
   test("Pipeline near-dup banding scans ONLY the survivor frame") {
     // round-6 verdict #1: the banding core must take the run-private
     // survivor corpus as its scan root — a full-corpus parquet rescan
