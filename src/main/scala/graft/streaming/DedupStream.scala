@@ -107,6 +107,17 @@ object DedupStream {
               .parquet(s"$storeRoot/postings/batch=$batchId")
             survivors.write.mode(SaveMode.Overwrite)
               .parquet(s"$storeRoot/docs/batch=$batchId")
+            // live corpus stats: the batch's survivors sketched once
+            // (per-lang token total, distinct-token HLL, heavy-token
+            // sketch) into their own idempotent batch slice —
+            // [[corpusStats]] merges the kilobyte slices on read, so
+            // "what's in the corpus so far" never rescans accepted text
+            graft.sources.SketchStore.sketchTable(
+              survivors.select(col("lang"), explode(
+                graft.functions.Tokenize.tokens(col("text"))).as("token")),
+              Seq("lang"), Seq("token"), Nil, Seq("token"))
+              .write.mode(SaveMode.Overwrite)
+              .parquet(s"$storeRoot/stats/batch=$batchId")
             val vecs = ReferenceQueries
               .docVectorsByLang(survivors, wordvecsLang, dim)
               .select("doc_id", "lang", "known_ratio", "vec")
@@ -182,6 +193,22 @@ object DedupStream {
       .select(col("drop_id").as("doc_id")).distinct()
     (drops, tagged)
   }
+
+  private[streaming] val statsSchema: StructType = StructType(Seq(
+    StructField("lang", StringType), StructField("n_rows", LongType),
+    StructField("token_hll", BinaryType), StructField("token_freq", BinaryType)))
+
+  /** Live whole-corpus vocabulary stats from the maintained per-batch
+    * slices: one merged sketch row per language — token total,
+    * distinct-token HLL, heavy-token sketch. Cost is O(accepted
+    * batches) kilobyte rows; the accepted text is never rescanned
+    * (each batch sketched itself once, in its own loop).
+    */
+  def corpusStats(spark: SparkSession, storeRoot: String): DataFrame =
+    graft.sources.SketchStore.merge(
+      Seq(readOrEmpty(spark, s"$storeRoot/stats", statsSchema)
+        .select("lang", "n_rows", "token_hll", "token_freq")),
+      Seq("lang"))
 
   private def readOrEmpty(spark: SparkSession, path: String,
       schema: StructType): DataFrame = {

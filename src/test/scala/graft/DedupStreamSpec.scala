@@ -99,6 +99,25 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     assert(postings.select("doc_id").distinct()
       .as[Long].collect().toSet === accExp)
     assert(postings.count() === accExp.size * 4L)
+
+    // live corpus stats: the per-batch sketch slices merged on read
+    // equal a fresh sketch of exactly the accepted text (HLL merge is
+    // register-exact; the frequency sketch never evicted at this
+    // vocabulary; token totals add) — the always-on worker keeps
+    // whole-corpus vocabulary stats current for O(batch) per arrival
+    def statsShape(df: DataFrame): Set[(String, Long, Long, String)] =
+      df.select(col("lang"), col("n_rows"),
+        hll_sketch_estimate(col("token_hll")).as("nd"),
+        graft.functions.FreqExpressions.freq_top_k(col("token_freq"), 3)
+          .cast("string").as("top"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+    val direct = graft.sources.SketchStore.sketchTable(
+      spark.read.parquet(s"$store/docs").select(col("lang"),
+        explode(graft.functions.Tokenize.tokens(col("text"))).as("token")),
+      Seq("lang"), Seq("token"), Nil, Seq("token"))
+    assert(statsShape(DedupStream.corpusStats(spark, store)) === statsShape(direct))
   }
 
   test("per-batch plan touches history only through the artifacts (no corpus rescan)") {

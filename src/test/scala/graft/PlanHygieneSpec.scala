@@ -115,6 +115,14 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
         val p = plan(df)
         assert("FileScan".r.findAllIn(p).size === 1,
           s"expected exactly one source scan:\n$p")
+        // TypedImperativeAggregates must plan as ObjectHashAggregate
+        // with a partial phase — the map-side combine is what keeps a
+        // sketch build to one narrow shuffle at 100 TB (SortAggregate
+        // here would mean a sort per group build)
+        assert(p.contains("ObjectHashAggregate"),
+          s"sketch agg not object-hash aggregated:\n$p")
+        assert(p.contains("partial_"),
+          s"no map-side partial sketch phase:\n$p")
       }
   }
 
