@@ -71,6 +71,14 @@ object Pipeline {
     // capture listener collects them; try/finally guarantees the
     // run-private caches and the listener never outlive a failed run.
     val cap = Observe.capture(spark)
+    // run-unique observation names: two concurrent (or sequential)
+    // runs on one session must not read each other's counters through
+    // the shared listener bus — MetricsCapture is first-write-wins per
+    // name precisely because cached observe nodes re-report
+    val runTag = java.util.UUID.randomUUID().toString.take(8)
+    val corpusObs = s"graft_pipe_corpus_$runTag"
+    val vectorsObs = s"graft_pipe_vectors_$runTag"
+    val packingObs = s"graft_pipe_packing_$runTag"
     var keepIds: DataFrame = null
     var trainCorpus: DataFrame = null
     var afterDedup: DataFrame = null
@@ -129,7 +137,7 @@ object Pipeline {
           evalGrams)
         .filter(col("flagged")).select("doc_id")
       corpus = afterDedup.join(flagged, Seq("doc_id"), "left_anti")
-        .observe("graft_pipe_corpus",
+        .observe(corpusObs,
           count(when(col("n_pii") > 0, 1)).as("n_pii_docs"))
         .persist()
       val corpusCount = corpus.count()
@@ -144,14 +152,14 @@ object Pipeline {
         corpus, ReferenceQueries.wordvecsByLang(spark, sfDir),
         ReferenceQueries.VecDim)
         .select(col("doc_id"), col("lang"), col("known_ratio"), col("vec"))
-        .observe("graft_pipe_vectors", count(lit(1)).as("n_rows"))
+        .observe(vectorsObs, count(lit(1)).as("n_rows"))
 
       // 7. pack ONLY the final corpus into training sequences (no
       // shared corpus cache: the survivor posting is this run's private
       // frame)
       val packed = ExtensionQueries.seqPackOf(
         corpus.select("doc_id", "text"), sharedCache = false)
-        .observe("graft_pipe_packing",
+        .observe(packingObs,
           max(col("last_seq")).as("max_seq"),
           sum(col("n_tokens")).as("tot"))
 
@@ -160,10 +168,13 @@ object Pipeline {
       // shipped IN the snapshot: a consumer reads the vocabulary shape
       // of the exact text it trains on from kilobytes, without a text
       // scan — and can union it with other snapshots' stats later
-      // (SketchStore.merge). One extra pass over the persisted corpus.
+      // (SketchStore.merge). Tokenized with the SAME per-language rule
+      // as the vectors in step 6 — ASCII-splitting zh here would
+      // describe a vocabulary the snapshot doesn't train on. One extra
+      // pass over the persisted corpus.
       val stats = graft.sources.SketchStore.sketchTable(
-        corpus.select(col("lang"),
-          explode(graft.functions.Tokenize.tokens(col("text"))).as("token")),
+        corpus.select(col("lang"), explode(graft.functions.Tokenize
+          .tokensByLang(col("text"), col("lang"))).as("token")),
         Seq("lang"), Seq("token"), Nil, Seq("token"))
 
       // 9. one atomic multi-table snapshot: the masked text a model
@@ -175,9 +186,9 @@ object Pipeline {
         Map("documents" -> corpus, "vectors" -> vecs, "packing" -> packed,
           "stats" -> stats),
         storeRoot)
-      val piiMaskedDocs = cap.await("graft_pipe_corpus").getLong(0)
-      val vectorized = cap.await("graft_pipe_vectors").getLong(0)
-      val packRow = cap.await("graft_pipe_packing")
+      val piiMaskedDocs = cap.await(corpusObs).getLong(0)
+      val vectorized = cap.await(vectorsObs).getLong(0)
+      val packRow = cap.await(packingObs)
       val sequences = if (packRow.isNullAt(0)) 0L else packRow.getLong(0) + 1
       val packedTokens = if (packRow.isNullAt(1)) 0L else packRow.getLong(1)
       Result(version, kept, heldOut, prunedNearDup, droppedContaminated,

@@ -131,7 +131,11 @@ case class FreqTopK(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_freq_top_k"
   override def dataType: DataType = ArrayType(FreqTopK.HitType, containsNull = false)
-  override def nullable: Boolean = false
+  // BinaryExpression.eval null-propagates a null sketch or k (an
+  // outer-joined sketch row), so the output is nullable exactly when
+  // an input is — claiming false there would let NullPropagation
+  // rewrite IS NULL / coalesce over this expression incorrectly
+  override def nullable: Boolean = left.nullable || right.nullable
 
   override def nullSafeEval(sketch: Any, k: Any): Any = {
     val sk = ItemsSketch.getInstance(
@@ -181,9 +185,24 @@ object FreqExpressions {
 
   /** SQL builder shared by the two registration paths. */
   def freqAggBuilder(exprs: Seq[Expression]): Expression =
-    FreqSketchAgg(exprs(0), exprs(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(m: Int, _) => m
-      case other => throw new IllegalArgumentException(
-        s"graft_freq_agg maxMapSize must be an int literal, got $other")
-    })
+    FreqSketchAgg(exprs(0), intLiteral(exprs(1), "graft_freq_agg maxMapSize"))
+
+  /** SQL builder for the merge side: the optional second argument is
+    * the merge TARGET's map size, which governs merged accuracy — a
+    * caller who built with a non-default size must pass the same size
+    * here (the Column API and SketchStore thread it the same way).
+    */
+  def freqMergeBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1 || exprs.length == 2,
+      s"graft_freq_merge expects 1 or 2 argument(s), got ${exprs.length}")
+    val size = if (exprs.length == 2)
+      intLiteral(exprs(1), "graft_freq_merge maxMapSize") else DefaultMapSize
+    FreqMergeAgg(exprs.head, size)
+  }
+
+  private def intLiteral(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(m: Int, _) => m
+    case other => throw new IllegalArgumentException(
+      s"$what must be an int literal, got $other")
+  }
 }

@@ -8,6 +8,17 @@ import org.apache.spark.sql.SparkSession
   * these SQL names).
   */
 object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Arity-checked builder (same contract as GraftExtensions.arity). */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == n,
+        s"$name expects $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("floats_to_binary",
@@ -40,18 +51,23 @@ object GraftFunctions {
     // 0.5) over per-slice sketch tables. The analyzer wraps the raw
     // AggregateFunction, same as injectFunction does.
     reg.createOrReplaceTempFunction("graft_kll_agg",
-      KllExpressions.kllAggBuilder, "scala_udf")
+      arity("graft_kll_agg", 2)(KllExpressions.kllAggBuilder), "scala_udf")
     reg.createOrReplaceTempFunction("graft_kll_merge",
-      exprs => KllMergeAgg(exprs.head), "scala_udf")
+      arity("graft_kll_merge", 1)(exprs => KllMergeAgg(exprs.head)),
+      "scala_udf")
     reg.createOrReplaceTempFunction("graft_kll_quantile",
-      exprs => KllQuantile(exprs(0), exprs(1)), "scala_udf")
+      arity("graft_kll_quantile", 2)(exprs => KllQuantile(exprs(0), exprs(1))),
+      "scala_udf")
     // Mergeable frequent-items sketches: SELECT
     // graft_freq_top_k(graft_freq_merge(sk), 5) over sketch tables.
+    // Arity-checked like the GraftExtensions path: a wrong-arity SQL
+    // call gets a function-named error, not an IndexOutOfBounds.
     reg.createOrReplaceTempFunction("graft_freq_agg",
-      FreqExpressions.freqAggBuilder, "scala_udf")
+      arity("graft_freq_agg", 2)(FreqExpressions.freqAggBuilder), "scala_udf")
     reg.createOrReplaceTempFunction("graft_freq_merge",
-      exprs => FreqMergeAgg(exprs.head), "scala_udf")
+      FreqExpressions.freqMergeBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("graft_freq_top_k",
-      exprs => FreqTopK(exprs(0), exprs(1)), "scala_udf")
+      arity("graft_freq_top_k", 2)(exprs => FreqTopK(exprs(0), exprs(1))),
+      "scala_udf")
   }
 }

@@ -63,7 +63,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("graft_freq_agg", 2)(graft.functions.FreqExpressions.freqAggBuilder)))
     ext.injectFunction((FunctionIdentifier("graft_freq_merge"),
       new ExpressionInfo(classOf[FreqMergeAgg].getName, "graft_freq_merge"),
-      arity("graft_freq_merge", 1)(exprs => FreqMergeAgg(exprs.head))))
+      graft.functions.FreqExpressions.freqMergeBuilder))
     ext.injectFunction((FunctionIdentifier("graft_freq_top_k"),
       new ExpressionInfo(classOf[FreqTopK].getName, "graft_freq_top_k"),
       arity("graft_freq_top_k", 2)(exprs => FreqTopK(exprs(0), exprs(1)))))

@@ -83,22 +83,53 @@ object SketchStore {
     all.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Publish one batch's sketch table as the next immutable version.
-    * Unlike a data snapshot, a version here is one SLICE, not the
-    * whole corpus — [[mergedStats]] combines all published slices.
+  /** Publish one batch's sketch table as the next immutable version,
+    * then stamp it as a COMPLETE slice. Unlike a data snapshot, a
+    * version here is one SLICE, not the whole corpus — [[mergedStats]]
+    * combines all stamped slices.
+    *
+    * The stamp exists because "contiguous versions 0..latest" is NOT a
+    * valid slice listing: a publish that crashes between its parquet
+    * write and the `_latest` marker leaves an orphan `v=N` whose
+    * content the RETRY republishes as `v=N+1` — a reader that swept
+    * every directory would count that batch twice (or trip over a
+    * half-written parquet). A slice is merge-eligible only once its
+    * data AND the version marker landed; a crash before the stamp
+    * means the batch replays (the streaming caller's per-batch
+    * idempotence), and the unstamped orphan is permanently ignored.
     */
-  def publishBatch(table: DataFrame, root: String): Long =
-    VersionedStore.publish(table, root)
+  def publishBatch(table: DataFrame, root: String): Long = {
+    val v = VersionedStore.publish(table, root)
+    val ok = new org.apache.hadoop.fs.Path(root, s"v=$v/$SliceOkMarker")
+    val fs = ok.getFileSystem(
+      table.sparkSession.sparkContext.hadoopConfiguration)
+    fs.create(ok, true).close()
+    v
+  }
 
-  /** The whole-corpus sketch table: every published batch merged on
-    * read. Scans only the kilobyte sketch parquet under `root` — never
-    * a corpus row (SketchSpec pins the plan).
+  private val SliceOkMarker = "_graft_slice_ok"
+
+  /** The whole-corpus sketch table: every COMPLETE published slice
+    * merged on read (unstamped orphans from crashed publishes are
+    * skipped — see [[publishBatch]]). Scans only the kilobyte sketch
+    * parquet under `root` — never a corpus row (SketchSpec pins the
+    * plan).
     */
   def mergedStats(spark: SparkSession, root: String, keys: Seq[String],
       freqMapSize: Int = FreqExpressions.DefaultMapSize): DataFrame = {
-    val latest = VersionedStore.latestVersion(root).getOrElse(
-      throw new IllegalStateException(s"no published sketch batches under $root"))
-    merge((0L to latest).map(v => VersionedStore.readVersion(spark, root, v)),
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val slices =
+      if (!fs.exists(rootPath)) Seq.empty[Long]
+      else fs.listStatus(rootPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, SliceOkMarker)))
+        .flatMap(s => scala.util.Try(
+          s.getPath.getName.stripPrefix("v=").toLong).toOption)
+        .sorted
+    if (slices.isEmpty) throw new IllegalStateException(
+      s"no published sketch batches under $root")
+    merge(slices.map(v => VersionedStore.readVersion(spark, root, v)),
       keys, freqMapSize)
   }
 }

@@ -158,7 +158,19 @@ object Upsert {
     try {
       merged.write.mode(SaveMode.Overwrite).parquet(stage.toString)
       write(spark.read.parquet(stage.toString))
-    } finally sfs.delete(stage, true)
+    } finally {
+      // a failed cleanup must not REPLACE the primary failure — if the
+      // durable FS is down, the write's exception is the root cause
+      // the operator needs, and the orphaned stage dir is the lesser
+      // problem (its unique suffix keeps it from colliding with
+      // retries)
+      try sfs.delete(stage, true)
+      catch {
+        case e: Exception => System.err.println(
+          s"[upsert] stage cleanup of $stage failed: ${e.getMessage}")
+      }
+      ()
+    }
   }
 }
 

@@ -111,10 +111,12 @@ object DedupStream {
             // (per-lang token total, distinct-token HLL, heavy-token
             // sketch) into their own idempotent batch slice —
             // [[corpusStats]] merges the kilobyte slices on read, so
-            // "what's in the corpus so far" never rescans accepted text
+            // "what's in the corpus so far" never rescans accepted
+            // text. Per-language tokenization, matching the vectorize
+            // below — the stats must describe the tokens that train.
             graft.sources.SketchStore.sketchTable(
-              survivors.select(col("lang"), explode(
-                graft.functions.Tokenize.tokens(col("text"))).as("token")),
+              survivors.select(col("lang"), explode(graft.functions.Tokenize
+                .tokensByLang(col("text"), col("lang"))).as("token")),
               Seq("lang"), Seq("token"), Nil, Seq("token"))
               .write.mode(SaveMode.Overwrite)
               .parquet(s"$storeRoot/stats/batch=$batchId")

@@ -137,9 +137,19 @@ final class MetricsCapture extends QueryExecutionListener {
 
   private val seen = new java.util.concurrent.ConcurrentHashMap[String, Row]()
 
+  // FIRST delivery wins: an observe node inside a cached plan is
+  // re-reported by every later action that scans the cache, and its
+  // accumulator can drift upward if lost cached partitions recompute —
+  // the first event (the action that materialized the frame, bus order
+  // is FIFO) carries the correct value, so later re-deliveries of the
+  // same name must not overwrite it. Callers give each logical run its
+  // own observation names; a reused name would otherwise pin the
+  // previous run's value.
   override def onSuccess(funcName: String, qe: QueryExecution,
       durationNs: Long): Unit =
-    qe.observedMetrics.foreach { case (name, row) => seen.put(name, row) }
+    qe.observedMetrics.foreach { case (name, row) =>
+      seen.putIfAbsent(name, row); ()
+    }
 
   override def onFailure(funcName: String, qe: QueryExecution,
       exception: Exception): Unit = ()

@@ -95,20 +95,39 @@ object VectorizeStream {
 
   /** Merge-by-key into a parquet store with a write-to-side + swap (a
     * parquet path can't be overwritten while it is being read).
+    *
+    * The swap is two atomic renames (store→retired, tmp→store) with
+    * entry-time recovery, NOT delete-then-move: a crash between a
+    * delete and a move would silently lose the ENTIRE accepted store
+    * (the restarted batch would find no store and write only itself,
+    * while the dedup artifacts still list every prior doc as
+    * accepted). With rename+recovery every crash window leaves either
+    * the old store or a restorable `.retired` copy, and the replayed
+    * batch re-merges idempotently.
     */
-  private[streaming] def upsertStore(spark: SparkSession, updates: DataFrame,
+  private[graft] def upsertStore(spark: SparkSession, updates: DataFrame,
       storePath: String): Unit = {
     val store = Paths.get(storePath)
+    val tmp = Paths.get(storePath + ".tmp")
+    val retired = Paths.get(storePath + ".retired")
+    // recovery from a previously interrupted swap: `.retired` is the
+    // pre-swap store — restore it if the new store never landed,
+    // discard it if it did; a stale tmp is always recomputed
+    if (Files.exists(retired)) {
+      if (!Files.exists(store)) Files.move(retired, store)
+      else deleteRecursively(retired)
+    }
+    deleteRecursively(tmp)
     if (!Files.exists(store)) {
       updates.write.parquet(storePath)
       return
     }
     val existing = spark.read.parquet(storePath)
     val merged = Upsert.mergeByKey(existing, updates, "doc_id")
-    val tmp = storePath + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    deleteRecursively(store)
-    Files.move(Paths.get(tmp), store)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    Files.move(store, retired)
+    Files.move(tmp, store)
+    deleteRecursively(retired)
   }
 
   private def deleteRecursively(p: Path): Unit =

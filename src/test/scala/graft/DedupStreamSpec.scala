@@ -115,7 +115,8 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
         .toSet
     val direct = graft.sources.SketchStore.sketchTable(
       spark.read.parquet(s"$store/docs").select(col("lang"),
-        explode(graft.functions.Tokenize.tokens(col("text"))).as("token")),
+        explode(graft.functions.Tokenize.tokensByLang(col("text"), col("lang")))
+          .as("token")),
       Seq("lang"), Seq("token"), Nil, Seq("token"))
     assert(statsShape(DedupStream.corpusStats(spark, store)) === statsShape(direct))
   }

@@ -102,7 +102,8 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
         ((row.getLong(1), row.getLong(2), row.getString(3), row.getLong(4))))
       .toMap
     val exactTok = snapDocs.select(col("lang"),
-      explode(graft.functions.Tokenize.tokens(col("text"))).as("token"))
+      explode(graft.functions.Tokenize.tokensByLang(col("text"), col("lang")))
+        .as("token"))
       .groupBy("lang", "token").count().collect()
       .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
       .groupBy(_._1)

@@ -119,6 +119,24 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(users(merged) === users(whole))
     assert(merged.select(sum("n_rows")).head().getLong(0) === ev.count())
+
+    // a publish that crashed between its parquet write and the version
+    // marker leaves an ORPHAN version dir whose content the retry
+    // republished — mergedStats must skip it (no completion stamp) or
+    // the crashed batch double-counts. Simulate: copy slice v=0's
+    // parquet to an unstamped v=9, republish a real batch above it.
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(root, "v=0"), fs,
+      new org.apache.hadoop.fs.Path(root, "v=9"), false, true,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "v=9/_graft_slice_ok"), false)
+    SketchStore.publishBatch(SketchStore.sketchTable(
+      ev.limit(0), Seq("event_type"), Seq("user_id"), Seq("value")), root)
+    val afterOrphan = SketchStore.mergedStats(spark, root, Seq("event_type"))
+    assert(afterOrphan.select(sum("n_rows")).head().getLong(0) === ev.count(),
+      "orphan slice was double-counted")
   }
 
   test("x65 frequency-sketch top tokens equal exact x24 while under capacity") {

@@ -55,6 +55,41 @@ class VectorizeStreamSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(store).count() === batch.count())
   }
 
+  test("upsertStore swap recovers the store from every crash window") {
+    import spark.implicits._
+    def store(dir: java.nio.file.Path) = dir.resolve("vectors").toString
+    def ids(path: String): Set[Long] =
+      spark.read.parquet(path).select("doc_id").as[Long].collect().toSet
+    def upsert(path: String, docIds: Long*): Unit =
+      VectorizeStream.upsertStore(spark,
+        docIds.map(i => (i, 1.0, Array(i.toFloat))).toDF("doc_id", "known_ratio", "vec"),
+        path)
+
+    // crash AFTER store->retired, BEFORE tmp->store: the store is
+    // missing but .retired holds the accepted history — the replayed
+    // batch must restore it and re-merge, not start a fresh store
+    // (the old delete-then-move swap lost all prior batches here)
+    val w1 = Files.createTempDirectory("graft_swap1")
+    upsert(store(w1), 1L, 2L)
+    Files.move(Paths.get(store(w1)), Paths.get(store(w1) + ".retired"))
+    upsert(store(w1), 3L)
+    assert(ids(store(w1)) === Set(1L, 2L, 3L))
+    assert(!Files.exists(Paths.get(store(w1) + ".retired")))
+
+    // crash AFTER tmp->store, BEFORE retired cleanup: the swap
+    // completed — recovery discards the stale .retired and the
+    // replayed batch re-merges idempotently
+    val w2 = Files.createTempDirectory("graft_swap2")
+    upsert(store(w2), 1L, 2L)
+    upsert(store(w2), 3L)
+    val stale = Paths.get(store(w2) + ".retired")
+    Files.createDirectory(stale)
+    Files.write(stale.resolve("junk"), Array[Byte](1))
+    upsert(store(w2), 3L)
+    assert(ids(store(w2)) === Set(1L, 2L, 3L))
+    assert(!Files.exists(stale))
+  }
+
   test("restart from the SAME checkpoint processes only newly-arrived files") {
     val work = Files.createTempDirectory("graft_vresume")
     val docsDir = work.resolve("docs")
