@@ -69,5 +69,20 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_freq_top_k",
       arity("graft_freq_top_k", 2)(exprs => FreqTopK(exprs(0), exprs(1))),
       "scala_udf")
+    // Theta sketches: distinct estimates with set operations.
+    reg.createOrReplaceTempFunction("graft_theta_agg",
+      arity("graft_theta_agg", 2)(ThetaExpressions.thetaAggBuilder),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_theta_union",
+      arity("graft_theta_union", 1)(exprs => ThetaUnionAgg(exprs.head)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_theta_estimate",
+      arity("graft_theta_estimate", 1)(exprs => ThetaEstimate(exprs.head)),
+      "scala_udf")
+    Seq("intersect", "diff", "union").foreach { op =>
+      reg.createOrReplaceTempFunction(s"graft_theta_${op}_estimate",
+        arity(s"graft_theta_${op}_estimate", 2)(
+          ThetaExpressions.setEstimateBuilder(op)), "scala_udf")
+    }
   }
 }

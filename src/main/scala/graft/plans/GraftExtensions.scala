@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-import graft.functions.{BinaryToFloats, DotProduct, FloatsToBinary, FreqMergeAgg, FreqSketchAgg, FreqTopK, KllMergeAgg, KllQuantile, KllSketchAgg, TokenCount}
+import graft.functions.{BinaryToFloats, DotProduct, FloatsToBinary, FreqMergeAgg, FreqSketchAgg, FreqTopK, KllMergeAgg, KllQuantile, KllSketchAgg, ThetaEstimate, ThetaSetEstimate, ThetaSketchAgg, ThetaUnionAgg, TokenCount}
 
 /** Config-time Catalyst integration: `--conf
   * spark.sql.extensions=graft.plans.GraftExtensions` gives every session
@@ -67,6 +67,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_freq_top_k"),
       new ExpressionInfo(classOf[FreqTopK].getName, "graft_freq_top_k"),
       arity("graft_freq_top_k", 2)(exprs => FreqTopK(exprs(0), exprs(1)))))
+    // theta sketches (distincts with set operations — release overlap)
+    ext.injectFunction((FunctionIdentifier("graft_theta_agg"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "graft_theta_agg"),
+      arity("graft_theta_agg", 2)(graft.functions.ThetaExpressions.thetaAggBuilder)))
+    ext.injectFunction((FunctionIdentifier("graft_theta_union"),
+      new ExpressionInfo(classOf[ThetaUnionAgg].getName, "graft_theta_union"),
+      arity("graft_theta_union", 1)(exprs => ThetaUnionAgg(exprs.head))))
+    ext.injectFunction((FunctionIdentifier("graft_theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimate].getName, "graft_theta_estimate"),
+      arity("graft_theta_estimate", 1)(exprs => ThetaEstimate(exprs.head))))
+    Seq("intersect", "diff", "union").foreach { op =>
+      ext.injectFunction((FunctionIdentifier(s"graft_theta_${op}_estimate"),
+        new ExpressionInfo(classOf[ThetaSetEstimate].getName,
+          s"graft_theta_${op}_estimate"),
+        arity(s"graft_theta_${op}_estimate", 2)(
+          graft.functions.ThetaExpressions.setEstimateBuilder(op))))
+    }
     ext.injectOptimizerRule(_ => CodecRoundTripElimination)
   }
 }

@@ -827,6 +827,41 @@ object AnalyticsQueries {
   }
 
   // ======================================================================
+  // x66: release-overlap estimates from theta sketches — the set-ops
+  // leg. "How much of release B's content is already in release A" is
+  // a set intersection over content units; exact answers join the two
+  // sets (a shuffle over every unit of both at 100 TB), theta sketches
+  // answer from two kilobyte artifacts built in ONE pass (conditional
+  // aggregation — no per-release filter branches). Intersection /
+  // difference are what HLL cannot do; below 2^lgK retained entries
+  // the estimates are exact (SketchSpec pins them against exact set
+  // algebra; rows-only here since estimates are approximate by
+  // contract). The content unit is the 3-gram shingle — the same unit
+  // the dedup/contamination family measures with, riding the SAME
+  // shared posting cache as x02/x04 — and the releases are the doc_id
+  // parity slices, which overlap through near-dups and shared
+  // phrasing (the corpus has no byte-identical texts, so whole-doc
+  // hashing would make every release disjoint).
+  def x66_sketch_overlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.ThetaExpressions._
+    val lgK = 16 // exact through test scale; ~0.4% RSE beyond
+    val sh = ExtensionQueries.docShingles(Tables.documents(spark, sfDir))
+      .withColumn("release", pmod(col("doc_id"), lit(2)))
+    val sk = sh.agg(
+      theta_agg(when(col("release") === 0, col("shingle")), lgK).as("sk_a"),
+      theta_agg(when(col("release") === 1, col("shingle")), lgK).as("sk_b"))
+    sk.select(
+      round(theta_estimate(col("sk_a")), 0).cast("long").as("n_a"),
+      round(theta_estimate(col("sk_b")), 0).cast("long").as("n_b"),
+      round(theta_intersect_estimate(col("sk_a"), col("sk_b")), 0)
+        .cast("long").as("n_common"),
+      round(theta_diff_estimate(col("sk_a"), col("sk_b")), 0)
+        .cast("long").as("n_only_a"),
+      round(theta_union_estimate(col("sk_a"), col("sk_b")), 0)
+        .cast("long").as("n_total"))
+  }
+
+  // ======================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_sql_api" -> (q28_sql_api _),
     "x30_grouping_cube" -> (x30_grouping_cube _),
@@ -853,7 +888,8 @@ object AnalyticsQueries {
     // tolerance bounds vs exact x34/x43 are pinned in SketchSpec
     "x63_sketch_distinct" -> (x63_sketch_distinct _),
     "x64_sketch_quantiles" -> (x64_sketch_quantiles _),
-    "x65_sketch_topk" -> (x65_sketch_topk _))
+    "x65_sketch_topk" -> (x65_sketch_topk _),
+    "x66_sketch_overlap" -> (x66_sketch_overlap _))
 
   val oracleSql: Map[String, String] = Map(
     "q28_sql_api" -> q28Sql,

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{FreqExpressions, KllExpressions}
+import graft.functions.{FreqExpressions, KllExpressions, ThetaExpressions}
 
 /** Mergeable corpus-statistics artifacts: per-slice sketch tables
   * published through [[VersionedStore]] and merged on read.
@@ -35,17 +35,20 @@ object SketchStore {
   private val HllSuffix = "_hll"
   private val KllSuffix = "_kll"
   private val FreqSuffix = "_freq"
+  private val ThetaSuffix = "_theta"
 
   /** Aggregate `df` into one sketch row per `keys` combination:
     * `n_rows` (exact), an HLL sketch per `distinctCols` entry, a KLL
     * sketch per `quantileCols` entry, a frequent-items sketch per
-    * `freqCols` entry. Distinct-count and frequency inputs are cast to
-    * string (one canonical binding for any input type); quantile
-    * inputs cast to double.
+    * `freqCols` entry, a theta sketch per `setCols` entry (distincts
+    * that also support cross-slice intersection/difference estimates —
+    * release-overlap questions). Distinct-count, frequency, and set
+    * inputs are cast to string (one canonical binding for any input
+    * type); quantile inputs cast to double.
     */
   def sketchTable(df: DataFrame, keys: Seq[String],
       distinctCols: Seq[String], quantileCols: Seq[String],
-      freqCols: Seq[String] = Nil,
+      freqCols: Seq[String] = Nil, setCols: Seq[String] = Nil,
       lgK: Int = 12, kllK: Int = KllExpressions.DefaultK,
       freqMapSize: Int = FreqExpressions.DefaultMapSize): DataFrame = {
     val aggs =
@@ -56,7 +59,10 @@ object SketchStore {
           KllExpressions.kll_agg(col(c).cast("double"), kllK).as(c + KllSuffix)) ++
         freqCols.map(c =>
           FreqExpressions.freq_agg(col(c).cast("string"), freqMapSize)
-            .as(c + FreqSuffix))
+            .as(c + FreqSuffix)) ++
+        setCols.map(c =>
+          ThetaExpressions.theta_agg(col(c).cast("string"), lgK)
+            .as(c + ThetaSuffix))
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -79,6 +85,8 @@ object SketchStore {
         KllExpressions.kll_merge_agg(col(f.name)).as(f.name)
       case f if f.name.endsWith(FreqSuffix) =>
         FreqExpressions.freq_merge_agg(col(f.name), freqMapSize).as(f.name)
+      case f if f.name.endsWith(ThetaSuffix) =>
+        ThetaExpressions.theta_union_agg(col(f.name)).as(f.name)
     }
     all.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }

@@ -68,4 +68,26 @@ class MetricsSpec extends AnyFunSuite with SparkSpec {
     assert(m.get.getAs[Long]("n_empty_text") === 0)
     assert(m.get.getAs[Long]("n_null_lang") === 0)
   }
+
+  test("MetricsCapture sees write-command metrics; first delivery wins") {
+    import org.apache.spark.sql.functions._
+    val cap = graft.streaming.Observe.capture(spark)
+    try {
+      // a batch WRITE is the case metricsOf can't reach (the executing
+      // QueryExecution is the writer's own) — the capture must see it
+      val name = "cap_" + java.util.UUID.randomUUID().toString.take(8)
+      val out = java.nio.file.Files.createTempDirectory("graft_cap").toString
+      spark.range(10).toDF("id")
+        .observe(name, count(lit(1)).as("n"))
+        .write.parquet(s"$out/t")
+      assert(cap.await(name).getLong(0) === 10L)
+      // first-write-wins: a later action re-reporting the same name
+      // (as cached observe nodes do on every cache scan) must not
+      // overwrite the materializing action's value
+      spark.range(3).toDF("id")
+        .observe(name, count(lit(1)).as("n")).collect()
+      Thread.sleep(500) // let the second event drain through the bus
+      assert(cap.await(name).getLong(0) === 10L)
+    } finally graft.streaming.Observe.release(spark, cap)
+  }
 }

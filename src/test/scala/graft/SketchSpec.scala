@@ -196,6 +196,71 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     assert(top(SketchStore.merge(slices, Seq("lang"))) === top(whole))
   }
 
+  test("x66 theta overlap estimates equal exact set algebra under capacity") {
+    val r = AnalyticsQueries.x66_sketch_overlap(spark, sf).collect()
+    assert(r.length === 1)
+    val (nA, nB, nCommon, nOnlyA, nTotal) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+        r(0).getLong(4))
+    // exact set algebra over the same shingle slices (distinct 3-gram
+    // shingles at test scale sit below the query's 2^16 retained
+    // entries, where a theta sketch is exact)
+    val sets = graft.queries.ExtensionQueries
+      .docShingles(Tables.documents(spark, sf))
+      .select(col("shingle"), pmod(col("doc_id"), lit(2)).as("release"))
+      .collect().map(row => (row.getString(0), row.getLong(1)))
+    val a = sets.collect { case (c, 0L) => c }.toSet
+    val b = sets.collect { case (c, 1L) => c }.toSet
+    assert(nA === a.size.toLong)
+    assert(nB === b.size.toLong)
+    assert(nCommon === a.intersect(b).size.toLong)
+    assert(nOnlyA === a.diff(b).size.toLong)
+    assert(nTotal === a.union(b).size.toLong)
+    // near-dups and shared phrasing make the overlap non-trivial
+    assert(nCommon > 0, "expected shingle overlap across the release split")
+  }
+
+  test("theta sketches: slice-union == whole; SketchStore merges _theta columns") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), md5(col("text")).as("content"),
+        pmod(col("doc_id"), lit(3)).as("slice"))
+    def est(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select(col("lang"), graft.functions.ThetaExpressions
+        .theta_estimate(col("content_theta")).cast("long").as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val whole = SketchStore.sketchTable(
+      docs, Seq("lang"), Nil, Nil, Nil, Seq("content"))
+    val sliced = SketchStore.sketchTable(
+      docs, Seq("lang", "slice"), Nil, Nil, Nil, Seq("content"))
+    assert(est(SketchStore.merge(Seq(sliced.drop("slice")), Seq("lang")))
+      === est(whole))
+  }
+
+  test("theta SQL surface: agg + union + set estimates") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("sk_docs")
+    val row = spark.sql(
+      """WITH sk AS (
+        |  SELECT pmod(doc_id, 2) AS r, graft_theta_agg(md5(text), 12) AS s
+        |  FROM sk_docs GROUP BY pmod(doc_id, 2)),
+        |ab AS (SELECT
+        |  max(CASE WHEN r = 0 THEN s END) AS sa,
+        |  max(CASE WHEN r = 1 THEN s END) AS sb FROM sk)
+        |SELECT CAST(round(graft_theta_intersect_estimate(sa, sb)) AS BIGINT) AS common,
+        |       CAST(round(graft_theta_union_estimate(sa, sb)) AS BIGINT) AS total,
+        |       CAST(round(graft_theta_estimate(sa)) AS BIGINT) AS n_a FROM ab
+        |""".stripMargin).head()
+    // under capacity the sketch is exact — compare to plain distincts
+    val docs = Tables.documents(spark, sf)
+      .select(md5(col("text")).as("h"), pmod(col("doc_id"), lit(2)).as("r"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val a = docs.collect { case (h, 0L) => h }.toSet
+    val b = docs.collect { case (h, 1L) => h }.toSet
+    assert(row.getLong(0) === a.intersect(b).size.toLong)
+    assert(row.getLong(1) === a.union(b).size.toLong)
+    assert(row.getLong(2) === a.size.toLong)
+  }
+
   test("KLL SQL surface: agg, merge, quantile; empty sketch is NULL") {
     graft.functions.GraftFunctions.register(spark)
     Tables.orders(spark, sf).createOrReplaceTempView("sk_orders")
