@@ -164,18 +164,21 @@ object Pipeline {
           sum(col("n_tokens")).as("tot"))
 
       // 8. corpus statistics as a mergeable sketch table (per-language
-      // token count, distinct-token HLL, heavy-token frequency sketch)
-      // shipped IN the snapshot: a consumer reads the vocabulary shape
-      // of the exact text it trains on from kilobytes, without a text
-      // scan — and can union it with other snapshots' stats later
-      // (SketchStore.merge). Tokenized with the SAME per-language rule
-      // as the vectors in step 6 — ASCII-splitting zh here would
-      // describe a vocabulary the snapshot doesn't train on. One extra
-      // pass over the persisted corpus.
+      // token count, distinct-token HLL, heavy-token frequency sketch,
+      // token theta sketch) shipped IN the snapshot: a consumer reads
+      // the vocabulary shape of the exact text it trains on from
+      // kilobytes, without a text scan — unions it with other
+      // snapshots' stats (SketchStore.merge), and measures vocabulary
+      // overlap/drift BETWEEN releases via the theta column's set ops
+      // (x66's shape, from two published artifacts instead of two
+      // corpus scans). Tokenized with the SAME per-language rule as
+      // the vectors in step 6 — ASCII-splitting zh here would describe
+      // a vocabulary the snapshot doesn't train on. One extra pass
+      // over the persisted corpus.
       val stats = graft.sources.SketchStore.sketchTable(
         corpus.select(col("lang"), explode(graft.functions.Tokenize
           .tokensByLang(col("text"), col("lang"))).as("token")),
-        Seq("lang"), Seq("token"), Nil, Seq("token"))
+        Seq("lang"), Seq("token"), Nil, Seq("token"), Seq("token"))
 
       // 9. one atomic multi-table snapshot: the masked text a model
       // trains on + vectors + packing + stats, versioned together. The

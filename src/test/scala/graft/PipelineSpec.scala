@@ -123,6 +123,30 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(r2.version === r.version + 1)
     assert(VersionedStore.readTable(spark, store, r.version, "vectors").count()
       === before)
+
+    // cross-snapshot vocabulary overlap from the two PUBLISHED stats
+    // artifacts alone (no text scan): the runs released the same
+    // corpus, so per-lang intersection == each release's distinct
+    // count and the delta is zero — the x66 set-op shape over
+    // kilobyte sketches a consumer actually has
+    def statsOf(v: Long) = VersionedStore.readTable(spark, store, v, "stats")
+      .select(col("lang"), col("token_theta"))
+    val overlap = statsOf(r.version).withColumnRenamed("token_theta", "sk_a")
+      .join(statsOf(r2.version).withColumnRenamed("token_theta", "sk_b"), Seq("lang"))
+      .select(col("lang"),
+        graft.functions.ThetaExpressions.theta_estimate(col("sk_a")).as("n_a"),
+        graft.functions.ThetaExpressions
+          .theta_intersect_estimate(col("sk_a"), col("sk_b")).as("common"),
+        graft.functions.ThetaExpressions
+          .theta_diff_estimate(col("sk_b"), col("sk_a")).as("new_in_b"))
+      .collect()
+    assert(overlap.nonEmpty)
+    overlap.foreach { row =>
+      assert(row.getDouble(1) === row.getDouble(2),
+        s"${row.getString(0)}: identical releases must fully overlap")
+      assert(row.getDouble(3) === 0.0,
+        s"${row.getString(0)}: identical releases have no vocabulary delta")
+    }
   }
 
   test("run() folds funnel metrics into existing jobs; banding roots at the survivor cache") {
