@@ -125,19 +125,50 @@ object SketchStore {
     */
   def mergedStats(spark: SparkSession, root: String, keys: Seq[String],
       freqMapSize: Int = FreqExpressions.DefaultMapSize): DataFrame = {
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val slices =
-      if (!fs.exists(rootPath)) Seq.empty[Long]
-      else fs.listStatus(rootPath).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-        .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, SliceOkMarker)))
-        .flatMap(s => scala.util.Try(
-          s.getPath.getName.stripPrefix("v=").toLong).toOption)
-        .sorted
+    val slices = stampedSlices(spark, root)
     if (slices.isEmpty) throw new IllegalStateException(
       s"no published sketch batches under $root")
     merge(slices.map(v => VersionedStore.readVersion(spark, root, v)),
       keys, freqMapSize)
+  }
+
+  /** Compact every stamped slice into ONE: publish their merge as the
+    * next slice, then retire exactly the inputs that were merged.
+    * Lossless by the merge's associativity — a reader computes the
+    * same union either way — and bounded: a store that ingested ten
+    * thousand batches reads one slice again afterwards. Batches
+    * arriving DURING the compaction are untouched (only the slices
+    * listed before the merge are retired); concurrent READERS of the
+    * retired slices are the one race — run compaction from the ingest
+    * owner, like VersionedStore.vacuum. Returns the new slice version.
+    */
+  def compact(spark: SparkSession, root: String, keys: Seq[String],
+      freqMapSize: Int = FreqExpressions.DefaultMapSize): Long = {
+    val old = stampedSlices(spark, root)
+    if (old.isEmpty) throw new IllegalStateException(
+      s"no published sketch batches under $root")
+    val merged = merge(old.map(v => VersionedStore.readVersion(spark, root, v)),
+      keys, freqMapSize)
+    // materialize BEFORE publishing: the merge plan reads the slices
+    // being retired, and publishBatch's write must not race its own
+    // input deletion on a lazily-evaluated frame
+    val v = publishBatch(merged.localCheckpoint(true), root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    old.foreach(o =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$o"), true))
+    v
+  }
+
+  private def stampedSlices(spark: SparkSession, root: String): Seq[Long] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) Seq.empty[Long]
+    else fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, SliceOkMarker)))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("v=").toLong).toOption)
+      .sorted
   }
 }

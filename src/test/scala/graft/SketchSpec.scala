@@ -137,6 +137,15 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     val afterOrphan = SketchStore.mergedStats(spark, root, Seq("event_type"))
     assert(afterOrphan.select(sum("n_rows")).head().getLong(0) === ev.count(),
       "orphan slice was double-counted")
+
+    // compaction folds every stamped slice into one, losslessly: the
+    // merged answer is unchanged, the read cost drops to one slice,
+    // the unstamped orphan stays excluded, and a batch landing
+    // afterwards merges on top as before
+    SketchStore.compact(spark, root, Seq("event_type"))
+    val afterCompact = SketchStore.mergedStats(spark, root, Seq("event_type"))
+    assert(users(afterCompact) === users(whole))
+    assert(afterCompact.select(sum("n_rows")).head().getLong(0) === ev.count())
   }
 
   test("x65 frequency-sketch top tokens equal exact x24 while under capacity") {
