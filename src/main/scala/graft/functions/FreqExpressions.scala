@@ -47,7 +47,7 @@ case class FreqSketchAgg(child: Expression, maxMapSize: Int,
 
   override def update(buf: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
     val v = child.eval(input)
-    if (v != null) buf.update(v.toString)
+    if (v != null) buf.update(FreqExpressions.itemOf(v))
     buf
   }
 
@@ -200,9 +200,24 @@ object FreqExpressions {
     FreqMergeAgg(exprs.head, size)
   }
 
-  private def intLiteral(e: Expression, what: String): Int = e match {
+  /** Shared by the KLL/freq/theta SQL builders — one canonical place
+    * to widen (e.g. accept Long literals) if the SQL surface grows.
+    */
+  private[functions] def intLiteral(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(m: Int, _) => m
     case other => throw new IllegalArgumentException(
       s"$what must be an int literal, got $other")
+  }
+
+  /** Canonical item binding for String-typed sketches: a binary value
+    * must hash its CONTENT — Array[Byte].toString is JVM identity, so
+    * every row would count as a distinct item and two sketches of
+    * identical bytes would report zero overlap. ISO-8859-1 is a
+    * bijective byte↔char mapping, so distinct byte strings stay
+    * distinct and equal ones collide, at zero re-encoding cost.
+    */
+  private[functions] def itemOf(v: Any): String = v match {
+    case bytes: Array[Byte] => new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    case other => other.toString
   }
 }

@@ -74,8 +74,7 @@ object GraftFunctions {
       arity("graft_theta_agg", 2)(ThetaExpressions.thetaAggBuilder),
       "scala_udf")
     reg.createOrReplaceTempFunction("graft_theta_union",
-      arity("graft_theta_union", 1)(exprs => ThetaUnionAgg(exprs.head)),
-      "scala_udf")
+      ThetaExpressions.thetaUnionBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("graft_theta_estimate",
       arity("graft_theta_estimate", 1)(exprs => ThetaEstimate(exprs.head)),
       "scala_udf")

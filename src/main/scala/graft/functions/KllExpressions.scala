@@ -179,9 +179,6 @@ object KllExpressions {
     * literal, mirroring how Spark's hll_sketch_agg takes lgConfigK.
     */
   def kllAggBuilder(exprs: Seq[Expression]): Expression =
-    KllSketchAgg(exprs(0), exprs(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) => k
-      case other => throw new IllegalArgumentException(
-        s"graft_kll_agg k must be an int literal, got $other")
-    })
+    KllSketchAgg(exprs(0),
+      FreqExpressions.intLiteral(exprs(1), "graft_kll_agg k"))
 }

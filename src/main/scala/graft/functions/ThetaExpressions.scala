@@ -46,8 +46,14 @@ case class ThetaSketchAgg(child: Expression, lgK: Int,
     SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
 
   override def update(buf: Union, input: InternalRow): Union = {
-    val v = child.eval(input)
-    if (v != null) buf.update(v.toString)
+    child.eval(input) match {
+      case null => ()
+      // bytes hash their CONTENT (toString on Array[Byte] is JVM
+      // identity — every row would look distinct); theta updates
+      // byte[] natively
+      case bytes: Array[Byte] => buf.update(bytes); ()
+      case other => buf.update(other.toString); ()
+    }
     buf
   }
 
@@ -199,11 +205,20 @@ object ThetaExpressions {
 
   /** SQL builders shared by GraftExtensions and GraftFunctions. */
   def thetaAggBuilder(exprs: Seq[Expression]): Expression =
-    ThetaSketchAgg(exprs(0), exprs(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) => k
-      case other => throw new IllegalArgumentException(
-        s"graft_theta_agg lgK must be an int literal, got $other")
-    })
+    ThetaSketchAgg(exprs(0),
+      FreqExpressions.intLiteral(exprs(1), "graft_theta_agg lgK"))
+
+  /** Optional second argument = the union target's lgK, which caps
+    * merged accuracy (same contract as graft_freq_merge's map size).
+    */
+  def thetaUnionBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1 || exprs.length == 2,
+      s"graft_theta_union expects 1 or 2 argument(s), got ${exprs.length}")
+    val lgK = if (exprs.length == 2)
+      FreqExpressions.intLiteral(exprs(1), "graft_theta_union lgK")
+    else DefaultLgK
+    ThetaUnionAgg(exprs.head, lgK)
+  }
 
   def setEstimateBuilder(op: String)(exprs: Seq[Expression]): Expression =
     ThetaSetEstimate(exprs(0), exprs(1), op)

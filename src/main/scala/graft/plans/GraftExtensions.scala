@@ -73,7 +73,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("graft_theta_agg", 2)(graft.functions.ThetaExpressions.thetaAggBuilder)))
     ext.injectFunction((FunctionIdentifier("graft_theta_union"),
       new ExpressionInfo(classOf[ThetaUnionAgg].getName, "graft_theta_union"),
-      arity("graft_theta_union", 1)(exprs => ThetaUnionAgg(exprs.head))))
+      graft.functions.ThetaExpressions.thetaUnionBuilder))
     ext.injectFunction((FunctionIdentifier("graft_theta_estimate"),
       new ExpressionInfo(classOf[ThetaEstimate].getName, "graft_theta_estimate"),
       arity("graft_theta_estimate", 1)(exprs => ThetaEstimate(exprs.head))))

@@ -68,13 +68,16 @@ object SketchStore {
 
   /** Merge sketch tables of the same shape back to one row per key:
     * counters add, HLL sketches union, KLL sketches merge,
-    * frequent-items sketches merge. The result is again a sketch
-    * table — merges compose associatively, so batch-of-batches rollups
-    * are free. `freqMapSize` must match the size the tables were built
-    * with (the merge TARGET's map governs merged accuracy).
+    * frequent-items sketches merge, theta sketches union. The result
+    * is again a sketch table — merges compose associatively, so
+    * batch-of-batches rollups are free. `freqMapSize` and `lgK` must
+    * match the sizes the tables were built with: the merge TARGETS
+    * govern merged accuracy (a default-sized theta union over lgK=16
+    * slices would silently cap them at 2^12 retained entries).
     */
   def merge(tables: Seq[DataFrame], keys: Seq[String],
-      freqMapSize: Int = FreqExpressions.DefaultMapSize): DataFrame = {
+      freqMapSize: Int = FreqExpressions.DefaultMapSize,
+      lgK: Int = ThetaExpressions.DefaultLgK): DataFrame = {
     require(tables.nonEmpty, "merge needs at least one sketch table")
     val all = tables.reduce(_.unionByName(_))
     val aggs = all.schema.fields.toSeq.collect {
@@ -86,7 +89,7 @@ object SketchStore {
       case f if f.name.endsWith(FreqSuffix) =>
         FreqExpressions.freq_merge_agg(col(f.name), freqMapSize).as(f.name)
       case f if f.name.endsWith(ThetaSuffix) =>
-        ThetaExpressions.theta_union_agg(col(f.name)).as(f.name)
+        ThetaExpressions.theta_union_agg(col(f.name), lgK).as(f.name)
     }
     all.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -108,14 +111,28 @@ object SketchStore {
     */
   def publishBatch(table: DataFrame, root: String): Long = {
     val v = VersionedStore.publish(table, root)
-    val ok = new org.apache.hadoop.fs.Path(root, s"v=$v/$SliceOkMarker")
-    val fs = ok.getFileSystem(
-      table.sparkSession.sparkContext.hadoopConfiguration)
-    fs.create(ok, true).close()
+    writeStamp(table.sparkSession, root, v, Set.empty)
     v
   }
 
   private val SliceOkMarker = "_graft_slice_ok"
+
+  /** The stamp doubles as a RETIREMENT MANIFEST: a compacted slice
+    * lists the versions it replaced (one per line; empty for a normal
+    * batch slice). Readers subtract every manifested version from the
+    * stamped set, so a compaction that crashed (or failed a delete)
+    * between its stamp and its input deletions cannot double-count —
+    * the leftovers are excluded the moment the merged slice is
+    * stamped, deletion is only space reclamation.
+    */
+  private def writeStamp(spark: SparkSession, root: String, v: Long,
+      retired: Set[Long]): Unit = {
+    val ok = new org.apache.hadoop.fs.Path(root, s"v=$v/$SliceOkMarker")
+    val fs = ok.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(ok, true)
+    try out.write(retired.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
 
   /** The whole-corpus sketch table: every COMPLETE published slice
     * merged on read (unstamped orphans from crashed publishes are
@@ -124,51 +141,75 @@ object SketchStore {
     * plan).
     */
   def mergedStats(spark: SparkSession, root: String, keys: Seq[String],
-      freqMapSize: Int = FreqExpressions.DefaultMapSize): DataFrame = {
-    val slices = stampedSlices(spark, root)
+      freqMapSize: Int = FreqExpressions.DefaultMapSize,
+      lgK: Int = ThetaExpressions.DefaultLgK): DataFrame = {
+    val (slices, _) = sliceState(spark, root)
     if (slices.isEmpty) throw new IllegalStateException(
       s"no published sketch batches under $root")
     merge(slices.map(v => VersionedStore.readVersion(spark, root, v)),
-      keys, freqMapSize)
+      keys, freqMapSize, lgK)
   }
 
-  /** Compact every stamped slice into ONE: publish their merge as the
-    * next slice, then retire exactly the inputs that were merged.
-    * Lossless by the merge's associativity — a reader computes the
-    * same union either way — and bounded: a store that ingested ten
-    * thousand batches reads one slice again afterwards. Batches
-    * arriving DURING the compaction are untouched (only the slices
-    * listed before the merge are retired); concurrent READERS of the
-    * retired slices are the one race — run compaction from the ingest
-    * owner, like VersionedStore.vacuum. Returns the new slice version.
+  /** Compact every live slice into ONE: publish their merge as the
+    * next slice (stamped with the retirement manifest of its inputs),
+    * then delete the inputs. Lossless by the merge's associativity —
+    * a reader computes the same union either way — and bounded: a
+    * store that ingested ten thousand batches reads one slice again
+    * afterwards.
+    *
+    * Crash safety mirrors [[publishBatch]]'s: a crash before the
+    * stamp leaves an ignored orphan and the originals intact; a crash
+    * AFTER the stamp (or a failed delete) leaves leftovers that the
+    * new slice's manifest permanently excludes — at no point can a
+    * reader count a batch twice. The manifest carries forward any
+    * previously-retired versions still on disk, so compacting a
+    * compaction cannot resurrect an old leftover. Batches arriving
+    * DURING the compaction are untouched (only the slices listed
+    * before the merge are retired). Returns the new slice version.
     */
   def compact(spark: SparkSession, root: String, keys: Seq[String],
-      freqMapSize: Int = FreqExpressions.DefaultMapSize): Long = {
-    val old = stampedSlices(spark, root)
-    if (old.isEmpty) throw new IllegalStateException(
+      freqMapSize: Int = FreqExpressions.DefaultMapSize,
+      lgK: Int = ThetaExpressions.DefaultLgK): Long = {
+    val (alive, retired) = sliceState(spark, root)
+    if (alive.isEmpty) throw new IllegalStateException(
       s"no published sketch batches under $root")
-    val merged = merge(old.map(v => VersionedStore.readVersion(spark, root, v)),
-      keys, freqMapSize)
+    val merged = merge(alive.map(v => VersionedStore.readVersion(spark, root, v)),
+      keys, freqMapSize, lgK)
     // materialize BEFORE publishing: the merge plan reads the slices
-    // being retired, and publishBatch's write must not race its own
-    // input deletion on a lazily-evaluated frame
-    val v = publishBatch(merged.localCheckpoint(true), root)
+    // being retired, and the write must not race its own input
+    // deletion on a lazily-evaluated frame
+    val v = VersionedStore.publish(merged.localCheckpoint(true), root)
+    writeStamp(spark, root, v, alive.toSet ++ retired)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    old.foreach(o =>
+    alive.foreach(o =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$o"), true))
     v
   }
 
-  private def stampedSlices(spark: SparkSession, root: String): Seq[Long] = {
+  /** (live slice versions, every version retired by a manifest). A
+    * slice is LIVE when it is stamped and no stamped slice's manifest
+    * retires it.
+    */
+  private def sliceState(spark: SparkSession, root: String): (Seq[Long], Set[Long]) = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootPath)) Seq.empty[Long]
-    else fs.listStatus(rootPath).toSeq
+    if (!fs.exists(rootPath)) return (Seq.empty, Set.empty)
+    val stamped = fs.listStatus(rootPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, SliceOkMarker)))
       .flatMap(s => scala.util.Try(
         s.getPath.getName.stripPrefix("v=").toLong).toOption)
       .sorted
+    val retired = stamped.flatMap { v =>
+      val in = fs.open(new org.apache.hadoop.fs.Path(root, s"v=$v/$SliceOkMarker"))
+      val txt = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        new String(out.toByteArray, "UTF-8")
+      } finally in.close()
+      txt.split("\n").flatMap(l => scala.util.Try(l.trim.toLong).toOption)
+    }.toSet
+    (stamped.filterNot(retired), retired)
   }
 }

@@ -117,7 +117,7 @@ object DedupStream {
             graft.sources.SketchStore.sketchTable(
               survivors.select(col("lang"), explode(graft.functions.Tokenize
                 .tokensByLang(col("text"), col("lang"))).as("token")),
-              Seq("lang"), Seq("token"), Nil, Seq("token"))
+              Seq("lang"), Seq("token"), Nil, Seq("token"), Seq("token"))
               .write.mode(SaveMode.Overwrite)
               .parquet(s"$storeRoot/stats/batch=$batchId")
             val vecs = ReferenceQueries
@@ -198,18 +198,22 @@ object DedupStream {
 
   private[streaming] val statsSchema: StructType = StructType(Seq(
     StructField("lang", StringType), StructField("n_rows", LongType),
-    StructField("token_hll", BinaryType), StructField("token_freq", BinaryType)))
+    StructField("token_hll", BinaryType), StructField("token_freq", BinaryType),
+    StructField("token_theta", BinaryType)))
 
   /** Live whole-corpus vocabulary stats from the maintained per-batch
     * slices: one merged sketch row per language — token total,
-    * distinct-token HLL, heavy-token sketch. Cost is O(accepted
-    * batches) kilobyte rows; the accepted text is never rescanned
-    * (each batch sketched itself once, in its own loop).
+    * distinct-token HLL, heavy-token sketch, token theta sketch (the
+    * SAME schema as the Pipeline snapshot's stats table, so live
+    * ingest stats and release stats union and set-op against each
+    * other). Cost is O(accepted batches) kilobyte rows; the accepted
+    * text is never rescanned (each batch sketched itself once, in its
+    * own loop).
     */
   def corpusStats(spark: SparkSession, storeRoot: String): DataFrame =
     graft.sources.SketchStore.merge(
       Seq(readOrEmpty(spark, s"$storeRoot/stats", statsSchema)
-        .select("lang", "n_rows", "token_hll", "token_freq")),
+        .select("lang", "n_rows", "token_hll", "token_freq", "token_theta")),
       Seq("lang"))
 
   private def readOrEmpty(spark: SparkSession, path: String,

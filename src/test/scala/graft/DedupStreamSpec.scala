@@ -105,19 +105,22 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     // register-exact; the frequency sketch never evicted at this
     // vocabulary; token totals add) — the always-on worker keeps
     // whole-corpus vocabulary stats current for O(batch) per arrival
-    def statsShape(df: DataFrame): Set[(String, Long, Long, String)] =
+    def statsShape(df: DataFrame): Set[(String, Long, Long, String, Long)] =
       df.select(col("lang"), col("n_rows"),
         hll_sketch_estimate(col("token_hll")).as("nd"),
         graft.functions.FreqExpressions.freq_top_k(col("token_freq"), 3)
-          .cast("string").as("top"))
+          .cast("string").as("top"),
+        graft.functions.ThetaExpressions.theta_estimate(col("token_theta"))
+          .cast("long").as("nd_theta"))
         .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getLong(4)))
         .toSet
     val direct = graft.sources.SketchStore.sketchTable(
       spark.read.parquet(s"$store/docs").select(col("lang"),
         explode(graft.functions.Tokenize.tokensByLang(col("text"), col("lang")))
           .as("token")),
-      Seq("lang"), Seq("token"), Nil, Seq("token"))
+      Seq("lang"), Seq("token"), Nil, Seq("token"), Seq("token"))
     assert(statsShape(DedupStream.corpusStats(spark, store)) === statsShape(direct))
   }
 

@@ -142,10 +142,24 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     // merged answer is unchanged, the read cost drops to one slice,
     // the unstamped orphan stays excluded, and a batch landing
     // afterwards merges on top as before
+    val v0save = new org.apache.hadoop.fs.Path(root, "v0_save")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(root, "v=0"), fs, v0save, false, true,
+      spark.sparkContext.hadoopConfiguration)
     SketchStore.compact(spark, root, Seq("event_type"))
     val afterCompact = SketchStore.mergedStats(spark, root, Seq("event_type"))
     assert(users(afterCompact) === users(whole))
     assert(afterCompact.select(sum("n_rows")).head().getLong(0) === ev.count())
+
+    // compaction crash window: the merged slice was stamped but a
+    // retirement delete failed, leaving a stamped input behind — the
+    // manifest must keep excluding it, or the batch double-counts
+    org.apache.hadoop.fs.FileUtil.copy(fs, v0save, fs,
+      new org.apache.hadoop.fs.Path(root, "v=0"), false, true,
+      spark.sparkContext.hadoopConfiguration)
+    val withLeftover = SketchStore.mergedStats(spark, root, Seq("event_type"))
+    assert(withLeftover.select(sum("n_rows")).head().getLong(0) === ev.count(),
+      "retired leftover slice was double-counted")
   }
 
   test("x65 frequency-sketch top tokens equal exact x24 while under capacity") {
