@@ -216,7 +216,7 @@ object FreqExpressions {
     * bijective byte↔char mapping, so distinct byte strings stay
     * distinct and equal ones collide, at zero re-encoding cost.
     */
-  private[functions] def itemOf(v: Any): String = v match {
+  private[graft] def itemOf(v: Any): String = v match {
     case bytes: Array[Byte] => new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     case other => other.toString
   }
