@@ -42,3 +42,41 @@ class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   override def outputEncoder: Encoder[Seq[Scored]] =
     ExpressionEncoder[Seq[Scored]]()
 }
+
+/** One weighted-race entry: the exponential race key, the candidate's
+  * id, and the weight it raced with (carried through so the sample
+  * row can report it without re-joining the source).
+  */
+case class Race(key: Double, id: Long, w: Double)
+
+/** Bounded per-group BOTTOM-k — the k smallest race keys.
+  *
+  * Same O(k)-state rationale as [[TopK]] (a window form sorts every
+  * group in full; a hot stratum at 100 TB is unbounded), flipped to
+  * ascending order because weighted sampling without replacement
+  * (Efraimidis–Spirakis) selects the k SMALLEST exponential variates
+  * `-ln(u)/w`: each candidate's key is an Exp(w) draw, the winners of
+  * the race are a without-replacement sample with inclusion
+  * probability proportional to weight. Tie-break on id keeps the
+  * ordering total and engine-independent (x68's oracle sorts the same
+  * way).
+  */
+class BottomK(k: Int) extends Aggregator[Race, Seq[Race], Seq[Race]] {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  private def better(a: Race, b: Race): Boolean =
+    a.key < b.key || (a.key == b.key && a.id < b.id)
+
+  private def trim(s: Seq[Race]): Seq[Race] = s.sortWith(better).take(k)
+
+  override def zero: Seq[Race] = Seq.empty
+  override def reduce(buf: Seq[Race], in: Race): Seq[Race] =
+    trim(buf :+ in)
+  override def merge(a: Seq[Race], b: Seq[Race]): Seq[Race] =
+    trim(a ++ b)
+  override def finish(buf: Seq[Race]): Seq[Race] = trim(buf)
+  override def bufferEncoder: Encoder[Seq[Race]] =
+    ExpressionEncoder[Seq[Race]]()
+  override def outputEncoder: Encoder[Seq[Race]] =
+    ExpressionEncoder[Seq[Race]]()
+}

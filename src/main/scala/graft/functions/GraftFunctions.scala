@@ -69,6 +69,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_freq_top_k",
       arity("graft_freq_top_k", 2)(exprs => FreqTopK(exprs(0), exprs(1))),
       "scala_udf")
+    // Bloom membership filters: the join-side sketch. Only the BUILD
+    // has a SQL form — the probe needs a Broadcast handle (Column API,
+    // see functions/BloomExpressions).
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      arity("graft_bloom_agg", 3)(BloomExpressions.bloomAggBuilder),
+      "scala_udf")
     // Theta sketches: distinct estimates with set operations.
     reg.createOrReplaceTempFunction("graft_theta_agg",
       arity("graft_theta_agg", 2)(ThetaExpressions.thetaAggBuilder),

@@ -1090,6 +1090,69 @@ object ExtensionQueries {
       |ORDER BY r.doc_id""".stripMargin
 
   // ======================================================================
+  // x68: WEIGHTED sampling without replacement, per stratum — x56's
+  // complement. x56 hits exact per-source quotas with uniform
+  // within-source selection; real mixture curation also wants "prefer
+  // higher-quality/longer docs, probability ∝ weight, never pick one
+  // twice". The Efraimidis–Spirakis exponential race does that in ONE
+  // pass: each doc draws u ∈ (0,1] from a DETERMINISTIC md5-derived
+  // 60-bit integer (reproducible under reruns AND corpus growth, like
+  // every sampler here), races with key = -ln(u)/w — an Exp(w)
+  // variate — and the k smallest keys per source win. Selection runs
+  // through agg/BottomK, the bounded-heap Aggregator (O(k) state,
+  // map-side partials), NOT a per-source window sort — the x58-vs-x24
+  // distinction; the oracle is the window form, which at test SF is
+  // the same total order, so the bounded agg is pinned against the
+  // sort semantics corpus-wide.
+  //
+  // Cross-engine determinism of u: the 15-hex-digit prefix converts
+  // to an exact integer < 2^60 in DECIMAL arithmetic BEFORE the +1
+  // and the cast to double (conv() returns a string; casting it
+  // straight to double would round v and then lose the +1 entirely —
+  // doubles ≥ 2^53 can't represent +1), so both engines round the
+  // identical exact integer v+1 to double and divide by the exactly
+  // representable 2^60.
+  def x68_weighted_sample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val k = 10
+    val keyed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        greatest(col("n_chars"), lit(1)).cast("double").as("w"))
+      .withColumn("h", md5(concat_ws("|", lit("wsample"), col("doc_id"))))
+      .withColumn("u",
+        (conv(substring(col("h"), 1, 15), 16, 10)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 0)) + lit(1))
+          .cast("double") / lit(1.152921504606846976e18))
+      .withColumn("key", -log(col("u")) / col("w"))
+    val bottomk = udaf(new graft.agg.BottomK(k),
+      ExpressionEncoder[graft.agg.Race]())
+    keyed.groupBy("source")
+      .agg(bottomk(col("key"), col("doc_id"), col("w")).as("win"))
+      .select(col("source"), posexplode(col("win")).as(Seq("p", "s")))
+      .select(col("s.id").as("doc_id"), col("source"),
+        col("s.w").cast("long").as("w"), (col("p") + 1).cast("int").as("rnk"))
+      .orderBy("doc_id")
+  }
+
+  val x68Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, source, greatest(n_chars, 1)::DOUBLE AS w,
+      |         md5('wsample|' || doc_id::VARCHAR) AS h
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id, source, w,
+      |    (list_reduce(list_transform(range(1, 16),
+      |       i -> (strpos('0123456789abcdef', substr(h, i, 1)) - 1)::BIGINT),
+      |       (a, b) -> a * 16 + b) + 1) / 1152921504606846976.0 AS u
+      |  FROM s),
+      |k AS (
+      |  SELECT doc_id, source, w,
+      |    row_number() OVER (PARTITION BY source ORDER BY -ln(u) / w, doc_id) AS rnk
+      |  FROM u)
+      |SELECT doc_id, source, w::BIGINT AS w, rnk::INT AS rnk
+      |FROM k WHERE rnk <= 10 ORDER BY doc_id""".stripMargin
+
+  // ======================================================================
   // x57: the preprocessing VERDICT — what a data pipeline actually
   // materializes before training: per doc, keep/drop plus the reasons
   // (lang gate, exact-dup canonicalization, quality floor, repetition
@@ -1316,6 +1379,60 @@ object ExtensionQueries {
        |  round(coalesce(h.n_contaminated, 0)::DOUBLE / tot.n_grams, 6) AS contam_frac,
        |  (round(coalesce(h.n_contaminated, 0)::DOUBLE / tot.n_grams, 6) >= 0.5) AS flagged
        |FROM tot LEFT JOIN hits h USING (doc_id) ORDER BY tot.doc_id""".stripMargin
+
+  // ======================================================================
+  // x67: the contamination gate at the scale where the eval-gram set
+  // no longer BROADCASTS. x51's single-pass shape hinges on shipping
+  // the distinct benchmark grams to every executor as a hash relation
+  // (~50+ bytes/entry); once the benchmark suite is corpus-sized
+  // (every public benchmark × every paraphrase — easily 10^8-10^9
+  // grams) that relation stops fitting. The sketch answer: a
+  // ~10-bit/key bloom filter over the eval grams (built DISTRIBUTED
+  // by functions/BloomFilterAgg — map-side partials, the driver holds
+  // only the merged bits) pre-filters the train posting inside
+  // whole-stage codegen, and only the ~fpp fraction of clean grams
+  // that leak through pay the exact semi-join that kills false
+  // positives. Totals come from a join-free groupBy of the unfiltered
+  // posting. The output is EXACTLY x51's — the oracle IS x51's SQL —
+  // so correctness is pinned while the broadcast dependency is gone.
+  def x67_contam_bloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sh8 = graft.Caches.persist(docShingles(docs, 8))
+    val evalGrams = sh8.filter(col("doc_id") % 100 === 0)
+      .select("shingle").distinct()
+    contaminationBloomOf(spark, sh8.filter(col("doc_id") % 100 =!= 0),
+      evalGrams).orderBy("doc_id")
+  }
+
+  /** x51's overlap measure in the bloom pre-filter shape — for eval
+    * sets too large to broadcast (the [[contaminationOf]] doc states
+    * the inverse envelope). Two passes over the posting (totals;
+    * bloom-surviving hits) instead of one broadcast join; the exact
+    * semi-join still runs, but its probe side has already shed
+    * ~(1-fpp) of its non-matching rows, so at scale it shuffles a
+    * sliver. Driver-side actions: the eval count (sizes the filter)
+    * and the merged filter bytes — both bounded metadata, never rows.
+    */
+  private[graft] def contaminationBloomOf(spark: SparkSession,
+      trainSh: DataFrame, evalGrams: DataFrame): DataFrame = {
+    import graft.functions.BloomExpressions
+    val ev = evalGrams.select("shingle").distinct()
+    val n = math.max(ev.count(), 1L)
+    val bytes = ev.agg(BloomExpressions.bloom_agg(col("shingle"), n, 0.01)
+      .as("bf")).head().getAs[Array[Byte]](0)
+    val bloom = spark.sparkContext.broadcast(BloomExpressions.read(bytes))
+    val totals = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = trainSh
+      .filter(BloomExpressions.bloom_might_contain(col("shingle"), bloom))
+      .join(ev, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contam_frac",
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6))
+      .withColumn("flagged", col("contam_frac") >= 0.5)
+  }
 
   // ======================================================================
   // x59: sequence PACKING (pack-then-chunk) — the training-data step
@@ -1568,6 +1685,8 @@ object ExtensionQueries {
     "x61_chunks" -> (x61_chunks _),
     "x62_dataset_card" -> (x62_dataset_card _),
     "x60_incremental_dedup" -> (x60_incremental_dedup _),
+    "x67_contam_bloom" -> (x67_contam_bloom _),
+    "x68_weighted_sample" -> (x68_weighted_sample _),
     "x59_seq_pack" -> (x59_seq_pack _),
     "x49_quantize" -> (x49_quantize _),
     "x50_zipf" -> (x50_zipf _),
@@ -1611,6 +1730,10 @@ object ExtensionQueries {
     "x61_chunks" -> x61Sql,
     "x62_dataset_card" -> x62Sql,
     "x60_incremental_dedup" -> x60Sql,
+    // x67 is x51's exact semantics in the non-broadcast shape — the
+    // oracle is the same SQL (x58 -> x24Sql precedent)
+    "x67_contam_bloom" -> x51Sql,
+    "x68_weighted_sample" -> x68Sql,
     "x59_seq_pack" -> x59Sql,
     "x17_media_features" -> x17Sql,
     "x18_frame_samples" -> x18Sql,

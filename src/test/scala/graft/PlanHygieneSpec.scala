@@ -126,6 +126,20 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       }
   }
 
+  test("x67 probes the bloom filter in-plan; the totals leg stays join-free") {
+    val p = plan(graft.queries.ExtensionQueries.x67_contam_bloom(spark, sf))
+    // the pre-filter is the point: the probe expression must sit in
+    // the hits leg of the plan, upstream of the exact semi-join
+    assert(p.contains("graft_bloom_might_contain"),
+      s"bloom probe missing from x67 plan:\n$p")
+  }
+
+  test("x68 weighted sample plans as bounded agg, not a per-source window sort") {
+    val p = plan(graft.queries.ExtensionQueries.x68_weighted_sample(spark, sf))
+    assert(!p.contains("Window"),
+      s"x68 degenerated to the window form:\n$p")
+  }
+
   test("Pipeline near-dup banding scans ONLY the survivor frame") {
     // round-6 verdict #1: the banding core must take the run-private
     // survivor corpus as its scan root — a full-corpus parquet rescan

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.agg.{Scored, TopK}
+import graft.agg.{BottomK, Race, Scored, TopK}
 
 /** The TopK aggregator's scale contract: state stays O(k) through
   * every reduce and merge (the x58 oracle proves end-to-end equality
@@ -28,5 +28,26 @@ class TopKAggSpec extends AnyFunSuite {
     val a = new TopK(3)
     val t = a.merge(Seq(Scored(5L, "b")), Seq(Scored(5L, "a"), Scored(5L, "c"), Scored(4L, "d")))
     assert(t === Seq(Scored(5L, "a"), Scored(5L, "b"), Scored(5L, "c")))
+  }
+
+  test("BottomK keeps the k smallest race keys, bounded through merge") {
+    val a = new BottomK(3)
+    var buf = a.zero
+    for (i <- 1 to 100) {
+      buf = a.reduce(buf, Race(i.toDouble, i.toLong, 1.0))
+      assert(buf.size <= 3, s"buffer grew past k at insert $i")
+    }
+    assert(buf.map(_.key) === Seq(1.0, 2.0, 3.0))
+    val merged = a.merge(buf, Seq(Race(0.5, 200L, 2.0), Race(99.0, 201L, 1.0)))
+    assert(merged.map(_.id) === Seq(200L, 1L, 2L))
+    // the carried weight survives selection untouched
+    assert(merged.head.w === 2.0)
+  }
+
+  test("BottomK breaks key ties by id ascending (x68's oracle order)") {
+    val a = new BottomK(2)
+    val t = a.merge(Seq(Race(1.0, 7L, 1.0)),
+      Seq(Race(1.0, 3L, 1.0), Race(1.0, 9L, 1.0)))
+    assert(t.map(_.id) === Seq(3L, 7L))
   }
 }
