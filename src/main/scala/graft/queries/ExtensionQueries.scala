@@ -1416,7 +1416,13 @@ object ExtensionQueries {
   private[graft] def contaminationBloomOf(spark: SparkSession,
       trainSh: DataFrame, evalGrams: DataFrame): DataFrame = {
     import graft.functions.BloomExpressions
-    val ev = evalGrams.select("shingle").distinct()
+    // persisted: the distinct eval aggregation feeds THREE consumers
+    // (the sizing count, the bloom build, the exact semi-join) — at
+    // the 10^8-gram scale this shape exists for, re-running the
+    // distinct shuffle per consumer would triple the largest
+    // intermediate's cost (review finding; session-lifetime policy as
+    // per SCALE.md §caching)
+    val ev = graft.Caches.persist(evalGrams.select("shingle").distinct())
     val n = math.max(ev.count(), 1L)
     val bytes = ev.agg(BloomExpressions.bloom_agg(col("shingle"), n, 0.01)
       .as("bf")).head().getAs[Array[Byte]](0)

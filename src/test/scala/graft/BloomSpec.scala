@@ -41,7 +41,7 @@ class BloomSpec extends AnyFunSuite with SparkSpec {
     // OR-merge is commutative+associative and partial filters share
     // geometry, so the DISTRIBUTED build must equal the 1-partition
     // build bit for bit — the property that makes the agg mergeable
-    val items = (0 until 1000).map(i => s"k$i%07d")
+    val items = (0 until 1000).map(i => f"k$i%07d")
     val one = buildBytes(items, 1)
     val many = buildBytes(items, 7)
     assert(java.util.Arrays.equals(one, many))

@@ -132,6 +132,11 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     // the hits leg of the plan, upstream of the exact semi-join
     assert(p.contains("graft_bloom_might_contain"),
       s"bloom probe missing from x67 plan:\n$p")
+    // exactly two joins total — the hits leg's exact semi-join and
+    // the totals⋈hits assembly. A third join means totals stopped
+    // being the join-free groupBy of the raw posting.
+    val joins = "Join".r.findAllIn(p).size
+    assert(joins === 2, s"expected exactly 2 joins in x67 plan, got $joins:\n$p")
   }
 
   test("x68 weighted sample plans as bounded agg, not a per-source window sort") {
