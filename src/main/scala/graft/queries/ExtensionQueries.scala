@@ -1415,7 +1415,6 @@ object ExtensionQueries {
     */
   private[graft] def contaminationBloomOf(spark: SparkSession,
       trainSh: DataFrame, evalGrams: DataFrame): DataFrame = {
-    import graft.functions.BloomExpressions
     // persisted: the distinct eval aggregation feeds THREE consumers
     // (the sizing count, the bloom build, the exact semi-join) — at
     // the 10^8-gram scale this shape exists for, re-running the
@@ -1423,10 +1422,35 @@ object ExtensionQueries {
     // intermediate's cost (review finding; session-lifetime policy as
     // per SCALE.md §caching)
     val ev = graft.Caches.persist(evalGrams.select("shingle").distinct())
+    contaminationWithBloom(trainSh, ev, evalBloomOf(spark, ev))
+  }
+
+  /** Build-once half of the bloom gate: the merged filter over an
+    * ALREADY-distinct (and ideally persisted) gram frame, broadcast.
+    * Split out so a long-lived consumer — the streaming ingest gate
+    * ([[graft.streaming.DedupStream]]) — pays the build once at
+    * stream start, not per micro-batch.
+    */
+  private[graft] def evalBloomOf(spark: SparkSession, ev: DataFrame,
+      fpp: Double = 0.01)
+      : org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter] = {
+    import graft.functions.BloomExpressions
     val n = math.max(ev.count(), 1L)
-    val bytes = ev.agg(BloomExpressions.bloom_agg(col("shingle"), n, 0.01)
+    val bytes = ev.agg(BloomExpressions.bloom_agg(col("shingle"), n, fpp)
       .as("bf")).head().getAs[Array[Byte]](0)
-    val bloom = spark.sparkContext.broadcast(BloomExpressions.read(bytes))
+    spark.sparkContext.broadcast(BloomExpressions.read(bytes))
+  }
+
+  /** Probe half: x51's measure over a posting, pre-filtered by a
+    * prebuilt broadcast bloom, exact-verified against the distinct
+    * gram frame the filter was built from. `ev` MUST be the filter's
+    * build input — a mismatched pair silently under- or over-counts.
+    */
+  private[graft] def contaminationWithBloom(trainSh: DataFrame, ev: DataFrame,
+      bloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
+    import graft.functions.BloomExpressions
     val totals = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val hits = trainSh
       .filter(BloomExpressions.bloom_might_contain(col("shingle"), bloom))

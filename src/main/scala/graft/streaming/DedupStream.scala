@@ -56,20 +56,55 @@ object DedupStream {
   private[streaming] val keptDocSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
 
+  /** The eval-contamination gate in its STREAMING shape: built once at
+    * stream start, applied per micro-batch. This is exactly why the
+    * bloom leg exists (functions/BloomExpressions): a per-batch gate
+    * that broadcast-joined the full eval-gram set would re-ship the
+    * hash relation every batch and stop working the day the benchmark
+    * suite outgrows a broadcast; the once-built filter rides the
+    * executors for the stream's lifetime, each micro-batch probes it
+    * inside codegen, and only bloom survivors (~fpp of clean grams)
+    * pay the exact semi-join against the persisted gram frame.
+    *
+    * `ev` is persisted by [[contamGateOf]]; callers release the gate
+    * when the stream is done.
+    */
+  final case class ContamGate private[streaming] (
+      ev: DataFrame,
+      bloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
+      threshold: Double) {
+    def release(): Unit = { ev.unpersist(false); bloom.destroy() }
+  }
+
+  /** Build the gate from the benchmark corpus (Pipeline stage-5 rule:
+    * a doc sharing >= threshold of its distinct 8-grams with the eval
+    * set is contaminated and never reaches the training store).
+    */
+  def contamGateOf(spark: SparkSession, evalDocs: DataFrame,
+      threshold: Double = 0.5): ContamGate = {
+    val ev = ExtensionQueries
+      .docShingles(evalDocs, 8, persistShared = false)
+      .select("shingle").distinct().persist()
+    ContamGate(ev, ExtensionQueries.evalBloomOf(spark, ev), threshold)
+  }
+
   /** Stream docs from `docsDir`; per micro-batch drop near-dups
-    * against the accepted corpus, then vectorize survivors — every
+    * against the accepted corpus (and, when a [[ContamGate]] is
+    * given, eval-contaminated docs), then vectorize survivors — every
     * language, against the (lang, token)-keyed dimension table — into
     * `storeRoot/vectors`.
     */
   def start(spark: SparkSession, docsDir: String, wordvecsLang: DataFrame,
-      dim: Int, storeRoot: String, checkpoint: String): StreamingQuery = {
+      dim: Int, storeRoot: String, checkpoint: String,
+      gate: Option[ContamGate] = None): StreamingQuery = {
     val docs = spark.readStream.schema(VectorizeStream.docSchema).parquet(docsDir)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch.select("doc_id", "text", "lang"), batchId,
-          wordvecsLang, dim, storeRoot)
+          wordvecsLang, dim, storeRoot, gate)
       }
       .start()
   }
@@ -79,7 +114,7 @@ object DedupStream {
     */
   private[streaming] def processBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, wordvecsLang: DataFrame, dim: Int,
-      storeRoot: String): Unit = {
+      storeRoot: String, gate: Option[ContamGate] = None): Unit = {
     val batchDocs = batch.persist()
     try {
       val batchIds = batchDocs.select("doc_id")
@@ -98,8 +133,25 @@ object DedupStream {
       try {
         val (drops, cand) = dropsOf(sh, batchBands, histBands, histDocs)
         try {
-          val survivors = batchDocs
-            .join(drops, Seq("doc_id"), "left_anti").persist()
+          val dedupSurvivors = batchDocs
+            .join(drops, Seq("doc_id"), "left_anti")
+          // contamination gate AFTER dedup (the Pipeline's stage
+          // order — only dedup survivors pay the 8-gram projection).
+          // Contaminated docs leave NO trace in the artifacts, like
+          // dup losers: the published corpus is what later batches
+          // dedup against, and a contaminated doc must not become
+          // anyone's canonical.
+          val survivors = (gate match {
+            case None => dedupSurvivors
+            case Some(g) =>
+              val sh8 = ExtensionQueries.docShingles(
+                dedupSurvivors, 8, persistShared = false)
+              val flagged = ExtensionQueries
+                .contaminationWithBloom(sh8, g.ev, g.bloom)
+                .filter(col("contam_frac") >= g.threshold)
+                .select("doc_id")
+              dedupSurvivors.join(flagged, Seq("doc_id"), "left_anti")
+          }).persist()
           try {
             batchBands
               .join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")

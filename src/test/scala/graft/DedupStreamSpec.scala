@@ -124,6 +124,54 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     assert(statsShape(DedupStream.corpusStats(spark, store)) === statsShape(direct))
   }
 
+  test("contamination gate in the loop: flagged docs never reach the artifacts") {
+    val work = Files.createTempDirectory("graft_dstream_gate")
+    val docsDir = work.resolve("docs_in")
+    Files.createDirectory(docsDir)
+    val store = work.resolve("store").toString
+    val ckpt = work.resolve("ckpt").toString
+    val wordvecs = graft.queries.ReferenceQueries.wordvecsByLang(spark, sf)
+
+    // x51's split: the eval slice is the benchmark, the rest streams in
+    val evalDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 100 === 0).select("doc_id", "text")
+    val gate = DedupStream.contamGateOf(spark, evalDocs)
+    val b1 = stage(docsDir, work, "g", col("doc_id") % 100 =!= 0)
+    try {
+      DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
+        Some(gate)).awaitTermination(180000)
+
+      // batch replay of the same two gates: dedup via the x02 core,
+      // then the EXACT broadcast-shape contamination rule (x51's
+      // contaminationOf — deliberately NOT the bloom path, so this
+      // also pins bloom-gated streaming ≡ exact batch) on survivors
+      val drops = expectedDrops(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        b1.select("doc_id", "text"))
+      val dedupSurv = b1.filter(!col("doc_id").isin(drops.toSeq: _*))
+      val evGrams = graft.queries.ExtensionQueries
+        .docShingles(evalDocs, 8, persistShared = false)
+        .select("shingle").distinct()
+      val flagged = graft.queries.ExtensionQueries
+        .contaminationOf(
+          graft.queries.ExtensionQueries.docShingles(
+            dedupSurv.select("doc_id", "text"), 8, persistShared = false),
+          evGrams)
+        .filter(col("flagged")).select("doc_id").as[Long].collect().toSet
+      assert(flagged.nonEmpty, "testdata should plant eval contamination")
+
+      val accExp = dedupSurv.select("doc_id").as[Long].collect().toSet -- flagged
+      val accGot = spark.read.parquet(s"$store/docs")
+        .select("doc_id").as[Long].collect().toSet
+      assert(accGot === accExp,
+        "gated stream diverges from the dedup+contamination batch replay")
+      // contaminated docs left no trace downstream either
+      assert(spark.read.parquet(s"$store/vectors").count() === accExp.size)
+      assert(spark.read.parquet(s"$store/postings").select("doc_id")
+        .distinct().as[Long].collect().toSet === accExp)
+    } finally gate.release()
+  }
+
   test("per-batch plan touches history only through the artifacts (no corpus rescan)") {
     val work = Files.createTempDirectory("graft_dstream_plan")
     val root = work.resolve("store").toString
