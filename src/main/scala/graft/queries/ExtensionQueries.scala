@@ -482,6 +482,53 @@ object ExtensionQueries {
       |ORDER BY v1, v2""".stripMargin
 
   // ======================================================================
+  // x69: SEMANTIC dedup, cluster-then-prune — the published SemDeDup
+  // recipe (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+  // web-scale through semantic deduplication"): k-means the embedding
+  // space, then look for near-duplicate pairs ONLY within a cluster.
+  // x14's blocking key is `label` — ground truth the corpus won't
+  // have, and an unbounded block at 100 TB (one hot label ⇒ quadratic
+  // blowup). Here the blocking key is LEARNED and its granularity is
+  // an operator knob: k scales with the corpus (k ≈ N/target_cluster
+  // keeps per-cluster pairwise work at target², and a skewed cluster
+  // re-splits with a recursive k-means — the production lever). The
+  // coarse quantizer is REUSED from ml/IvfIndex — assignment is the
+  // same broadcast-centroid codegen pass the ANN index runs, so an
+  // ingest that maintains an IVF index gets semantic dedup's blocking
+  // for free.
+  //
+  // k-means isn't SQL-expressible ⇒ declared rows-only (like
+  // x15/x21/x46); the accuracy contract is SemDedupSpec. Scope of the
+  // guarantee, stated honestly: cluster blocking recovers pairs whose
+  // similarity is HIGH (a near-duplicate at cos→1 lands on the same
+  // centroid unless it sits exactly on a boundary — the margin
+  // argument SemDeDup rests on); it does NOT promise recall of
+  // barely-correlated pairs (cos≈0.3 in 64-dim isotropic data is
+  // nearly orthogonal — such a pair co-clusters only at ~1/k chance,
+  // and no blocking scheme short of all-pairs finds it). The spec
+  // therefore plants jittered twins (cos ≈ 0.999) in an augmented
+  // table and pins THEIR recall, plus per-pair cosine exactness
+  // against x14 (the cluster changes WHICH pairs are compared, never
+  // the similarity arithmetic).
+  def x69_semantic_dedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = graft.ml.IvfIndex.build(spark, sfDir, k = 16)
+    val e = idx.assigned.withColumn("nrm", VecMath.l2norm(col("v")))
+    val a = e.select(col("vec_id").as("v1"), col("list_id"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("v2"), col("list_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("list_id")).filter(col("v1") < col("v2"))
+      .withColumn("cos",
+        when(col("na") > 0 && col("nb") > 0,
+          VecMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .otherwise(lit(0.0)))
+      .filter(col("cos") >= 0.3)
+      .select(col("v1"), col("v2"), col("list_id").as("cluster"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("v1", "v2")
+  }
+
+  // ======================================================================
   // x07: language-ID heuristic — tokens vs per-language marker wordlists
   // (broadcast dim join + argmax window).
   private val langMarkers: Seq[(String, String)] = Seq(
@@ -1717,6 +1764,9 @@ object ExtensionQueries {
     "x60_incremental_dedup" -> (x60_incremental_dedup _),
     "x67_contam_bloom" -> (x67_contam_bloom _),
     "x68_weighted_sample" -> (x68_weighted_sample _),
+    // rows-only (k-means not SQL-expressible): accuracy contract is
+    // SemDedupSpec's pinned recall vs x14
+    "x69_semantic_dedup" -> (x69_semantic_dedup _),
     "x59_seq_pack" -> (x59_seq_pack _),
     "x49_quantize" -> (x49_quantize _),
     "x50_zipf" -> (x50_zipf _),

@@ -139,6 +139,12 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     assert(joins === 2, s"expected exactly 2 joins in x67 plan, got $joins:\n$p")
   }
 
+  test("x69 semantic dedup blocks on the cluster equi-join, never all-pairs") {
+    val p = plan(graft.queries.ExtensionQueries.x69_semantic_dedup(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"cluster blocking degenerated to a quadratic plan:\n$p")
+  }
+
   test("x68 weighted sample plans as bounded agg, not a per-source window sort") {
     val p = plan(graft.queries.ExtensionQueries.x68_weighted_sample(spark, sf))
     assert(!p.contains("Window"),
