@@ -454,24 +454,34 @@ object ExtensionQueries {
 
   // x14: embedding-cosine near-dup pairs, blocked by label (semantic
   // block; swap in the x06 LSH bucket at scale).
-  def x14_embedding_dup(spark: SparkSession, sfDir: String): DataFrame = {
-    // Norms are precomputed per vector (N of them), not per pair (N²):
-    // the pair loop is one native dot product + a multiply.
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("label"), VecMath.asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", VecMath.l2norm(col("v")))
-    val a = e.select(col("vec_id").as("v1"), col("label"),
+  def x14_embedding_dup(spark: SparkSession, sfDir: String): DataFrame =
+    cosinePairsBlocked(
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"),
+          VecMath.asDouble(col("embedding")).as("v")),
+      blockCol = "label")
+      .orderBy("v1", "v2")
+
+  /** The blocked pair-cosine core x14 and x69 share — the blocking
+    * column is the ONLY thing that differs between label blocking and
+    * learned-cluster blocking, so the threshold, the zero-norm guard,
+    * and the rounding live once. Norms are precomputed per vector (N
+    * of them), not per pair (N²): the pair loop is one native dot
+    * product + a multiply.
+    */
+  private def cosinePairsBlocked(vecs: DataFrame, blockCol: String): DataFrame = {
+    val e = vecs.withColumn("nrm", VecMath.l2norm(col("v")))
+    val a = e.select(col("vec_id").as("v1"), col(blockCol),
       col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("v2"), col("label"),
+    val b = e.select(col("vec_id").as("v2"), col(blockCol),
       col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("label")).filter(col("v1") < col("v2"))
+    a.join(b, Seq(blockCol)).filter(col("v1") < col("v2"))
       .withColumn("cos",
         when(col("na") > 0 && col("nb") > 0,
           VecMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
           .otherwise(lit(0.0)))
       .filter(col("cos") >= 0.3)
-      .select(col("v1"), col("v2"), col("label"), round(col("cos"), 6).as("cos"))
-      .orderBy("v1", "v2")
+      .select(col("v1"), col("v2"), col(blockCol), round(col("cos"), 6).as("cos"))
   }
 
   val x14Sql: String =
@@ -512,19 +522,9 @@ object ExtensionQueries {
   // the similarity arithmetic).
   def x69_semantic_dedup(spark: SparkSession, sfDir: String): DataFrame = {
     val idx = graft.ml.IvfIndex.build(spark, sfDir, k = 16)
-    val e = idx.assigned.withColumn("nrm", VecMath.l2norm(col("v")))
-    val a = e.select(col("vec_id").as("v1"), col("list_id"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("v2"), col("list_id"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("list_id")).filter(col("v1") < col("v2"))
-      .withColumn("cos",
-        when(col("na") > 0 && col("nb") > 0,
-          VecMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-          .otherwise(lit(0.0)))
-      .filter(col("cos") >= 0.3)
-      .select(col("v1"), col("v2"), col("list_id").as("cluster"),
-        round(col("cos"), 6).as("cos"))
+    cosinePairsBlocked(idx.assigned.select(col("vec_id"), col("list_id"),
+      col("v")), blockCol = "list_id")
+      .withColumnRenamed("list_id", "cluster")
       .orderBy("v1", "v2")
   }
 
@@ -1493,10 +1493,14 @@ object ExtensionQueries {
     * prebuilt broadcast bloom, exact-verified against the distinct
     * gram frame the filter was built from. `ev` MUST be the filter's
     * build input — a mismatched pair silently under- or over-counts.
+    * `threshold` drives the `flagged` column so a non-default gate
+    * (the stream's ContamGate) never carries a verdict column that
+    * disagrees with the decision it acts on.
     */
   private[graft] def contaminationWithBloom(trainSh: DataFrame, ev: DataFrame,
       bloom: org.apache.spark.broadcast.Broadcast[
-        org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
+        org.apache.spark.util.sketch.BloomFilter],
+      threshold: Double = 0.5): DataFrame = {
     import graft.functions.BloomExpressions
     val totals = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val hits = trainSh
@@ -1508,7 +1512,7 @@ object ExtensionQueries {
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
       .withColumn("contam_frac",
         round(col("n_contaminated").cast("double") / col("n_grams"), 6))
-      .withColumn("flagged", col("contam_frac") >= 0.5)
+      .withColumn("flagged", col("contam_frac") >= threshold)
   }
 
   // ======================================================================

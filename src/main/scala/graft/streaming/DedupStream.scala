@@ -140,17 +140,25 @@ object DedupStream {
           // Contaminated docs leave NO trace in the artifacts, like
           // dup losers: the published corpus is what later batches
           // dedup against, and a contaminated doc must not become
-          // anyone's canonical.
+          // anyone's canonical. Gate-branch persists: the dedup
+          // anti-join feeds both the 8-gram projection and the final
+          // anti-join's left side, and contaminationWithBloom scans
+          // sh8 twice (totals + bloom hits) — unpersisted, the
+          // expensive shingle projection and the drops join would
+          // re-plan per consumer in the hot ingest loop.
+          var gateCaches: Seq[DataFrame] = Nil
           val survivors = (gate match {
             case None => dedupSurvivors
             case Some(g) =>
+              val ds = dedupSurvivors.persist()
               val sh8 = ExtensionQueries.docShingles(
-                dedupSurvivors, 8, persistShared = false)
+                ds, 8, persistShared = false).persist()
+              gateCaches = Seq(ds, sh8)
               val flagged = ExtensionQueries
-                .contaminationWithBloom(sh8, g.ev, g.bloom)
-                .filter(col("contam_frac") >= g.threshold)
+                .contaminationWithBloom(sh8, g.ev, g.bloom, g.threshold)
+                .filter(col("flagged"))
                 .select("doc_id")
-              dedupSurvivors.join(flagged, Seq("doc_id"), "left_anti")
+              ds.join(flagged, Seq("doc_id"), "left_anti")
           }).persist()
           try {
             batchBands
@@ -176,7 +184,10 @@ object DedupStream {
               .docVectorsByLang(survivors, wordvecsLang, dim)
               .select("doc_id", "lang", "known_ratio", "vec")
             VectorizeStream.upsertStore(spark, vecs, s"$storeRoot/vectors")
-          } finally survivors.unpersist()
+          } finally {
+            survivors.unpersist()
+            gateCaches.foreach(_.unpersist(false))
+          }
         } finally cand.unpersist()
       } finally { batchBands.unpersist(); sh.unpersist() }
     } finally batchDocs.unpersist()
