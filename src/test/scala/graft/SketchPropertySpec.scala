@@ -42,6 +42,33 @@ class SketchPropertySpec extends AnyFunSuite {
     }, 50)
   }
 
+  test("bloom: no false negatives for arbitrary unicode strings; merge order irrelevant") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val strsGen = Gen.nonEmptyListOf(
+      Gen.listOf(Gen.chooseNum(Char.MinValue, Char.MaxValue)
+        .suchThat(c => !Character.isSurrogate(c))).map(_.mkString))
+    check(Prop.forAll(strsGen) { ss =>
+      // build in two halves merged, probe with the SAME UTF-8-bytes
+      // contract BloomFilterAgg/BloomMightContain use
+      def bytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val (h1, h2) = ss.splitAt(ss.length / 2)
+      def half(h: List[String]) = {
+        val bf = BloomFilter.create(math.max(ss.length.toLong, 1L), 0.01)
+        h.foreach(s => bf.putBinary(bytes(s)))
+        bf
+      }
+      val merged = half(h1).mergeInPlace(half(h2))
+      val other = half(h2.reverse).mergeInPlace(half(h1.reverse))
+      ss.forall(s => merged.mightContainBinary(bytes(s))) &&
+        {
+          val bos = new java.io.ByteArrayOutputStream()
+          val bos2 = new java.io.ByteArrayOutputStream()
+          merged.writeTo(bos); other.writeTo(bos2)
+          java.util.Arrays.equals(bos.toByteArray, bos2.toByteArray)
+        }
+    }, 50)
+  }
+
   test("theta: estimates are exact and set algebra matches exactly under capacity") {
     import org.apache.datasketches.theta.{SetOperation, Sketch}
     val setGen = Gen.listOf(Gen.alphaNumStr.suchThat(_.nonEmpty)).map(_.toSet)
