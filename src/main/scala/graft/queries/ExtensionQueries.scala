@@ -238,7 +238,14 @@ object ExtensionQueries {
   // posting self-join's groupBy — no distinct-pairs set is ever
   // materialized and re-joined (that intermediate was a 30× slowdown at
   // sf0.1 and would be fatal at 100 TB).
-  def x04_ngram_jaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (d1, d2, shared, n1, n2) over the df-capped inverted index — the
+    * posting self-join both set-similarity measures project from
+    * (x04's Jaccard, x70's overlap coefficient). Persisted: the
+    * self-join is the expensive part and the measures are cheap
+    * arithmetic on its output, so it runs once per session for BOTH
+    * queries.
+    */
+  private def sharedShingleCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = docShingles(Tables.documents(spark, sfDir))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 1000).select("shingle")
@@ -248,21 +255,101 @@ object ExtensionQueries {
       .join(shr.select(col("doc_id").as("d2"), col("shingle")), Seq("shingle"))
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+    graft.Caches.persist(shared
+      .join(nsh.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
+      .join(nsh.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2")))
+  }
+
+  def x04_ngram_jaccard(spark: SparkSession, sfDir: String): DataFrame = {
     // Filter on the unrounded ratio (the 6-dp round is presentation
     // only) — same filter-then-round order as the SQL oracle.
-    val pairs = shared
-      .join(nsh.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
-      .join(nsh.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
+    val pairs = sharedShingleCounts(spark, sfDir)
       .select(col("d1"), col("d2"),
         (col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
           .as("jac_raw"))
       .filter(col("jac_raw") >= 0.5)
       .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jaccard"))
     // The verified pair set is the input to clustering (x29) as well as
-    // this query's own output — persist so the expensive posting
-    // self-join runs once per session, not once per consumer.
+    // this query's own output — persist so downstream consumers reuse
+    // the filtered frame without re-projecting.
     graft.Caches.persist(pairs).orderBy("d1", "d2")
   }
+
+  // x70: CONTAINMENT dedup (overlap coefficient) — the asymmetric
+  // near-dup Jaccard structurally misses: a short doc pasted inside a
+  // much longer one scores |A∩B|/|A∪B| ≈ |A|/|B| (tiny — never passes
+  // x04's 0.5) while |A∩B|/min(|A|,|B|) ≈ 1. Quote-expansion and
+  // excerpt dups are exactly this shape, and a dedup battery without
+  // a containment pass keeps every "long doc that swallowed a short
+  // one" pair. Same df-capped inverted index as x04, shared through
+  // the session cache — the measure is a different projection of the
+  // SAME persisted self-join, so adding this pass costs arithmetic,
+  // not a second posting join. `contained_id` names the swallowed doc
+  // (the smaller gram set; d1 on ties) — the side a drop policy
+  // removes.
+  def x70_containment(spark: SparkSession, sfDir: String): DataFrame =
+    sharedShingleCounts(spark, sfDir)
+      .select(col("d1"), col("d2"),
+        when(col("n2") < col("n1"), col("d2")).otherwise(col("d1"))
+          .as("contained_id"),
+        (col("shared").cast("double") / least(col("n1"), col("n2")))
+          .as("ov_raw"))
+      .filter(col("ov_raw") >= 0.9)
+      .select(col("d1"), col("d2"), col("contained_id"),
+        round(col("ov_raw"), 6).as("overlap"))
+      .orderBy("d1", "d2")
+
+  val x70Sql: String =
+    s"""WITH $SqlShingleCte,
+       |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+       |         WHERE df <= 1000),
+       |shr AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)),
+       |nsh AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
+       |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS sh_n
+       |           FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY a.doc_id, b.doc_id)
+       |SELECT s.d1, s.d2,
+       |  CASE WHEN n2.n < n1.n THEN s.d2 ELSE s.d1 END AS contained_id,
+       |  round(s.sh_n::DOUBLE / least(n1.n, n2.n), 6) AS overlap
+       |FROM shared s JOIN nsh n1 ON n1.doc_id = s.d1 JOIN nsh n2 ON n2.doc_id = s.d2
+       |WHERE s.sh_n::DOUBLE / least(n1.n, n2.n) >= 0.9
+       |ORDER BY d1, d2""".stripMargin
+
+  // ======================================================================
+  // x71: unigram cross-entropy quality — the perplexity-proxy signal
+  // the CCNet-style pipelines gate on, with the LM self-trained: token
+  // probabilities are the corpus's own unigram MLE, so every scored
+  // token has corpus count >= 1 by construction and no smoothing
+  // question arises. Per doc: mean -ln p(token) over token INSTANCES
+  // (cross-entropy of the doc under the corpus unigram model).
+  // Outliers on BOTH ends are suspect — far below corpus-typical
+  // means boilerplate/templated text (all high-frequency tokens), far
+  // above means lexical garbage (all hapaxes) — which is why the raw
+  // score ships instead of a verdict; x57-style gates pick their own
+  // band. Shapes: one vocabulary-keyed count (the unigram "model" — a
+  // dimension table at any scale), one equi-join back to the shared
+  // token posting, one per-doc aggregation; the corpus total rides a
+  // 1-row broadcast. All corpus-linear.
+  def x71_unigram_xent(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docTok(Tables.documents(spark, sfDir))
+    val cnt = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).cast("double").as("n"))
+    tok.join(cnt, Seq("token"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("c").cast("double") / col("n"))), 6).as("xent"))
+      .orderBy("doc_id")
+  }
+
+  val x71Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+       |tot AS (SELECT sum(c)::DOUBLE AS n FROM cnt)
+       |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       |  round(avg(-ln(c.c / (SELECT n FROM tot))), 6) AS xent
+       |FROM tok t JOIN cnt c USING (token)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
   val x04Sql: String =
     s"""WITH $SqlShingleCte,
@@ -1771,6 +1858,8 @@ object ExtensionQueries {
     // rows-only (k-means not SQL-expressible): accuracy contract is
     // SemDedupSpec's pinned recall vs x14
     "x69_semantic_dedup" -> (x69_semantic_dedup _),
+    "x70_containment" -> (x70_containment _),
+    "x71_unigram_xent" -> (x71_unigram_xent _),
     "x59_seq_pack" -> (x59_seq_pack _),
     "x49_quantize" -> (x49_quantize _),
     "x50_zipf" -> (x50_zipf _),
@@ -1818,6 +1907,8 @@ object ExtensionQueries {
     // oracle is the same SQL (x58 -> x24Sql precedent)
     "x67_contam_bloom" -> x51Sql,
     "x68_weighted_sample" -> x68Sql,
+    "x70_containment" -> x70Sql,
+    "x71_unigram_xent" -> x71Sql,
     "x59_seq_pack" -> x59Sql,
     "x17_media_features" -> x17Sql,
     "x18_frame_samples" -> x18Sql,
