@@ -68,6 +68,21 @@ object ExtensionQueries {
        |  range(1, greatest(len(toks) - 2, 0) + 1),
        |  i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle FROM tok)""".stripMargin
 
+  /** The df-capped pair chain x04Sql and x70Sql share — ONE copy of
+    * the cap and the self-join shape, so the two oracles can't drift
+    * apart from the one Scala implementation (sharedShingleCounts)
+    * they both validate.
+    */
+  private val SqlSharedPairsCte =
+    s"""$SqlShingleCte,
+       |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+       |         WHERE df <= 1000),
+       |shr AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)),
+       |nsh AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
+       |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS sh_n
+       |           FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
   // ======================================================================
   // x01: EXACT dedup — content-hash groupBy. At 100 TB this is the
   // canonical first pass: one shuffle on a 16-byte key.
@@ -240,10 +255,17 @@ object ExtensionQueries {
   // sf0.1 and would be fatal at 100 TB).
   /** (d1, d2, shared, n1, n2) over the df-capped inverted index — the
     * posting self-join both set-similarity measures project from
-    * (x04's Jaccard, x70's overlap coefficient). Persisted: the
-    * self-join is the expensive part and the measures are cheap
-    * arithmetic on its output, so it runs once per session for BOTH
-    * queries.
+    * (x04's Jaccard, x70's overlap coefficient), run once per session
+    * for both.
+    *
+    * What gets PINNED is the overlap>=0.5 superset, NOT the raw
+    * candidate frame: every pair sharing one rare shingle is the
+    * intermediate that must never be materialized at scale (460× the
+    * kept rows at sf0.01; worst case ~df²/2 per shingle at the cap).
+    * The pre-filter provably loses nothing: jaccard >= 0.5 ⇒
+    * shared >= (n1+n2)/3 >= 2·min/3 ⇒ overlap >= 2/3 > 0.5, and
+    * x70's own threshold (0.9) is above 0.5 outright — so both
+    * measures' outputs are subsets of the cached frame.
     */
   private def sharedShingleCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = docShingles(Tables.documents(spark, sfDir))
@@ -257,23 +279,23 @@ object ExtensionQueries {
       .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
     graft.Caches.persist(shared
       .join(nsh.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
-      .join(nsh.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2")))
+      .join(nsh.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
+      .filter(col("shared").cast("double") / least(col("n1"), col("n2")) >= 0.5))
   }
 
-  def x04_ngram_jaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  def x04_ngram_jaccard(spark: SparkSession, sfDir: String): DataFrame =
     // Filter on the unrounded ratio (the 6-dp round is presentation
-    // only) — same filter-then-round order as the SQL oracle.
-    val pairs = sharedShingleCounts(spark, sfDir)
+    // only) — same filter-then-round order as the SQL oracle. No
+    // persist of its own: this is a near-free projection over the
+    // cached pair frame one level down; consumers (x29, x62) pay an
+    // in-memory filter, not the posting self-join.
+    sharedShingleCounts(spark, sfDir)
       .select(col("d1"), col("d2"),
         (col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
           .as("jac_raw"))
       .filter(col("jac_raw") >= 0.5)
       .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jaccard"))
-    // The verified pair set is the input to clustering (x29) as well as
-    // this query's own output — persist so downstream consumers reuse
-    // the filtered frame without re-projecting.
-    graft.Caches.persist(pairs).orderBy("d1", "d2")
-  }
+      .orderBy("d1", "d2")
 
   // x70: CONTAINMENT dedup (overlap coefficient) — the asymmetric
   // near-dup Jaccard structurally misses: a short doc pasted inside a
@@ -286,9 +308,15 @@ object ExtensionQueries {
   // SAME persisted self-join, so adding this pass costs arithmetic,
   // not a second posting join. `contained_id` names the swallowed doc
   // (the smaller gram set; d1 on ties) — the side a drop policy
-  // removes.
+  // removes. The min-size floor (>= 5 rare shingles on the SMALLER
+  // side) is the evidence bar the min() denominator needs: a doc
+  // whose shingles are almost all df-capped away can be left with 1-2
+  // rare shingles, and any co-occurring doc would then score a
+  // trivial overlap 1.0 — without the floor a drop policy would
+  // delete unrelated documents on one shingle of "evidence".
   def x70_containment(spark: SparkSession, sfDir: String): DataFrame =
     sharedShingleCounts(spark, sfDir)
+      .filter(least(col("n1"), col("n2")) >= 5)
       .select(col("d1"), col("d2"),
         when(col("n2") < col("n1"), col("d2")).otherwise(col("d1"))
           .as("contained_id"),
@@ -300,19 +328,12 @@ object ExtensionQueries {
       .orderBy("d1", "d2")
 
   val x70Sql: String =
-    s"""WITH $SqlShingleCte,
-       |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
-       |         WHERE df <= 1000),
-       |shr AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)),
-       |nsh AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
-       |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS sh_n
-       |           FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |           GROUP BY a.doc_id, b.doc_id)
+    s"""WITH $SqlSharedPairsCte
        |SELECT s.d1, s.d2,
        |  CASE WHEN n2.n < n1.n THEN s.d2 ELSE s.d1 END AS contained_id,
        |  round(s.sh_n::DOUBLE / least(n1.n, n2.n), 6) AS overlap
        |FROM shared s JOIN nsh n1 ON n1.doc_id = s.d1 JOIN nsh n2 ON n2.doc_id = s.d2
-       |WHERE s.sh_n::DOUBLE / least(n1.n, n2.n) >= 0.9
+       |WHERE s.sh_n::DOUBLE / least(n1.n, n2.n) >= 0.9 AND least(n1.n, n2.n) >= 5
        |ORDER BY d1, d2""".stripMargin
 
   // ======================================================================
@@ -352,14 +373,7 @@ object ExtensionQueries {
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
   val x04Sql: String =
-    s"""WITH $SqlShingleCte,
-       |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
-       |         WHERE df <= 1000),
-       |shr AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)),
-       |nsh AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
-       |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS sh_n
-       |           FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |           GROUP BY a.doc_id, b.doc_id)
+    s"""WITH $SqlSharedPairsCte
        |SELECT s.d1, s.d2,
        |  round(s.sh_n::DOUBLE / (n1.n + n2.n - s.sh_n), 6) AS jaccard
        |FROM shared s JOIN nsh n1 ON n1.doc_id = s.d1 JOIN nsh n2 ON n2.doc_id = s.d2
