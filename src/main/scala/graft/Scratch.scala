@@ -131,6 +131,47 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("bloom")) {
+      // A/B x51's broadcast gate vs x67's bloom gate as the eval-gram
+      // set grows: inflate the real eval grams K× with suffixed
+      // variants (they never match train, so the HITS are identical —
+      // only the dimension's size changes) and measure both shapes.
+      //
+      // MEASURED (sf0.1, local[32]): broadcast wins at every locally
+      // feasible size — 2.35M grams: 0.9-2.0 s vs bloom 2.3-6.2 s;
+      // 11.7M grams: 1.1-1.9 s vs bloom 21-70 s. Expected, and worth
+      // stating: single-JVM "broadcast" is one in-heap hash build with
+      // zero shipping, while the bloom shape's exact-verify semi-join
+      // SHUFFLES the full eval side (the scalable-but-not-free plan).
+      // x67's advantage is architectural, not local wall-time: on a
+      // real cluster the broadcast relation is rebuilt per executor
+      // (~50+ bytes/key against executor memory ceilings, shipped
+      // O(executors × relation)), while the bloom ships ~10 bits/key
+      // once and the shuffle spreads across the cluster. The local
+      // numbers bound the OVERHEAD of the bloom shape, not its win.
+      val K = args.drop(1).headOption.map(_.toInt).getOrElse(1000)
+      val docs = Tables.documents(spark, sfDir)
+      val sh8 = graft.queries.ExtensionQueries
+        .docShingles(docs, 8, persistShared = false).persist()
+      val ev = sh8.filter(col("doc_id") % 100 === 0)
+        .select("shingle").distinct()
+      val train = sh8.filter(col("doc_id") % 100 =!= 0)
+      val big = ev.unionByName(
+        ev.crossJoin(spark.range(1, K.toLong))
+          .select(concat_ws("#", col("shingle"), col("id")).as("shingle")))
+        .persist()
+      time("inflate-ev")(big.count())
+      time("A-broadcast")(graft.queries.ExtensionQueries
+        .contaminationOf(train, big).count())
+      time("A-broadcast-again")(graft.queries.ExtensionQueries
+        .contaminationOf(train, big).count())
+      time("B-bloom")(graft.queries.ExtensionQueries
+        .contaminationBloomOf(spark, train, big).count())
+      time("B-bloom-again")(graft.queries.ExtensionQueries
+        .contaminationBloomOf(spark, train, big).count())
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("minhash")) {
       // A/B the x02 signature build: 12 inline md5s per posting row vs
       // hashing DISTINCT shingles once and joining the minima back.

@@ -1560,6 +1560,13 @@ object ExtensionQueries {
     * ~(1-fpp) of its non-matching rows, so at scale it shuffles a
     * sliver. Driver-side actions: the eval count (sizes the filter)
     * and the merged filter bytes — both bounded metadata, never rows.
+    *
+    * Choose by deployment, not local benchmarks: `Scratch bloom`
+    * measured single-JVM broadcast beating this shape at every
+    * locally feasible eval size (in-heap hash build, zero shipping vs
+    * a full shuffle of the eval side in the exact verify). The win
+    * here is the per-executor memory ceiling and O(executors ×
+    * relation) shipping that local mode cannot exhibit.
     */
   private[graft] def contaminationBloomOf(spark: SparkSession,
       trainSh: DataFrame, evalGrams: DataFrame): DataFrame = {

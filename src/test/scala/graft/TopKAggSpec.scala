@@ -50,4 +50,23 @@ class TopKAggSpec extends AnyFunSuite {
       Seq(Race(1.0, 3L, 1.0), Race(1.0, 9L, 1.0)))
     assert(t.map(_.id) === Seq(3L, 7L))
   }
+
+  test("BottomK equals full-sort-take-k for arbitrary inputs and partitionings") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val raceGen = for {
+      key <- Gen.chooseNum(-1e6, 1e6)
+      id <- Gen.chooseNum(0L, 50L) // small id range forces key ties
+    } yield Race(key, id, 1.0)
+    val prop = Prop.forAll(Gen.listOf(raceGen), Gen.chooseNum(1, 5),
+      Gen.chooseNum(1, 7)) { (rs, k, parts) =>
+      val a = new BottomK(k)
+      // fold through reduce in arbitrary partition groups, then merge
+      val merged = rs.grouped(math.max(rs.size / parts, 1))
+        .map(_.foldLeft(a.zero)(a.reduce)).foldLeft(a.zero)(a.merge)
+      val expected = rs.sortBy(r => (r.key, r.id)).take(k)
+      a.finish(merged) == expected
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(r.passed, r.status.toString)
+  }
 }
