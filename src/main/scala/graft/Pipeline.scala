@@ -175,10 +175,8 @@ object Pipeline {
       // the vectors in step 6 — ASCII-splitting zh here would describe
       // a vocabulary the snapshot doesn't train on. One extra pass
       // over the persisted corpus.
-      val stats = graft.sources.SketchStore.sketchTable(
-        corpus.select(col("lang"), explode(graft.functions.Tokenize
-          .tokensByLang(col("text"), col("lang"))).as("token")),
-        Seq("lang"), Seq("token"), Nil, Seq("token"), Seq("token"))
+      val stats = graft.sources.SketchStore.vocabStats(
+        corpus.select("lang", "text"))
 
       // 9. one atomic multi-table snapshot: the masked text a model
       // trains on + vectors + packing + stats, versioned together. The
@@ -189,11 +187,21 @@ object Pipeline {
         Map("documents" -> corpus, "vectors" -> vecs, "packing" -> packed,
           "stats" -> stats),
         storeRoot)
-      val piiMaskedDocs = cap.await(corpusObs).getLong(0)
-      val vectorized = cap.await(vectorsObs).getLong(0)
-      val packRow = cap.await(packingObs)
-      val sequences = if (packRow.isNullAt(0)) 0L else packRow.getLong(0) + 1
-      val packedTokens = if (packRow.isNullAt(1)) 0L else packRow.getLong(1)
+      // The snapshot is PUBLISHED by this point; the funnel stats ride
+      // the async listener bus, which Spark drops events from under
+      // load (bounded AsyncEventQueue, warn-only). A missing metric
+      // must not convert a published run into a thrown failure — a
+      // caller's retry would re-publish the same corpus as a duplicate
+      // version. -1 = "published, stat unavailable".
+      def observedOr(name: String)(read: org.apache.spark.sql.Row => Long): Long =
+        try read(cap.await(name))
+        catch { case _: IllegalStateException => -1L }
+      val piiMaskedDocs = observedOr(corpusObs)(_.getLong(0))
+      val vectorized = observedOr(vectorsObs)(_.getLong(0))
+      val sequences = observedOr(packingObs)(r =>
+        if (r.isNullAt(0)) 0L else r.getLong(0) + 1)
+      val packedTokens = observedOr(packingObs)(r =>
+        if (r.isNullAt(1)) 0L else r.getLong(1))
       Result(version, kept, heldOut, prunedNearDup, droppedContaminated,
         piiMaskedDocs, vectorized, sequences, packedTokens)
     } finally {

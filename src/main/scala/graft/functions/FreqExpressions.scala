@@ -6,6 +6,7 @@ import org.apache.datasketches.memory.Memory
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -81,6 +82,8 @@ case class FreqMergeAgg(child: Expression,
     with UnaryLike[Expression] {
 
   override def prettyName: String = "graft_freq_merge"
+  override def checkInputDataTypes(): TypeCheckResult =
+    FreqExpressions.sketchInputCheck(child, prettyName)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
 
@@ -130,6 +133,8 @@ case class FreqTopK(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def prettyName: String = "graft_freq_top_k"
+  override def checkInputDataTypes(): TypeCheckResult =
+    FreqExpressions.sketchInputCheck(left, prettyName)
   override def dataType: DataType = ArrayType(FreqTopK.HitType, containsNull = false)
   // BinaryExpression.eval null-propagates a null sketch or k (an
   // outer-joined sketch row), so the output is nullable exactly when
@@ -166,6 +171,20 @@ object FreqTopK {
   * GraftFunctions, mirroring the KLL trio).
   */
 object FreqExpressions {
+
+  /** Analysis-time input check shared by the sketch scalar/merge
+    * expressions: a serialized sketch is a binary column, and a
+    * wrong-typed SQL call should fail planning with the function's
+    * name, not die mid-task with a ClassCastException on an executor
+    * (BloomMightContain set the precedent).
+    */
+  private[functions] def sketchInputCheck(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      name: String): TypeCheckResult =
+    e.dataType match {
+      case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name expects a serialized sketch (binary), got ${other.simpleString}")
+    }
   /** Power of 2 (ItemsSketch requirement); error ≤ 3.5·N/maxMapSize. */
   val DefaultMapSize = 128
 

@@ -6,6 +6,7 @@ import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -75,19 +76,24 @@ case class KllSketchAgg(child: Expression, k: Int,
   * sketch with the same rank-error bound as its inputs' k.
   */
 case class KllMergeAgg(child: Expression,
+    k: Int = KllExpressions.DefaultK,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[KllDoublesSketch]
     with UnaryLike[Expression] {
 
   override def prettyName: String = "graft_kll_merge"
+  override def checkInputDataTypes(): TypeCheckResult =
+    FreqExpressions.sketchInputCheck(child, prettyName)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
 
-  // k of the merge target adapts DOWN to the smallest input k on
-  // merge (DataSketches semantics), so starting from the library
-  // default is correct for any input sketches
+  // DataSketches merge adopts the SMALLEST k involved — including
+  // the TARGET's — so the merge buffer must be created at (at least)
+  // the inputs' build k or it silently degrades their accuracy to
+  // its own. Same rule as the theta/freq merge targets: the caller
+  // threads the k the slices were built with (SketchStore.merge).
   override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance()
+    KllDoublesSketch.newHeapInstance(k)
 
   override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
@@ -123,6 +129,14 @@ case class KllQuantile(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def prettyName: String = "graft_kll_quantile"
+  override def checkInputDataTypes(): TypeCheckResult =
+    FreqExpressions.sketchInputCheck(left, prettyName) match {
+      case TypeCheckResult.TypeCheckSuccess
+        if !right.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName rank must be numeric, got ${right.dataType.simpleString}")
+      case r => r
+    }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -163,9 +177,9 @@ object KllExpressions {
     ColumnShim.column(
       KllSketchAgg(ColumnShim.expression(c), k).toAggregateExpression())
 
-  def kll_merge_agg(c: Column): Column =
+  def kll_merge_agg(c: Column, k: Int = DefaultK): Column =
     ColumnShim.column(
-      KllMergeAgg(ColumnShim.expression(c)).toAggregateExpression())
+      KllMergeAgg(ColumnShim.expression(c), k).toAggregateExpression())
 
   def kll_quantile(sketch: Column, rank: Column): Column =
     ColumnShim.column(

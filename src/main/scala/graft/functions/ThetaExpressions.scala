@@ -5,6 +5,7 @@ import org.apache.datasketches.theta.{AnotB, Intersection, SetOperation, Sketch,
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -87,6 +88,8 @@ case class ThetaUnionAgg(child: Expression,
     with UnaryLike[Expression] {
 
   override def prettyName: String = "graft_theta_union"
+  override def checkInputDataTypes(): TypeCheckResult =
+    FreqExpressions.sketchInputCheck(child, prettyName)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
 
@@ -125,6 +128,8 @@ case class ThetaUnionAgg(child: Expression,
 case class ThetaEstimate(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "graft_theta_estimate"
+  override def checkInputDataTypes(): TypeCheckResult =
+    FreqExpressions.sketchInputCheck(child, prettyName)
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(sketch: Any): Any =
     Sketch.wrap(Memory.wrap(sketch.asInstanceOf[Array[Byte]])).getEstimate
@@ -141,6 +146,12 @@ case class ThetaSetEstimate(left: Expression, right: Expression, op: String)
     s"theta set op must be one of ${ThetaSetEstimate.Ops}, got $op")
 
   override def prettyName: String = s"graft_theta_$op"
+  override def checkInputDataTypes(): TypeCheckResult =
+    FreqExpressions.sketchInputCheck(left, prettyName) match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        FreqExpressions.sketchInputCheck(right, prettyName)
+      case r => r
+    }
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{FreqExpressions, KllExpressions, ThetaExpressions}
+import graft.functions.{FreqExpressions, KllExpressions, ThetaExpressions, Tokenize}
 
 /** Mergeable corpus-statistics artifacts: per-slice sketch tables
   * published through [[VersionedStore]] and merged on read.
@@ -66,18 +66,36 @@ object SketchStore {
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The per-language vocabulary stats slice BOTH publishers share —
+    * the Pipeline's snapshot stats table and the streaming ingest's
+    * per-batch slices union and set-op against each other by
+    * contract, so their shape must come from one definition, not two
+    * call sites kept in sync by convention. Input: a documents frame
+    * with `lang` and `text`; tokenization is the same per-language
+    * rule the vectorizers use (stats must describe the tokens that
+    * train).
+    */
+  def vocabStats(docs: DataFrame): DataFrame =
+    sketchTable(
+      docs.select(col("lang"),
+        explode(Tokenize.tokensByLang(col("text"), col("lang"))).as("token")),
+      Seq("lang"), Seq("token"), Nil, Seq("token"), Seq("token"))
+
   /** Merge sketch tables of the same shape back to one row per key:
     * counters add, HLL sketches union, KLL sketches merge,
     * frequent-items sketches merge, theta sketches union. The result
     * is again a sketch table — merges compose associatively, so
-    * batch-of-batches rollups are free. `freqMapSize` and `lgK` must
-    * match the sizes the tables were built with: the merge TARGETS
-    * govern merged accuracy (a default-sized theta union over lgK=16
-    * slices would silently cap them at 2^12 retained entries).
+    * batch-of-batches rollups are free. `freqMapSize`, `lgK`, and `kllK`
+    * must match the sizes the tables were built with: the merge
+    * TARGETS govern merged accuracy (a default-sized theta union over
+    * lgK=16 slices would silently cap them at 2^12 retained entries;
+    * a default-k KLL target over k=800 slices degrades them to
+    * k=200's rank error — DataSketches adopts the smallest k).
     */
   def merge(tables: Seq[DataFrame], keys: Seq[String],
       freqMapSize: Int = FreqExpressions.DefaultMapSize,
-      lgK: Int = ThetaExpressions.DefaultLgK): DataFrame = {
+      lgK: Int = ThetaExpressions.DefaultLgK,
+      kllK: Int = KllExpressions.DefaultK): DataFrame = {
     require(tables.nonEmpty, "merge needs at least one sketch table")
     val all = tables.reduce(_.unionByName(_))
     val aggs = all.schema.fields.toSeq.collect {
@@ -85,7 +103,7 @@ object SketchStore {
       case f if f.name.endsWith(HllSuffix) =>
         hll_union_agg(col(f.name)).as(f.name)
       case f if f.name.endsWith(KllSuffix) =>
-        KllExpressions.kll_merge_agg(col(f.name)).as(f.name)
+        KllExpressions.kll_merge_agg(col(f.name), kllK).as(f.name)
       case f if f.name.endsWith(FreqSuffix) =>
         FreqExpressions.freq_merge_agg(col(f.name), freqMapSize).as(f.name)
       case f if f.name.endsWith(ThetaSuffix) =>
@@ -127,11 +145,22 @@ object SketchStore {
     */
   private def writeStamp(spark: SparkSession, root: String, v: Long,
       retired: Set[Long]): Unit = {
+    // temp-file + atomic rename, like VersionedStore.publishMarker: a
+    // direct create+write can crash mid-stamp and leave a VISIBLE but
+    // truncated manifest — the slice would read as complete with the
+    // wrong (or no) retirement list, double-counting the inputs it
+    // was meant to replace. With the rename, the marker either exists
+    // complete or not at all.
+    val conf = spark.sparkContext.hadoopConfiguration
     val ok = new org.apache.hadoop.fs.Path(root, s"v=$v/$SliceOkMarker")
-    val fs = ok.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(ok, true)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"v=$v/$SliceOkMarker.tmp")
+    val fs = ok.getFileSystem(conf)
+    val out = fs.create(tmp, true)
     try out.write(retired.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(ok),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The whole-corpus sketch table: every COMPLETE published slice
@@ -142,12 +171,13 @@ object SketchStore {
     */
   def mergedStats(spark: SparkSession, root: String, keys: Seq[String],
       freqMapSize: Int = FreqExpressions.DefaultMapSize,
-      lgK: Int = ThetaExpressions.DefaultLgK): DataFrame = {
+      lgK: Int = ThetaExpressions.DefaultLgK,
+      kllK: Int = KllExpressions.DefaultK): DataFrame = {
     val (slices, _) = sliceState(spark, root)
     if (slices.isEmpty) throw new IllegalStateException(
       s"no published sketch batches under $root")
     merge(slices.map(v => VersionedStore.readVersion(spark, root, v)),
-      keys, freqMapSize, lgK)
+      keys, freqMapSize, lgK, kllK)
   }
 
   /** Compact every live slice into ONE: publish their merge as the
@@ -169,16 +199,20 @@ object SketchStore {
     */
   def compact(spark: SparkSession, root: String, keys: Seq[String],
       freqMapSize: Int = FreqExpressions.DefaultMapSize,
-      lgK: Int = ThetaExpressions.DefaultLgK): Long = {
+      lgK: Int = ThetaExpressions.DefaultLgK,
+      kllK: Int = KllExpressions.DefaultK): Long = {
     val (alive, retired) = sliceState(spark, root)
     if (alive.isEmpty) throw new IllegalStateException(
       s"no published sketch batches under $root")
     val merged = merge(alive.map(v => VersionedStore.readVersion(spark, root, v)),
-      keys, freqMapSize, lgK)
-    // materialize BEFORE publishing: the merge plan reads the slices
-    // being retired, and the write must not race its own input
-    // deletion on a lazily-evaluated frame
-    val v = VersionedStore.publish(merged.localCheckpoint(true), root)
+      keys, freqMapSize, lgK, kllK)
+    // No checkpoint needed: publish is an EAGER parquet write that
+    // returns before the input deletions below run, so the lazy merge
+    // plan can never observe its inputs deleted — and staying lazy
+    // keeps the write recomputable if an executor dies mid-publish
+    // (an eager localCheckpoint pinned to executor storage would make
+    // that loss fatal instead).
+    val v = VersionedStore.publish(merged, root)
     writeStamp(spark, root, v, alive.toSet ++ retired)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

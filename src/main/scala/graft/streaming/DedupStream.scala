@@ -174,10 +174,8 @@ object DedupStream {
             // "what's in the corpus so far" never rescans accepted
             // text. Per-language tokenization, matching the vectorize
             // below — the stats must describe the tokens that train.
-            graft.sources.SketchStore.sketchTable(
-              survivors.select(col("lang"), explode(graft.functions.Tokenize
-                .tokensByLang(col("text"), col("lang"))).as("token")),
-              Seq("lang"), Seq("token"), Nil, Seq("token"), Seq("token"))
+            graft.sources.SketchStore.vocabStats(
+              survivors.select("lang", "text"))
               .write.mode(SaveMode.Overwrite)
               .parquet(s"$storeRoot/stats/batch=$batchId")
             val vecs = ReferenceQueries
