@@ -307,4 +307,46 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
       .head()
     assert(row.isNullAt(0))
   }
+
+  test("KLL merge target preserves the inputs' k (no silent accuracy downgrade)") {
+    // DataSketches merge adopts the SMALLEST k involved, including
+    // the target's — a default-k merge buffer would degrade k=800
+    // slices to k=200's rank error. The merge must be built at the
+    // slices' k (review finding; KllMergeAgg.k / SketchStore kllK).
+    import spark.implicits._
+    val slices = (0 until 4).map { i =>
+      val sk = KllDoublesSketch.newHeapInstance(800)
+      (i * 1000 until (i + 1) * 1000).foreach(v => sk.update(v.toDouble))
+      Tuple1(sk.toByteArray)
+    }
+    val merged = slices.toDF("s")
+      .select(graft.functions.KllExpressions.kll_merge_agg(col("s"), 800).as("m"))
+      .head().getAs[Array[Byte]](0)
+    val back = KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(merged))
+    assert(back.getK === 800, s"merge degraded k to ${back.getK}")
+    assert(back.getN === 4000L)
+    // the default-k path still exists and is what it says: k=200
+    val defaultMerged = slices.toDF("s")
+      .select(graft.functions.KllExpressions.kll_merge_agg(col("s")).as("m"))
+      .head().getAs[Array[Byte]](0)
+    assert(KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(defaultMerged)).getK === 200)
+  }
+
+  test("wrong-typed sketch SQL fails analysis, not mid-task on an executor") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(("a", 1.0)).toDF("s", "d").createOrReplaceTempView("sk_badtype")
+    for (q <- Seq(
+      "SELECT graft_theta_estimate(s) FROM sk_badtype",
+      "SELECT graft_kll_quantile(s, 0.5d) FROM sk_badtype",
+      "SELECT graft_freq_top_k(s, 3) FROM sk_badtype",
+      "SELECT graft_kll_merge(d) FROM sk_badtype")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql(q).collect())
+      assert(e.getMessage.contains("graft_"),
+        s"analysis error should name the function: ${e.getMessage}")
+    }
+  }
 }
