@@ -385,8 +385,30 @@ object ExtensionQueries {
   // rounds; each round is one join + one groupBy — the scalable
   // alternative to driver-side union-find). Oracle: recursive-CTE
   // transitive closure.
-  def x29_dup_clusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = x04_ngram_jaccard(spark, sfDir).select("d1", "d2")
+  def x29_dup_clusters(spark: SparkSession, sfDir: String): DataFrame =
+    clustersOf(x04_ngram_jaccard(spark, sfDir).select("d1", "d2"), "x29")
+
+  // x72: dup clusters over BOTH edge types — x04's Jaccard pairs AND
+  // x70's containment pairs in one component graph. A production drop
+  // policy needs this union: doc B near-dups doc A (Jaccard) while
+  // excerpt C is contained in B — keeping one representative per
+  // {A,B,C} requires the transitive closure ACROSS measures, which
+  // per-measure clustering can't see. Both edge sets are projections
+  // of the same cached sharedShingleCounts frame, so the union costs
+  // arithmetic; the closure is the same min-label propagation as x29.
+  def x72_dup_clusters_all(spark: SparkSession, sfDir: String): DataFrame =
+    clustersOf(
+      x04_ngram_jaccard(spark, sfDir).select("d1", "d2")
+        .unionByName(x70_containment(spark, sfDir).select("d1", "d2"))
+        .distinct(), "x72")
+
+  /** Connected components by iterative min-label propagation over an
+    * undirected (d1, d2) pair frame — converges in diameter rounds;
+    * each round is one join + one groupBy (the scalable alternative
+    * to driver-side union-find). Shared by x29 (Jaccard edges) and
+    * x72 (Jaccard ∪ containment edges).
+    */
+  private def clustersOf(pairs: DataFrame, what: String): DataFrame = {
     // localCheckpoint per round: iterative plans otherwise re-execute
     // the whole growing lineage every round (42 s -> seconds at sf0.1;
     // on a cluster this is reliable checkpointing to the cluster FS).
@@ -421,7 +443,7 @@ object ExtensionQueries {
     // tested SFs converge in <5 rounds) — fail loudly instead.
     if (!converged)
       throw new IllegalStateException(
-        s"x29 label propagation did not converge within $maxIters rounds")
+        s"$what label propagation did not converge within $maxIters rounds")
     labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("lbl")))
@@ -430,25 +452,34 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** The recursive transitive-closure tail x29Sql/x72Sql share; the
+    * `pairs` CTE (which edge rule feeds the closure) is the only part
+    * that differs.
+    */
+  private val SqlClosureTail =
+    """edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+      |reach(n, m) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+      |SELECT n AS doc_id, min(m) AS cluster_id, count(DISTINCT m)::BIGINT AS cluster_size
+      |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
+
   val x29Sql: String =
-    s"""WITH RECURSIVE $SqlShingleCte,
-       |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
-       |         WHERE df <= 1000),
-       |shr AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)),
-       |nsh AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
-       |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS sh_n
-       |           FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |           GROUP BY a.doc_id, b.doc_id),
+    s"""WITH RECURSIVE $SqlSharedPairsCte,
        |pairs AS (SELECT s.d1, s.d2 FROM shared s
        |          JOIN nsh n1 ON n1.doc_id = s.d1 JOIN nsh n2 ON n2.doc_id = s.d2
        |          WHERE s.sh_n::DOUBLE / (n1.n + n2.n - s.sh_n) >= 0.5),
-       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
-       |reach(n, m) AS (
-       |  SELECT a, a FROM edges
-       |  UNION
-       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
-       |SELECT n AS doc_id, min(m) AS cluster_id, count(DISTINCT m)::BIGINT AS cluster_size
-       |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
+       |$SqlClosureTail""".stripMargin
+
+  val x72Sql: String =
+    s"""WITH RECURSIVE $SqlSharedPairsCte,
+       |pairs AS (SELECT s.d1, s.d2 FROM shared s
+       |          JOIN nsh n1 ON n1.doc_id = s.d1 JOIN nsh n2 ON n2.doc_id = s.d2
+       |          WHERE s.sh_n::DOUBLE / (n1.n + n2.n - s.sh_n) >= 0.5
+       |             OR (s.sh_n::DOUBLE / least(n1.n, n2.n) >= 0.9
+       |                 AND least(n1.n, n2.n) >= 5)),
+       |$SqlClosureTail""".stripMargin
 
   // ======================================================================
   // x05: brute-force cosine top-k ANN baseline. Query set × corpus
@@ -1881,6 +1912,7 @@ object ExtensionQueries {
     "x69_semantic_dedup" -> (x69_semantic_dedup _),
     "x70_containment" -> (x70_containment _),
     "x71_unigram_xent" -> (x71_unigram_xent _),
+    "x72_dup_clusters_all" -> (x72_dup_clusters_all _),
     "x59_seq_pack" -> (x59_seq_pack _),
     "x49_quantize" -> (x49_quantize _),
     "x50_zipf" -> (x50_zipf _),
@@ -1930,6 +1962,7 @@ object ExtensionQueries {
     "x68_weighted_sample" -> x68Sql,
     "x70_containment" -> x70Sql,
     "x71_unigram_xent" -> x71Sql,
+    "x72_dup_clusters_all" -> x72Sql,
     "x59_seq_pack" -> x59Sql,
     "x17_media_features" -> x17Sql,
     "x18_frame_samples" -> x18Sql,
