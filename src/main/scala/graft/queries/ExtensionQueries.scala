@@ -68,6 +68,15 @@ object ExtensionQueries {
        |  range(1, greatest(len(toks) - 2, 0) + 1),
        |  i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle FROM tok)""".stripMargin
 
+  /** The two measures' threshold predicates, shared by every oracle
+    * that uses them (x04/x29 the first; x70 the second; x72 both) —
+    * a threshold change lands once or not at all.
+    */
+  private val SqlJaccardPred =
+    "s.sh_n::DOUBLE / (n1.n + n2.n - s.sh_n) >= 0.5"
+  private val SqlContainPred =
+    "(s.sh_n::DOUBLE / least(n1.n, n2.n) >= 0.9 AND least(n1.n, n2.n) >= 5)"
+
   /** The df-capped pair chain x04Sql and x70Sql share — ONE copy of
     * the cap and the self-join shape, so the two oracles can't drift
     * apart from the one Scala implementation (sharedShingleCounts)
@@ -333,7 +342,7 @@ object ExtensionQueries {
        |  CASE WHEN n2.n < n1.n THEN s.d2 ELSE s.d1 END AS contained_id,
        |  round(s.sh_n::DOUBLE / least(n1.n, n2.n), 6) AS overlap
        |FROM shared s JOIN nsh n1 ON n1.doc_id = s.d1 JOIN nsh n2 ON n2.doc_id = s.d2
-       |WHERE s.sh_n::DOUBLE / least(n1.n, n2.n) >= 0.9 AND least(n1.n, n2.n) >= 5
+       |WHERE $SqlContainPred
        |ORDER BY d1, d2""".stripMargin
 
   // ======================================================================
@@ -377,7 +386,7 @@ object ExtensionQueries {
        |SELECT s.d1, s.d2,
        |  round(s.sh_n::DOUBLE / (n1.n + n2.n - s.sh_n), 6) AS jaccard
        |FROM shared s JOIN nsh n1 ON n1.doc_id = s.d1 JOIN nsh n2 ON n2.doc_id = s.d2
-       |WHERE s.sh_n::DOUBLE / (n1.n + n2.n - s.sh_n) >= 0.5
+       |WHERE $SqlJaccardPred
        |ORDER BY d1, d2""".stripMargin
 
   // x29: near-dup CLUSTERS — connected components over the x04 pair
@@ -469,16 +478,14 @@ object ExtensionQueries {
     s"""WITH RECURSIVE $SqlSharedPairsCte,
        |pairs AS (SELECT s.d1, s.d2 FROM shared s
        |          JOIN nsh n1 ON n1.doc_id = s.d1 JOIN nsh n2 ON n2.doc_id = s.d2
-       |          WHERE s.sh_n::DOUBLE / (n1.n + n2.n - s.sh_n) >= 0.5),
+       |          WHERE $SqlJaccardPred),
        |$SqlClosureTail""".stripMargin
 
   val x72Sql: String =
     s"""WITH RECURSIVE $SqlSharedPairsCte,
        |pairs AS (SELECT s.d1, s.d2 FROM shared s
        |          JOIN nsh n1 ON n1.doc_id = s.d1 JOIN nsh n2 ON n2.doc_id = s.d2
-       |          WHERE s.sh_n::DOUBLE / (n1.n + n2.n - s.sh_n) >= 0.5
-       |             OR (s.sh_n::DOUBLE / least(n1.n, n2.n) >= 0.9
-       |                 AND least(n1.n, n2.n) >= 5)),
+       |          WHERE $SqlJaccardPred OR $SqlContainPred),
        |$SqlClosureTail""".stripMargin
 
   // ======================================================================
