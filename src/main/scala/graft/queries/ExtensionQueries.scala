@@ -131,14 +131,37 @@ object ExtensionQueries {
     * of the corpus, so banding a restricted posting yields exactly
     * the full run's pairs among those docs.
     */
-  private[graft] def minhashPairsFromShingles(sh: DataFrame): DataFrame = {
+  private[graft] def minhashPairsFromShingles(sh: DataFrame): DataFrame =
+    jaccardOf(bandCandidatesOf(sh), sh)
+
+  /** The LSH candidate step of the x02 core: unordered doc pairs
+    * sharing at least one band signature. Split from the verify step
+    * so callers can choose the verifying measure — x02 keeps the
+    * Jaccard-only verify, the ingest paths (Pipeline, DedupStream)
+    * verify against the cross-measure dup predicate.
+    */
+  private[graft] def bandCandidatesOf(sh: DataFrame): DataFrame = {
     val bands = bandsOf(sh)
     val b1 = bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
     val b2 = bands.select(col("doc_id").as("d2"), col("band"), col("sig"))
-    val cand = b1.join(b2, Seq("band", "sig")).filter(col("d1") < col("d2"))
+    b1.join(b2, Seq("band", "sig")).filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    jaccardOf(cand, sh)
   }
+
+  /** Banded candidates verified on EITHER dup measure (x04's Jaccard
+    * or x70's containment) — the batch twin of the dedup stream's
+    * per-batch verify, used by DedupStreamSpec's whole-corpus replay.
+    * Candidate generation is still minhash banding, whose collision
+    * probability is the Jaccard: a containment pair with LOW Jaccard
+    * (tiny excerpt inside a huge doc) rarely band-collides, so this
+    * catches the overlap range where both measures fire (the
+    * containment threshold 0.9 with Jaccard just under 0.5 — the
+    * near-half-overlap excerpts); exhaustive low-Jaccard containment
+    * needs the inverted-index shape ([[sharedCountsOf]], which the
+    * Pipeline's drop policy uses).
+    */
+  private[graft] def minhashDupPairsAllMeasures(sh: DataFrame): DataFrame =
+    dupVerifiedOf(bandCandidatesOf(sh), sh)
 
   /** The x02 LSH band signatures — (doc_id, band, sig) — over any
     * (doc_id, shingle) posting. All K minhashes in ONE groupBy pass (K
@@ -172,7 +195,20 @@ object ExtensionQueries {
     * [minJaccard - 5e-7, minJaccard) must fail in both engines).
     */
   private[graft] def jaccardOf(cand: DataFrame, sh: DataFrame,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5): DataFrame =
+    pairCountsOf(cand, sh)
+      .select(col("d1"), col("d2"),
+        (col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
+          .as("jac_raw"))
+      .filter(col("jac_raw") >= minJaccard)
+      .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jaccard"))
+
+  /** (d1, d2, shared, n1, n2) for explicit candidate pairs via two
+    * semi-joins into the posting table (never materializes per-doc
+    * shingle lists) — the measure-neutral core both verify shapes
+    * project: [[jaccardOf]] and the cross-measure [[dupVerifiedOf]].
+    */
+  private[graft] def pairCountsOf(cand: DataFrame, sh: DataFrame): DataFrame = {
     val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val s1 = sh.select(col("doc_id").as("d1"), col("shingle"))
     val s2 = sh.select(col("doc_id").as("d2"), col("shingle"))
@@ -181,12 +217,28 @@ object ExtensionQueries {
     shared
       .join(nsh.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
       .join(nsh.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
-      .select(col("d1"), col("d2"),
-        (col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
-          .as("jac_raw"))
-      .filter(col("jac_raw") >= minJaccard)
-      .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jaccard"))
   }
+
+  /** The production drop predicate over a (shared, n1, n2) pair row:
+    * near-dup by EITHER measure — x04's Jaccard (>= 0.5 on the raw
+    * ratio) OR x70's containment (overlap coefficient >= 0.9 with the
+    * >= 5 min-evidence floor on the smaller side). ONE definition so
+    * the Pipeline's drop policy, the dedup stream's verify, and the
+    * spec replays can't drift from the oracle-checked thresholds
+    * (x04Sql/x70Sql state the same two predicates in SQL).
+    */
+  private[graft] def dupEdgePred: Column = {
+    val jac = col("shared").cast("double") /
+      (col("n1") + col("n2") - col("shared"))
+    val ov = col("shared").cast("double") / least(col("n1"), col("n2"))
+    jac >= 0.5 || (ov >= 0.9 && least(col("n1"), col("n2")) >= 5)
+  }
+
+  /** Candidate pairs passing [[dupEdgePred]] — the cross-measure
+    * verify step shared by the dedup stream and its batch replay.
+    */
+  private[graft] def dupVerifiedOf(cand: DataFrame, sh: DataFrame): DataFrame =
+    pairCountsOf(cand, sh).filter(dupEdgePred).select("d1", "d2")
 
   private val SqlJaccardTail =
     """nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -276,20 +328,34 @@ object ExtensionQueries {
     * x70's own threshold (0.9) is above 0.5 outright — so both
     * measures' outputs are subsets of the cached frame.
     */
-  private def sharedShingleCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = docShingles(Tables.documents(spark, sfDir))
+  private def sharedShingleCounts(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Caches.persist(
+      sharedCountsOf(docShingles(Tables.documents(spark, sfDir))))
+
+  /** The df-capped inverted-index self-join over ANY (doc_id, shingle)
+    * posting — the x04/x70 core, split from the session-cached
+    * whole-corpus entry so the Pipeline can run it over its
+    * run-private survivor posting (the drop policy needs containment
+    * edges, which minhash banding structurally can't surface — band
+    * collision probability IS the Jaccard). Note the df cap is
+    * relative to the posting passed in: a restricted corpus has its
+    * own document frequencies. At test scale the cap never binds, so
+    * restricted runs agree exactly with the whole-corpus x04/x70
+    * restricted to the same docs.
+    */
+  private[graft] def sharedCountsOf(sh: DataFrame, dfCap: Long = 1000): DataFrame = {
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 1000).select("shingle")
+      .filter(col("df") <= dfCap).select("shingle")
     val shr = sh.join(rare, Seq("shingle"))
     val nsh = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = shr.select(col("doc_id").as("d1"), col("shingle"))
       .join(shr.select(col("doc_id").as("d2"), col("shingle")), Seq("shingle"))
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
-    graft.Caches.persist(shared
+    shared
       .join(nsh.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
       .join(nsh.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
-      .filter(col("shared").cast("double") / least(col("n1"), col("n2")) >= 0.5))
+      .filter(col("shared").cast("double") / least(col("n1"), col("n2")) >= 0.5)
   }
 
   def x04_ngram_jaccard(spark: SparkSession, sfDir: String): DataFrame =
@@ -418,6 +484,30 @@ object ExtensionQueries {
     * x72 (Jaccard ∪ containment edges).
     */
   private def clustersOf(pairs: DataFrame, what: String): DataFrame = {
+    val labels = propagateLabels(pairs, what)
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("lbl")))
+      .select(col("n").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** The docs a one-representative-per-component drop policy removes:
+    * every member of a dup cluster except its min-doc_id canonical
+    * (labels ARE the component minima — initial label = own id,
+    * min-propagation). The Pipeline's step-4 consumer of the x72
+    * closure.
+    */
+  private[graft] def clusterLosersOf(pairs: DataFrame, what: String): DataFrame =
+    propagateLabels(pairs, what)
+      .filter(col("n") =!= col("lbl")).select(col("n").as("doc_id"))
+
+  /** Min-label propagation core: (n, lbl) per node, lbl = component
+    * min. Converges in diameter rounds; each round is one join + one
+    * groupBy (the scalable alternative to driver-side union-find).
+    */
+  private def propagateLabels(pairs: DataFrame, what: String): DataFrame = {
     // localCheckpoint per round: iterative plans otherwise re-execute
     // the whole growing lineage every round (42 s -> seconds at sf0.1;
     // on a cluster this is reliable checkpointing to the cluster FS).
@@ -454,11 +544,6 @@ object ExtensionQueries {
       throw new IllegalStateException(
         s"$what label propagation did not converge within $maxIters rounds")
     labels
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy("lbl")))
-      .select(col("n").as("doc_id"), col("lbl").as("cluster_id"),
-        col("cluster_size"))
-      .orderBy("doc_id")
   }
 
   /** The recursive transitive-closure tail x29Sql/x72Sql share; the

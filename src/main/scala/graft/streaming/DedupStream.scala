@@ -24,9 +24,9 @@ import graft.queries.{ExtensionQueries, ReferenceQueries}
   *     probes against an indexed artifact, never O(corpus^2) and
   *     never a corpus re-scan.
   *   - `docs/batch=N/` — (doc_id, text) of every accepted doc. Read
-  *     ONLY with the candidate ids pushed down as a parquet `In`
-  *     filter: exact-Jaccard verification re-shingles the handful of
-  *     history docs a candidate pair touches, not the corpus.
+  *     ONLY through a left-semi join against the candidate hist-id
+  *     frame: exact verification re-shingles the handful of history
+  *     docs a candidate pair touches, not the corpus.
   *   - `vectors/` — the same merged doc-vector store VectorizeStream
   *     maintains, now fed survivors only.
   *
@@ -192,9 +192,10 @@ object DedupStream {
   }
 
   /** The per-batch dedup core — split out so the spec can pin both
-    * its answer (equality with a batch replay of the x02 core) and
-    * its PLAN (history enters as the postings artifact and an
-    * id-pruned docs read; the corpus is never re-banded or re-read).
+    * its answer (equality with a batch replay of the x02 core under
+    * the cross-measure verify) and its PLAN (history enters as the
+    * postings artifact and a candidate-pruned docs read; the corpus
+    * is never re-banded or re-read).
     *
     * The candidate join scans the postings artifact linearly — but
     * that is ~20 bytes/doc of (doc_id, band, sig), not the text: the
@@ -203,19 +204,31 @@ object DedupStream {
     * (band, sig) so the probe co-locates without a shuffle — here it
     * is batch-appended and the equi-join shuffles both (small) sides.
     *
-    * NOT lazy: the candidate historical ids are collected and pushed
-    * into the docs read as a parquet `In` filter. The set is bounded
-    * metadata — O(batch x band-collisions), the same class as
-    * Upsert's distinct partition values — and the pushdown is what
-    * keeps the text artifact read candidate-sized instead of
-    * corpus-sized (a semi join would bound the shingling but still
-    * scan every text row).
+    * History text enters ONLY through a left-semi join against the
+    * candidate hist-id frame: the candidate set is O(batch ×
+    * band-collisions) in normal operation but UNBOUNDED under a bulk
+    * backfill or a hot band signature, so it must never become a
+    * driver-side list (the pre-r9 shape collected the ids into an
+    * `isin` — driver memory pressure plus a giant `In` literal
+    * compiled into the plan; the semi-join's dynamic candidate frame
+    * delivers the same pruning as a join).
+    *
+    * Verification applies the CROSS-MEASURE dup predicate
+    * (`ExtensionQueries.dupEdgePred`: Jaccard >= 0.5 OR containment
+    * overlap >= 0.9 with the min-evidence floor) — the same drop rule
+    * the Pipeline's x72 closure prunes on, so the always-on ingest
+    * and the batch snapshot agree on what counts as a duplicate.
+    * Honest scope note: candidates still come from minhash banding,
+    * whose collision probability is the Jaccard — the containment leg
+    * upgrades near-half-overlap excerpt pairs that banding DOES
+    * surface; a tiny excerpt inside a huge accepted doc (low Jaccard)
+    * needs the inverted-index channel the batch Pipeline runs.
     *
     * Returns (drop ids, candidate handle). The tagged candidate frame
-    * is scanned three times (historical-id extraction, Jaccard
+    * is scanned three times (historical-id semi-join, pair
     * verification, drop attribution), so it is persisted here and
     * MUST be unpersisted by the caller — same contract as
-    * [[graft.Pipeline.dedupPairsOf]].
+    * [[graft.Pipeline.dupEdgesOf]].
     */
   private[graft] def dropsOf(batchSh: DataFrame, batchBands: DataFrame,
       histBands: DataFrame, histDocs: DataFrame): (DataFrame, DataFrame) = {
@@ -240,17 +253,17 @@ object DedupStream {
           .otherwise(col("da")).as("hist_id"))
       .distinct()
       .persist()
-    // exact-Jaccard verify needs shingles for both sides: the batch's
-    // are already in hand; history's are re-shingled for ONLY the
-    // candidate docs, ids pushed down into the parquet scan
-    val histIds = tagged.select(col("hist_id"))
-      .filter(col("hist_id").isNotNull).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // exact verify needs shingles for both sides: the batch's are
+    // already in hand; history's are re-shingled for ONLY the
+    // candidate docs — a left-semi join against the candidate hist-id
+    // frame keeps the text read candidate-sized without ever listing
+    // ids on the driver
+    val histIds = tagged.select(col("hist_id").as("doc_id"))
+      .filter(col("doc_id").isNotNull).distinct()
     val histSh = ExtensionQueries.docShingles(
-      if (histIds.isEmpty) histDocs.limit(0)
-      else histDocs.filter(col("doc_id").isin(histIds: _*)),
+      histDocs.join(histIds, Seq("doc_id"), "left_semi"),
       persistShared = false)
-    val verified = ExtensionQueries.jaccardOf(
+    val verified = ExtensionQueries.dupVerifiedOf(
       tagged.select("d1", "d2").distinct(), batchSh.unionByName(histSh))
     val drops = verified.join(tagged, Seq("d1", "d2"))
       .select(col("drop_id").as("doc_id")).distinct()

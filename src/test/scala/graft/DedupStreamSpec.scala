@@ -11,9 +11,11 @@ import graft.streaming.DedupStream
 /** Round-7 verdict #1 (open since r5): the always-on ingest must drop
   * near-dups against the accepted corpus per micro-batch, paying
   * O(batch), not the full-corpus cost. Answer equality is pinned
-  * against a batch replay built from the oracle-checked x02 core
-  * (`minhashPairsFromShingles` — hash-verified via x02/x60 at sf0.01),
-  * plus the stream's arrival-order drop policy applied in plain Scala.
+  * against a batch replay built from the oracle-checked x02 candidate
+  * core under the cross-measure verify (`minhashDupPairsAllMeasures`
+  * — banding hash-verified via x02/x60 at sf0.01, both verify
+  * thresholds via x04/x70), plus the stream's arrival-order drop
+  * policy applied in plain Scala.
   */
 class DedupStreamSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
@@ -29,10 +31,12 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     half
   }
 
-  /** Batch replay of the stream's drop policy via the x02 core: pairs
-    * over accepted ∪ batch (per-doc signatures are corpus-independent,
-    * so the restricted banding equals the full run restricted);
-    * history side canonical, within-batch the higher id drops.
+  /** Batch replay of the stream's drop policy via the x02 candidate
+    * core under the cross-measure verify (Jaccard ∪ containment, the
+    * stream's r9 drop rule): pairs over accepted ∪ batch (per-doc
+    * signatures are corpus-independent, so the restricted banding
+    * equals the full run restricted); history side canonical,
+    * within-batch the higher id drops.
     */
   private def expectedDrops(accepted: DataFrame, batch: DataFrame): Set[Long] = {
     val all = accepted.select("doc_id", "text")
@@ -41,7 +45,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
       .docShingles(all, persistShared = false).persist()
     try {
       val pairs = graft.queries.ExtensionQueries
-        .minhashPairsFromShingles(sh).select("d1", "d2")
+        .minhashDupPairsAllMeasures(sh).select("d1", "d2")
         .as[(Long, Long)].collect()
       val histIds = accepted.select("doc_id").as[Long].collect().toSet
       pairs.flatMap { case (d1, d2) =>
@@ -200,11 +204,17 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     try {
       assert(!cand.columns.contains("text"))
       val physical = drops.queryExecution.executedPlan.toString
-      // the docs-artifact read is candidate-pruned: ids pushed into
-      // the parquet scan, not a corpus-wide text scan (a 1-element In
-      // is rewritten to EqualTo before pushdown — both count)
-      assert("(In|EqualTo)\\(doc_id".r.findFirstIn(physical).isDefined,
-        s"docs read is not id-pruned:\n$physical")
+      // the docs-artifact read is candidate-pruned by a SEMI-JOIN
+      // against the hist-id frame — never by a driver-collected
+      // literal id list (round-8 verdict #2: a bulk backfill makes
+      // the collected set unbounded and compiles a giant `In` into
+      // the plan). No In/EqualTo literal predicate on doc_id may
+      // appear anywhere in the per-batch plan...
+      assert("(In|EqualTo)\\(doc_id".r.findFirstIn(physical).isEmpty,
+        s"history ids leaked into the plan as literals:\n$physical")
+      // ...and the hist-id frame must flow in as a join
+      assert(physical.contains("LeftSemi"),
+        s"docs read is not semi-join-pruned:\n$physical")
       // and NOTHING in the per-batch plan rescans the corpus source:
       // every file relation is one of the two maintained artifacts
       val rels = drops.queryExecution.analyzed.collect {
