@@ -18,12 +18,15 @@ import graft.streaming.Observe
   *      contamination n-gram match below compares different text
   *   3. eval hold-out: the benchmark slice (doc_id % 100 == 0, x51's
   *      convention) never reaches the published training set
-  *   4. near-dup pruning banded over ONLY the surviving train corpus
-  *      (x02's core via minhashPairsFromShingles — per-doc signatures
-  *      don't depend on the rest of the corpus, so banding the
-  *      restricted posting yields exactly the full run's pairs among
-  *      those docs, at a fraction of the cost once the verdict +
-  *      hold-out gates have already dropped most rows)
+  *   4. near-dup pruning over ONLY the surviving train corpus on the
+  *      CROSS-MEASURE closure (x72's shape): Jaccard AND containment
+  *      edges projected from one df-capped posting self-join
+  *      (sharedCountsOf — pair counts don't depend on the rest of the
+  *      corpus, so the restricted posting yields exactly the full
+  *      run's pairs among those docs once the verdict + hold-out
+  *      gates have dropped most rows), clustered by min-label
+  *      propagation; each dup component keeps its min-doc_id
+  *      canonical
   *   5. contamination gate (x51's core): survivors sharing ≥ 50% of
   *      their distinct 8-grams with the eval slice are dropped
   *   6. doc vectors for the final corpus (the reference's E1
@@ -48,18 +51,27 @@ object Pipeline {
       prunedNearDup: Long, droppedContaminated: Long, piiMaskedDocs: Long,
       vectorized: Long, sequences: Long, packedTokens: Long)
 
-  /** The near-dup pair generator over a run-private corpus frame —
-    * split out so PlanHygieneSpec can pin that the banding input is
-    * the survivor frame itself (no full-corpus parquet rescans hide
-    * in the plan). Caller persists `corpus`; the shingle posting is
-    * scanned several times (signature build + Jaccard verify), so it
+  /** The cross-measure dup edge generator over a run-private corpus
+    * frame — x04's Jaccard edges ∪ x70's containment edges, BOTH
+    * projected from the ONE df-capped posting self-join
+    * (`ExtensionQueries.sharedCountsOf`), exactly the x72 rationale:
+    * a drop policy pruning on Jaccard alone keeps every "long doc
+    * that swallowed a short one" pair, and minhash banding (the
+    * pre-r9 pair generator here) structurally can't surface those —
+    * band collision probability IS the Jaccard. Split out so
+    * PlanHygieneSpec can pin that the posting input is the survivor
+    * frame itself (no full-corpus parquet rescans hide in the plan)
+    * and that the second measure adds a filter, not a second posting
+    * join. Caller persists `corpus`; the shingle posting is scanned
+    * several times (df cap + self-join sides + per-doc totals), so it
     * is persisted here and MUST be unpersisted by the caller via the
     * returned handle.
     */
-  private[graft] def dedupPairsOf(corpus: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def dupEdgesOf(corpus: DataFrame): (DataFrame, DataFrame) = {
     val sh = ExtensionQueries
       .docShingles(corpus, persistShared = false).persist()
-    (ExtensionQueries.minhashPairsFromShingles(sh), sh)
+    (ExtensionQueries.sharedCountsOf(sh)
+      .filter(ExtensionQueries.dupEdgePred).select("d1", "d2"), sh)
   }
 
   def run(spark: SparkSession, sfDir: String, storeRoot: String): Result = {
@@ -109,13 +121,19 @@ object Pipeline {
       val trainCount = trainCorpus.count()
       val heldOut = kept - trainCount
 
-      // 4. near-dup pruning banded over ONLY the train survivors: every
-      // pair has both sides in the train set by construction, the lower
-      // doc_id is canonical and the higher is dropped (anti-join — no
-      // collect; a dropped doc always leaves its kept canonical behind)
-      val (pairs, shHandle) = dedupPairsOf(trainCorpus)
+      // 4. near-dup pruning over ONLY the train survivors, on the
+      // CROSS-MEASURE closure (the x72 shape): Jaccard ∪ containment
+      // edges from one cached pair frame, connected components via
+      // min-label propagation, and every component keeps exactly its
+      // min-doc_id canonical (anti-join — no collect; a dropped doc
+      // always leaves its component's canonical behind). Pairwise
+      // d2-drops (the pre-r9 policy) under-prune: a doc whose only
+      // smaller neighbor is TRANSITIVE (B~C, A~C, A<B, no A~B edge)
+      // survived while its component's representative also survived.
+      val (edges, shHandle) = dupEdgesOf(trainCorpus)
       sh3 = shHandle
-      val dupLosers = pairs.select(col("d2").as("doc_id")).distinct()
+      val dupLosers = ExtensionQueries
+        .clusterLosersOf(edges, "pipeline near-dup")
       afterDedup = trainCorpus
         .join(dupLosers, Seq("doc_id"), "left_anti").persist()
       val afterCount = afterDedup.count()

@@ -151,19 +151,32 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"x68 degenerated to the window form:\n$p")
   }
 
-  test("Pipeline near-dup banding scans ONLY the survivor frame") {
-    // round-6 verdict #1: the banding core must take the run-private
+  test("Pipeline dup edges scan ONLY the survivor frame, both measures off one pair frame") {
+    // round-6 verdict #1: the pair core must take the run-private
     // survivor corpus as its scan root — a full-corpus parquet rescan
     // (the old x02 + semi-join shape) would show up here as a
     // FileSourceScan / parquet relation in the pair plan.
     import spark.implicits._
     val survivors = Seq((1L, "alpha beta gamma delta epsilon"),
       (2L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
-    val (pairs, sh) = Pipeline.dedupPairsOf(survivors)
+    val (edges, sh) = Pipeline.dupEdgesOf(survivors)
     try {
-      val p = pairs.queryExecution.optimizedPlan.toString
+      val p = edges.queryExecution.optimizedPlan.toString
       assert(!p.toLowerCase.contains("parquet") && !p.contains("FileScan"),
-        s"banding input is not the survivor frame:\n$p")
+        s"pair input is not the survivor frame:\n$p")
+      // round-8 verdict #1: the containment measure must be a FILTER
+      // over the same pair frame as the Jaccard measure — a
+      // per-measure union would re-run the posting SELF-join (the
+      // quadratic-capacity step) and stitch a Union on top. Pin:
+      // exactly ONE self-join (the d1<d2 shingle-equality join), no
+      // Union. (The df-cap join legitimately repeats per consumer of
+      // the uncached shr subtree — that's a linear scan of the
+      // persisted posting, not pair blowup.)
+      assert(!p.contains("Union"),
+        s"cross-measure edges must not union two pair frames:\n$p")
+      val selfJoins = "Join Inner, \\(\\(d1#\\d+L < d2#\\d+L\\)".r.findAllIn(p).size
+      assert(selfJoins === 1,
+        s"expected exactly ONE posting self-join, got $selfJoins:\n$p")
     } finally sh.unpersist()
   }
 }
