@@ -27,8 +27,14 @@ import graft.streaming.Observe
   *      gates have dropped most rows), clustered by min-label
   *      propagation; each dup component keeps its min-doc_id
   *      canonical
-  *   5. contamination gate (x51's core): survivors sharing ≥ 50% of
-  *      their distinct 8-grams with the eval slice are dropped
+  *   5. contamination gate: survivors sharing ≥ 50% of their distinct
+  *      8-grams with the eval slice are dropped — by x51's broadcast
+  *      core when the distinct eval grams fit the broadcast envelope,
+  *      by x67's distributed-bloom core when they don't (the switch
+  *      reads the gram cardinality, not a caller guess); then an
+  *      OPTIONAL semantic-dedup stage (x69's SemDeDup
+  *      cluster-then-prune over the memoized IVF quantizer) keeps one
+  *      representative per embedding-cosine component
   *   6. doc vectors for the final corpus (the reference's E1
   *      flagship), per-language: each doc tokenized by its own
   *      language's rule and joined to its own language's word-vector
@@ -48,8 +54,9 @@ import graft.streaming.Observe
 object Pipeline {
 
   case class Result(version: Long, kept: Long, heldOutEval: Long,
-      prunedNearDup: Long, droppedContaminated: Long, piiMaskedDocs: Long,
-      vectorized: Long, sequences: Long, packedTokens: Long)
+      prunedNearDup: Long, droppedContaminated: Long, prunedSemantic: Long,
+      piiMaskedDocs: Long, vectorized: Long, sequences: Long,
+      packedTokens: Long)
 
   /** The cross-measure dup edge generator over a run-private corpus
     * frame — x04's Jaccard edges ∪ x70's containment edges, BOTH
@@ -74,7 +81,34 @@ object Pipeline {
       .filter(ExtensionQueries.dupEdgePred).select("d1", "d2"), sh)
   }
 
-  def run(spark: SparkSession, sfDir: String, storeRoot: String): Result = {
+  /** Run the snapshot pipeline.
+    *
+    * @param semanticDedup when true, an OPTIONAL stage between the
+    *   contamination gate and vectorization prunes SEMANTIC
+    *   near-duplicates (x69's SemDeDup cluster-then-prune): corpus
+    *   embeddings are blocked by the IVF coarse quantizer — the SAME
+    *   memoized index the ANN leg uses, built once per (session,
+    *   dataset) — and within-cluster pairs at cosine >= semanticCos
+    *   form components that keep one representative, the same
+    *   min-doc_id policy as step 4. Off by default: it requires the
+    *   dataset to ship an embeddings table aligned to doc ids.
+    * @param semanticCos prune threshold — near-identical territory
+    *   (0.95), far above x69's 0.3 reporting floor.
+    * @param semanticK coarse-quantizer k (scale knob, k ≈
+    *   N/target_cluster).
+    * @param maxBroadcastEvalGrams contamination-gate envelope switch:
+    *   up to this many distinct eval grams the gate broadcasts the
+    *   gram set (x51's single-pass shape); above it the distributed
+    *   bloom path (x67's shape) takes over — at ~50 bytes/entry a
+    *   10^8-gram benchmark suite is a multi-GB hash relation shipped
+    *   to every executor, which is exactly the envelope the doc on
+    *   `contaminationOf` states. The cardinality read costs one count
+    *   on the persisted gram frame the gate consumes anyway.
+    */
+  def run(spark: SparkSession, sfDir: String, storeRoot: String,
+      semanticDedup: Boolean = false, semanticCos: Double = 0.95,
+      semanticK: Int = 16,
+      maxBroadcastEvalGrams: Long = 50L * 1000 * 1000): Result = {
     val docs = Tables.documents(spark, sfDir)
 
     // Funnel accounting beyond the four materializing counts rides the
@@ -96,6 +130,10 @@ object Pipeline {
     var afterDedup: DataFrame = null
     var corpus: DataFrame = null
     var sh3: DataFrame = null
+    var evalCache: DataFrame = null
+    var contamSurv: DataFrame = null
+    var evalBloom: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter] = null
     try {
       // 1. verdict gate (persisted: the funnel counts AND the corpus
       // join below all read it — without the persist each action
@@ -142,25 +180,66 @@ object Pipeline {
 
       // 5. contamination gate: benchmark grams come from the masked
       // FULL-corpus eval slice (external benchmarks don't pass anyone's
-      // verdict), survivors' postings are scanned exactly once by the
-      // single-pass core — no persist needed on top of afterDedup's.
-      // The pii-doc counter observes the same materializing pass.
-      val evalGrams = ExtensionQueries
+      // verdict), survivors' postings are scanned once by either
+      // gate's core. The gram frame is persisted because it now has
+      // two-to-four consumers (the envelope count, the gate itself,
+      // and on the bloom path the filter sizing + build + exact
+      // verify); the count picks broadcast vs distributed-bloom —
+      // whichever the eval-set CARDINALITY allows, not whichever the
+      // caller guessed (round-8 verdict missing #2).
+      evalCache = ExtensionQueries
         .docShingles(masked.filter(pmod(col("doc_id"), lit(100)) === 0),
           8, persistShared = false)
-        .select("shingle").distinct()
-      val flagged = ExtensionQueries
-        .contaminationOf(
-          ExtensionQueries.docShingles(afterDedup, 8, persistShared = false),
-          evalGrams)
-        .filter(col("flagged")).select("doc_id")
-      corpus = afterDedup.join(flagged, Seq("doc_id"), "left_anti")
-        .observe(corpusObs,
-          count(when(col("n_pii") > 0, 1)).as("n_pii_docs"))
-        .persist()
-      val corpusCount = corpus.count()
-      val droppedContaminated = afterCount - corpusCount
+        .select("shingle").distinct().persist()
+      val nEvalGrams = evalCache.count()
+      val trainSh8 = ExtensionQueries
+        .docShingles(afterDedup, 8, persistShared = false)
+      val contamination =
+        if (nEvalGrams <= maxBroadcastEvalGrams)
+          ExtensionQueries.contaminationOf(trainSh8, evalCache)
+        else {
+          evalBloom = ExtensionQueries.evalBloomOf(spark, evalCache)
+          ExtensionQueries.contaminationWithBloom(trainSh8, evalCache, evalBloom)
+        }
+      val flagged = contamination.filter(col("flagged")).select("doc_id")
+
+      // 5b. optional semantic dedup (x69's cluster-then-prune) on the
+      // contamination survivors; the pii-doc counter observes the
+      // FINAL corpus's materializing pass either way, so the funnel
+      // stat always describes the published snapshot.
+      val contamBase = afterDedup.join(flagged, Seq("doc_id"), "left_anti")
+      val observeFinal = (df: DataFrame) => df.observe(corpusObs,
+        count(when(col("n_pii") > 0, 1)).as("n_pii_docs"))
+      val (corpusCount, droppedContaminated, prunedSemantic) =
+        if (!semanticDedup) {
+          corpus = observeFinal(contamBase).persist()
+          val c = corpus.count()
+          (c, afterCount - c, 0L)
+        } else {
+          contamSurv = contamBase.persist()
+          val contamCount = contamSurv.count()
+          // blocking key = the memoized IVF coarse quantizer (built
+          // once per session and dataset; cachedCount pins it), pairs
+          // restricted to docs still in the corpus so a twin whose
+          // other half was already gated out never drops the survivor
+          val idx = graft.ml.IvfIndex.build(spark, sfDir, semanticK)
+          val inCorpus = idx.assigned.join(
+            contamSurv.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+          val semEdges = ExtensionQueries
+            .cosinePairsBlocked(inCorpus.select("vec_id", "list_id", "v"),
+              blockCol = "list_id", minCos = semanticCos)
+            .select(col("v1").as("d1"), col("v2").as("d2"))
+          val semLosers = ExtensionQueries
+            .clusterLosersOf(semEdges, "pipeline semantic dedup")
+          corpus = observeFinal(
+            contamSurv.join(semLosers, Seq("doc_id"), "left_anti")).persist()
+          val c = corpus.count()
+          contamSurv.unpersist()
+          (c, afterCount - contamCount, contamCount - c)
+        }
       afterDedup.unpersist()
+      evalCache.unpersist()
 
       // 6. flagship vectors for the final corpus — per-language end to
       // end (q32's core): each doc tokenized by its own language's
@@ -221,11 +300,12 @@ object Pipeline {
       val packedTokens = observedOr(packingObs)(r =>
         if (r.isNullAt(1)) 0L else r.getLong(1))
       Result(version, kept, heldOut, prunedNearDup, droppedContaminated,
-        piiMaskedDocs, vectorized, sequences, packedTokens)
+        prunedSemantic, piiMaskedDocs, vectorized, sequences, packedTokens)
     } finally {
       Observe.release(spark, cap)
-      Seq(keepIds, trainCorpus, afterDedup, corpus, sh3)
+      Seq(keepIds, trainCorpus, afterDedup, corpus, sh3, evalCache, contamSurv)
         .filter(_ != null).foreach(_.unpersist(false))
+      if (evalBloom != null) evalBloom.destroy()
     }
   }
 
@@ -245,6 +325,7 @@ object Pipeline {
       s""""held_out_eval":${r.heldOutEval},""" +
       s""""pruned_near_dup":${r.prunedNearDup},""" +
       s""""dropped_contaminated":${r.droppedContaminated},""" +
+      s""""pruned_semantic":${r.prunedSemantic},""" +
       s""""pii_masked_docs":${r.piiMaskedDocs},""" +
       s""""vectorized":${r.vectorized},"sequences":${r.sequences},""" +
       s""""packed_tokens":${r.packedTokens}}""")

@@ -115,6 +115,16 @@ object IvfIndex {
     cache.clear()
   }
 
+  /** How many distinct indexes are memoized for a dataset — the
+    * build-once pin for consumers that must not rebuild the quantizer
+    * per run (PipelineSpec's semantic-dedup case asserts 1 after two
+    * runs).
+    */
+  private[graft] def cachedCount(sfDir: String): Int = {
+    import scala.jdk.CollectionConverters._
+    cache.keySet().asScala.count(_._2 == sfDir)
+  }
+
   /** Drop only the indexes built over one dataset — the per-dataset
     * eviction twin of [[graft.Caches.clear]].
     */

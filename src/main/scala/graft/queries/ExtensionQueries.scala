@@ -686,14 +686,17 @@ object ExtensionQueries {
       blockCol = "label")
       .orderBy("v1", "v2")
 
-  /** The blocked pair-cosine core x14 and x69 share — the blocking
-    * column is the ONLY thing that differs between label blocking and
-    * learned-cluster blocking, so the threshold, the zero-norm guard,
-    * and the rounding live once. Norms are precomputed per vector (N
-    * of them), not per pair (N²): the pair loop is one native dot
-    * product + a multiply.
+  /** The blocked pair-cosine core x14, x69, and the Pipeline's
+    * semantic stage share — the blocking column is the ONLY thing
+    * that differs between label blocking and learned-cluster
+    * blocking, so the zero-norm guard and the rounding live once
+    * (`minCos` is the similarity floor: 0.3 for the reporting
+    * queries, the Pipeline passes its prune threshold). Norms are
+    * precomputed per vector (N of them), not per pair (N²): the pair
+    * loop is one native dot product + a multiply.
     */
-  private def cosinePairsBlocked(vecs: DataFrame, blockCol: String): DataFrame = {
+  private[graft] def cosinePairsBlocked(vecs: DataFrame, blockCol: String,
+      minCos: Double = 0.3): DataFrame = {
     val e = vecs.withColumn("nrm", VecMath.l2norm(col("v")))
     val a = e.select(col("vec_id").as("v1"), col(blockCol),
       col("v").as("va"), col("nrm").as("na"))
@@ -704,7 +707,7 @@ object ExtensionQueries {
         when(col("na") > 0 && col("nb") > 0,
           VecMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
           .otherwise(lit(0.0)))
-      .filter(col("cos") >= 0.3)
+      .filter(col("cos") >= minCos)
       .select(col("v1"), col("v2"), col(blockCol), round(col("cos"), 6).as("cos"))
   }
 

