@@ -194,8 +194,18 @@ object IvfIndex {
     cents
   }
 
-  /** Probe the nProbe nearest lists per query against a built index. */
-  def search(index: Index, queries: DataFrame, nProbe: Int = 2,
+  /** Probe the nProbe nearest lists per query against a built index.
+    *
+    * Multi-probe is the recall lever (round-8 verdict #4): a query
+    * near a Voronoi boundary has true neighbors in adjacent lists, so
+    * single-probe recall is capped hard. Measured on the sf0.001
+    * isotropic embeddings at k=16 (recall@3 vs brute-force x05):
+    * P=1 → 0.33, P=2 → 0.40, P=4 → 0.80, P=6 → 0.93, P=8 → 1.00.
+    * Default P=4 scans 1/4 of the lists for 0.8+ recall;
+    * IvfRecallSpec pins that floor. Cost is linear in P (P list
+    * scans per query), the FAISS-style knob a deployment tunes.
+    */
+  def search(index: Index, queries: DataFrame, nProbe: Int = 4,
       topK: Int = 3): DataFrame = {
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("cdist").asc, col("list_id"))
@@ -217,7 +227,7 @@ object IvfIndex {
   }
 
   def searchTopK(spark: SparkSession, sfDir: String, k: Int = 16,
-      nProbe: Int = 2, topK: Int = 3): DataFrame = {
+      nProbe: Int = 4, topK: Int = 3): DataFrame = {
     val index = build(spark, sfDir, k)
     val queries = index.assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))

@@ -32,7 +32,12 @@ class IvfRecallSpec extends AnyFunSuite with SparkSpec {
     val hits = ivf.count { case (q, v, _) => bruteTop3((q, v)) }
     val recall = hits.toDouble / bruteTop3.size
     info(f"IVF recall@3 = $recall%.2f (${hits}/${bruteTop3.size})")
-    assert(recall >= 0.3, f"recall@3 too low: $recall%.2f")
+    // multi-probe floor (round-8 verdict #4): the default P=4 probe
+    // must hold 0.8+ recall@3 on the isotropic fixture — the measured
+    // ladder is P=1 0.33 / P=2 0.40 / P=4 0.80 / P=6 0.93; a
+    // regression to fewer effective probes (or a broken centroid
+    // ranking) lands well below the bar, not fractionally.
+    assert(recall >= 0.8, f"recall@3 too low: $recall%.2f")
   }
 
   test("saved artifact round-trip: the loaded index answers identically to the built one") {
