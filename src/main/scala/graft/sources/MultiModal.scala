@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.io.ByteArrayInputStream
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,11 +9,25 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed by per-partition batch
   * functions (the Scala analogue of pandas-UDF `mapInPandas` batches).
   *
-  * The actual media codecs are NOT available in this environment, so
-  * [[decodeStub]] is a clearly-marked deterministic fake; the Spark-side
-  * plumbing — schema, typed Datasets, mapPartitions batching, explode of
-  * frame samples — is real and tested. Swap `decodeStub` for a JNI/
-  * library decode and nothing else changes.
+  * Two decode tiers:
+  *
+  *   - [[decodeImages]] — REAL pixel decode for the container formats
+  *     the JDK's ImageIO reads out of the box (PNG, BMP, GIF, JPEG —
+  *     pure-JVM, no native codec dependency): width/height plus exact
+  *     integer-arithmetic channel means and BT.601 luminance. Payloads
+  *     that aren't a recognized image (sniffed by magic bytes) pass
+  *     through with `codec = "unknown"` and zeroed pixel stats, so the
+  *     same call runs over a mixed corpus — the real-image subset gets
+  *     real features.
+  *   - [[extractFeatures]] — byte-level statistics for ANY payload
+  *     (the x17 surface, oracle-checked byte-exactly): audio/video
+  *     codecs are genuinely not in this environment, so those formats
+  *     keep the deterministic byte-feature fallback.
+  *
+  * The Spark-side plumbing — schema, typed Datasets, mapPartitions
+  * batching with per-partition decoder init, explode of frame samples
+  * — is identical for both tiers; swapping in a JNI video decoder
+  * changes one function body, nothing in the plan.
   */
 object MultiModal {
 
@@ -20,6 +36,17 @@ object MultiModal {
       mean_byte: Double, head_hex: String)
   case class FrameSample(media_id: Long, frame_idx: Int, frame_bytes: Int,
       frame_hash: String)
+
+  /** Decoded-pixel statistics for one image payload. Means are exact:
+    * integer channel sums over all pixels, ONE floating division at
+    * the end — bit-identical to any independent recomputation from
+    * the same pixels (MultiModalSpec pins this against fixture images
+    * it renders itself). `mean_luma` is BT.601 integer-weighted
+    * (299 R + 587 G + 114 B) / 1000.
+    */
+  case class ImageStats(media_id: Long, format: String, codec: String,
+      width: Int, height: Int, mean_r: Double, mean_g: Double,
+      mean_b: Double, mean_luma: Double)
 
   /** Synthesize a media table from documents: payload = utf-8 bytes
     * (stands in for image/audio blobs; deterministic).
@@ -35,28 +62,87 @@ object MultiModal {
       .as[MediaRecord]
   }
 
-  /** STUB decode: real impl would JNI into an image/audio codec here.
-    * Deterministic byte statistics stand in for decoded features.
+  /** Container sniff by magic bytes — decides whether a payload even
+    * reaches the decoder (feeding ImageIO arbitrary bytes to learn
+    * "not an image" would allocate a reader probe per corpus row).
     */
-  private def decodeStub(r: MediaRecord): MediaFeatures = {
+  private[sources] def sniffCodec(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff &&
+      (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) "jpeg"
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8') "gif"
+    else "unknown"
+
+  /** REAL image decode over a media table — pixel dimensions and
+    * exact channel/luminance means for every payload whose container
+    * ImageIO reads; non-image payloads flow through as
+    * `codec = "unknown"` (and unreadable bytes behind a valid magic
+    * as `codec = "corrupt"`) with zeroed stats rather than failing
+    * the batch — at corpus scale a decode stage must quarantine bad
+    * rows, not die on them.
+    */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init: no temp-file cache (ImageIO's
+      // default spills to disk per read), amortized across the batch
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(decodeOne)
+    }
+  }
+
+  private def decodeOne(r: MediaRecord): ImageStats = {
+    val codec = sniffCodec(r.payload)
+    if (codec == "unknown")
+      return ImageStats(r.media_id, r.format, codec, 0, 0, 0.0, 0.0, 0.0, 0.0)
+    val img =
+      try javax.imageio.ImageIO.read(new ByteArrayInputStream(r.payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null)
+      return ImageStats(r.media_id, r.format, "corrupt", 0, 0, 0.0, 0.0, 0.0, 0.0)
+    val w = img.getWidth
+    val h = img.getHeight
+    // one bulk ARGB fetch (not per-pixel getRGB calls), integer sums
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      val red = (p >> 16) & 0xff
+      val grn = (p >> 8) & 0xff
+      val blu = p & 0xff
+      sr += red; sg += grn; sb += blu
+      sl += 299L * red + 587L * grn + 114L * blu
+      i += 1
+    }
+    val n = px.length.toDouble
+    ImageStats(r.media_id, r.format, codec, w, h,
+      sr / n, sg / n, sb / n, sl / (1000.0 * n))
+  }
+
+  /** Byte-level feature extraction for ANY payload as a per-partition
+    * batch map — deterministic statistics that need no codec (the
+    * audio/video stand-in until a real decoder is linked; images get
+    * true pixel features from [[decodeImages]]).
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition "decoder" init would go here
+      it.map(byteFeatures)
+    }
+  }
+
+  private def byteFeatures(r: MediaRecord): MediaFeatures = {
     val bytes = r.payload
     val mean =
       if (bytes.isEmpty) 0.0
       else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
     val head = bytes.take(8).map("%02x".format(_)).mkString
     MediaFeatures(r.media_id, r.format, bytes.length, mean, head)
-  }
-
-  /** Feature extraction as a per-partition batch map — one decoder
-    * instance per partition (the expensive init amortizes across the
-    * batch exactly like a pandas-UDF iterator).
-    */
-  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      // per-partition "decoder" init would go here
-      it.map(decodeStub)
-    }
   }
 
   /** Frame sampling for "video" payloads: split the payload into

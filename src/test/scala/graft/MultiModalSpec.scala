@@ -28,6 +28,72 @@ class MultiModalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("decodeImages: real PNG/BMP pixel decode with exact channel/luma means") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    import spark.implicits._
+
+    // fixture images rendered HERE, pixel by pixel — the expected
+    // stats are recomputed below from the same pixel function, so the
+    // decode path (magic sniff → ImageIO → bulk getRGB → integer
+    // sums) is pinned byte-exactly end to end. PNG and BMP are
+    // lossless RGB containers, so encode→decode must round-trip.
+    def render(w: Int, h: Int, f: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      img
+    }
+    def bytesOf(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no $fmt writer in this JDK")
+      bos.toByteArray
+    }
+    def expected(w: Int, h: Int, f: (Int, Int) => Int): (Double, Double, Double, Double) = {
+      var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = f(x, y)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        sr += r; sg += g; sb += b; sl += 299L * r + 587L * g + 114L * b
+      }
+      val n = (w * h).toDouble
+      (sr / n, sg / n, sb / n, sl / (1000.0 * n))
+    }
+
+    val pxPng = (x: Int, y: Int) => ((x * 50) << 16) | ((y * 60) << 8) | (x * 20 + y * 30)
+    val pxBmp = (x: Int, y: Int) => ((255 - x * 3) << 16) | ((x * 7 % 256) << 8) | (y * 11 % 256)
+    val recs = Seq(
+      MultiModal.MediaRecord(1L, "image", bytesOf(render(5, 4, pxPng), "png")),
+      MultiModal.MediaRecord(2L, "image", bytesOf(render(7, 3, pxBmp), "bmp")),
+      MultiModal.MediaRecord(3L, "audio", "definitely not an image".getBytes("UTF-8")),
+      MultiModal.MediaRecord(4L, "image",
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+          Array.fill[Byte](16)(0x7f)))
+    val out = MultiModal.decodeImages(spark.createDataset(recs))
+      .collect().map(s => s.media_id -> s).toMap
+
+    val (r1, g1, b1, l1) = expected(5, 4, pxPng)
+    assert(out(1L).codec === "png" && out(1L).width === 5 && out(1L).height === 4)
+    assert((out(1L).mean_r, out(1L).mean_g, out(1L).mean_b, out(1L).mean_luma)
+      === ((r1, g1, b1, l1)), "PNG pixel means must be exact")
+
+    val (r2, g2, b2, l2) = expected(7, 3, pxBmp)
+    assert(out(2L).codec === "bmp" && out(2L).width === 7 && out(2L).height === 3)
+    assert((out(2L).mean_r, out(2L).mean_g, out(2L).mean_b, out(2L).mean_luma)
+      === ((r2, g2, b2, l2)), "BMP pixel means must be exact")
+
+    // non-image payloads quarantine, they don't fail the batch
+    assert(out(3L).codec === "unknown" && out(3L).width === 0)
+    assert(out(4L).codec === "corrupt" && out(4L).width === 0)
+
+    // the synthetic corpus payloads are utf-8 text: every row flows
+    // through as unknown — the mixed-corpus contract
+    val corpus = MultiModal.decodeImages(MultiModal.mediaTable(spark, sf))
+      .collect()
+    assert(corpus.length === 500)
+    assert(corpus.forall(_.codec === "unknown"))
+  }
+
   test("frame sampling emits every 4th 64-byte chunk of video payloads") {
     val media = MultiModal.mediaTable(spark, sf)
     val videos = media.filter(_.format == "video").collect()
