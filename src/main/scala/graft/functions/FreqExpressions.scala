@@ -40,6 +40,8 @@ case class FreqSketchAgg(child: Expression, maxMapSize: Int,
     with UnaryLike[Expression] {
 
   override def prettyName: String = "graft_freq_agg"
+  override def checkInputDataTypes(): TypeCheckResult =
+    FreqExpressions.itemInputCheck(child, prettyName)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
 
@@ -185,6 +187,27 @@ object FreqExpressions {
       case other => TypeCheckResult.TypeCheckFailure(
         s"$name expects a serialized sketch (binary), got ${other.simpleString}")
     }
+  /** Analysis-time ITEM check for the build-side sketch aggs
+    * (ThetaSketchAgg, FreqSketchAgg): items hash by string/binary
+    * CONTENT. Numeric children are rejected rather than coerced —
+    * long 5 and double 5.0 stringify to distinct items ("5" vs
+    * "5.0"), so two sketches built over differently-typed columns of
+    * numerically equal values would silently report zero overlap.
+    * The caller casts explicitly (SketchStore does), making the item
+    * domain visible in the plan.
+    */
+  private[functions] def itemInputCheck(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      name: String): TypeCheckResult =
+    e.dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BinaryType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name expects a string or binary item column (cast numerics " +
+          s"explicitly — typed coercion would make long 5 and double 5.0 " +
+          s"distinct items), got ${other.simpleString}")
+    }
+
   /** Power of 2 (ItemsSketch requirement); error ≤ 3.5·N/maxMapSize. */
   val DefaultMapSize = 128
 

@@ -53,8 +53,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_kll_agg",
       arity("graft_kll_agg", 2)(KllExpressions.kllAggBuilder), "scala_udf")
     reg.createOrReplaceTempFunction("graft_kll_merge",
-      arity("graft_kll_merge", 1)(exprs => KllMergeAgg(exprs.head)),
-      "scala_udf")
+      KllExpressions.kllMergeBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("graft_kll_quantile",
       arity("graft_kll_quantile", 2)(exprs => KllQuantile(exprs(0), exprs(1))),
       "scala_udf")

@@ -39,6 +39,16 @@ case class KllSketchAgg(child: Expression, k: Int,
     with UnaryLike[Expression] {
 
   override def prettyName: String = "graft_kll_agg"
+  // analysis-time: a non-numeric child (e.g. a string column through
+  // SQL graft_kll_agg) must fail planning with the function's name,
+  // not die mid-job in toDouble on an executor — same contract as
+  // BloomFilterAgg and the merge side's sketchInputCheck
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: NumericType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a numeric input, got ${other.simpleString}")
+    }
   override def dataType: DataType = BinaryType
   // an empty group evaluates to a serialized EMPTY sketch, not null —
   // empties must merge transparently on the read side
@@ -195,4 +205,20 @@ object KllExpressions {
   def kllAggBuilder(exprs: Seq[Expression]): Expression =
     KllSketchAgg(exprs(0),
       FreqExpressions.intLiteral(exprs(1), "graft_kll_agg k"))
+
+  /** SQL builder for the merge side: the optional second argument is
+    * the merge TARGET's k — DataSketches' merge adopts the smallest k
+    * involved, so SQL users merging slices built with k > 200 must be
+    * able to pass that k or the merge silently degrades to default
+    * rank error (graft_theta_union and graft_freq_merge already take
+    * the size argument for the same reason).
+    */
+  def kllMergeBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1 || exprs.length == 2,
+      s"graft_kll_merge expects 1 or 2 argument(s), got ${exprs.length}")
+    val k = if (exprs.length == 2)
+      FreqExpressions.intLiteral(exprs(1), "graft_kll_merge k")
+    else DefaultK
+    KllMergeAgg(exprs.head, k)
+  }
 }

@@ -40,6 +40,8 @@ case class ThetaSketchAgg(child: Expression, lgK: Int,
     with UnaryLike[Expression] {
 
   override def prettyName: String = "graft_theta_agg"
+  override def checkInputDataTypes(): TypeCheckResult =
+    FreqExpressions.itemInputCheck(child, prettyName)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
 
@@ -51,7 +53,9 @@ case class ThetaSketchAgg(child: Expression, lgK: Int,
       case null => ()
       // bytes hash their CONTENT (toString on Array[Byte] is JVM
       // identity — every row would look distinct); theta updates
-      // byte[] natively
+      // byte[] natively. itemInputCheck restricts children to
+      // string/binary at analysis, so the toString arm only ever sees
+      // UTF8String.
       case bytes: Array[Byte] => buf.update(bytes); ()
       case other => buf.update(other.toString); ()
     }

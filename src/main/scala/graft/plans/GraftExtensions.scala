@@ -52,7 +52,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("graft_kll_agg", 2)(graft.functions.KllExpressions.kllAggBuilder)))
     ext.injectFunction((FunctionIdentifier("graft_kll_merge"),
       new ExpressionInfo(classOf[KllMergeAgg].getName, "graft_kll_merge"),
-      arity("graft_kll_merge", 1)(exprs => KllMergeAgg(exprs.head))))
+      graft.functions.KllExpressions.kllMergeBuilder))
     ext.injectFunction((FunctionIdentifier("graft_kll_quantile"),
       new ExpressionInfo(classOf[KllQuantile].getName, "graft_kll_quantile"),
       arity("graft_kll_quantile", 2)(exprs =>

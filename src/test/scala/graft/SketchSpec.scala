@@ -342,11 +342,40 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
       "SELECT graft_theta_estimate(s) FROM sk_badtype",
       "SELECT graft_kll_quantile(s, 0.5d) FROM sk_badtype",
       "SELECT graft_freq_top_k(s, 3) FROM sk_badtype",
-      "SELECT graft_kll_merge(d) FROM sk_badtype")) {
+      "SELECT graft_kll_merge(d) FROM sk_badtype",
+      // build sides: KLL wants numerics (a string would die in
+      // toDouble mid-task), theta/freq want string/binary items
+      // (numeric coercion would make long 5 and double 5.0 distinct
+      // items and zero the overlap of equal-valued columns)
+      "SELECT graft_kll_agg(s, 200) FROM sk_badtype",
+      "SELECT graft_theta_agg(d, 12) FROM sk_badtype",
+      "SELECT graft_freq_agg(d, 8) FROM sk_badtype")) {
       val e = intercept[org.apache.spark.sql.AnalysisException](
         spark.sql(q).collect())
       assert(e.getMessage.contains("graft_"),
         s"analysis error should name the function: ${e.getMessage}")
     }
+  }
+
+  test("SQL graft_kll_merge takes the target k like the Column API") {
+    // without the optional k argument, SQL users merging k=800 slices
+    // silently degraded to k=200 rank error — the Column API and the
+    // theta/freq SQL merges already threaded the size through
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val slices = (0 until 4).map { i =>
+      val sk = KllDoublesSketch.newHeapInstance(800)
+      (i * 1000 until (i + 1) * 1000).foreach(v => sk.update(v.toDouble))
+      Tuple1(sk.toByteArray)
+    }
+    slices.toDF("s").createOrReplaceTempView("sk_mergek")
+    val merged = spark.sql("SELECT graft_kll_merge(s, 800) AS m FROM sk_mergek")
+      .head().getAs[Array[Byte]](0)
+    assert(KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(merged)).getK === 800)
+    // arity guard still fires
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_kll_merge(s, 800, 1) FROM sk_mergek").collect())
+    assert(e.getMessage.contains("graft_kll_merge"))
   }
 }
