@@ -77,8 +77,7 @@ object Pipeline {
   private[graft] def dupEdgesOf(corpus: DataFrame): (DataFrame, DataFrame) = {
     val sh = ExtensionQueries
       .docShingles(corpus, persistShared = false).persist()
-    (ExtensionQueries.sharedCountsOf(sh)
-      .filter(ExtensionQueries.dupEdgePred).select("d1", "d2"), sh)
+    (ExtensionQueries.dupEdgesFromPosting(sh), sh)
   }
 
   /** Run the snapshot pipeline.

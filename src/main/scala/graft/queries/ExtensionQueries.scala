@@ -240,6 +240,15 @@ object ExtensionQueries {
   private[graft] def dupVerifiedOf(cand: DataFrame, sh: DataFrame): DataFrame =
     pairCountsOf(cand, sh).filter(dupEdgePred).select("d1", "d2")
 
+  /** The cross-measure dup EDGES of a posting — [[sharedCountsOf]]'s
+    * df-capped inverted index filtered by [[dupEdgePred]]. One
+    * definition, three consumers: the Pipeline's drop policy
+    * (`Pipeline.dupEdgesOf`), the dedup stream's within-batch exact
+    * channel, and DedupStreamSpec's whole-corpus replay.
+    */
+  private[graft] def dupEdgesFromPosting(sh: DataFrame): DataFrame =
+    sharedCountsOf(sh).filter(dupEdgePred).select("d1", "d2")
+
   private val SqlJaccardTail =
     """nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |shared AS (SELECT c.d1, c.d2, count(*) AS sh_n FROM cand c

@@ -23,6 +23,23 @@ import graft.queries.{ExtensionQueries, ReferenceQueries}
   *     generation per batch is batch-bands x postings — O(batch) band
   *     probes against an indexed artifact, never O(corpus^2) and
   *     never a corpus re-scan.
+  *   - `shpost/batch=N/` + `docn/batch=N/` + `df/batch=N/` — the
+  *     CONTAINMENT candidate channel (r9): hashed distinct shingles
+  *     per accepted doc, each doc's stable shingle count, and the
+  *     batch's document-frequency contribution per shingle hash.
+  *     Banding's collision probability IS the Jaccard, so a tiny
+  *     excerpt inside a huge accepted doc (overlap ≈ 1, Jaccard ≈ 0)
+  *     structurally never band-collides; the batch's shingles instead
+  *     probe this posting directly — restricted to history-RARE
+  *     shingles (df ≤ cap, x04's universe) so one stop-shingle can't
+  *     explode the join — and approximate pair counts plus the stored
+  *     doc sizes pass the SAME cross-measure predicate as a recall
+  *     pre-filter before the exact verify decides. Doc shingle-set
+  *     sizes are doc-intrinsic, so `docn` never goes stale; df is the
+  *     only drifting quantity and it only gates CANDIDATE generation,
+  *     never the verified measure. At warehouse scale `shpost`/`df`
+  *     are bucketed by hash and the df slices are compacted nightly
+  *     (sources/TableMaintenance) — here slices are summed on read.
   *   - `docs/batch=N/` — (doc_id, text) of every accepted doc. Read
   *     ONLY through a left-semi join against the candidate hist-id
   *     frame: exact verification re-shingles the handful of history
@@ -55,6 +72,20 @@ object DedupStream {
 
   private[streaming] val keptDocSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private[streaming] val shpostSchema: StructType = StructType(Seq(
+    StructField("h", LongType), StructField("doc_id", LongType)))
+  private[streaming] val docnSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("n_sh", LongType)))
+  private[streaming] val dfSchema: StructType = StructType(Seq(
+    StructField("h", LongType), StructField("cnt", LongType),
+    StructField("batch", LongType)))
+
+  /** History-rare cutoff for the containment probe — x04/x70's
+    * rare-shingle universe: a shingle in more docs carries no dedup
+    * signal and its posting list alone would blow up the probe join.
+    */
+  private val DfCap = 1000L
 
   /** The eval-contamination gate in its STREAMING shape: built once at
     * stream start, applied per micro-batch. This is exactly why the
@@ -127,11 +158,24 @@ object DedupStream {
       val histDocs = readOrEmpty(spark, s"$storeRoot/docs", keptDocSchema)
         .select("doc_id", "text")
         .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+      val histShpost = readOrEmpty(spark, s"$storeRoot/shpost", shpostSchema)
+        .select("h", "doc_id")
+        .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+      val histDocn = readOrEmpty(spark, s"$storeRoot/docn", docnSchema)
+        .select("doc_id", "n_sh")
+        .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+      // df slices carry no doc ids, so replay safety is by PARTITION:
+      // the only slice that can be this batch's own half-written
+      // replay is batch=<this id> — exclude it, sum the rest
+      val histDf = readOrEmpty(spark, s"$storeRoot/df", dfSchema)
+        .filter(col("batch") =!= batchId)
+        .groupBy("h").agg(sum(col("cnt")).as("df"))
       val sh = ExtensionQueries.docShingles(batchDocs, persistShared = false)
         .persist()
       val batchBands = ExtensionQueries.bandsOf(sh).persist()
       try {
-        val (drops, cand) = dropsOf(sh, batchBands, histBands, histDocs)
+        val (drops, cand) = dropsOf(sh, batchBands, histBands, histDocs,
+          histShpost, histDocn, histDf)
         try {
           val dedupSurvivors = batchDocs
             .join(drops, Seq("doc_id"), "left_anti")
@@ -165,6 +209,27 @@ object DedupStream {
               .join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
               .write.mode(SaveMode.Overwrite)
               .parquet(s"$storeRoot/postings/batch=$batchId")
+            // the containment channel's three survivor-only slices:
+            // hashed shingle posting, stable per-doc shingle counts,
+            // and this batch's df contribution. Persisted once, three
+            // projections (per-doc shingles are already distinct, so
+            // the df count IS docs-containing). Idempotent like the
+            // band slice: a replay overwrites batch=N with identical
+            // content.
+            val survHash = sh
+              .join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+              .persist()
+            try {
+              survHash.select("h", "doc_id").write.mode(SaveMode.Overwrite)
+                .parquet(s"$storeRoot/shpost/batch=$batchId")
+              survHash.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+                .write.mode(SaveMode.Overwrite)
+                .parquet(s"$storeRoot/docn/batch=$batchId")
+              survHash.groupBy("h").agg(count(lit(1)).as("cnt"))
+                .write.mode(SaveMode.Overwrite)
+                .parquet(s"$storeRoot/df/batch=$batchId")
+            } finally survHash.unpersist()
             survivors.write.mode(SaveMode.Overwrite)
               .parquet(s"$storeRoot/docs/batch=$batchId")
             // live corpus stats: the batch's survivors sketched once
@@ -213,16 +278,27 @@ object DedupStream {
     * compiled into the plan; the semi-join's dynamic candidate frame
     * delivers the same pruning as a join).
     *
+    * THREE candidate channels feed ONE exact verify:
+    *
+    *   1. minhash banding (batch bands vs self ∪ history bands) — the
+    *      Jaccard channel, unchanged since r5;
+    *   2. within-batch containment — the Pipeline's own edge rule
+    *      (`dupEdgesFromPosting`) over just this batch's posting;
+    *   3. batch-vs-history containment — the batch's hashed shingles
+    *      probe the maintained `shpost` artifact, restricted to
+    *      history-rare shingles (df ≤ cap from the summed `df`
+    *      slices), and the approximate pair counts + stored doc sizes
+    *      pass `dupEdgePred` as a recall pre-filter. Hash collisions
+    *      only INFLATE the approximate counts (candidate superset)
+    *      and the exact verify kills them.
+    *
     * Verification applies the CROSS-MEASURE dup predicate
     * (`ExtensionQueries.dupEdgePred`: Jaccard >= 0.5 OR containment
     * overlap >= 0.9 with the min-evidence floor) — the same drop rule
     * the Pipeline's x72 closure prunes on, so the always-on ingest
-    * and the batch snapshot agree on what counts as a duplicate.
-    * Honest scope note: candidates still come from minhash banding,
-    * whose collision probability is the Jaccard — the containment leg
-    * upgrades near-half-overlap excerpt pairs that banding DOES
-    * surface; a tiny excerpt inside a huge accepted doc (low Jaccard)
-    * needs the inverted-index channel the batch Pipeline runs.
+    * and the batch snapshot agree on what counts as a duplicate,
+    * INCLUDING the tiny-excerpt-inside-huge-doc shape banding can
+    * never surface (collision probability is the Jaccard).
     *
     * Returns (drop ids, candidate handle). The tagged candidate frame
     * is scanned three times (historical-id semi-join, pair
@@ -231,7 +307,8 @@ object DedupStream {
     * [[graft.Pipeline.dupEdgesOf]].
     */
   private[graft] def dropsOf(batchSh: DataFrame, batchBands: DataFrame,
-      histBands: DataFrame, histDocs: DataFrame): (DataFrame, DataFrame) = {
+      histBands: DataFrame, histDocs: DataFrame, histShpost: DataFrame,
+      histDocn: DataFrame, histDf: DataFrame): (DataFrame, DataFrame) = {
     val bNew = batchBands.select(col("doc_id").as("dn"), col("band"), col("sig"))
     val bHist = histBands.select(col("doc_id").as("da"), col("band"), col("sig"))
       .withColumn("da_new", lit(false))
@@ -242,7 +319,7 @@ object DedupStream {
     // within-batch pair surfaces from both directions of the band
     // join; least/greatest + distinct collapses it (both directions
     // agree: the higher id drops).
-    val tagged = bNew.join(bSelf.unionByName(bHist), Seq("band", "sig"))
+    val bandTagged = bNew.join(bSelf.unionByName(bHist), Seq("band", "sig"))
       .filter(col("dn") =!= col("da"))
       .select(
         least(col("dn"), col("da")).as("d1"),
@@ -251,6 +328,32 @@ object DedupStream {
           .otherwise(col("dn")).as("drop_id"),
         when(col("da_new"), lit(null).cast("long"))
           .otherwise(col("da")).as("hist_id"))
+    // channel 2: within-batch containment — same tagging as a
+    // within-batch band pair (the higher id drops), duplicates
+    // collapse in the distinct below
+    val withinTagged = ExtensionQueries.dupEdgesFromPosting(batchSh)
+      .select(col("d1"), col("d2"),
+        greatest(col("d1"), col("d2")).as("drop_id"),
+        lit(null).cast("long").as("hist_id"))
+    // channel 3: batch-vs-history containment probe. Column names
+    // (shared, n1, n2) deliberately match dupEdgePred's contract.
+    val bHash = batchSh
+      .select(col("doc_id").as("b"), xxhash64(col("shingle")).as("h"))
+    val bN = bHash.groupBy("b").agg(count(lit(1)).as("n1"))
+    val rare = histDf.filter(col("df") <= DfCap).select("h")
+    val probed = bHash.join(rare, Seq("h"), "left_semi")
+      .join(histShpost.select(col("h"), col("doc_id").as("hd")), Seq("h"))
+      .groupBy("b", "hd").agg(count(lit(1)).as("shared"))
+    val vsHistTagged = probed
+      .join(bN, Seq("b"))
+      .join(histDocn.select(col("doc_id").as("hd"), col("n_sh").as("n2")),
+        Seq("hd"))
+      .filter(ExtensionQueries.dupEdgePred)
+      .select(least(col("b"), col("hd")).as("d1"),
+        greatest(col("b"), col("hd")).as("d2"),
+        col("b").as("drop_id"), col("hd").as("hist_id"))
+    val tagged = bandTagged.unionByName(withinTagged)
+      .unionByName(vsHistTagged)
       .distinct()
       .persist()
     // exact verify needs shingles for both sides: the batch's are

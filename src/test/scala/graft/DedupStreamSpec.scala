@@ -31,12 +31,14 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     half
   }
 
-  /** Batch replay of the stream's drop policy via the x02 candidate
-    * core under the cross-measure verify (Jaccard ∪ containment, the
-    * stream's r9 drop rule): pairs over accepted ∪ batch (per-doc
-    * signatures are corpus-independent, so the restricted banding
-    * equals the full run restricted); history side canonical,
-    * within-batch the higher id drops.
+  /** Batch replay of the stream's drop policy: candidates from BOTH
+    * whole-corpus generators — minhash banding (the Jaccard channel)
+    * ∪ the df-capped inverted-index edges (the containment channel,
+    * the Pipeline's own rule) — under the one cross-measure exact
+    * verify, over accepted ∪ batch (per-doc signatures and pair
+    * counts are corpus-independent, so the restricted run equals the
+    * full run restricted; the df cap never binds at this SF); history
+    * side canonical, within-batch the higher id drops.
     */
   private def expectedDrops(accepted: DataFrame, batch: DataFrame): Set[Long] = {
     val all = accepted.select("doc_id", "text")
@@ -44,8 +46,11 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     val sh = graft.queries.ExtensionQueries
       .docShingles(all, persistShared = false).persist()
     try {
+      val cand = graft.queries.ExtensionQueries.bandCandidatesOf(sh)
+        .unionByName(graft.queries.ExtensionQueries.dupEdgesFromPosting(sh))
+        .distinct()
       val pairs = graft.queries.ExtensionQueries
-        .minhashDupPairsAllMeasures(sh).select("d1", "d2")
+        .dupVerifiedOf(cand, sh).select("d1", "d2")
         .as[(Long, Long)].collect()
       val histIds = accepted.select("doc_id").as[Long].collect().toSet
       pairs.flatMap { case (d1, d2) =>
@@ -177,30 +182,50 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("per-batch plan touches history only through the artifacts (no corpus rescan)") {
+    import org.apache.spark.sql.functions.{count => cnt, lit, sum => fsum, xxhash64}
     val work = Files.createTempDirectory("graft_dstream_plan")
     val root = work.resolve("store").toString
     // toy artifacts standing in for accepted history: doc 10's REAL
-    // band signatures (fakes would never collide with the batch's)
-    val hist = Seq((10L, "alpha beta gamma delta epsilon zeta"))
-      .toDF("doc_id", "text")
+    // band signatures + shingle posting (fakes would never collide
+    // with the batch's). Doc 10 is long enough that a small excerpt
+    // of it has Jaccard well under 0.5 — the banding-invisible shape
+    // the containment channel exists for.
+    val histText = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val hist = Seq((10L, histText)).toDF("doc_id", "text")
     hist.write.parquet(s"$root/docs/batch=0")
-    graft.queries.ExtensionQueries.bandsOf(
-        graft.queries.ExtensionQueries.docShingles(hist, persistShared = false))
+    val histSh = graft.queries.ExtensionQueries
+      .docShingles(hist, persistShared = false)
+    graft.queries.ExtensionQueries.bandsOf(histSh)
       .write.parquet(s"$root/postings/batch=0")
+    val histHash = histSh
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    histHash.select("h", "doc_id").write.parquet(s"$root/shpost/batch=0")
+    histHash.groupBy("doc_id").agg(cnt(lit(1)).as("n_sh"))
+      .write.parquet(s"$root/docn/batch=0")
+    histHash.groupBy("h").agg(cnt(lit(1)).as("cnt"))
+      .write.parquet(s"$root/df/batch=0")
 
-    // the batch doc is a verbatim dup of history doc 10: every band
-    // collides, so the candidate/verify path is fully exercised
-    val batch = Seq((11L, "alpha beta gamma delta epsilon zeta"))
-      .toDF("doc_id", "text")
+    // batch doc 11 is a verbatim dup of history doc 10 (every band
+    // collides — the Jaccard channel); doc 12 is a 10-token excerpt
+    // of doc 10's middle: overlap = 1.0 but Jaccard = 8/28 ≈ 0.29,
+    // deterministically invisible to banding at threshold 0.5 — only
+    // the shingle-posting probe can surface it
+    val excerpt = (10 until 20).map(i => s"tok$i").mkString(" ")
+    val batch = Seq((11L, histText), (12L, excerpt)).toDF("doc_id", "text")
     val sh = graft.queries.ExtensionQueries
       .docShingles(batch, persistShared = false).persist()
     val bands = graft.queries.ExtensionQueries.bandsOf(sh).persist()
     val histBands = spark.read.parquet(s"$root/postings")
       .select("doc_id", "band", "sig")
     val histDocs = spark.read.parquet(s"$root/docs").select("doc_id", "text")
+    val histShpost = spark.read.parquet(s"$root/shpost").select("h", "doc_id")
+    val histDocn = spark.read.parquet(s"$root/docn").select("doc_id", "n_sh")
+    val histDf = spark.read.parquet(s"$root/df")
+      .groupBy("h").agg(fsum(col("cnt")).as("df"))
     // candidate generation itself must never read text: the postings
-    // probe's scan carries no text column by construction (bandSchema)
-    val (drops, cand) = DedupStream.dropsOf(sh, bands, histBands, histDocs)
+    // probe's scan carries no text column by construction
+    val (drops, cand) = DedupStream.dropsOf(sh, bands, histBands, histDocs,
+      histShpost, histDocn, histDf)
     try {
       assert(!cand.columns.contains("text"))
       val physical = drops.queryExecution.executedPlan.toString
@@ -216,7 +241,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
       assert(physical.contains("LeftSemi"),
         s"docs read is not semi-join-pruned:\n$physical")
       // and NOTHING in the per-batch plan rescans the corpus source:
-      // every file relation is one of the two maintained artifacts
+      // every file relation is one of the five maintained artifacts
       val rels = drops.queryExecution.analyzed.collect {
         case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           r.relation match {
@@ -226,11 +251,20 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
           }
       }
       assert(rels.nonEmpty, "expected the docs artifact in the verify plan")
-      assert(rels.forall(p => p.contains("/docs") || p.contains("/postings")),
+      assert(rels.forall(p => p.contains("/docs") || p.contains("/postings") ||
+        p.contains("/shpost") || p.contains("/docn") || p.contains("/df")),
         s"unexpected non-artifact scan in the per-batch plan: $rels")
-      // and the verdict itself: the history doc is canonical, the new
-      // dup drops
-      assert(drops.as[Long].collect().toSeq === Seq(11L))
+      // the verdict itself: history doc 10 is canonical; the verbatim
+      // dup drops via the Jaccard channel AND the banding-invisible
+      // excerpt drops via the containment probe
+      assert(drops.as[Long].collect().toSet === Set(11L, 12L))
+      // the excerpt genuinely cannot have come from banding: no band
+      // signature of doc 12 collides with history's
+      val collide = bands.filter(col("doc_id") === 12L)
+        .join(histBands, Seq("band", "sig"), "left_semi").count()
+      assert(collide === 0L,
+        "fixture broken: the excerpt band-collides, so it no longer " +
+          "exercises the containment channel")
     } finally { cand.unpersist(); bands.unpersist(); sh.unpersist() }
   }
 }
