@@ -456,6 +456,57 @@ object ExtensionQueries {
        |FROM tok t JOIN cnt c USING (token)
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // ======================================================================
+  // x73: BIGRAM cross-entropy quality — x71's signal with one token of
+  // context: per doc, mean -ln p(w2|w1) over consecutive token pairs,
+  // with p the corpus's own bigram MLE (c(w1,w2) / c(w1,·), where
+  // c(w1,·) sums bigram starts — every scored bigram has count >= 1 by
+  // construction, so again no smoothing question). The context makes
+  // the score sharper than x71's unigram at separating TEMPLATED text
+  // (whole phrases repeat corpus-wide ⇒ conditional probabilities near
+  // 1 ⇒ xent2 « xent) from merely common-word text, which is exactly
+  // the boilerplate signal CCNet-class pipelines gate on. Shapes: the
+  // conditional-probability model is ONE dimension table (bigram
+  // counts joined to their start-token totals, both narrow aggs of the
+  // same frame), instances join it once — corpus-linear like x71, and
+  // the bigram dimension is vocabulary², not corpus-sized.
+  def x73_bigram_xent(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+    // ordered consecutive pairs: zip the array with its own tail (the
+    // slice length clamps at 0 so sub-2-token docs yield no rows)
+    val n1 = greatest(size(col("toks")) - 1, lit(0))
+    val bi = tok
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), n1),
+          slice(col("toks"), lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val model = cnt
+      .join(cnt.groupBy("w1").agg(sum(col("c12")).as("c1")), Seq("w1"))
+      .select(col("w1"), col("w2"),
+        (col("c12").cast("double") / col("c1")).as("p"))
+    bi.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("p"))), 6).as("xent2"))
+      .orderBy("doc_id")
+  }
+
+  val x73Sql: String =
+    s"""WITH tok AS (SELECT doc_id, $SqlTok AS toks FROM documents),
+       |pos AS (SELECT doc_id, toks,
+       |        unnest(range(1, greatest(len(toks) - 1, 0) + 1))::INT AS i FROM tok),
+       |bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM pos),
+       |cnt AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+       |cw1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM cnt GROUP BY w1)
+       |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+       |  round(avg(-ln(c.c12::DOUBLE / w.c1)), 6) AS xent2
+       |FROM bi b JOIN cnt c USING (w1, w2) JOIN cw1 w USING (w1)
+       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+
   val x04Sql: String =
     s"""WITH $SqlSharedPairsCte
        |SELECT s.d1, s.d2,
@@ -2016,6 +2067,7 @@ object ExtensionQueries {
     "x69_semantic_dedup" -> (x69_semantic_dedup _),
     "x70_containment" -> (x70_containment _),
     "x71_unigram_xent" -> (x71_unigram_xent _),
+    "x73_bigram_xent" -> (x73_bigram_xent _),
     "x72_dup_clusters_all" -> (x72_dup_clusters_all _),
     "x59_seq_pack" -> (x59_seq_pack _),
     "x49_quantize" -> (x49_quantize _),
@@ -2066,6 +2118,7 @@ object ExtensionQueries {
     "x68_weighted_sample" -> x68Sql,
     "x70_containment" -> x70Sql,
     "x71_unigram_xent" -> x71Sql,
+    "x73_bigram_xent" -> x73Sql,
     "x72_dup_clusters_all" -> x72Sql,
     "x59_seq_pack" -> x59Sql,
     "x17_media_features" -> x17Sql,
