@@ -310,7 +310,8 @@ object Pipeline {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val store = args.headOption.getOrElse(
+    val semantic = args.contains("--semantic")
+    val store = args.filterNot(_ == "--semantic").headOption.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_pipeline").toString + "/store")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -319,7 +320,7 @@ object Pipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = run(spark, sfDir, store)
+    val r = run(spark, sfDir, store, semanticDedup = semantic)
     println(s"""{"version":${r.version},"kept":${r.kept},""" +
       s""""held_out_eval":${r.heldOutEval},""" +
       s""""pruned_near_dup":${r.prunedNearDup},""" +
