@@ -421,6 +421,85 @@ object ExtensionQueries {
        |ORDER BY d1, d2""".stripMargin
 
   // ======================================================================
+  // x74: cross-document SEGMENT-level dedup — the CCNet/RefinedWeb
+  // "line dedup" pass: the unit of removal is a sub-document span, so
+  // boilerplate shared across otherwise-distinct documents (headers,
+  // navigation, license blocks) is removed WITHOUT dropping the
+  // documents that carry it — the gap x01/x02 (whole-doc) and x70
+  // (whole-doc containment) leave open. The segmenter here is fixed
+  // non-overlapping W-token windows because the synthetic corpus has
+  // no newlines; production swaps ONE projection (split('\n') per
+  // line) and everything downstream is unchanged. Keep rule, CCNet's:
+  // a segment's owner is min(doc_id) over all docs containing an
+  // identical segment; non-owner occurrences drop (all occurrences
+  // inside the owner doc itself are kept — within-doc repetition is
+  // x47's signal, not this pass's). The cleaned doc ships as a hash
+  // so the oracle pins order-preserving REASSEMBLY of the kept
+  // segments, not just counts. Shapes: one narrow explode (doc_id,
+  // seg), ONE groupBy shuffle on the 16-byte segment hash (the owner
+  // dimension — x01's exact-dedup shape one granularity down), one
+  // equi-join back, one per-doc agg. Corpus-linear, no self-join; the
+  // owner table is |distinct segments| ≤ |corpus|/W rows of 24 bytes.
+  private val SegW = 5
+
+  def x74_segment_dedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val t = ReferenceQueries.parallelized(docs)
+      .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val nseg = ((size(col("toks")) + lit(SegW - 1)) / lit(SegW)).cast("int")
+    val seg = t
+      .select(col("doc_id"), size(col("toks")).as("n"),
+        posexplode(transform(sequence(lit(0), nseg - 1),
+          i => array_join(slice(col("toks"), i * SegW + 1, lit(SegW)), " "))))
+      .select(col("doc_id"), col("pos").as("seg_idx"), col("col").as("seg"),
+        least(lit(SegW), col("n") - col("pos") * SegW).cast("long").as("ntok"))
+    val owners = seg.groupBy(md5(col("seg")).as("h"))
+      .agg(min(col("doc_id")).as("owner"))
+    val tagged = seg.withColumn("h", md5(col("seg")))
+      .join(owners, Seq("h"))
+      .withColumn("keep", col("owner") === col("doc_id"))
+    val agg = tagged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_segments"),
+      sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+      sum(when(col("keep"), col("ntok")).otherwise(0L)).as("n_tokens_kept"),
+      md5(array_join(transform(
+        array_sort(collect_list(when(col("keep"),
+          struct(col("seg_idx"), col("seg"))))),
+        s => s.getField("seg")), " ")).as("cleaned_hash"))
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("cleaned_hash"), md5(lit(""))).as("cleaned_hash"))
+      .orderBy("doc_id")
+  }
+
+  val x74Sql: String =
+    s"""WITH t AS (SELECT doc_id, $SqlTok AS toks FROM documents),
+       |pos AS (SELECT doc_id, toks,
+       |        unnest(range(0, (len(toks) + ${SegW - 1}) // $SegW))::INT AS i
+       |        FROM t WHERE len(toks) > 0),
+       |seg AS (SELECT doc_id, i AS seg_idx,
+       |        array_to_string(list_slice(toks, i * $SegW + 1, i * $SegW + $SegW), ' ') AS seg,
+       |        least($SegW, len(toks) - i * $SegW)::BIGINT AS ntok FROM pos),
+       |own AS (SELECT md5(seg) AS h, min(doc_id) AS owner FROM seg GROUP BY 1),
+       |k AS (SELECT s.doc_id, s.seg_idx, s.seg, s.ntok, (o.owner = s.doc_id) AS keep
+       |      FROM seg s JOIN own o ON md5(s.seg) = o.h),
+       |agg AS (SELECT doc_id, count(*)::BIGINT AS n_segments,
+       |        sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+       |        sum(CASE WHEN keep THEN ntok ELSE 0 END)::BIGINT AS n_tokens_kept,
+       |        md5(coalesce(array_to_string(
+       |          list(seg ORDER BY seg_idx) FILTER (WHERE keep), ' '), '')) AS cleaned_hash
+       |        FROM k GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_segments, 0)::BIGINT AS n_segments,
+       |  coalesce(a.n_dropped, 0)::BIGINT AS n_dropped,
+       |  coalesce(a.n_tokens_kept, 0)::BIGINT AS n_tokens_kept,
+       |  coalesce(a.cleaned_hash, md5('')) AS cleaned_hash
+       |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ======================================================================
   // x71: unigram cross-entropy quality — the perplexity-proxy signal
   // the CCNet-style pipelines gate on, with the LM self-trained: token
   // probabilities are the corpus's own unigram MLE, so every scored
@@ -2068,6 +2147,7 @@ object ExtensionQueries {
     "x70_containment" -> (x70_containment _),
     "x71_unigram_xent" -> (x71_unigram_xent _),
     "x73_bigram_xent" -> (x73_bigram_xent _),
+    "x74_segment_dedup" -> (x74_segment_dedup _),
     "x72_dup_clusters_all" -> (x72_dup_clusters_all _),
     "x59_seq_pack" -> (x59_seq_pack _),
     "x49_quantize" -> (x49_quantize _),
@@ -2119,6 +2199,7 @@ object ExtensionQueries {
     "x70_containment" -> x70Sql,
     "x71_unigram_xent" -> x71Sql,
     "x73_bigram_xent" -> x73Sql,
+    "x74_segment_dedup" -> x74Sql,
     "x72_dup_clusters_all" -> x72Sql,
     "x59_seq_pack" -> x59Sql,
     "x17_media_features" -> x17Sql,
