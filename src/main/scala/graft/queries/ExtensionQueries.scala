@@ -1335,6 +1335,14 @@ object ExtensionQueries {
   def x21_ann_ivf(spark: SparkSession, sfDir: String): DataFrame =
     graft.ml.IvfIndex.searchTopK(spark, sfDir)
 
+  // x75: PQ ANN — product-quantization ADC shortlist over the 32×
+  // compressed code frame, exact re-rank of the shortlist only (the
+  // memory leg of the ANN story next to x21's list-pruning leg).
+  // Deterministic but k-means-trained: rows-only check; the accuracy
+  // contract is PqRecallSpec (ADC identity + recall floor vs x05).
+  def x75_ann_pq(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ml.PqIndex.searchTopK(spark, sfDir)
+
   // x46: MLlib MinHashLSH approxSimilarityJoin near-dup pairs — the
   // library-function twin of x02 (rows-only: hash-based features are
   // not SQL-expressible; MlLshSpec pins recall vs the exact x04 pairs).
@@ -2159,6 +2167,9 @@ object ExtensionQueries {
     "x58_top_tokens_agg" -> (x58_top_tokens_agg _),
     "x15_mllib_embed" -> (x15_mllib_embed _),
     "x21_ann_ivf" -> (x21_ann_ivf _),
+    // rows-only (k-means-trained codebooks): accuracy contract is
+    // PqRecallSpec's ADC identity + pinned recall floor vs x05
+    "x75_ann_pq" -> (x75_ann_pq _),
     "x46_ml_lsh_dedup" -> (x46_ml_lsh_dedup _),
     "x22_asof_join" -> (x22_asof_join _),
     "x23_normalize" -> (x23_normalize _),
