@@ -1343,6 +1343,13 @@ object ExtensionQueries {
   def x75_ann_pq(spark: SparkSession, sfDir: String): DataFrame =
     graft.ml.PqIndex.searchTopK(spark, sfDir)
 
+  // x76: IVF-PQ ANN — the composed deployment shape: IVF prunes the
+  // lists, PQ codes are what the probed lists hold, exact re-rank on
+  // the shortlist only. Rows-only; contract is IvfPqSpec (recall at
+  // the IVF probe bound, probed-list subset property, exact scores).
+  def x76_ann_ivfpq(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ml.IvfPq.searchTopK(spark, sfDir)
+
   // x46: MLlib MinHashLSH approxSimilarityJoin near-dup pairs — the
   // library-function twin of x02 (rows-only: hash-based features are
   // not SQL-expressible; MlLshSpec pins recall vs the exact x04 pairs).
@@ -2170,6 +2177,7 @@ object ExtensionQueries {
     // rows-only (k-means-trained codebooks): accuracy contract is
     // PqRecallSpec's ADC identity + pinned recall floor vs x05
     "x75_ann_pq" -> (x75_ann_pq _),
+    "x76_ann_ivfpq" -> (x76_ann_ivfpq _),
     "x46_ml_lsh_dedup" -> (x46_ml_lsh_dedup _),
     "x22_asof_join" -> (x22_asof_join _),
     "x23_normalize" -> (x23_normalize _),
