@@ -23,11 +23,17 @@ object Tables {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "embeddings")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads as
-    * a nanos-since-epoch long (`spark.sql.legacy.parquet.nanosAsLong`,
-    * set in Verify/Bench/specs). Normalize to a microsecond timestamp by
-    * truncation — DuckDB's `ts::TIMESTAMP` cast truncates identically,
-    * so oracle SQL sees the same instants.
+  /** `events.ts` normalization — the generated parquet has shipped two
+    * timestamp vintages, and every downstream query assumes a plain
+    * session-zoned TIMESTAMP (`unix_micros` rejects anything else):
+    *  - TIMESTAMP(NANOS), which Spark only reads as a nanos-since-epoch
+    *    long (`spark.sql.legacy.parquet.nanosAsLong`, set in
+    *    Verify/Bench/specs) → truncate to micros. DuckDB's
+    *    `ts::TIMESTAMP` cast truncates identically.
+    *  - TIMESTAMP(MICROS) without the UTC-adjusted flag → Spark reads
+    *    TIMESTAMP_NTZ → reinterpret as session-zone wall clock. The
+    *    session timezone is pinned to UTC everywhere (Verify/Bench/
+    *    specs), so the instant equals DuckDB's naive-as-UTC reading.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = load(spark, sfDir, "events")
@@ -35,6 +41,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -16,18 +16,30 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Streaming source over a DIRECTORY of events parquet files
-    * (FileStreamSource requires a directory; ns timestamps arrive as
-    * longs under `nanosAsLong` and are normalized like Tables.events).
+  /** Streaming source over a DIRECTORY of events parquet files.
+    * FileStreamSource requires an explicit schema, and the generated
+    * data has shipped two `ts` vintages (TIMESTAMP(NANOS) read as long
+    * under `nanosAsLong`; TIMESTAMP(MICROS) unadjusted read as
+    * TIMESTAMP_NTZ) — so the on-disk type is probed with a one-shot
+    * batch schema read of the same directory (metadata only, no data
+    * scan) and normalized exactly like Tables.events. Declaring one
+    * vintage's schema against the other's files silently misreads the
+    * raw int64 (micros DIV 1000 ⇒ instants 1000× too early) — caught
+    * by StreamingSpec's stream≡batch equivalences the day the
+    * generator switched vintages.
     */
   def eventStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    val tsType = spark.read.parquet(eventsDir).schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema)
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = spark.readStream.schema(schema).parquet(eventsDir)
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Watermarked tumbling-window aggregation — the streaming twin of
