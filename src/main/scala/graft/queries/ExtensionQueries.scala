@@ -500,6 +500,167 @@ object ExtensionQueries {
        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 
   // ======================================================================
+  // x77: MAXIMAL duplicated token spans — exact-substring dedup (the
+  // "dedup training data by long repeated substrings" pass, done with
+  // suffix arrays on one machine), re-expressed for a cluster: a span
+  // is duplicated iff every W-token window inside it occurs in >= 2
+  // DISTINCT documents, and maximal spans are islands of consecutive
+  // duplicated window starts. x74 removes whole aligned segments; this
+  // finds arbitrary-offset repeated substrings (the harder, unaligned
+  // case — two docs sharing a 30-token quote at different positions)
+  // and reports the exact extent [span_start, span_start+span_len).
+  // W is the minimum-match resolution: any cross-doc repeat of >= W
+  // tokens is found in full (a repeat of length L >= W contains all
+  // its L-W+1 windows, each duplicated, so the island reconstructs
+  // exactly L); repeats < W are invisible by design (the noise floor —
+  // W=8 over this vocabulary puts random collisions at ~0).
+  // Within-doc repetition alone does NOT mark a span (distinct-doc
+  // count, not occurrence count): that is x47's signal.
+  // Shapes, all corpus-linear: stride-1 hashed windows are ONE narrow
+  // projection (16-byte hash + position — the token text never
+  // shuffles); the duplicated-window dimension is x01's exact-dedup
+  // groupBy one granularity down; island merge is a per-document
+  // window function (entity-partitioned, never global); the reassembly
+  // hash joins only span-bearing docs back to the narrow token
+  // projection. No self-join anywhere — the pairwise structure lives
+  // in the gram dimension, as in x74.
+  private val SpanW = 8
+
+  def x77_dup_spans(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val t = ReferenceQueries.parallelized(docs)
+      .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= SpanW)
+    val grams = t.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - SpanW),
+          i => md5(array_join(slice(col("toks"), i + 1, lit(SpanW)), " ")))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+    val dup = grams.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("dd"))
+      .filter(col("dd") >= 2)
+    val hits = grams.join(dup.select("h"), Seq("h")).select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val sp = hits
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp")).agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + SpanW).as("span_len"),
+        count(lit(1)).as("n_grams"))
+    sp.join(t, Seq("doc_id"))
+      .select(col("doc_id"), col("span_start"), col("span_len"), col("n_grams"),
+        md5(array_join(slice(col("toks"), (col("span_start") + 1).cast("int"),
+          col("span_len").cast("int")), " ")).as("span_hash"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  val x77Sql: String =
+    s"""WITH t AS (SELECT doc_id, $SqlTok AS toks FROM documents),
+       |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $SpanW),
+       |g AS (SELECT doc_id, toks, unnest(range(0, len(toks) - $SpanW + 1))::BIGINT AS pos FROM tt),
+       |gr AS (SELECT doc_id, pos, md5(array_to_string(list_slice(toks, pos + 1, pos + $SpanW), ' ')) AS h FROM g),
+       |df AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS dd FROM gr GROUP BY h) WHERE dd >= 2),
+       |d AS (SELECT doc_id, pos FROM gr JOIN df USING (h)),
+       |isl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM d),
+       |sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) - min(pos) + $SpanW AS span_len,
+       |       count(*)::BIGINT AS n_grams FROM isl GROUP BY doc_id, grp)
+       |SELECT s.doc_id, s.span_start, s.span_len, s.n_grams,
+       |  md5(array_to_string(list_slice(tt.toks, (s.span_start + 1)::INT,
+       |    (s.span_start + s.span_len)::INT), ' ')) AS span_hash
+       |FROM sp s JOIN tt USING (doc_id) ORDER BY doc_id, span_start""".stripMargin
+
+  // ======================================================================
+  // x80: temperature-reweighted domain mixing — the data-mixture step
+  // between curation and sampling: published LLM corpora reweight
+  // source domains by token share raised to a temperature α < 1
+  // (p_s ∝ n_s^α, renormalized), flattening the head so giant domains
+  // don't drown rare ones while preserving ordering. This query
+  // computes, per source: raw token share, the α-tempered share, and
+  // the boost factor (tempered ÷ raw — the over/under-sampling rate a
+  // sampler like x56 must apply per source; x56 consumes given weights,
+  // this is where they come from). Shapes: ONE corpus-linear pass
+  // (tokenize → per-source agg on a dimension-sized key), totals ride
+  // a 1-row broadcast. At 100 TB the per-source table is kilobytes —
+  // the whole query is the token count.
+  private val MixTemp = 0.7
+
+  def x80_mixture_weights(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(Tokenize.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = per.agg(
+      sum(col("n_tokens")).cast("double").as("tot"),
+      sum(pow(col("n_tokens"), MixTemp)).as("tot_a"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("tot"), 6).as("w_raw"),
+        round(pow(col("n_tokens"), MixTemp) / col("tot_a"), 6).as("w_temp"),
+        round((pow(col("n_tokens"), MixTemp) / col("tot_a"))
+          / (col("n_tokens") / col("tot")), 6).as("boost"))
+      .orderBy("source")
+  }
+
+  val x80Sql: String =
+    s"""WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(len($SqlTok))::BIGINT AS n_tokens FROM documents GROUP BY source),
+       |tot AS (SELECT sum(n_tokens)::DOUBLE AS tot,
+       |  sum(power(n_tokens, $MixTemp)) AS tot_a FROM per)
+       |SELECT source, n_docs, n_tokens,
+       |  round(n_tokens / tot, 6) AS w_raw,
+       |  round(power(n_tokens, $MixTemp) / tot_a, 6) AS w_temp,
+       |  round((power(n_tokens, $MixTemp) / tot_a) / (n_tokens / tot), 6) AS boost
+       |FROM per, tot ORDER BY source""".stripMargin
+
+  // ======================================================================
+  // x78: edit-distance similarity join (record linkage / fuzzy entity
+  // resolution) — the string-side analogue of the shingle dedup family:
+  // find all pairs of entities whose KEY STRINGS are within Levenshtein
+  // distance 1 (near-identical ids: typos, OCR noise, one-digit entry
+  // errors). The naive form is a quadratic cross join with an edit-
+  // distance call per pair — the oracle runs exactly that, and it is
+  // the plan that cannot ship at scale. The cluster shape is the
+  // SymSpell / deletion-neighborhood blocking used by the similarity-
+  // join literature (PassJoin-family): every string generates itself
+  // plus its |s| single-deletion variants as join keys, and two strings
+  // are within distance 1 IFF they share a key (substitution ⇒ same
+  // string after deleting the differing position from both; insertion/
+  // deletion ⇒ one side's deletion equals the other; equality ⇒ the
+  // string itself) — so the equi-join on the variant key is a LOSSLESS
+  // candidate generator and the codegen levenshtein() verify only runs
+  // on candidates. Key fan-out is |s|+1 rows per record (linear);
+  // bucket width is bounded by alphabet-size × agreement structure of
+  // the data, never by corpus size; threshold t generalizes to all
+  // ≤t-deletion variants (C(|s|,t) keys) with the same join. No
+  // pairwise structure ever exists outside the per-key buckets.
+  def x78_fuzzy_pairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
+    val dels = transform(sequence(lit(1), length(col("c_name"))),
+      i => concat(col("c_name").substr(lit(1), i - 1),
+        col("c_name").substr(i + 1, length(col("c_name")))))
+    val keys = names.select(col("c_custkey"), col("c_name"),
+      explode(array_distinct(concat(array(col("c_name")), dels))).as("k"))
+    val cand = keys.as("a").join(keys.as("b"),
+        col("a.k") === col("b.k") && col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("c1"), col("a.c_name").as("n1"),
+        col("b.c_custkey").as("c2"), col("b.c_name").as("n2"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("c1"), col("c2"), col("n1"), col("n2"), col("dist"))
+      .orderBy("c1", "c2")
+  }
+
+  val x78Sql: String =
+    """SELECT a.c_custkey AS c1, b.c_custkey AS c2,
+      |  a.c_name AS n1, b.c_name AS n2,
+      |  levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY c1, c2""".stripMargin
+
+  // ======================================================================
   // x71: unigram cross-entropy quality — the perplexity-proxy signal
   // the CCNet-style pipelines gate on, with the LM self-trained: token
   // probabilities are the corpus's own unigram MLE, so every scored
@@ -2163,6 +2324,9 @@ object ExtensionQueries {
     "x71_unigram_xent" -> (x71_unigram_xent _),
     "x73_bigram_xent" -> (x73_bigram_xent _),
     "x74_segment_dedup" -> (x74_segment_dedup _),
+    "x77_dup_spans" -> (x77_dup_spans _),
+    "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
+    "x80_mixture_weights" -> (x80_mixture_weights _),
     "x72_dup_clusters_all" -> (x72_dup_clusters_all _),
     "x59_seq_pack" -> (x59_seq_pack _),
     "x49_quantize" -> (x49_quantize _),
@@ -2219,6 +2383,9 @@ object ExtensionQueries {
     "x71_unigram_xent" -> x71Sql,
     "x73_bigram_xent" -> x73Sql,
     "x74_segment_dedup" -> x74Sql,
+    "x77_dup_spans" -> x77Sql,
+    "x78_fuzzy_pairs" -> x78Sql,
+    "x80_mixture_weights" -> x80Sql,
     "x72_dup_clusters_all" -> x72Sql,
     "x59_seq_pack" -> x59Sql,
     "x17_media_features" -> x17Sql,
