@@ -569,6 +569,26 @@ object ExtensionQueries {
        |FROM sp s JOIN tt USING (doc_id) ORDER BY doc_id, span_start""".stripMargin
 
   // ======================================================================
+  // x79: BPE merge training — the tokenizer-training leg of the
+  // pipeline (x09's "BPE-ish regex" counts tokens; this LEARNS the
+  // subword vocabulary). Algorithm and scale structure live in
+  // operators/Bpe; this query trains 20 merges on the corpus token-
+  // frequency table and ships the ranked merge table. Rows-only by
+  // the contract (k greedy argmax iterations are not SQL-expressible);
+  // the accuracy contract is BpeSpec: Spark ≡ a single-node reference
+  // implementation on fixtures AND on this corpus, plus determinism
+  // and encode-roundtrip properties.
+  def x79_bpe_train(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = docTok(Tables.documents(spark, sfDir))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val (merges, _) = graft.operators.Bpe.train(spark, words, 20)
+    spark.createDataFrame(merges)
+      .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
+        col("merged"), col("pair_count"))
+      .orderBy("rank")
+  }
+
+  // ======================================================================
   // x80: temperature-reweighted domain mixing — the data-mixture step
   // between curation and sampling: published LLM corpora reweight
   // source domains by token share raised to a temperature α < 1
@@ -2326,6 +2346,9 @@ object ExtensionQueries {
     "x74_segment_dedup" -> (x74_segment_dedup _),
     "x77_dup_spans" -> (x77_dup_spans _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
+    // rows-only (iterative greedy argmax not SQL-expressible): accuracy
+    // contract is BpeSpec's reference-implementation equivalence
+    "x79_bpe_train" -> (x79_bpe_train _),
     "x80_mixture_weights" -> (x80_mixture_weights _),
     "x72_dup_clusters_all" -> (x72_dup_clusters_all _),
     "x59_seq_pack" -> (x59_seq_pack _),

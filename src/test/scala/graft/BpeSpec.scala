@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+import graft.queries.ExtensionQueries
+
+/** Accuracy contract for the rows-only x79 (Bpe.train): the Spark
+  * implementation must equal a straightforward single-node reference
+  * implementation of the published BPE algorithm — same greedy
+  * frequency-weighted argmax, same lexicographic tie-break, same
+  * left-to-right merge application — on a handcrafted fixture AND on
+  * the real corpus word-frequency table, plus determinism and
+  * encode-consistency properties.
+  */
+class BpeSpec extends AnyFunSuite with SparkSpec {
+
+  /** Single-node reference: the classic dictionary formulation. */
+  private def refTrain(words: Map[String, Long], k: Int): Seq[Bpe.Merge] = {
+    var state: Vector[(Vector[String], Long)] = words.toVector.sortBy(_._1)
+      .map { case (w, f) => (w.split("").filter(_.nonEmpty).toVector :+ Bpe.Eow, f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Bpe.Merge]
+    var done = false
+    while (!done && out.size < k) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- state; i <- 0 until syms.size - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        if (c < 2L) done = true
+        else {
+          out += Bpe.Merge(out.size + 1, l, r, l + r, c)
+          state = state.map { case (syms, f) =>
+            val b = scala.collection.mutable.ArrayBuffer.empty[String]
+            for (s <- syms) {
+              if (b.nonEmpty && b.last == l && s == r) b(b.size - 1) = l + r
+              else b += s
+            }
+            (b.toVector, f)
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def sparkTrain(words: Map[String, Long], k: Int): Seq[Bpe.Merge] = {
+    val df = spark.createDataFrame(words.toSeq).toDF("token", "freq")
+    Bpe.train(spark, df, k)._1
+  }
+
+  test("classic fixture: spark merges equal the reference implementation") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val ref = refTrain(words, 10)
+    assert(ref.nonEmpty)
+    assert(sparkTrain(words, 10) === ref)
+  }
+
+  test("tie-break fixture: equal counts resolve lexicographically on both sides") {
+    // "ab" and "cd" both occur exactly 3 times — (a,b) must win over (c,d)
+    val words = Map("ab" -> 3L, "cd" -> 3L)
+    val ref = refTrain(words, 4)
+    val got = sparkTrain(words, 4)
+    assert(got === ref)
+    assert(got.head.left == "a" && got.head.right == "b")
+  }
+
+  test("early stop: a vocabulary with no repeatable pair learns nothing past it") {
+    // freq-1 singleton words: every pair count is 1 => zero merges
+    assert(sparkTrain(Map("xy" -> 1L, "zq" -> 1L), 5) === Seq.empty)
+  }
+
+  test("corpus equivalence: x79 merge table equals the reference on sf0.001 counts") {
+    val words = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Tokenize.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ref = refTrain(words, 20)
+    val got = ExtensionQueries.x79_bpe_train(spark, sf).collect().map(r =>
+      Bpe.Merge(r.getLong(0).toInt, r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(ref.nonEmpty, "corpus should produce at least one merge")
+    assert(got === ref)
+  }
+
+  test("determinism: two runs produce identical merge tables") {
+    val words = Map("seen" -> 4L, "seed" -> 3L, "need" -> 2L, "den" -> 7L)
+    assert(sparkTrain(words, 8) === sparkTrain(words, 8))
+  }
+
+  test("encode applies the learned table: concatenating symbols restores the word") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val df = spark.createDataFrame(words.toSeq).toDF("token", "freq")
+    val (merges, finalState) = Bpe.train(spark, df, 10)
+    val enc = Bpe.encode(df, merges)
+    // encode over the training words == the final training state
+    val a = enc.select("token", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val b = finalState.select("token", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(a === b)
+    // and the symbols of each word concatenate back to word + </w>
+    for ((w, syms) <- a) assert(syms.mkString("") === w + Bpe.Eow)
+  }
+}

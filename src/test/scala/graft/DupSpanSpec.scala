@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import java.security.MessageDigest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.ExtensionQueries
+
+/** x77's defining property on planted data: a cross-document repeat of
+  * length >= W tokens is recovered IN FULL — one island per document,
+  * at that document's own offset, with the exact extent and the span
+  * text pinned by hash — while repeats shorter than W are invisible by
+  * design. The generator corpus can't pin this (its dups are mostly
+  * whole-doc copies); here the shared run sits at DIFFERENT offsets in
+  * each carrier, which is exactly the unaligned case x74's fixed
+  * segmentation cannot see.
+  */
+class DupSpanSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val W = 8 // must match ExtensionQueries.SpanW
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def mkDocs(rows: Seq[(Long, String)]): String = {
+    val work = Files.createTempDirectory("graft_dupspan")
+    rows.map { case (id, t) => (id, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$work/documents.parquet")
+    work.toString
+  }
+
+  test("a 12-token repeat at different offsets yields one exact island per doc") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val d1 = ((1 to 10).map(i => s"a$i") :+ shared) ++ (1 to 8).map(i => s"b$i")
+    val d2 = ((1 to 5).map(i => s"c$i") :+ shared) ++ (1 to 9).map(i => s"d$i")
+    val dir = mkDocs(Seq(1L -> d1.mkString(" "), 2L -> d2.mkString(" ")))
+
+    val got = ExtensionQueries.x77_dup_spans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+
+    val nGrams = (12 - W + 1).toLong // 5 duplicated windows inside the repeat
+    assert(got.toSeq === Seq(
+      (1L, 10L, 12L, nGrams, md5hex(shared)),
+      (2L, 5L, 12L, nGrams, md5hex(shared))))
+  }
+
+  test("repeats shorter than W are invisible; whole-doc copies span the whole doc") {
+    val short = (1 to (W - 1)).map(i => s"t$i").mkString(" ") // W-1 tokens: below resolution
+    val copy = (1 to 20).map(i => s"w$i").mkString(" ")
+    val dir = mkDocs(Seq(
+      1L -> s"${(1 to 6).map(i => s"e$i").mkString(" ")} $short",
+      2L -> s"$short ${(1 to 6).map(i => s"f$i").mkString(" ")}",
+      3L -> copy,
+      4L -> copy))
+
+    val got = ExtensionQueries.x77_dup_spans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+
+    // docs 1/2 share only W-1 tokens -> nothing; docs 3/4 are exact
+    // copies -> one island covering all 20 tokens each
+    val nGrams = (20 - W + 1).toLong
+    assert(got.toSeq === Seq(
+      (3L, 0L, 20L, nGrams, md5hex(copy)),
+      (4L, 0L, 20L, nGrams, md5hex(copy))))
+  }
+
+  test("two disjoint repeats in one doc stay two islands") {
+    val r1 = (1 to W).map(i => s"p$i").mkString(" ")
+    val r2 = (1 to W).map(i => s"q$i").mkString(" ")
+    val gap = (1 to 3).map(i => s"g$i").mkString(" ") // < W so islands can't bridge
+    val dir = mkDocs(Seq(
+      1L -> s"$r1 $gap $r2",
+      2L -> s"$r1 ${(1 to 5).map(i => s"h$i").mkString(" ")}",
+      3L -> s"${(1 to 4).map(i => s"k$i").mkString(" ")} $r2"))
+
+    val doc1 = ExtensionQueries.x77_dup_spans(spark, dir).collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(4)))
+    assert(doc1.toSeq === Seq(
+      (0L, W.toLong, md5hex(r1)),
+      ((W + 3).toLong, W.toLong, md5hex(r2))))
+  }
+}

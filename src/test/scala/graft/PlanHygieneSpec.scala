@@ -98,6 +98,22 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"quadratic plan in x60:\n$p")
   }
 
+  test("x77 dup spans: no self-join — pairwise structure stays in the gram dimension") {
+    val p = plan(graft.queries.ExtensionQueries.x77_dup_spans(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic plan in x77:\n$p")
+    // two equi-joins only: duplicated-gram dimension + span-text reassembly
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(p).size <= 2,
+      s"unexpected extra joins in x77:\n$p")
+  }
+
+  test("x78 fuzzy pairs: deletion-key equi-join, never the quadratic verify") {
+    val p = plan(graft.queries.ExtensionQueries.x78_fuzzy_pairs(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"x78 must candidate-generate via the variant-key equi-join; the all-pairs " +
+        s"levenshtein scan is the oracle's job, not the engine's:\n$p")
+  }
+
   test("x61 chunking is per-doc HOFs — no join, no quadratic plan") {
     val p = plan(graft.queries.ExtensionQueries.x61_chunks(spark, sf))
     assert(!p.contains("Join"), s"unexpected join in x61 plan:\n$p")
