@@ -19,10 +19,16 @@ import org.apache.spark.sql.functions._
   *     through with `codec = "unknown"` and zeroed pixel stats, so the
   *     same call runs over a mixed corpus — the real-image subset gets
   *     real features.
+  *   - [[decodeAudio]] — REAL sample decode for the audio containers
+  *     the JDK's javax.sound reads out of the box (WAV, AIFF, AU —
+  *     pure-JVM): sample rate, channels, frame count, and exact
+  *     integer-arithmetic peak / mean-|s| / RMS over the PCM samples.
+  *     Non-audio payloads quarantine as `codec = "unknown"`, valid
+  *     magic with unreadable bytes as `codec = "corrupt"`.
   *   - [[extractFeatures]] — byte-level statistics for ANY payload
-  *     (the x17 surface, oracle-checked byte-exactly): audio/video
-  *     codecs are genuinely not in this environment, so those formats
-  *     keep the deterministic byte-feature fallback.
+  *     (the x17 surface, oracle-checked byte-exactly): video codecs
+  *     are genuinely not in this environment, so that format keeps
+  *     the deterministic byte-feature fallback.
   *
   * The Spark-side plumbing — schema, typed Datasets, mapPartitions
   * batching with per-partition decoder init, explode of frame samples
@@ -123,10 +129,90 @@ object MultiModal {
       sr / n, sg / n, sb / n, sl / (1000.0 * n))
   }
 
+  /** Decoded-sample statistics for one audio payload. All sums are
+    * integer over the 16-bit signed PCM samples (every JDK-supported
+    * container converts losslessly or by defined downconversion to
+    * PCM_SIGNED 16-bit); mean_abs and rms each do ONE floating
+    * division (and one sqrt) at the end, so any independent
+    * recomputation from the same samples is bit-identical —
+    * MultiModalSpec pins this against WAV fixtures it renders itself.
+    */
+  case class AudioStats(media_id: Long, format: String, codec: String,
+      sample_rate: Int, channels: Int, n_frames: Long, peak: Int,
+      mean_abs: Double, rms: Double)
+
+  /** Audio container sniff by magic bytes — same gate as
+    * [[sniffCodec]]: arbitrary bytes never reach the audio system's
+    * provider probing.
+    */
+  private[sources] def sniffAudio(b: Array[Byte]): String =
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+      "wav"
+    else if (b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' &&
+      b(3) == 'M' && b(8) == 'A' && b(9) == 'I' && b(10) == 'F')
+      "aiff"
+    else if (b.length >= 4 && b(0) == '.' && b(1) == 's' && b(2) == 'n' &&
+      b(3) == 'd')
+      "au"
+    else "unknown"
+
+  /** REAL audio decode over a media table — per-partition batches, the
+    * same quarantine discipline as [[decodeImages]]: a decode stage at
+    * corpus scale must pass bad rows through tagged, not die on them.
+    */
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeOneAudio))
+  }
+
+  private def decodeOneAudio(r: MediaRecord): AudioStats = {
+    val codec = sniffAudio(r.payload)
+    if (codec == "unknown")
+      return AudioStats(r.media_id, r.format, codec, 0, 0, 0L, 0, 0.0, 0.0)
+    val st =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(r.payload))
+        val f = in.getFormat
+        // normalize to signed 16-bit PCM, native rate/channels: the
+        // JDK converts u8/a-law/mu-law/be-endian inputs to one
+        // arithmetic domain so the stats mean the same thing per codec
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+          f.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        val bytes = pcm.readAllBytes()
+        var i = 0
+        var n = 0L; var sAbs = 0L; var sSq = 0L; var peak = 0
+        while (i + 1 < bytes.length) {
+          val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toInt
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          sAbs += a; sSq += s.toLong * s; n += 1
+          i += 2
+        }
+        val ch = target.getChannels
+        val frames = if (ch > 0) n / ch else 0L
+        if (n == 0L)
+          AudioStats(r.media_id, r.format, "corrupt", 0, 0, 0L, 0, 0.0, 0.0)
+        else
+          AudioStats(r.media_id, r.format, codec,
+            math.round(f.getSampleRate), ch, frames, peak,
+            sAbs.toDouble / n, math.sqrt(sSq.toDouble / n))
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          AudioStats(r.media_id, r.format, "corrupt", 0, 0, 0L, 0, 0.0, 0.0)
+      }
+    st
+  }
+
   /** Byte-level feature extraction for ANY payload as a per-partition
     * batch map — deterministic statistics that need no codec (the
-    * audio/video stand-in until a real decoder is linked; images get
-    * true pixel features from [[decodeImages]]).
+    * video stand-in until a real decoder is linked; images get true
+    * pixel features from [[decodeImages]], audio from
+    * [[decodeAudio]]).
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

@@ -106,4 +106,74 @@ class MultiModalSpec extends AnyFunSuite with SparkSpec {
       assert(perMedia(v.media_id).length === expected)
     }
   }
+
+  test("decodeAudio: real WAV sample decode with exact PCM statistics") {
+    import java.io.ByteArrayOutputStream
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import spark.implicits._
+
+    // fixture audio rendered HERE, sample by sample: a deterministic
+    // 16-bit signed PCM ramp written through the JDK's own WAV writer,
+    // with the expected peak / mean|s| / rms recomputed from the same
+    // sample function — pins the decode path (magic sniff →
+    // AudioSystem → PCM16 normalize → integer sums) end to end. WAV
+    // PCM is lossless, so encode→decode must round-trip the samples.
+    def samples(n: Int): Array[Short] =
+      Array.tabulate(n)(i => ((i * 257) % 20001 - 10000).toShort)
+    def wavBytes(s: Array[Short], rate: Float, channels: Int): Array[Byte] = {
+      val bytes = new Array[Byte](2 * s.length)
+      for (i <- s.indices) {
+        bytes(2 * i) = (s(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((s(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16,
+        channels, 2 * channels, rate, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt,
+        s.length / channels)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def expected(s: Array[Short]): (Int, Double, Double) = {
+      var sAbs = 0L; var sSq = 0L; var peak = 0
+      for (v <- s) {
+        val a = math.abs(v.toInt)
+        if (a > peak) peak = a
+        sAbs += a; sSq += v.toLong * v
+      }
+      (peak, sAbs.toDouble / s.length, math.sqrt(sSq.toDouble / s.length))
+    }
+
+    val mono = samples(480)
+    val stereo = samples(400) // 200 frames x 2 channels
+    val recs = Seq(
+      MultiModal.MediaRecord(1L, "audio", wavBytes(mono, 8000f, 1)),
+      MultiModal.MediaRecord(2L, "audio", wavBytes(stereo, 44100f, 2)),
+      MultiModal.MediaRecord(3L, "image", "not audio at all".getBytes("UTF-8")),
+      MultiModal.MediaRecord(4L, "audio",
+        "RIFFxxxxWAVE then garbage that is no wav chunk".getBytes("UTF-8")))
+    val out = MultiModal.decodeAudio(spark.createDataset(recs))
+      .collect().map(s => s.media_id -> s).toMap
+
+    val (p1, m1, r1) = expected(mono)
+    assert(out(1L).codec === "wav" && out(1L).sample_rate === 8000 &&
+      out(1L).channels === 1 && out(1L).n_frames === 480L)
+    assert((out(1L).peak, out(1L).mean_abs, out(1L).rms) === ((p1, m1, r1)),
+      "mono PCM stats must be exact")
+
+    val (p2, m2, r2) = expected(stereo)
+    assert(out(2L).codec === "wav" && out(2L).sample_rate === 44100 &&
+      out(2L).channels === 2 && out(2L).n_frames === 200L)
+    assert((out(2L).peak, out(2L).mean_abs, out(2L).rms) === ((p2, m2, r2)),
+      "stereo PCM stats must be exact")
+
+    // quarantine rows tag, they don't fail the batch
+    assert(out(3L).codec === "unknown" && out(3L).n_frames === 0L)
+    assert(out(4L).codec === "corrupt" && out(4L).n_frames === 0L)
+
+    // the synthetic corpus payloads are utf-8 text: all quarantine
+    val corpus = MultiModal.decodeAudio(MultiModal.mediaTable(spark, sf)).collect()
+    assert(corpus.length === 500 && corpus.forall(_.codec === "unknown"))
+  }
 }
