@@ -27,6 +27,10 @@ import graft.streaming.Observe
   *      gates have dropped most rows), clustered by min-label
   *      propagation; each dup component keeps its min-doc_id
   *      canonical
+  *   4b. boilerplate strip (x74's segment-dedup core): cross-doc
+  *      duplicated W-token segments keep one min-doc_id owner copy;
+  *      every later stage and the published snapshot see the
+  *      reassembled cleaned text; docs stripped to nothing leave
   *   5. contamination gate: survivors sharing ≥ 50% of their distinct
   *      8-grams with the eval slice are dropped — by x51's broadcast
   *      core when the distinct eval grams fit the broadcast envelope,
@@ -54,7 +58,8 @@ import graft.streaming.Observe
 object Pipeline {
 
   case class Result(version: Long, kept: Long, heldOutEval: Long,
-      prunedNearDup: Long, droppedContaminated: Long, prunedSemantic: Long,
+      prunedNearDup: Long, strippedSegTokens: Long, emptiedBySegClean: Long,
+      droppedContaminated: Long, prunedSemantic: Long,
       piiMaskedDocs: Long, vectorized: Long, sequences: Long,
       packedTokens: Long)
 
@@ -124,8 +129,10 @@ object Pipeline {
     val corpusObs = s"graft_pipe_corpus_$runTag"
     val vectorsObs = s"graft_pipe_vectors_$runTag"
     val packingObs = s"graft_pipe_packing_$runTag"
+    val segObs = s"graft_pipe_segclean_$runTag"
     var keepIds: DataFrame = null
     var trainCorpus: DataFrame = null
+    var dedupSurv: DataFrame = null
     var afterDedup: DataFrame = null
     var corpus: DataFrame = null
     var sh3: DataFrame = null
@@ -171,11 +178,54 @@ object Pipeline {
       sh3 = shHandle
       val dupLosers = ExtensionQueries
         .clusterLosersOf(edges, "pipeline near-dup")
-      afterDedup = trainCorpus
+      dedupSurv = trainCorpus
         .join(dupLosers, Seq("doc_id"), "left_anti").persist()
-      val afterCount = afterDedup.count()
-      val prunedNearDup = trainCount - afterCount
+      val survCount = dedupSurv.count()
+      val prunedNearDup = trainCount - survCount
       sh3.unpersist()
+
+      // 4b. boilerplate strip (x74's segment-dedup core) on the dedup
+      // survivors — the CCNet-shape pass whole-doc pruning can't do:
+      // sub-0.5-Jaccard docs that still share exact W-token segments
+      // (headers, license blocks, templated prefixes) keep ONE owner
+      // copy of each shared segment (min doc_id) and everything
+      // downstream — the contamination gate, vectors, packing, the
+      // published snapshot — sees the REASSEMBLED cleaned text, so
+      // the model never trains on the duplicated bytes. Docs with no
+      // tokens pass through untouched (nothing to strip); docs
+      // stripped to nothing leave the corpus (pure boilerplate
+      // carriers). Funnel stats ride the persist's materializing
+      // count as observe() counters.
+      // Only docs that actually LOST a segment are rewritten — an
+      // untouched doc keeps its original bytes (case, punctuation,
+      // mask markers), because the reassembly is a join of the
+      // TOKENIZED stream and must not launder formatting through the
+      // tokenizer for the 99% of docs the pass doesn't touch. For the
+      // rewritten minority the token join is the faithful form on
+      // this corpus (single-space lowercase text); production swaps
+      // the line segmenter per x74's note and splices original line
+      // bytes, changing only segmentCleanOf's two projections.
+      val segStats = ExtensionQueries.segmentCleanOf(dedupSurv)
+        .select(col("doc_id"), col("n_dropped"), col("n_tokens_dropped"),
+          col("cleaned_text"))
+      afterDedup = dedupSurv
+        .join(segStats, Seq("doc_id"), "left")
+        .withColumn("stripped", coalesce(col("n_dropped"), lit(0L)) > 0)
+        .withColumn("text",
+          when(col("stripped"), col("cleaned_text")).otherwise(col("text")))
+        .filter(!(col("stripped") && col("cleaned_text") === ""))
+        .observe(segObs,
+          sum(coalesce(col("n_tokens_dropped"), lit(0L))).as("seg_tokens"))
+        .drop("stripped", "cleaned_text", "n_dropped", "n_tokens_dropped")
+        .persist()
+      val afterCount = afterDedup.count()
+      val emptiedBySegClean = survCount - afterCount
+      val strippedSegTokens =
+        try {
+          val r = cap.await(segObs)
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        } catch { case _: IllegalStateException => -1L }
+      dedupSurv.unpersist()
 
       // 5. contamination gate: benchmark grams come from the masked
       // FULL-corpus eval slice (external benchmarks don't pass anyone's
@@ -298,11 +348,13 @@ object Pipeline {
         if (r.isNullAt(0)) 0L else r.getLong(0) + 1)
       val packedTokens = observedOr(packingObs)(r =>
         if (r.isNullAt(1)) 0L else r.getLong(1))
-      Result(version, kept, heldOut, prunedNearDup, droppedContaminated,
+      Result(version, kept, heldOut, prunedNearDup, strippedSegTokens,
+        emptiedBySegClean, droppedContaminated,
         prunedSemantic, piiMaskedDocs, vectorized, sequences, packedTokens)
     } finally {
       Observe.release(spark, cap)
-      Seq(keepIds, trainCorpus, afterDedup, corpus, sh3, evalCache, contamSurv)
+      Seq(keepIds, trainCorpus, dedupSurv, afterDedup, corpus, sh3, evalCache,
+        contamSurv)
         .filter(_ != null).foreach(_.unpersist(false))
       if (evalBloom != null) evalBloom.destroy()
     }
@@ -324,6 +376,8 @@ object Pipeline {
     println(s"""{"version":${r.version},"kept":${r.kept},""" +
       s""""held_out_eval":${r.heldOutEval},""" +
       s""""pruned_near_dup":${r.prunedNearDup},""" +
+      s""""stripped_seg_tokens":${r.strippedSegTokens},""" +
+      s""""emptied_by_seg_clean":${r.emptiedBySegClean},""" +
       s""""dropped_contaminated":${r.droppedContaminated},""" +
       s""""pruned_semantic":${r.prunedSemantic},""" +
       s""""pii_masked_docs":${r.piiMaskedDocs},""" +

@@ -442,31 +442,45 @@ object ExtensionQueries {
   // owner table is |distinct segments| ≤ |corpus|/W rows of 24 bytes.
   private val SegW = 5
 
-  def x74_segment_dedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val t = ReferenceQueries.parallelized(docs)
+  /** The segment-dedup CORE over an arbitrary (doc_id, text, …) frame
+    * — everything x74 computes, with the cleaned document carried as
+    * TEXT (order-preserving reassembly of the kept segments), so a
+    * composing pipeline can ship the stripped corpus, not just audit
+    * it. x74's oracle-checked query is a hash projection of this.
+    * Emits one row per doc with ≥ 1 token: (doc_id, n_segments,
+    * n_dropped, n_tokens_kept, cleaned_text).
+    */
+  private[graft] def segmentCleanOf(docsIn: DataFrame, w: Int = SegW): DataFrame = {
+    val t = ReferenceQueries.parallelized(docsIn)
       .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
-    val nseg = ((size(col("toks")) + lit(SegW - 1)) / lit(SegW)).cast("int")
+    val nseg = ((size(col("toks")) + lit(w - 1)) / lit(w)).cast("int")
     val seg = t
       .select(col("doc_id"), size(col("toks")).as("n"),
         posexplode(transform(sequence(lit(0), nseg - 1),
-          i => array_join(slice(col("toks"), i * SegW + 1, lit(SegW)), " "))))
+          i => array_join(slice(col("toks"), i * w + 1, lit(w)), " "))))
       .select(col("doc_id"), col("pos").as("seg_idx"), col("col").as("seg"),
-        least(lit(SegW), col("n") - col("pos") * SegW).cast("long").as("ntok"))
+        least(lit(w), col("n") - col("pos") * w).cast("long").as("ntok"))
     val owners = seg.groupBy(md5(col("seg")).as("h"))
       .agg(min(col("doc_id")).as("owner"))
     val tagged = seg.withColumn("h", md5(col("seg")))
       .join(owners, Seq("h"))
       .withColumn("keep", col("owner") === col("doc_id"))
-    val agg = tagged.groupBy("doc_id").agg(
+    tagged.groupBy("doc_id").agg(
       count(lit(1)).as("n_segments"),
       sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
       sum(when(col("keep"), col("ntok")).otherwise(0L)).as("n_tokens_kept"),
-      md5(array_join(transform(
+      sum(when(col("keep"), 0L).otherwise(col("ntok"))).as("n_tokens_dropped"),
+      array_join(transform(
         array_sort(collect_list(when(col("keep"),
           struct(col("seg_idx"), col("seg"))))),
-        s => s.getField("seg")), " ")).as("cleaned_hash"))
+        s => s.getField("seg")), " ").as("cleaned_text"))
+  }
+
+  def x74_segment_dedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val agg = segmentCleanOf(docs)
+      .withColumn("cleaned_hash", md5(col("cleaned_text")))
     docs.select("doc_id").join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_segments"), lit(0L)).as("n_segments"),

@@ -57,14 +57,43 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(losers.nonEmpty, "testdata should plant near-dup clusters")
     assert(r.prunedNearDup === losers.size)
 
+    // segment-clean reconcile: the boilerplate strip runs on exactly
+    // the dedup-survivor corpus; recompute it here with the same core
+    // (the core itself is x74's oracle-checked machinery) and check
+    // the funnel counters against it
+    import spark.implicits._
+    val rawById = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(row => row.getLong(0) -> row.getString(1)).toMap
+    val survDocs = rawById.toSeq
+      .filter { case (id, _) => trainSet(id) && !losers(id) }
+      .map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+    val segExp = graft.queries.ExtensionQueries.segmentCleanOf(survDocs)
+      .select("doc_id", "n_dropped", "n_tokens_dropped", "cleaned_text")
+      .collect()
+      .map(row => row.getLong(0) ->
+        ((row.getLong(1), row.getLong(2), row.getString(3)))).toMap
+    val emptied = segExp.collect {
+      case (id, (nd, _, ct)) if nd > 0 && ct == "" => id
+    }.toSet
+    assert(r.emptiedBySegClean === emptied.size)
+    assert(r.strippedSegTokens === segExp.collect {
+      case (id, (nd, nt, ct)) if !emptied(id) => nt
+    }.sum)
+    assert(segExp.exists { case (_, (nd, _, _)) => nd > 0 },
+      "testdata should plant at least one cross-doc duplicated segment")
+
     // contamination reconcile: contam_frac is per-doc (own grams vs
     // the full-corpus eval slice), so x51's flagged set restricted to
-    // the dedup survivors is the pipeline's drop set
+    // the dedup+segclean survivors is the pipeline's drop set (the
+    // strip barely perturbs gram sets at this SF — x51 over raw text
+    // still predicts the gate's decisions, which this assert checks)
     val flagged = graft.queries.ExtensionQueries.x51_contamination(spark, sf)
       .filter(col("flagged")).select("doc_id")
       .collect().map(_.getLong(0)).toSet
-    val expectSnap = trainSet -- losers -- flagged
-    assert(r.droppedContaminated === (trainSet -- losers).count(flagged))
+    val expectSnap = trainSet -- losers -- emptied -- flagged
+    assert(r.droppedContaminated ===
+      (trainSet -- losers -- emptied).count(flagged))
 
     val snapDocs = VersionedStore.readTable(spark, store, r.version, "documents")
     val snapIds = snapDocs.select("doc_id").collect().map(_.getLong(0)).toSet
@@ -84,14 +113,18 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
 
     // published text is the MASKED text (byte-identical to raw on the
     // PII-free testdata — the rewrite itself is pinned by the
-    // synthetic-PII test below), and the pii funnel count reconciles
+    // synthetic-PII test below) AFTER the boilerplate strip: docs that
+    // lost a cross-doc duplicated segment carry the reassembled
+    // cleaned text, untouched docs carry their original bytes
     assert(r.piiMaskedDocs ===
       snapDocs.filter(col("n_pii") > 0).count())
-    val rawById = Tables.documents(spark, sf)
-      .select("doc_id", "text").collect()
-      .map(row => row.getLong(0) -> row.getString(1)).toMap
     snapDocs.select("doc_id", "text").collect().foreach { row =>
-      assert(row.getString(1) === rawById(row.getLong(0)))
+      val id = row.getLong(0)
+      val expected = segExp.get(id) match {
+        case Some((nd, _, ct)) if nd > 0 => ct
+        case _ => rawById(id)
+      }
+      assert(row.getString(1) === expected, s"text mismatch for doc $id")
     }
 
     assert(r.vectorized > 0)
