@@ -41,6 +41,32 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("x78prof")) {
+      // Where does x78's wall clock go? keys build vs self-join vs
+      // distinct vs levenshtein verify vs final sort.
+      val names = Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_name"))
+      val dels = transform(sequence(lit(1), length(col("c_name"))),
+        i => concat(col("c_name").substr(lit(1), i - 1),
+          col("c_name").substr(i + 1, length(col("c_name")))))
+      val keys = names.select(col("c_custkey"), col("c_name"),
+        explode(array_distinct(concat(array(col("c_name")), dels))).as("k"))
+        .persist()
+      time("keys")(keys.count())
+      val cand = keys.as("a").join(keys.as("b"),
+          col("a.k") === col("b.k") && col("a.c_custkey") < col("b.c_custkey"))
+        .select(col("a.c_custkey").as("c1"), col("a.c_name").as("n1"),
+          col("b.c_custkey").as("c2"), col("b.c_name").as("n2"))
+      time("join")(cand.count())
+      time("join+distinct")(cand.distinct().count())
+      time("join+distinct+lev")(cand.distinct()
+        .filter(levenshtein(col("n1"), col("n2")) <= 1).count())
+      keys.unpersist()
+      time("full")(graft.queries.ExtensionQueries
+        .x78_fuzzy_pairs(spark, sfDir).count())
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("mllsh")) {
       // Where does x46's wall clock go? fit vs transform vs candidate
       // join vs keyDistance scoring.

