@@ -583,6 +583,44 @@ object ExtensionQueries {
        |FROM sp s JOIN tt USING (doc_id) ORDER BY doc_id, span_start""".stripMargin
 
   // ======================================================================
+  // x81: deterministic global shuffle + shard assignment — the EXPORT
+  // step between a curated corpus and a data loader: training wants
+  // the corpus in a reproducible random order, split into S shard
+  // files a loader can stripe across workers. Randomness is a salted
+  // hash, not an RNG: a doc's (shard, position) is a pure function of
+  // its id, so re-exports are stable, adding documents never reorders
+  // existing ones within their shard, and any engine recomputes the
+  // same permutation (the oracle does). Shapes: shard = high bits of
+  // the hash mod S (one projection); position = row_number per shard
+  // — which IS the distributed writer's repartition(S) +
+  // sortWithinPartitions, expressed as an entity-partitioned window.
+  // S is the scale knob: shards ≈ output files, sized so one shard
+  // sorts in one task's memory (thousands at 100 TB, 8 here).
+  private val ShardCount = 8
+
+  def x81_shuffle_shards(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("shard",
+        pmod(conv(substring(col("h"), 1, 8), 16, 10).cast("long"),
+          lit(ShardCount.toLong)))
+    h.withColumn("pos",
+        row_number().over(Window.partitionBy("shard")
+          .orderBy(col("h"), col("doc_id"))).cast("long") - 1L)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  val x81Sql: String =
+    s"""WITH h AS (SELECT doc_id, md5('shard:' || doc_id) AS h FROM documents),
+       |k AS (SELECT doc_id, h,
+       |  ('0x' || substr(h, 1, 8))::BIGINT % $ShardCount AS shard FROM h)
+       |SELECT doc_id, shard,
+       |  (row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1)::BIGINT AS pos
+       |FROM k ORDER BY shard, pos""".stripMargin
+
+  // ======================================================================
   // x79: BPE merge training — the tokenizer-training leg of the
   // pipeline (x09's "BPE-ish regex" counts tokens; this LEARNS the
   // subword vocabulary). Algorithm and scale structure live in
@@ -2371,7 +2409,12 @@ object ExtensionQueries {
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
     // contract is BpeSpec's reference-implementation equivalence
     "x79_bpe_train" -> (x79_bpe_train _),
+    // rows-only (LBFGS not SQL-expressible): accuracy contract is
+    // QualityModelSpec's seed-separation + planted-garbage ranking
+    "x82_quality_model" ->
+      ((s: SparkSession, d: String) => graft.ml.QualityModel.scoreStats(s, d)),
     "x80_mixture_weights" -> (x80_mixture_weights _),
+    "x81_shuffle_shards" -> (x81_shuffle_shards _),
     "x72_dup_clusters_all" -> (x72_dup_clusters_all _),
     "x59_seq_pack" -> (x59_seq_pack _),
     "x49_quantize" -> (x49_quantize _),
@@ -2431,6 +2474,7 @@ object ExtensionQueries {
     "x77_dup_spans" -> x77Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,
+    "x81_shuffle_shards" -> x81Sql,
     "x72_dup_clusters_all" -> x72Sql,
     "x59_seq_pack" -> x59Sql,
     "x17_media_features" -> x17Sql,
