@@ -450,22 +450,29 @@ object ExtensionQueries {
     * Emits one row per doc with ≥ 1 token: (doc_id, n_segments,
     * n_dropped, n_tokens_kept, cleaned_text).
     */
-  private[graft] def segmentCleanOf(docsIn: DataFrame, w: Int = SegW): DataFrame = {
+  /** The fixed-window segmentation every segment-dedup form shares:
+    * (doc_id, seg_idx, seg, ntok, h) per non-overlapping W-token
+    * window. Exposed so the STREAMING channel (DedupStream's segown/
+    * cleandocs slices) segments exactly like the batch pass.
+    */
+  private[graft] def segmentsOf(docsIn: DataFrame, w: Int = SegW): DataFrame = {
     val t = ReferenceQueries.parallelized(docsIn)
       .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
     val nseg = ((size(col("toks")) + lit(w - 1)) / lit(w)).cast("int")
-    val seg = t
-      .select(col("doc_id"), size(col("toks")).as("n"),
+    t.select(col("doc_id"), size(col("toks")).as("n"),
         posexplode(transform(sequence(lit(0), nseg - 1),
           i => array_join(slice(col("toks"), i * w + 1, lit(w)), " "))))
       .select(col("doc_id"), col("pos").as("seg_idx"), col("col").as("seg"),
         least(lit(w), col("n") - col("pos") * w).cast("long").as("ntok"))
-    val owners = seg.groupBy(md5(col("seg")).as("h"))
-      .agg(min(col("doc_id")).as("owner"))
-    val tagged = seg.withColumn("h", md5(col("seg")))
-      .join(owners, Seq("h"))
-      .withColumn("keep", col("owner") === col("doc_id"))
+      .withColumn("h", md5(col("seg")))
+  }
+
+  /** Per-doc reassembly of the kept segments under an arbitrary keep
+    * flag — the shared tail of the batch pass and the streaming
+    * channel. Input must carry (doc_id, seg_idx, seg, ntok, keep).
+    */
+  private[graft] def reassembleKept(tagged: DataFrame): DataFrame =
     tagged.groupBy("doc_id").agg(
       count(lit(1)).as("n_segments"),
       sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
@@ -475,6 +482,15 @@ object ExtensionQueries {
         array_sort(collect_list(when(col("keep"),
           struct(col("seg_idx"), col("seg"))))),
         s => s.getField("seg")), " ").as("cleaned_text"))
+
+  private[graft] def segmentCleanOf(docsIn: DataFrame, w: Int = SegW): DataFrame = {
+    val seg = segmentsOf(docsIn, w)
+    val owners = seg.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("owner"))
+    val tagged = seg
+      .join(owners, Seq("h"))
+      .withColumn("keep", col("owner") === col("doc_id"))
+    reassembleKept(tagged)
   }
 
   def x74_segment_dedup(spark: SparkSession, sfDir: String): DataFrame = {

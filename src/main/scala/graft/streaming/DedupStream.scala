@@ -81,6 +81,14 @@ object DedupStream {
     StructField("h", LongType), StructField("cnt", LongType),
     StructField("batch", LongType)))
 
+  private[streaming] val segownSchema: StructType = StructType(Seq(
+    StructField("h", LongType), StructField("owner", LongType)))
+  private[streaming] val cleanDocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("n_segments", LongType),
+    StructField("n_dropped", LongType), StructField("n_tokens_kept", LongType),
+    StructField("n_tokens_dropped", LongType),
+    StructField("cleaned_text", StringType)))
+
   /** History-rare cutoff for the containment probe — x04/x70's
     * rare-shingle universe: a shingle in more docs carries no dedup
     * signal and its posting list alone would blow up the probe join.
@@ -243,6 +251,41 @@ object DedupStream {
               survivors.select("lang", "text"))
               .write.mode(SaveMode.Overwrite)
               .parquet(s"$storeRoot/stats/batch=$batchId")
+            // SEGMENT channel — streaming x74, the Pipeline 4b pass
+            // in ingest form: the cross-batch segment OWNER table is
+            // maintained as idempotent per-batch slices (a segment's
+            // owner is its FIRST surviving carrier — with id-ordered
+            // arrivals, exactly x74's min-doc_id rule), and each
+            // batch publishes its docs' cleaned reassemblies. The
+            // near-dup channel above stays on RAW text by design: the
+            // dedup reference corpus and its pinned stream≡batch
+            // equivalences must not shift under the strip; training
+            // consumers read [[cleanedDocs]]. Owner key is the 8-byte
+            // xxhash like shpost (not x74's audit md5) — the spec
+            // equivalence is on the reassembled TEXT, not the hash.
+            // Replay-safe like every slice: owners from this batch's
+            // docs are anti-joined out of the history read, and the
+            // recompute overwrites batch=N with identical content.
+            val histOwn = readOrEmpty(spark, s"$storeRoot/segown", segownSchema)
+              .join(broadcast(batchIds.withColumnRenamed("doc_id", "owner")),
+                Seq("owner"), "left_anti")
+            val seg = ExtensionQueries.segmentsOf(survivors)
+              .withColumn("h", xxhash64(col("seg"))).persist()
+            try {
+              val batchOwn = seg.groupBy("h").agg(min(col("doc_id")).as("owner"))
+              batchOwn.join(histOwn.select("h"), Seq("h"), "left_anti")
+                .select("h", "owner").write.mode(SaveMode.Overwrite)
+                .parquet(s"$storeRoot/segown/batch=$batchId")
+              val tagged = seg
+                .join(batchOwn.withColumnRenamed("owner", "bown"), Seq("h"))
+                .join(histOwn.select(col("h"), lit(true).as("hist")),
+                  Seq("h"), "left")
+                .withColumn("keep",
+                  col("bown") === col("doc_id") && col("hist").isNull)
+              ExtensionQueries.reassembleKept(tagged)
+                .write.mode(SaveMode.Overwrite)
+                .parquet(s"$storeRoot/cleandocs/batch=$batchId")
+            } finally seg.unpersist()
             val vecs = ReferenceQueries
               .docVectorsByLang(survivors, wordvecsLang, dim)
               .select("doc_id", "lang", "known_ratio", "vec")
@@ -392,6 +435,16 @@ object DedupStream {
       Seq(readOrEmpty(spark, s"$storeRoot/stats", statsSchema)
         .select("lang", "n_rows", "token_hll", "token_freq", "token_theta")),
       Seq("lang"))
+
+  /** The training-consumer view of the segment channel: every accepted
+    * doc's cleaned reassembly (cleaned_text "" = the doc was pure
+    * boilerplate by the time it arrived), merged across batch slices.
+    * One row per accepted doc — a doc's row is written once, in its
+    * own batch, and never rewritten (owners are minimal, so later
+    * arrivals can't restrip an earlier doc).
+    */
+  def cleanedDocs(spark: SparkSession, storeRoot: String): DataFrame =
+    readOrEmpty(spark, s"$storeRoot/cleandocs", cleanDocSchema)
 
   private def readOrEmpty(spark: SparkSession, path: String,
       schema: StructType): DataFrame = {

@@ -131,6 +131,30 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
           .as("token")),
       Seq("lang"), Seq("token"), Nil, Seq("token"), Seq("token"))
     assert(statsShape(DedupStream.corpusStats(spark, store)) === statsShape(direct))
+
+    // segment channel: the per-batch cleaned reassemblies, merged
+    // across slices, equal the batch x74 core run over the cumulative
+    // survivor corpus — id-ordered arrivals make the stream's
+    // first-carrier owner rule coincide with x74's min-doc_id rule,
+    // and a doc's row is written once in its own batch (checkpoint
+    // replay included: the resume above re-ran batch 2's slice)
+    val survDocs = spark.read.parquet(s"$store/docs").select("doc_id", "text")
+    val segExp = graft.queries.ExtensionQueries.segmentCleanOf(survDocs)
+      .select("doc_id", "n_dropped", "n_tokens_kept", "cleaned_text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val segGot = DedupStream.cleanedDocs(spark, store)
+      .select("doc_id", "n_dropped", "n_tokens_kept", "cleaned_text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(segGot === segExp,
+      "stream segment channel diverges from the batch x74 core")
+    assert(segExp.exists(_._2._1 > 0),
+      "fixture should strip at least one cross-doc segment")
+    // owner table is globally unique per segment hash (each hash is
+    // owned exactly once, by its first surviving carrier)
+    val own = spark.read.parquet(s"$store/segown")
+    assert(own.count() === own.select("h").distinct().count())
   }
 
   test("contamination gate in the loop: flagged docs never reach the artifacts") {
