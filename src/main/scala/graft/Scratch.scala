@@ -32,9 +32,11 @@ object Scratch {
     }
 
     if (args.contains("explain")) {
-      for (n <- Seq("q16_tpch_q1", "q06_broadcast_join", "q12_doc_vectors",
+      val list = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q16_tpch_q1", "q06_broadcast_join", "q12_doc_vectors",
         "x05_ann_topk", "q01_pending_scan", "q28_sql_api", "x31_range_join",
-        "x32_gap_fill", "x41_salted_agg")) {
+        "x32_gap_fill", "x41_salted_agg")
+      for (n <- list) {
         println(s"==== PLAN $n ====")
         SparkEntry.queries(n)(spark, sfDir).explain("formatted")
       }

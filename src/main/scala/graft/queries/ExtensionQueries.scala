@@ -599,6 +599,55 @@ object ExtensionQueries {
        |FROM sp s JOIN tt USING (doc_id) ORDER BY doc_id, span_start""".stripMargin
 
   // ======================================================================
+  // x83: cross-source content-overlap matrix — the dataset-card
+  // adjunct a multi-source corpus needs before mixing (x80) makes
+  // sense: how much of source A's CONTENT is also in source B?
+  // Measured as shingle-set Jaccard per source pair — the exact form
+  // of the release-overlap question the theta-sketch column (x66)
+  // answers from kilobytes at 100 TB; this is the exact computation
+  // the sketch approximates, so the two cross-check. Shapes: one
+  // distinct (source, shingle-hash) projection — the UNIT of overlap
+  // is content, so per-source multiplicity collapses first — then a
+  // self-join on the 16-byte hash whose width is bounded by
+  // sources-per-shingle (≤ S per key, S² pairs worst case), never by
+  // corpus size, and one dimension-sized groupBy. Per-source totals
+  // ride a broadcast dimension join.
+  def x83_source_overlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    // the session-shared n=3 posting (x02/x04/x46's cache) + a narrow
+    // source dimension join — NOT a fresh tokenize (the docShingles
+    // HOF-materialization lesson) and not a second posting build
+    val sh = docShingles(docs)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"), md5(col("shingle")).as("h"))
+      .distinct()
+    val totals = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(totals.select(col("source").as("s1"), col("n").as("n1"))), Seq("s1"))
+      .join(broadcast(totals.select(col("source").as("s2"), col("n").as("n2"))), Seq("s2"))
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("shared"),
+        round(col("shared").cast("double")
+          / (col("n1") + col("n2") - col("shared")), 6).as("jaccard"))
+      .orderBy("s1", "s2")
+  }
+
+  val x83Sql: String =
+    s"""WITH $SqlShingleCte,
+       |ss AS (SELECT DISTINCT source, md5(sh.shingle) AS h
+       |       FROM sh JOIN documents USING (doc_id)),
+       |tot AS (SELECT source, count(*) AS n FROM ss GROUP BY source)
+       |SELECT a.source AS s1, b.source AS s2,
+       |  t1.n::BIGINT AS n1, t2.n::BIGINT AS n2,
+       |  count(*)::BIGINT AS shared,
+       |  round(count(*)::DOUBLE / (t1.n + t2.n - count(*)), 6) AS jaccard
+       |FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
+       |JOIN tot t1 ON t1.source = a.source JOIN tot t2 ON t2.source = b.source
+       |GROUP BY a.source, b.source, t1.n, t2.n ORDER BY s1, s2""".stripMargin
+
+  // ======================================================================
   // x81: deterministic global shuffle + shard assignment — the EXPORT
   // step between a curated corpus and a data loader: training wants
   // the corpus in a reproducible random order, split into S shard
@@ -2431,6 +2480,7 @@ object ExtensionQueries {
       ((s: SparkSession, d: String) => graft.ml.QualityModel.scoreStats(s, d)),
     "x80_mixture_weights" -> (x80_mixture_weights _),
     "x81_shuffle_shards" -> (x81_shuffle_shards _),
+    "x83_source_overlap" -> (x83_source_overlap _),
     "x72_dup_clusters_all" -> (x72_dup_clusters_all _),
     "x59_seq_pack" -> (x59_seq_pack _),
     "x49_quantize" -> (x49_quantize _),
@@ -2491,6 +2541,7 @@ object ExtensionQueries {
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,
     "x81_shuffle_shards" -> x81Sql,
+    "x83_source_overlap" -> x83Sql,
     "x72_dup_clusters_all" -> x72Sql,
     "x59_seq_pack" -> x59Sql,
     "x17_media_features" -> x17Sql,
