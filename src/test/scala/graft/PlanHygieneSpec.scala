@@ -114,6 +114,22 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
         s"levenshtein scan is the oracle's job, not the engine's:\n$p")
   }
 
+  test("x81 shard export never sorts through a single partition") {
+    val p = plan(graft.queries.ExtensionQueries.x81_shuffle_shards(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"x81's per-shard window must partition by shard, not globally:\n$p")
+  }
+
+  test("x83 source overlap roots at the shared shingle posting cache") {
+    val df = graft.queries.ExtensionQueries.x83_source_overlap(spark, sf)
+    df.count() // force cache materialization through the shared entry
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"x83 must read the shared x02/x04 posting cache, not re-tokenize:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic plan in x83:\n$p")
+  }
+
   test("x61 chunking is per-doc HOFs — no join, no quadratic plan") {
     val p = plan(graft.queries.ExtensionQueries.x61_chunks(spark, sf))
     assert(!p.contains("Join"), s"unexpected join in x61 plan:\n$p")
