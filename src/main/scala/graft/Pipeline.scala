@@ -45,11 +45,14 @@ import graft.streaming.Observe
   *      table (q32's `docVectorsByLang` core)
   *   7. sequence packing of the final corpus into fixed-size training
   *      sequences (the x59 pack-then-chunk shape, survivor-only)
-  *   8. publish masked documents + vectors + packing as ONE immutable
-  *      multi-table snapshot version (VersionedStore.publishAll) a
-  *      training run can pin forever — vectors of v=N can never pair
-  *      with packing of v=N-1, and the text a model trains on is
-  *      exactly the masked text in the same snapshot
+  *   8. publish masked documents + vectors + packing + vocabulary
+  *      stats + the BPE tokenizer trained on exactly the published
+  *      text as ONE immutable multi-table snapshot version
+  *      (VersionedStore.publishAll) a training run can pin forever —
+  *      vectors of v=N can never pair with packing of v=N-1, the text
+  *      a model trains on is exactly the masked text in the same
+  *      snapshot, and the subword vocabulary that tokenizes it ships
+  *      beside it
   *
   * Every stage is the already-oracle-checked query; this object only
   * composes them. Returns the full funnel so callers/specs can
@@ -324,6 +327,22 @@ object Pipeline {
       val stats = graft.sources.SketchStore.vocabStats(
         corpus.select("lang", "text"))
 
+      // 8b. tokenizer: BPE merges trained on EXACTLY the published
+      // text (per-language token rule, the same stream the vectors
+      // and stats describe) — the snapshot ships its own subword
+      // vocabulary, so "which tokenizer was this data meant for" has
+      // the same answer as "which text is this", forever, atomically.
+      // Cost: one more tokenize pass for the frequency table, then k
+      // vocabulary-sized jobs (operators/Bpe's scale argument).
+      val words = corpus
+        .select(explode(graft.functions.Tokenize.tokensByLang(
+          col("text"), col("lang"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      val tokenizer = spark.createDataFrame(
+        graft.operators.Bpe.train(spark, words, 20)._1)
+        .select(col("rank").cast("long").as("rank"), col("left"),
+          col("right"), col("merged"), col("pair_count"))
+
       // 9. one atomic multi-table snapshot: the masked text a model
       // trains on + vectors + packing + stats, versioned together. The
       // vector / packing stats are observations on the write jobs
@@ -331,7 +350,7 @@ object Pipeline {
       // (PipelineSpec pins published-snapshot readability separately).
       val version = VersionedStore.publishAll(
         Map("documents" -> corpus, "vectors" -> vecs, "packing" -> packed,
-          "stats" -> stats),
+          "stats" -> stats, "tokenizer" -> tokenizer),
         storeRoot)
       // The snapshot is PUBLISHED by this point; the funnel stats ride
       // the async listener bus, which Spark drops events from under

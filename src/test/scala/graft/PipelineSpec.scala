@@ -175,6 +175,23 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       assert((top, topN) === ((bestExact._2, -bestExact._1)), s"$lang top token")
     }
 
+    // the tokenizer table is the BPE merge run over EXACTLY the
+    // published text's token counts (per-language rule, same stream
+    // the stats describe) — replayed here through the same trainer,
+    // whose own reference-equivalence is BpeSpec's contract
+    val tokTable = VersionedStore.readTable(spark, store, r.version, "tokenizer")
+      .orderBy("rank").collect()
+      .map(row => (row.getLong(0), row.getString(1), row.getString(2),
+        row.getString(3), row.getLong(4)))
+    val wordsReplay = snapDocs.select(
+        explode(graft.functions.Tokenize.tokensByLang(col("text"), col("lang")))
+          .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val mergesReplay = graft.operators.Bpe.train(spark, wordsReplay, 20)._1
+      .map(m => (m.rank.toLong, m.left, m.right, m.merged, m.pair_count))
+    assert(tokTable.nonEmpty, "published tokenizer must have merges")
+    assert(tokTable.toSeq === mergesReplay)
+
     // snapshot is pinned: a second pipeline run appends a new version
     // and the first is untouched
     val before = VersionedStore.readTable(spark, store, r.version, "vectors").count()
