@@ -68,6 +68,53 @@ class DupSpanSpec extends AnyFunSuite with SparkSpec {
       (4L, 0L, 20L, nGrams, md5hex(copy))))
   }
 
+  test("randomized corpora: x77 equals a brute-force reference") {
+    // small alphabet forces organic cross-doc window collisions; the
+    // reference marks every position whose W-window occurs in another
+    // doc and merges consecutive marks — computed with plain hash
+    // maps, no shared code with the query
+    val alphabet = Vector("a", "b") // 2^W gram space => organic collisions
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 12L).map { id =>
+        val n = 10 + rnd.nextInt(20)
+        id -> Vector.fill(n)(alphabet(rnd.nextInt(alphabet.size)))
+      }
+      val dir = mkDocs(docs.map { case (id, toks) => id -> toks.mkString(" ") })
+
+      // brute force: gram -> set of docs containing it
+      val gramDocs = scala.collection.mutable.Map[Seq[String], Set[Long]]()
+      for ((id, toks) <- docs; i <- 0 to toks.size - W)
+        gramDocs.updateWith(toks.slice(i, i + W)) {
+          prev => Some(prev.getOrElse(Set.empty) + id)
+        }
+      val expected = docs.flatMap { case (id, toks) =>
+        val dup = (0 to toks.size - W)
+          .filter(i => gramDocs(toks.slice(i, i + W)).size >= 2)
+        // islands of consecutive duplicated starts
+        val islands = dup.foldLeft(List.empty[List[Int]]) {
+          case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 =>
+            (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }.map(_.reverse).reverse
+        islands.map { isl =>
+          val start = isl.head
+          val len = isl.last - start + W
+          (id, start.toLong, len.toLong, isl.size.toLong,
+            md5hex(toks.slice(start, start + len).mkString(" ")))
+        }
+      }
+
+      val got = ExtensionQueries.x77_dup_spans(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4)))
+      assert(got.toSeq === expected,
+        s"seed $seed: x77 diverges from the brute-force reference")
+      assert(expected.nonEmpty,
+        s"seed $seed: alphabet should produce organic collisions")
+    }
+  }
+
   test("two disjoint repeats in one doc stay two islands") {
     val r1 = (1 to W).map(i => s"p$i").mkString(" ")
     val r2 = (1 to W).map(i => s"q$i").mkString(" ")
