@@ -446,6 +446,69 @@ object DedupStream {
   def cleanedDocs(spark: SparkSession, storeRoot: String): DataFrame =
     readOrEmpty(spark, s"$storeRoot/cleandocs", cleanDocSchema)
 
+  /** Maintenance compaction of a QUIESCED store: N per-batch slice
+    * directories per artifact become one consolidated `batch=-1`
+    * slice each, so history reads stop paying a directory listing +
+    * footer per ever-ingested batch (the df probe alone reads every
+    * slice every micro-batch).
+    *
+    * PRECONDITION — the stream is STOPPED and its checkpoint is
+    * COMMITTED past every compacted batch. The per-batch slice layout
+    * is the replay-idempotence mechanism (a replayed batch overwrites
+    * batch=N and anti-joins its own rows out of history); folding
+    * committed batches together is only sound because AvailableNow +
+    * the retained checkpoint make their replay impossible. A NEW
+    * batch after compaction still gets its own fresh slice and its
+    * replay-safety is untouched (its rows are not in the consolidated
+    * slice). This is the nightly-window job TableMaintenance.compact
+    * is for flat tables, specialized to the store's partitioned
+    * replay contract: df rows re-aggregate by hash (their batch
+    * identity existed only for replay), stats slices merge
+    * sketch-wise, doc-keyed artifacts rewrite verbatim.
+    *
+    * Atomic per artifact: consolidated slice written to a temp
+    * sibling, row-count (or merge-shape) validated, then swapped.
+    * Returns per-artifact data-file counts after compaction.
+    */
+  def compactStore(spark: SparkSession, storeRoot: String): Map[String, Int] = {
+    val verbatim: Seq[(String, StructType, DataFrame => DataFrame)] = Seq(
+      ("postings", bandSchema, identity[DataFrame] _),
+      ("docs", keptDocSchema, identity[DataFrame] _),
+      ("shpost", shpostSchema, identity[DataFrame] _),
+      ("docn", docnSchema, identity[DataFrame] _),
+      ("segown", segownSchema, identity[DataFrame] _),
+      ("cleandocs", cleanDocSchema, identity[DataFrame] _),
+      ("df", dfSchema,
+        (df: DataFrame) => df.groupBy("h").agg(sum(col("cnt")).as("cnt"))),
+      ("stats", statsSchema, (df: DataFrame) =>
+        graft.sources.SketchStore.merge(
+          Seq(df.select("lang", "n_rows", "token_hll", "token_freq",
+            "token_theta")), Seq("lang"))))
+    verbatim.flatMap { case (name, schema, consolidate) =>
+      val dir = s"$storeRoot/$name"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val dataCols = schema.fieldNames.filterNot(_ == "batch").map(col)
+        val src = spark.read.parquet(dir).select(dataCols.toIndexedSeq: _*)
+        val out = consolidate(src)
+        val expected = out.count()
+        val tmp = s"$dir.compact.tmp"
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        out.write.parquet(s"$tmp/batch=-1")
+        require(spark.read.parquet(tmp)
+          .select(dataCols.toIndexedSeq: _*).count() == expected,
+          s"compaction row-count mismatch for $name")
+        fs.delete(p, true)
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+          s"compaction swap failed for $name")
+        Some(name -> graft.sources.TableMaintenance
+          .dataFileCount(spark, s"$dir/batch=-1"))
+      }
+    }.toMap
+  }
+
   private def readOrEmpty(spark: SparkSession, path: String,
       schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -205,6 +205,94 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     } finally gate.release()
   }
 
+  test("quiesced-store compaction preserves every artifact and the stream continues") {
+    val work = Files.createTempDirectory("graft_dstream_compact")
+    val docsDir = work.resolve("docs_in")
+    Files.createDirectory(docsDir)
+    val store = work.resolve("store").toString
+    val ckpt = work.resolve("ckpt").toString
+    val wordvecs = graft.queries.ReferenceQueries.wordvecsByLang(spark, sf)
+
+    def putBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = work.resolve(s"stagec_$name")
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.copy(Paths.get(part), docsDir.resolve(s"$name.parquet"))
+    }
+    def runStream(): Unit =
+      DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt)
+        .awaitTermination(180000)
+
+    val base = (1 to 20).map(i => s"t$i").mkString(" ")
+    val boiler = (1 to 5).map(i => s"b$i").mkString(" ")
+    putBatch("c1", Seq(
+      1L -> base,
+      2L -> s"$boiler ${(1 to 10).map(i => s"u$i").mkString(" ")}",
+      3L -> base)) // within-batch dup of 1
+    runStream()
+    putBatch("c2", Seq(
+      4L -> base, // history dup of 1
+      5L -> s"$boiler ${(1 to 10).map(i => s"v$i").mkString(" ")}",
+      6L -> (1 to 12).map(i => s"w$i").mkString(" ")))
+    runStream()
+
+    def artifact(name: String, cols: Seq[String]): Set[Seq[Any]] =
+      spark.read.parquet(s"$store/$name").select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    val arts = Seq(
+      "postings" -> Seq("doc_id", "band", "sig"),
+      "docs" -> Seq("doc_id", "text"),
+      "shpost" -> Seq("h", "doc_id"),
+      "docn" -> Seq("doc_id", "n_sh"),
+      "segown" -> Seq("h", "owner"),
+      "cleandocs" -> Seq("doc_id", "n_dropped", "cleaned_text"))
+    val before = arts.map { case (n, cs) => n -> artifact(n, cs) }.toMap
+    val dfBefore = spark.read.parquet(s"$store/df")
+      .groupBy("h").agg(sum(col("cnt")).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val statsBefore = DedupStream.corpusStats(spark, store)
+      .select(col("lang"), col("n_rows")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+    // stream is stopped (AvailableNow terminated), checkpoint
+    // committed — the compaction precondition
+    val files = DedupStream.compactStore(spark, store)
+    assert(files.keySet === (arts.map(_._1).toSet ++ Set("df", "stats")))
+    arts.foreach { case (n, cs) =>
+      assert(artifact(n, cs) === before(n), s"$n changed under compaction")
+      val slices = Files.list(Paths.get(s"$store/$n")).toArray.map(_.toString)
+        .filter(_.contains("batch="))
+      assert(slices.length === 1 && slices.head.endsWith("batch=-1"),
+        s"$n not consolidated: ${slices.toSeq}")
+    }
+    assert(spark.read.parquet(s"$store/df")
+      .groupBy("h").agg(sum(col("cnt")).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === dfBefore)
+    assert(DedupStream.corpusStats(spark, store)
+      .select(col("lang"), col("n_rows")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet === statsBefore)
+
+    // the stream continues against compacted history: a dup of doc 1
+    // still drops, and the segment channel still knows doc 2 owns the
+    // boilerplate segment
+    putBatch("c3", Seq(
+      7L -> base, // dup vs compacted history
+      8L -> s"$boiler ${(1 to 10).map(i => s"x$i").mkString(" ")}"))
+    runStream()
+    val accepted = spark.read.parquet(s"$store/docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(accepted === Set(1L, 2L, 5L, 6L, 8L),
+      s"post-compaction batch mis-deduped: $accepted")
+    val clean8 = DedupStream.cleanedDocs(spark, store)
+      .filter(col("doc_id") === 8L)
+      .select("n_dropped", "cleaned_text").collect()(0)
+    assert(clean8.getLong(0) === 1L)
+    assert(clean8.getString(1) === (1 to 10).map(i => s"x$i").mkString(" "))
+  }
+
   test("per-batch plan touches history only through the artifacts (no corpus rescan)") {
     import org.apache.spark.sql.functions.{count => cnt, lit, sum => fsum, xxhash64}
     val work = Files.createTempDirectory("graft_dstream_plan")
