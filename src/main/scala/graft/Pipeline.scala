@@ -18,6 +18,11 @@ import graft.streaming.Observe
   *      contamination n-gram match below compares different text
   *   3. eval hold-out: the benchmark slice (doc_id % 100 == 0, x51's
   *      convention) never reaches the published training set
+  *   3b. OPTIONAL learned quality gate (x82's distant-supervision
+  *      classifier, trained on this run's train corpus): drops docs
+  *      scoring under qualityMin — the model catches what the
+  *      heuristics can't (e.g. all-hapax gibberish with a high
+  *      heuristic score)
   *   4. near-dup pruning over ONLY the surviving train corpus on the
   *      CROSS-MEASURE closure (x72's shape): Jaccard AND containment
   *      edges projected from one df-capped posting self-join
@@ -61,6 +66,7 @@ import graft.streaming.Observe
 object Pipeline {
 
   case class Result(version: Long, kept: Long, heldOutEval: Long,
+      droppedLowQuality: Long,
       prunedNearDup: Long, strippedSegTokens: Long, emptiedBySegClean: Long,
       droppedContaminated: Long, prunedSemantic: Long,
       piiMaskedDocs: Long, vectorized: Long, sequences: Long,
@@ -115,7 +121,8 @@ object Pipeline {
   def run(spark: SparkSession, sfDir: String, storeRoot: String,
       semanticDedup: Boolean = false, semanticCos: Double = 0.95,
       semanticK: Int = 16,
-      maxBroadcastEvalGrams: Long = 50L * 1000 * 1000): Result = {
+      maxBroadcastEvalGrams: Long = 50L * 1000 * 1000,
+      qualityGate: Boolean = false, qualityMin: Double = 0.5): Result = {
     val docs = Tables.documents(spark, sfDir)
 
     // Funnel accounting beyond the four materializing counts rides the
@@ -135,6 +142,7 @@ object Pipeline {
     val segObs = s"graft_pipe_segclean_$runTag"
     var keepIds: DataFrame = null
     var trainCorpus: DataFrame = null
+    var qualCorpus: DataFrame = null
     var dedupSurv: DataFrame = null
     var afterDedup: DataFrame = null
     var corpus: DataFrame = null
@@ -165,8 +173,31 @@ object Pipeline {
         .join(keepIds, Seq("doc_id"), "left_semi")
         .filter(pmod(col("doc_id"), lit(100)) =!= 0)
         .persist()
-      val trainCount = trainCorpus.count()
-      val heldOut = kept - trainCount
+      val rawTrainCount = trainCorpus.count()
+      val heldOut = kept - rawTrainCount
+
+      // 3b. OPTIONAL model-based quality gate (x82's classifier): the
+      // x57 verdict above is the heuristic floor, and a doc can sail
+      // through every heuristic while being exactly the text a model
+      // flags — long all-hapax gibberish passes the length / stopword
+      // / repetition gates with a high heuristic score but sits at
+      // the far cross-entropy tail the classifier is seeded on. The
+      // model trains on THIS run's train corpus (distant supervision,
+      // no labels to configure) and drops docs scoring under
+      // qualityMin before any pairwise work spends time on them. Off
+      // by default: a learned gate's operating point is a judgment
+      // call the caller should make consciously (the semanticDedup
+      // precedent).
+      val (gatedTrain, trainCount, droppedLowQuality) =
+        if (!qualityGate) (trainCorpus, rawTrainCount, 0L)
+        else {
+          val bad = graft.ml.QualityModel.score(trainCorpus)
+            .filter(col("p_quality") < qualityMin).select("doc_id")
+          qualCorpus = trainCorpus
+            .join(bad, Seq("doc_id"), "left_anti").persist()
+          val c = qualCorpus.count()
+          (qualCorpus, c, rawTrainCount - c)
+        }
 
       // 4. near-dup pruning over ONLY the train survivors, on the
       // CROSS-MEASURE closure (the x72 shape): Jaccard ∪ containment
@@ -177,11 +208,11 @@ object Pipeline {
       // d2-drops (the pre-r9 policy) under-prune: a doc whose only
       // smaller neighbor is TRANSITIVE (B~C, A~C, A<B, no A~B edge)
       // survived while its component's representative also survived.
-      val (edges, shHandle) = dupEdgesOf(trainCorpus)
+      val (edges, shHandle) = dupEdgesOf(gatedTrain)
       sh3 = shHandle
       val dupLosers = ExtensionQueries
         .clusterLosersOf(edges, "pipeline near-dup")
-      dedupSurv = trainCorpus
+      dedupSurv = gatedTrain
         .join(dupLosers, Seq("doc_id"), "left_anti").persist()
       val survCount = dedupSurv.count()
       val prunedNearDup = trainCount - survCount
@@ -367,13 +398,14 @@ object Pipeline {
         if (r.isNullAt(0)) 0L else r.getLong(0) + 1)
       val packedTokens = observedOr(packingObs)(r =>
         if (r.isNullAt(1)) 0L else r.getLong(1))
-      Result(version, kept, heldOut, prunedNearDup, strippedSegTokens,
+      Result(version, kept, heldOut, droppedLowQuality, prunedNearDup,
+        strippedSegTokens,
         emptiedBySegClean, droppedContaminated,
         prunedSemantic, piiMaskedDocs, vectorized, sequences, packedTokens)
     } finally {
       Observe.release(spark, cap)
-      Seq(keepIds, trainCorpus, dedupSurv, afterDedup, corpus, sh3, evalCache,
-        contamSurv)
+      Seq(keepIds, trainCorpus, qualCorpus, dedupSurv, afterDedup, corpus, sh3,
+        evalCache, contamSurv)
         .filter(_ != null).foreach(_.unpersist(false))
       if (evalBloom != null) evalBloom.destroy()
     }
@@ -382,8 +414,10 @@ object Pipeline {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val semantic = args.contains("--semantic")
-    val store = args.filterNot(_ == "--semantic").headOption.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_pipeline").toString + "/store")
+    val quality = args.contains("--quality")
+    val store = args.filterNot(a => a == "--semantic" || a == "--quality")
+      .headOption.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_pipeline").toString + "/store")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -391,9 +425,11 @@ object Pipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = run(spark, sfDir, store, semanticDedup = semantic)
+    val r = run(spark, sfDir, store, semanticDedup = semantic,
+      qualityGate = quality)
     println(s"""{"version":${r.version},"kept":${r.kept},""" +
       s""""held_out_eval":${r.heldOutEval},""" +
+      s""""dropped_low_quality":${r.droppedLowQuality},""" +
       s""""pruned_near_dup":${r.prunedNearDup},""" +
       s""""stripped_seg_tokens":${r.strippedSegTokens},""" +
       s""""emptied_by_seg_clean":${r.emptiedBySegClean},""" +

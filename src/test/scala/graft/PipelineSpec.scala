@@ -402,6 +402,47 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     } finally graft.ml.IvfIndex.clear(dir)
   }
 
+  test("quality gate: model drops heuristic-passing gibberish the verdict keeps") {
+    import spark.implicits._
+    // a long all-hapax doc: passes every x57 heuristic (length 60,
+    // zero stopwords, 8-char tokens => quality 0.84; zero repetition;
+    // en; unique text) but sits at the far cross-entropy tail the
+    // x82 classifier is seeded on. Planted into a copy of the real
+    // corpus so the model trains on a realistic distribution.
+    val gibberish = (0 until 60).map(i => f"qzx${i}%03dvw").mkString(" ")
+    val planted = Seq((900001L, gibberish, "en", "fixture", gibberish.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qgate").toString
+    Tables.documents(spark, sf).unionByName(planted)
+      .write.parquet(s"$dir/documents.parquet")
+
+    // sanity: the heuristic verdict KEEPS the planted doc
+    val verdict = graft.queries.ExtensionQueries
+      .x57_filter_verdict(spark, dir)
+      .filter(col("doc_id") === 900001L).select("keep").collect()(0)
+    assert(verdict.getBoolean(0), "planted doc must pass the x57 heuristics")
+
+    val off = Pipeline.run(spark, dir, s"$dir/store_off")
+    assert(off.droppedLowQuality === 0L)
+    assert(VersionedStore.readTable(spark, s"$dir/store_off", off.version,
+        "documents").filter(col("doc_id") === 900001L).count() === 1L,
+      "without the gate the gibberish ships")
+
+    val on = Pipeline.run(spark, dir, s"$dir/store_on", qualityGate = true)
+    assert(on.droppedLowQuality >= 1L)
+    assert(VersionedStore.readTable(spark, s"$dir/store_on", on.version,
+        "documents").filter(col("doc_id") === 900001L).count() === 0L,
+      "the model gate must drop the planted gibberish")
+    // the gate is a scalpel, not a chainsaw: the bulk of the real
+    // corpus still ships (seed tails are the suspect minority)
+    val offDocs = VersionedStore.readTable(spark, s"$dir/store_off",
+      off.version, "documents").count()
+    val onDocs = VersionedStore.readTable(spark, s"$dir/store_on",
+      on.version, "documents").count()
+    assert(onDocs >= (offDocs * 6) / 10,
+      s"gate dropped too much: $onDocs of $offDocs")
+  }
+
   test("synthetic PII is masked in the published snapshot") {
     import spark.implicits._
     // the testdata corpus is PII-free, so the reconcile test above
