@@ -35,7 +35,9 @@ object QualityModel {
 
   /** Per-doc quality features, all from one tokenize pass + one
     * vocabulary join: length, mean token length, distinct ratio,
-    * dominant-token share (repetition), stopword share (the x08 list),
+    * dominant-token share (repetition), stopword share (an 8-word
+    * English function-word list — a superset of x08's 6; kept
+    * separate because the fitted model's specs pin this feature),
     * and the corpus-self-trained unigram cross-entropy (x71's signal).
     */
   def features(docs: DataFrame): DataFrame = {

@@ -466,9 +466,12 @@ object DedupStream {
     * identity existed only for replay), stats slices merge
     * sketch-wise, doc-keyed artifacts rewrite verbatim.
     *
-    * Atomic per artifact: consolidated slice written to a temp
-    * sibling, row-count (or merge-shape) validated, then swapped.
-    * Returns per-artifact data-file counts after compaction.
+    * Crash-safe per artifact: consolidated slice written to a temp
+    * sibling, row-count (or merge-shape) validated, then swapped by
+    * TWO renames (original aside to `.compact.old`, tmp in, delete
+    * `.compact.old`) so the artifact directory exists — as either
+    * copy — at every crash point. Returns per-artifact data-file
+    * counts after compaction.
     */
   def compactStore(spark: SparkSession, storeRoot: String): Map[String, Int] = {
     val verbatim: Seq[(String, StructType, DataFrame => DataFrame)] = Seq(
@@ -500,9 +503,20 @@ object DedupStream {
         require(spark.read.parquet(tmp)
           .select(dataCols.toIndexedSeq: _*).count() == expected,
           s"compaction row-count mismatch for $name")
-        fs.delete(p, true)
+        // Two-rename swap (TableMaintenance.compact pattern): the
+        // original slice set is never deleted until the consolidated
+        // copy is live. A crash between the renames leaves the
+        // artifact at $dir.compact.old and the copy at
+        // $dir.compact.tmp — both intact, recoverable by renaming
+        // either back; delete-then-rename would leave a WINDOW where
+        // the artifact is simply missing and readOrEmpty silently
+        // reads it as empty history (accepting duplicates).
+        val bak = new org.apache.hadoop.fs.Path(s"$dir.compact.old")
+        fs.delete(bak, true)
+        require(fs.rename(p, bak), s"could not move $dir aside")
         require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
           s"compaction swap failed for $name")
+        fs.delete(bak, true)
         Some(name -> graft.sources.TableMaintenance
           .dataFileCount(spark, s"$dir/batch=-1"))
       }

@@ -26,10 +26,17 @@ object EventStreams {
     * vintage's schema against the other's files silently misreads the
     * raw int64 (micros DIV 1000 ⇒ instants 1000× too early) — caught
     * by StreamingSpec's stream≡batch equivalences the day the
-    * generator switched vintages.
+    * generator switched vintages. An EMPTY / not-yet-populated
+    * directory can't be probed (no footers to infer from); fall back
+    * to the current generator's vintage (micros-NTZ) so the stream
+    * can still be STARTED before the first file lands — the probe is
+    * a read-time refinement, not a start-time requirement.
     */
   def eventStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    val tsType = spark.read.parquet(eventsDir).schema("ts").dataType
+    val tsType =
+      try spark.read.parquet(eventsDir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        TimestampNTZType }
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),

@@ -85,4 +85,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .toSet
     assert(got === expect)
   }
+
+  test("eventStream starts against an empty directory (vintage fallback)") {
+    // No files yet → the vintage probe can't infer a schema; the
+    // stream must still CONSTRUCT and START (default micros-NTZ
+    // vintage), then pick up files that land after start.
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_stream")
+    val agg = EventStreams.windowedCounts(
+      EventStreams.eventStream(spark, dir.toString))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("empty_win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.sql("SELECT * FROM empty_win_out").count() === 0L)
+    // a file lands after the first (empty) run: same stream def reads it
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val agg2 = EventStreams.windowedCounts(
+      EventStreams.eventStream(spark, dir.toString))
+    val q2 = agg2.writeStream.outputMode("complete")
+      .format("memory").queryName("late_win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT w_start, event_type, n, round(sum_value, 2) AS sum_value FROM late_win_out")
+      .collect().map(_.toSeq).toSet
+    val batch = ExtensionQueries.x11_event_windows(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
 }
