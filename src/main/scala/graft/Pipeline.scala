@@ -72,6 +72,34 @@ object Pipeline {
       piiMaskedDocs: Long, vectorized: Long, sequences: Long,
       packedTokens: Long)
 
+  /** The pre-gate corpus projection: PII-masked text with lang and the
+    * per-doc PII count, the frame steps 3-9 all derive from.
+    */
+  private def maskedOf(docs: DataFrame): DataFrame =
+    AnalyticsQueries.piiMaskOf(docs, keep = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("masked").as("text"),
+        (col("n_emails") + col("n_urls") + col("n_longnums")).as("n_pii"))
+
+  /** Verdict-kept train slice of the masked corpus (doc_id%100==0 is
+    * the held-out eval slice the contamination gate screens against).
+    */
+  private def trainSliceOf(masked: DataFrame, keepIds: DataFrame): DataFrame =
+    masked.join(keepIds, Seq("doc_id"), "left_semi")
+      .filter(pmod(col("doc_id"), lit(100)) =!= 0)
+
+  /** The 3b quality gate's exact input frame, reconstructable from the
+    * dataset alone — so a snapshot consumer can replay the published
+    * `quality_model` table (QualityModel.fromTable → scoreWith) on
+    * PRECISELY the frame the run gated and reproduce its keep/drop
+    * verdicts bit-for-bit (the scoring expression is closed-form, and
+    * doubles survive the parquet roundtrip exactly).
+    */
+  def gateInput(spark: SparkSession, sfDir: String): DataFrame =
+    trainSliceOf(
+      maskedOf(Tables.documents(spark, sfDir)),
+      ExtensionQueries.x57_filter_verdict(spark, sfDir)
+        .filter(col("keep")).select("doc_id"))
+
   /** The cross-measure dup edge generator over a run-private corpus
     * frame — x04's Jaccard edges ∪ x70's containment edges, BOTH
     * projected from the ONE df-capped posting self-join
@@ -162,17 +190,12 @@ object Pipeline {
       // 2. mask the whole corpus once (one codegen'd projection — doing
       // it pre-split keeps train text and eval grams byte-identical);
       // lang rides through to the per-language vectorizer in step 6
-      val masked = AnalyticsQueries.piiMaskOf(docs, keep = Seq("lang"))
-        .select(col("doc_id"), col("lang"), col("masked").as("text"),
-          (col("n_emails") + col("n_urls") + col("n_longnums")).as("n_pii"))
+      val masked = maskedOf(docs)
 
       // 3. hold out the eval slice, then pin the masked train corpus:
       // dedup banding, the contamination totals, vectors and packing
       // all scan it
-      trainCorpus = masked
-        .join(keepIds, Seq("doc_id"), "left_semi")
-        .filter(pmod(col("doc_id"), lit(100)) =!= 0)
-        .persist()
+      trainCorpus = trainSliceOf(masked, keepIds).persist()
       val rawTrainCount = trainCorpus.count()
       val heldOut = kept - rawTrainCount
 
@@ -187,16 +210,23 @@ object Pipeline {
       // qualityMin before any pairwise work spends time on them. Off
       // by default: a learned gate's operating point is a judgment
       // call the caller should make consciously (the semanticDedup
-      // precedent).
-      val (gatedTrain, trainCount, droppedLowQuality) =
-        if (!qualityGate) (trainCorpus, rawTrainCount, 0L)
+      // precedent). The FITTED model (coefficients + operating point)
+      // is kept and published with the snapshot in step 9 — without
+      // it a release consumer cannot re-score new data with THE gate
+      // that curated the release, and a re-run's gate drifts with the
+      // corpus (the tokenizer-in-snapshot rationale).
+      val (gatedTrain, trainCount, droppedLowQuality, qualityModel) =
+        if (!qualityGate)
+          (trainCorpus, rawTrainCount, 0L,
+            Option.empty[graft.ml.QualityModel.Fitted])
         else {
-          val bad = graft.ml.QualityModel.score(trainCorpus)
-            .filter(col("p_quality") < qualityMin).select("doc_id")
+          val (m, scored) = graft.ml.QualityModel
+            .fitAndScore(trainCorpus, threshold = qualityMin)
+          val bad = scored.filter(!col("keep")).select("doc_id")
           qualCorpus = trainCorpus
             .join(bad, Seq("doc_id"), "left_anti").persist()
           val c = qualCorpus.count()
-          (qualCorpus, c, rawTrainCount - c)
+          (qualCorpus, c, rawTrainCount - c, Some(m))
         }
 
       // 4. near-dup pruning over ONLY the train survivors, on the
@@ -379,9 +409,16 @@ object Pipeline {
       // vector / packing stats are observations on the write jobs
       // themselves — what was WRITTEN, with no read-back scan
       // (PipelineSpec pins published-snapshot readability separately).
+      // 9b. the quality gate's fitted model rides the same atomic
+      // version when the gate ran: QualityModel.fromTable +
+      // scoreWith() replays the release's keep/drop on the gate's
+      // input (bit-identical — the scoring expression is the same
+      // closed form) or scores NEW data with the pinned gate.
+      val qualityTable = qualityModel.map(m =>
+        "quality_model" -> graft.ml.QualityModel.toTable(spark, m))
       val version = VersionedStore.publishAll(
         Map("documents" -> corpus, "vectors" -> vecs, "packing" -> packed,
-          "stats" -> stats, "tokenizer" -> tokenizer),
+          "stats" -> stats, "tokenizer" -> tokenizer) ++ qualityTable,
         storeRoot)
       // The snapshot is PUBLISHED by this point; the funnel stats ride
       // the async listener bus, which Spark drops events from under

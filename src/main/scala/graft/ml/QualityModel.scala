@@ -90,22 +90,87 @@ object QualityModel {
   private val FeatureCols = Array("n_tokens", "mean_tok_len",
     "distinct_ratio", "top_share", "stopword_ratio", "xent")
 
-  /** Train on the seed slices, score EVERY doc: (doc_id, p_quality). */
-  def score(docs: DataFrame, seedQuantile: Double = 0.1): DataFrame = {
+  /** A fitted quality gate, reduced to what replay needs: the feature
+    * names IN SCORING ORDER, the LR coefficients on the original
+    * (unstandardized) feature scale, the intercept, and the operating
+    * point. Small enough to live in the plan as literals — scoring is
+    * a codegen'd closed-form column, no MLlib model object, so a
+    * model roundtripped through a parquet table scores bit-identically
+    * to the run that fitted it (doubles survive parquet exactly).
+    */
+  case class Fitted(featureNames: Seq[String], coefficients: Seq[Double],
+      intercept: Double, threshold: Double, seedQuantile: Double)
+
+  /** p_quality as a plan expression: sigmoid of the linear margin, the
+    * exact arithmetic MLlib's binary-LR `probability` applies (dot in
+    * feature order, then 1/(1+e^-m)).
+    */
+  private def pOf(m: Fitted): Column = {
+    val margin = m.featureNames.zip(m.coefficients)
+      .map { case (f, c) => col(f) * lit(c) }
+      .reduceLeft(_ + _) + lit(m.intercept)
+    lit(1.0) / (lit(1.0) + exp(-margin))
+  }
+
+  private def fitOnFeatures(feat: DataFrame, seedQuantile: Double,
+      threshold: Double): Fitted = {
+    val asm = new VectorAssembler()
+      .setInputCols(FeatureCols).setOutputCol("f")
+    val train = asm.transform(seeds(feat, seedQuantile))
+    val lr = new LogisticRegression()
+      .setFeaturesCol("f").setLabelCol("label")
+      .setMaxIter(50).setRegParam(0.01).setStandardization(true)
+    val model = lr.fit(train)
+    Fitted(FeatureCols.toSeq, model.coefficients.toArray.toSeq,
+      model.intercept, threshold, seedQuantile)
+  }
+
+  /** Fit the gate on `docs` (distant supervision over its own feature
+    * extremes) and return it WITH the scored frame, sharing one
+    * persisted feature pass: (model, (doc_id, p_quality, keep)).
+    */
+  def fitAndScore(docs: DataFrame, seedQuantile: Double = 0.1,
+      threshold: Double = 0.5): (Fitted, DataFrame) = {
     val feat = features(docs).persist()
     try {
-      val asm = new VectorAssembler()
-        .setInputCols(FeatureCols).setOutputCol("f")
-      val train = asm.transform(seeds(feat, seedQuantile))
-      val lr = new LogisticRegression()
-        .setFeaturesCol("f").setLabelCol("label")
-        .setMaxIter(50).setRegParam(0.01).setStandardization(true)
-      val model = lr.fit(train)
-      model.transform(asm.transform(feat))
-        .withColumn("p_quality",
-          org.apache.spark.ml.functions.vector_to_array(col("probability"))(1))
-        .select(col("doc_id"), col("p_quality"))
+      val m = fitOnFeatures(feat, seedQuantile, threshold)
+      (m, feat.select(col("doc_id"), pOf(m).as("p_quality"),
+        (pOf(m) >= lit(m.threshold)).as("keep")))
     } finally feat.unpersist()
+  }
+
+  /** Score `docs` with a PINNED model — the replay path: a consumer
+    * loads the snapshot's model and re-applies THE gate that curated
+    * the release to the same (identical verdicts) or new data. Note
+    * the xent/top_share-style features are corpus-relative by
+    * definition (the unigram model is the scored corpus's own), so
+    * identical-verdict replay means identical INPUT corpus; on new
+    * data the model transfers the learned decision surface.
+    */
+  def scoreWith(m: Fitted, docs: DataFrame): DataFrame =
+    features(docs).select(col("doc_id"), pOf(m).as("p_quality"),
+      (pOf(m) >= lit(m.threshold)).as("keep"))
+
+  /** Train on the seed slices, score EVERY doc: (doc_id, p_quality). */
+  def score(docs: DataFrame, seedQuantile: Double = 0.1): DataFrame =
+    fitAndScore(docs, seedQuantile)._2.select("doc_id", "p_quality")
+
+  /** The model as a one-row snapshot table (the tokenizer precedent:
+    * the artifact that made the release ships IN the release).
+    */
+  def toTable(spark: SparkSession, m: Fitted): DataFrame = {
+    import spark.implicits._
+    Seq((m.featureNames, m.coefficients, m.intercept, m.threshold,
+      m.seedQuantile))
+      .toDF("features", "coefficients", "intercept", "threshold",
+        "seed_quantile")
+  }
+
+  def fromTable(table: DataFrame): Fitted = {
+    val r = table.select("features", "coefficients", "intercept",
+      "threshold", "seed_quantile").head()
+    Fitted(r.getSeq[String](0), r.getSeq[Double](1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))
   }
 
   /** Rows-only query projection: scores rounded for stability, plus the

@@ -441,6 +441,33 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       on.version, "documents").count()
     assert(onDocs >= (offDocs * 6) / 10,
       s"gate dropped too much: $onDocs of $offDocs")
+
+    // the snapshot ships THE gate that curated it: loading the
+    // published quality_model and re-scoring the gate's exact input
+    // reproduces the run's keep/drop verdicts (tokenizer precedent —
+    // a release consumer can re-apply the release's gate to new data)
+    val m = graft.ml.QualityModel.fromTable(VersionedStore.readTable(
+      spark, s"$dir/store_on", on.version, "quality_model"))
+    assert(m.threshold === 0.5 && m.featureNames.nonEmpty &&
+      m.coefficients.size === m.featureNames.size)
+    val replay = graft.ml.QualityModel
+      .scoreWith(m, Pipeline.gateInput(spark, dir)).persist()
+    try {
+      assert(replay.filter(!col("keep")).count() === on.droppedLowQuality,
+        "replayed gate drops a different set than the run's")
+      assert(replay.filter(!col("keep"))
+          .filter(col("doc_id") === 900001L).count() === 1L,
+        "replayed gate must re-drop the planted gibberish")
+      // no published doc is one the replayed gate would have dropped
+      assert(VersionedStore.readTable(spark, s"$dir/store_on", on.version,
+          "documents")
+          .join(replay.filter(!col("keep")).select("doc_id"),
+            Seq("doc_id"), "left_semi").count() === 0L,
+        "published corpus contains docs the replayed gate drops")
+    } finally replay.unpersist()
+    // the un-gated snapshot ships no model table
+    assertThrows[Exception](VersionedStore.readTable(spark,
+      s"$dir/store_off", off.version, "quality_model").collect())
   }
 
   test("synthetic PII is masked in the published snapshot") {
