@@ -43,6 +43,44 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("bpeprof")) {
+      // Delta-maintenance vs full-recount trainer cost: wall clock for
+      // k merges on the corpus word-frequency table (the SCALE.md
+      // 32k-vocab projection reads the per-iteration numbers printed
+      // here).
+      val k = args.lift(1).map(_.toInt).getOrElse(100)
+      // the synthetic testdata vocabulary is ~31 distinct tokens —
+      // far below any real corpus — so an optional third arg swaps in
+      // a deterministic large vocabulary (md5-derived word shapes,
+      // Zipf frequencies) to measure the per-iteration cost at a
+      // realistic vocab size; the testdata path remains the default
+      val words = (args.lift(2).map(_.toInt) match {
+        case Some(n) =>
+          spark.range(n.toLong).select(
+            substring(md5(col("id").cast("string")), lit(1),
+              (pmod(col("id"), lit(12)) + 4).cast("int")).as("token"),
+            (lit(n.toLong) / (col("id") + 1)).cast("long").as("freq"))
+            .groupBy("token").agg(sum(col("freq")).as("freq"))
+        case None => Tables.documents(spark, sfDir)
+          .select(explode(Tokenize.tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+      }).persist()
+      println(s"vocab size: ${words.count()}")
+      def timeIt(name: String)(f: => Int): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"TIME $name: $s%.2f s ($n merges, ${s / n * 1000}%.1f ms/merge)")
+      }
+      timeIt("train delta batch=8")(
+        graft.operators.Bpe.train(spark, words, k)._1.size)
+      timeIt("train delta batch=1")(
+        graft.operators.Bpe.train(spark, words, k, batch = 1)._1.size)
+      timeIt("train recount")(
+        graft.operators.Bpe.trainRecount(spark, words, k)._1.size)
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("x78prof")) {
       // Where does x78's wall clock go? keys build vs self-join vs
       // distinct vs levenshtein verify vs final sort.

@@ -10,14 +10,36 @@ import org.apache.spark.sql.functions._
   *
   * Scale structure, which is the whole point of doing this on Spark:
   * the corpus-sized work happens ONCE (the token-frequency count that
-  * produces `words`); every one of the k training iterations runs over
-  * the VOCABULARY-sized frame (distinct words × symbol arrays), which
-  * at 100 TB is millions of rows, not billions — each iteration is a
-  * dimension-table job (explode adjacent pairs → one groupBy → 1-row
-  * argmax), and the argmax is the only driver-side value (bounded
-  * metadata, the IvfIndex-centroid precedent). The per-round
-  * `localCheckpoint` is x29's loop hygiene: it cuts the k-deep lineage
-  * so round j's plan doesn't replay rounds 1..j-1.
+  * produces `words`); training then runs over the VOCABULARY-sized
+  * frame (distinct words × symbol arrays), which at 100 TB is millions
+  * of rows, not billions. Two further notches make PRODUCTION
+  * vocabulary sizes (32k merges) reachable:
+  *
+  *   - **Delta pair-count maintenance.** The pair-count frame is
+  *     materialized once and then UPDATED, not recomputed: after
+  *     merging (l, r), only words whose symbol stream actually
+  *     contains the adjacent pair change, so the update is
+  *     (− old pair contributions of affected words) ∪ (+ new ones) —
+  *     one pass over the affected subset. The frame is held as a
+  *     checkpointed base plus a short stack of per-round delta
+  *     frames folded lazily into the argmax read, re-consolidated
+  *     every few rounds: materializing the whole pair table per
+  *     round would cost as much as the recount it replaces. The
+  *     affected set shrinks rapidly as merges specialize (tail merges
+  *     touch a handful of words), so per-iteration writes decay from
+  *     O(vocab) toward O(affected) instead of staying a full
+  *     re-explode of every symbol of every word.
+  *   - **Batched independent merges.** Up to `batch` merges are
+  *     admitted per driver round-trip, cutting the k sequential
+  *     job-submit latencies by ~batch×. Admission preserves EXACT
+  *     greedy semantics (see `admit` below) — the batch is a provable
+  *     prefix of the sequential greedy trajectory, pinned by
+  *     BpeSpec's batch≡sequential≡reference equivalences.
+  *
+  * The argmax is the only driver-side value (bounded metadata, the
+  * IvfIndex-centroid precedent); the per-round `localCheckpoint` is
+  * x29's loop hygiene — it cuts the loop-deep lineage so round j's
+  * plan doesn't replay rounds 1..j-1.
   *
   * Determinism: ties on pair count break lexicographically (left, then
   * right), so the merge table is a pure function of the word-frequency
@@ -40,39 +62,205 @@ object Bpe {
       concat(filter(split(col("token"), ""), s => s =!= lit("")),
         array(lit(Eow))).as("syms"))
 
-  /** One greedy left-to-right application of merge (l, r) to a symbol
-    * array, as a fold: after a merge the cursor moves past the merged
-    * symbol (the new last element is `lr`, which only re-merges if
-    * l == lr — same as the reference algorithm's scan).
+  /** Adjacent (l, r) symbol pairs of a symbol array: the zip of the
+    * array with its own tail (clamped slices make sub-2-symbol words
+    * contribute nothing).
     */
-  private def mergeOnce(syms: Column, l: String, r: String): Column = {
-    val m = l + r
-    aggregate(syms, array().cast("array<string>"), (acc, s) =>
-      when(size(acc) > 0 &&
-          element_at(acc, -1) === lit(l) && s === lit(r),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
-        .otherwise(concat(acc, array(s))))
+  private def pairsCol(syms: Column): Column =
+    zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (a, b) => struct(a.as("l"), b.as("r")))
+
+  /** One greedy left-to-right application of a SET of pairwise-
+    * independent merges to a symbol array, as a single fold: when the
+    * (last, next) adjacency matches ANY admitted pair the two fuse
+    * (their concat IS the merged symbol), else append. Independence
+    * (no symbol of one admitted pair equals a symbol OR the merged
+    * string of another — `admit`'s `used` check) guarantees this one
+    * pass equals applying the merges one-at-a-time in rank order:
+    * a merge can neither create nor destroy another admitted pair's
+    * adjacencies, because all created adjacencies involve the new
+    * merged symbol and all destroyed ones involve the consumed l/r —
+    * none of which appear in any other admitted pair.
+    */
+  private def mergeAll(syms: Column, pairs: Seq[(String, String)]): Column = {
+    aggregate(syms, array().cast("array<string>"), (acc, s) => {
+      val last = element_at(acc, -1)
+      val hit = pairs.map { case (l, r) => last === lit(l) && s === lit(r) }
+        .reduceLeft(_ || _)
+      when(size(acc) > 0 && hit,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(last, s))))
+        .otherwise(concat(acc, array(s)))
+    })
   }
 
   /** Adjacent symbol pairs of every word, frequency-weighted and
-    * summed: the zip of the symbol array with its own tail (clamped
-    * slices make sub-2-symbol words contribute nothing).
+    * summed — the FULL recount (used once to seed the delta state, and
+    * by `trainRecount` as the spec's maintenance oracle).
     */
   private def pairCounts(cur: DataFrame): DataFrame =
-    cur.select(col("freq"),
-        explode(zip_with(
-          slice(col("syms"), lit(1), size(col("syms")) - 1),
-          slice(col("syms"), lit(2), size(col("syms")) - 1),
-          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+    cur.select(col("freq"), explode(pairsCol(col("syms"))).as("p"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("freq")).as("cnt"))
 
-  /** Learn up to k merges from a (token, freq) word-frequency table.
-    * Stops early when the best pair's weighted count drops below 2 (a
-    * count-1 merge compresses nothing). Returns the ranked merge table
-    * and the final symbol state (token, freq, syms).
+  /** Admit a prefix of the count-ordered pair table as one batch of
+    * merges, preserving EXACT sequential-greedy semantics. Scanning in
+    * the greedy total order (cnt desc, l asc, r asc), a candidate is
+    * admitted while
+    *
+    *   (a) its symbols and its merged string are disjoint from every
+    *       earlier admitted pair's {l, r, l+r} (`used`), and
+    *   (b) its count strictly exceeds the CHAIN BOUND — the largest
+    *       count any pair touched by the admitted merges could reach
+    *       at the candidate's sequential step;
+    *
+    * the scan STOPS at the first candidate failing either (it does not
+    * skip). Why the admitted prefix equals the sequential trajectory:
+    * admitted pairs are mutually independent (a), so their counts are
+    * unchanged by each other's application, and every OTHER pair's
+    * sequential-step count is either its table count (untouched pairs
+    * — which sorted after the candidate, or the scan would have
+    * stopped), a shrunken one (pairs sharing a consumed symbol), or
+    * bounded by (b): a pair CREATED by admitted (l,r)→m — (m,x) from
+    * parent (r,x), (x,m) from parent (x,l) — has count ≤ its parent's
+    * table count, and a PRE-EXISTING pair involving the string m can
+    * GROW by at most that same created amount. The bound for merge i
+    * is therefore max-parent-count + max-m-involving-count, with the
+    * uncollected tail (≤ the last collected count) standing in for
+    * pairs outside the prefix. Count ties lose to the candidate by
+    * construction only when strictly exceeded — hence the STRICT
+    * inequality in (b); a tie could win on lexicographic order (a
+    * created pair's left l+r can sort before its parent's r), which
+    * is exactly the divergence the bound exists to stop.
+    *
+    * Stopping early (batch bound, collected-prefix bound) is always
+    * safe: any prefix of the greedy trajectory is exact.
     */
-  def train(spark: SparkSession, words: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
+  private def admit(top: Array[org.apache.spark.sql.Row], exhausted: Boolean,
+      startRank: Int, want: Int): Seq[Merge] = {
+    // pairs outside the collected prefix all count ≤ the last collected
+    // row (sorted); an exhausted collect means there are none
+    val tail = if (exhausted || top.isEmpty) 0L else top.last.getLong(2)
+    def maxCnt(pred: (String, String) => Boolean): Long =
+      top.foldLeft(tail) { (m, q) =>
+        if (pred(q.getString(0), q.getString(1)))
+          math.max(m, q.getLong(2))
+        else m
+      }
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    val used = scala.collection.mutable.Set.empty[String]
+    var chainBound = 0L
+    var i = 0
+    var stop = false
+    while (!stop && i < top.length && admitted.size < want) {
+      val (l, r, c) =
+        (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+      if (c < 2L) stop = true // count-1 merges compress nothing
+      else if (used(l) || used(r) || used(l + r)) stop = true
+      else if (admitted.nonEmpty && c <= chainBound) stop = true
+      else {
+        admitted += Merge(startRank + admitted.size, l, r, l + r, c)
+        used ++= Seq(l, r, l + r)
+        val m = l + r
+        val created = maxCnt((ql, qr) => ql == r || qr == l)
+        val grown = maxCnt((ql, qr) => ql == m || qr == m)
+        chainBound = math.max(chainBound, created + grown)
+        i += 1
+      }
+    }
+    admitted.toSeq
+  }
+
+  /** Learn up to k merges from a (token, freq) word-frequency table.
+    * Stops early when the best pair's weighted count drops below 2.
+    * Returns the ranked merge table and the final symbol state
+    * (token, freq, syms).
+    *
+    * `batch` merges are learned per driver round-trip (exact — see
+    * `admit`); pair counts are maintained by delta (see object doc).
+    * At a production 32k vocabulary this is ~32k/batch rounds, each
+    * touching only the words the admitted pairs occur in.
+    */
+  def train(spark: SparkSession, words: DataFrame, k: Int,
+      batch: Int = 8): (Seq[Merge], DataFrame) = {
+    var cur = initialSymbols(words).localCheckpoint(true)
+    // Pair counts live as one materialized BASE plus a short stack of
+    // small per-round DELTA frames, folded together lazily by the
+    // argmax read: materializing the whole pair table every round
+    // (the naive delta formulation) costs as much as the recount it
+    // replaces — the base is re-consolidated only every `compactEvery`
+    // rounds, so a round's writes are proportional to the AFFECTED
+    // words, not the pair-table size.
+    var pcBase = pairCounts(cur).localCheckpoint(true)
+    var deltas: List[DataFrame] = Nil
+    val compactEvery = 16
+    def pcView: DataFrame =
+      deltas.foldLeft(pcBase)(_ unionByName _)
+        .groupBy("l", "r").agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") > 0)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    while (!done && merges.size < k) {
+      val want = math.min(batch, k - merges.size)
+      // a conflict-dense head can cap the batch below `want`; the
+      // 4×+margin prefix keeps one collect per round without ever
+      // affecting WHICH merges are learned (admit stops at the first
+      // conflict, so an undersized prefix only shortens the batch)
+      val limitN = math.max(4 * want, 16)
+      val top = pcView.orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(limitN).collect()
+      val admitted = admit(top, top.length < limitN, merges.size + 1, want)
+      if (admitted.isEmpty) done = true
+      else {
+        merges ++= admitted
+        val pairs = admitted.map(m => (m.left, m.right))
+        // cheap native prefilter (symbol membership) short-circuits
+        // the adjacency lambda for the overwhelmingly-unaffected bulk
+        val touchable = arrays_overlap(col("syms"),
+          typedlit(pairs.flatMap(p => Seq(p._1, p._2)).distinct))
+        val hasPair = touchable && pairs.map { case (l, r) =>
+          exists(pairsCol(col("syms")),
+            p => p("l") === lit(l) && p("r") === lit(r))
+        }.reduceLeft(_ || _)
+        // the round's delta in ONE pass over the affected words: old
+        // adjacencies weighted −freq, post-merge adjacencies +freq,
+        // one concat-explode, one aggregation. Lazy checkpoint: it
+        // materializes inside the next argmax job (no extra driver
+        // round-trip) and is tiny thereafter.
+        val d = cur.filter(hasPair).select(
+            explode(concat(
+              transform(pairsCol(col("syms")), p =>
+                struct(p("l").as("l"), p("r").as("r"),
+                  (-col("freq")).as("w"))),
+              transform(pairsCol(mergeAll(col("syms"), pairs)), p =>
+                struct(p("l").as("l"), p("r").as("r"),
+                  col("freq").as("w"))))).as("q"))
+          .groupBy(col("q.l").as("l"), col("q.r").as("r"))
+          .agg(sum(col("q.w")).as("cnt"))
+          .localCheckpoint(false)
+        deltas = d :: deltas
+        cur = cur.withColumn("syms",
+            when(hasPair, mergeAll(col("syms"), pairs))
+              .otherwise(col("syms")))
+          .localCheckpoint(true)
+        if (deltas.size >= compactEvery) {
+          pcBase = pcView.localCheckpoint(true)
+          deltas = Nil
+        }
+      }
+    }
+    (merges.toSeq, cur)
+  }
+
+  /** The pre-delta trainer: full pair-count recount + one driver
+    * round-trip PER merge. Kept as the maintenance oracle — BpeSpec
+    * pins train ≡ trainRecount over ≥100 merges, which checks the
+    * delta updates and the batch admission against the ground-truth
+    * recount at every step.
+    */
+  def trainRecount(spark: SparkSession, words: DataFrame,
+      k: Int): (Seq[Merge], DataFrame) = {
     var cur = initialSymbols(words).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
@@ -84,7 +272,7 @@ object Bpe {
         val (l, r, c) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Merge(merges.size + 1, l, r, l + r, c)
-        cur = cur.withColumn("syms", mergeOnce(col("syms"), l, r))
+        cur = cur.withColumn("syms", mergeAll(col("syms"), Seq((l, r))))
           .localCheckpoint(true)
       }
     }
@@ -97,6 +285,6 @@ object Bpe {
     */
   def encode(words: DataFrame, merges: Seq[Merge]): DataFrame =
     merges.foldLeft(initialSymbols(words)) { (df, m) =>
-      df.withColumn("syms", mergeOnce(col("syms"), m.left, m.right))
+      df.withColumn("syms", mergeAll(col("syms"), Seq((m.left, m.right))))
     }
 }

@@ -85,6 +85,29 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(got === ref)
   }
 
+  test("delta maintenance == full recount over 100+ merges on the corpus vocabulary") {
+    // the delta trainer (batch=1 isolates the pair-count maintenance
+    // from batching) must equal the ground-truth full-recount trainer
+    // at every one of 100+ steps — any drift in the −old/+new update
+    // desynchronizes an argmax somewhere in a table this deep
+    val words = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Tokenize.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val (recount, _) = Bpe.trainRecount(spark, words, 100)
+    assert(recount.size === 100, "corpus must support 100 merges")
+    val (delta, _) = Bpe.train(spark, words, 100, batch = 1)
+    assert(delta === recount)
+  }
+
+  test("batched admission == sequential greedy over 100+ merges") {
+    val words = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Tokenize.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val (seq1, _) = Bpe.train(spark, words, 104, batch = 1)
+    val (seq8, _) = Bpe.train(spark, words, 104, batch = 8)
+    assert(seq8 === seq1)
+  }
+
   test("determinism: two runs produce identical merge tables") {
     val words = Map("seen" -> 4L, "seed" -> 3L, "need" -> 2L, "den" -> 7L)
     assert(sparkTrain(words, 8) === sparkTrain(words, 8))
