@@ -1,5 +1,7 @@
 package graft.ml
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -15,52 +17,121 @@ import graft.functions.VecMath
   * partitioned by list_id — full vectors live cold in the store and
   * are touched ONLY by the final shortlist re-rank join.
   *
-  * Both underlying indexes are build-once-memoized, and the coded
-  * frame is their equi-join on vec_id registered through
-  * [[graft.Caches]] (canonical-plan dedup: repeated searches and both
-  * bench passes hit one materialization). At scale the join is a
-  * one-time co-partitioned write, not a per-query step.
+  * RESIDUAL encoding (classic IVFADC): PQ codes quantize
+  * `r = v − centroid(list)`, not the whole vector, so the codebooks
+  * spend their bits on WITHIN-list variation — the part the coarse
+  * quantizer already removed is carried exactly by the centroid. The
+  * ADC score recomposes the inner product exactly in expectation:
+  * q·v = q·c_list + q·r ≈ q·c_list + Σ_m LUT_r[m][code_m], where
+  * q·c_list is already computed by the probe ranking and LUT_r is the
+  * query's table against the RESIDUAL codebooks. Same code budget,
+  * strictly smaller quantization error than whole-vector PQ inside a
+  * list.
   *
   * Recall decomposes multiplicatively: probing P of k lists bounds it
-  * by IVF's probe recall (P=4 → 0.80 measured, IvfRecallSpec), and the
-  * ADC shortlist inside the probed lists is near-exact at
-  * shortlist=64 (PqRecallSpec: flat-PQ recall 1.00). Measured composed
-  * recall@3 on the sf0.001 fixture at the defaults: see IvfPqSpec,
-  * floor pinned there.
+  * by IVF's probe recall (P=4 → 0.80 floor, IvfRecallSpec), and the
+  * residual-ADC shortlist inside the probed lists is near-exact.
+  * Measured composed recall@3 on the sf0.001 fixture at the defaults:
+  * see IvfPqSpec, floor pinned there.
+  *
+  * The built artifact (coded frame + centroids + residual codebooks)
+  * ships via save/load as one atomic VersionedStore snapshot — the
+  * deployment configuration is precisely this triple; x76 can run
+  * against a pinned artifact path with no corpus scan and no retrain.
   */
 object IvfPq {
 
-  private def codedFrame(spark: SparkSession, sfDir: String): DataFrame = {
-    val ivf = IvfIndex.build(spark, sfDir)
-    val pq = PqIndex.build(spark, sfDir)
-    graft.Caches.persist(
-      ivf.assigned.select(col("vec_id"), col("list_id"))
-        .join(pq.codes, Seq("vec_id")))
+  /** The deployment artifact: compressed coded frame, coarse
+    * centroids, and the driver-held RESIDUAL codebooks.
+    */
+  final case class Index(coded: DataFrame, centroids: DataFrame,
+      codebooks: Array[Array[Array[Double]]], m: Int, dsub: Int)
+
+  private val cache = new ConcurrentHashMap[(Int, String, Int, Int), Index]()
+
+  private def embOf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), VecMath.asDouble(col("embedding")).as("v"))
+
+  /** Build (memoized per session × dataset): assign lists with the
+    * shared IVF quantizer, subtract each vector's list centroid, train
+    * residual codebooks on a bounded sample, encode. The coded frame
+    * persists through [[graft.Caches]] (canonical-plan dedup — both
+    * bench passes and repeated searches hit one materialization).
+    */
+  def build(spark: SparkSession, sfDir: String,
+      m: Int = 16, ksub: Int = 16): Index = {
+    val key = (System.identityHashCode(spark), sfDir, m, ksub)
+    cache.computeIfAbsent(key, _ => {
+      val ivf = IvfIndex.build(spark, sfDir)
+      val resid = embOf(spark, sfDir)
+        .join(ivf.assigned.select("vec_id", "list_id"), Seq("vec_id"))
+        .join(broadcast(ivf.centroids), Seq("list_id"))
+        .select(col("vec_id"), col("list_id"),
+          zip_with(col("v"), col("centroid"), (a, b) => a - b).as("r"),
+          VecMath.l2norm(col("v")).as("vnorm"))
+      val codebooks = PqIndex.trainCodebooks(resid, "r", m, ksub)
+      val coded = graft.Caches.persist(
+        PqIndex.withCodes(resid, "r", codebooks)
+          .select("vec_id", "list_id", "codes", "vnorm"))
+      Index(coded, ivf.centroids, codebooks, m, codebooks.head.head.length)
+    })
   }
 
-  def search(spark: SparkSession, sfDir: String, queries: DataFrame,
-      nProbe: Int = 4, shortlist: Int = 64, topK: Int = 3): DataFrame = {
-    val ivf = IvfIndex.build(spark, sfDir)
-    val pq = PqIndex.build(spark, sfDir)
-    val coded = codedFrame(spark, sfDir)
+  /** Publish the deployment triple as one atomic versioned snapshot. */
+  def save(spark: SparkSession, sfDir: String, root: String,
+      m: Int = 16, ksub: Int = 16): Long = {
+    val ix = build(spark, sfDir, m, ksub)
+    graft.sources.VersionedStore.publishAll(
+      Map("coded" -> ix.coded, "centroids" -> ix.centroids,
+        "codebooks" -> PqIndex.codebooksTable(spark, ix.codebooks)),
+      root)
+  }
 
+  /** Load a published index (latest snapshot, or a pinned `version`):
+    * no k-means, no corpus scan — a fresh session probes immediately.
+    */
+  def load(spark: SparkSession, root: String,
+      version: Option[Long] = None): Index = {
+    val v = version.orElse(graft.sources.VersionedStore.latestVersion(root))
+      .getOrElse(throw new IllegalStateException(s"no published index under $root"))
+    val cb = PqIndex.codebooksFrom(
+      graft.sources.VersionedStore.readTable(spark, root, v, "codebooks"))
+    val coded = graft.Caches.persist(
+      graft.sources.VersionedStore.readTable(spark, root, v, "coded"))
+    val centroids =
+      graft.sources.VersionedStore.readTable(spark, root, v, "centroids")
+    Index(coded, centroids, cb, cb.length, cb.head.head.length)
+  }
+
+  /** Search an explicit index — the path a loaded artifact serves.
+    * `reRank` supplies the full vectors for the final shortlist join
+    * (the cold store in a deployment).
+    */
+  def searchWith(spark: SparkSession, index: Index, reRank: DataFrame,
+      queries: DataFrame, nProbe: Int = 4, shortlist: Int = 64,
+      topK: Int = 3): DataFrame = {
     // probe the P nearest centroid lists (same ranking IvfIndex.search
-    // uses: centroid inner product, deterministic list_id tiebreak)
+    // uses: centroid inner product, deterministic list_id tiebreak);
+    // the probe's q·centroid rides along — residual ADC adds it back
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("cdist").asc, col("list_id"))
-    val probed = queries.crossJoin(broadcast(ivf.centroids))
-      .withColumn("cdist", -VecMath.dot(col("qv"), col("centroid")))
+    val probed = queries.crossJoin(broadcast(index.centroids))
+      .withColumn("qc", VecMath.dot(col("qv"), col("centroid")))
+      .withColumn("cdist", -col("qc"))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("qv"),
-        PqIndex.lutFor(pq, col("qv")).as("lut"),
+      .select(col("query_id"), col("qv"), col("qc"),
+        lutFor(index, col("qv")).as("lut"),
         VecMath.l2norm(col("qv")).as("qnorm"), col("list_id"))
 
-    // ADC-score ONLY the probed lists' code rows
-    val scored = coded.join(broadcast(probed), Seq("list_id"))
+    // ADC-score ONLY the probed lists' code rows:
+    // q·v ≈ q·c_list + ADC_ip(residual LUT, codes)
+    val scored = index.coded.join(broadcast(probed), Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("approx_cos",
-        PqIndex.adcIp(col("lut"), col("codes")) / (col("qnorm") * col("vnorm")))
+        (col("qc") + PqIndex.adcIp(col("lut"), col("codes")))
+          / (col("qnorm") * col("vnorm")))
     val sw = Window.partitionBy("query_id")
       .orderBy(col("approx_cos").desc, col("vec_id"))
     val short = scored.withColumn("sr", row_number().over(sw))
@@ -68,9 +139,7 @@ object IvfPq {
       .select("query_id", "qv", "vec_id")
 
     // late materialization: shortlist ids against the full vectors
-    val emb = graft.Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), VecMath.asDouble(col("embedding")).as("v"))
-    val exact = short.join(emb, Seq("vec_id"))
+    val exact = short.join(reRank, Seq("vec_id"))
       .withColumn("cos", VecMath.cosine(col("qv"), col("v")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     exact.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
@@ -79,12 +148,21 @@ object IvfPq {
       .orderBy("query_id", "rn")
   }
 
+  private def lutFor(index: Index, qv: org.apache.spark.sql.Column) =
+    PqIndex.lutFor(index.codebooks, index.dsub, qv)
+
+  def search(spark: SparkSession, sfDir: String, queries: DataFrame,
+      nProbe: Int = 4, shortlist: Int = 64, topK: Int = 3): DataFrame =
+    searchWith(spark, build(spark, sfDir), embOf(spark, sfDir), queries,
+      nProbe, shortlist, topK)
+
   def searchTopK(spark: SparkSession, sfDir: String, nProbe: Int = 4,
       shortlist: Int = 64, topK: Int = 3): DataFrame = {
-    val emb = graft.Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), VecMath.asDouble(col("embedding")).as("v"))
-    val queries = emb.filter(col("vec_id") < 5)
+    val queries = embOf(spark, sfDir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     search(spark, sfDir, queries, nProbe, shortlist, topK)
   }
+
+  /** Drop memoized indexes (Caches holds the coded frames). */
+  def clear(): Unit = cache.clear()
 }

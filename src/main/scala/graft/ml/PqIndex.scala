@@ -68,37 +68,100 @@ object PqIndex {
     cache.computeIfAbsent(key, _ => {
       val emb = graft.Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), VecMath.asDouble(col("embedding")).as("v"))
-
-      // --- train: ONE bounded deterministic sample, M local Lloyd's ---
-      val maxTrain = ksub * 256
-      val sample = emb
-        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-        .limit(maxTrain)
-        .select("v").collect().map(_.getSeq[Double](0).toArray)
-      val dim = sample.head.length
-      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-      val dsub = dim / m
-      val codebooks = Array.tabulate(m) { mi =>
-        IvfIndex.lloyds(sample.map(_.slice(mi * dsub, (mi + 1) * dsub)), ksub, iters = 20)
-      }
-
-      // --- encode: distributed, codebooks as broadcast literals ---
-      // per subspace: argmax of (v_m·c − |c|²/2) ≡ Euclidean argmin
-      val scores = transform(sequence(lit(0), lit(m - 1)), mi => {
-        val sub = slice(col("v"), mi * dsub + 1, lit(dsub))
-        zip_with(element_at(codebookLit(codebooks), mi + 1),
-          element_at(offsetLit(codebooks), mi + 1),
-          (c, o) => VecMath.dot(sub, c) - o)
-      })
-      val codes = emb
-        .withColumn("sc", scores) // attribute: the M×ksub dots evaluate once
-        .select(col("vec_id"),
-          transform(col("sc"), s =>
-            (array_position(s, array_max(s)) - 1).cast("int")).as("codes"),
+      val codebooks = trainCodebooks(emb, "v", m, ksub)
+      val codes = withCodes(emb, "v", codebooks)
+        .select(col("vec_id"), col("codes"),
           VecMath.l2norm(col("v")).as("vnorm"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      Index(codes, codebooks, m, dsub)
+      Index(codes, codebooks, m, codebooks.head.head.length)
     })
+  }
+
+  /** Train M per-subspace codebooks from ONE bounded deterministic
+    * sample (xxhash64 order) of `vcol` — shared by the flat-PQ build
+    * (whole vectors) and the IVF-PQ build (per-list residuals).
+    */
+  private[ml] def trainCodebooks(vectors: DataFrame, vcol: String,
+      m: Int, ksub: Int): Array[Array[Array[Double]]] = {
+    val maxTrain = ksub * 256
+    val sample = vectors
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(maxTrain)
+      .select(vcol).collect().map(_.getSeq[Double](0).toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { mi =>
+      IvfIndex.lloyds(sample.map(_.slice(mi * dsub, (mi + 1) * dsub)), ksub, iters = 20)
+    }
+  }
+
+  /** Append the `codes` column: per subspace, argmax of
+    * (v_m·c − |c|²/2) ≡ Euclidean argmin, with the M×ksub score matrix
+    * projected to an attribute first so the dots evaluate once.
+    */
+  private[ml] def withCodes(vectors: DataFrame, vcol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val scores = transform(sequence(lit(0), lit(m - 1)), mi => {
+      val sub = slice(col(vcol), mi * dsub + 1, lit(dsub))
+      zip_with(element_at(codebookLit(codebooks), mi + 1),
+        element_at(offsetLit(codebooks), mi + 1),
+        (c, o) => VecMath.dot(sub, c) - o)
+    })
+    vectors
+      .withColumn("sc", scores) // attribute: the M×ksub dots evaluate once
+      .withColumn("codes", transform(col("sc"), s =>
+        (array_position(s, array_max(s)) - 1).cast("int")))
+      .drop("sc")
+  }
+
+  /** Codebooks as a small table — (mi, ki, c) rows — so an index can
+    * ship through [[graft.sources.VersionedStore]].
+    */
+  private[ml] def codebooksTable(spark: SparkSession,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    (for (mi <- cb.indices; ki <- cb(mi).indices)
+      yield (mi, ki, cb(mi)(ki).toSeq)).toDF("mi", "ki", "c")
+  }
+
+  private[ml] def codebooksFrom(table: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = table.select("mi", "ki", "c").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    val m = rows.keys.map(_._1).max + 1
+    val ksub = rows.keys.map(_._2).max + 1
+    Array.tabulate(m)(mi => Array.tabulate(ksub)(ki => rows((mi, ki))))
+  }
+
+  /** Publish a built index — compressed code frame + codebooks — as
+    * one atomic versioned artifact (the IvfIndex.save precedent): the
+    * 32×-compressed frame is only useful if another session can load
+    * it WITHOUT the original vectors or a retrain. Returns the
+    * version.
+    */
+  def save(spark: SparkSession, sfDir: String, root: String,
+      m: Int = 16, ksub: Int = 16): Long = {
+    val ix = build(spark, sfDir, m, ksub)
+    graft.sources.VersionedStore.publishAll(
+      Map("codes" -> ix.codes, "codebooks" -> codebooksTable(spark, ix.codebooks)),
+      root)
+  }
+
+  /** Load a published index (latest snapshot, or a pinned `version`).
+    * Codebooks are kilobytes (one driver collect); the code frame is
+    * persisted through [[graft.Caches]] keyed by the artifact root.
+    */
+  def load(spark: SparkSession, root: String,
+      version: Option[Long] = None): Index = {
+    val v = version.orElse(graft.sources.VersionedStore.latestVersion(root))
+      .getOrElse(throw new IllegalStateException(s"no published index under $root"))
+    val cb = codebooksFrom(
+      graft.sources.VersionedStore.readTable(spark, root, v, "codebooks"))
+    val codes = graft.Caches.persist(
+      graft.sources.VersionedStore.readTable(spark, root, v, "codes"))
+    Index(codes, cb, cb.length, cb.head.head.length)
   }
 
   private[graft] def codebookLit(cb: Array[Array[Array[Double]]]): Column =
@@ -113,10 +176,14 @@ object PqIndex {
     * evaluated once as an attribute of the (small, broadcast) query
     * frame — scoring a candidate is then M array lookups + adds.
     */
+  private[graft] def lutFor(cb: Array[Array[Array[Double]]], dsub: Int,
+      qv: Column): Column =
+    transform(sequence(lit(0), lit(cb.length - 1)), mi =>
+      transform(element_at(codebookLit(cb), mi + 1), c =>
+        VecMath.dot(slice(qv, mi * dsub + 1, lit(dsub)), c)))
+
   private[graft] def lutFor(index: Index, qv: Column): Column =
-    transform(sequence(lit(0), lit(index.m - 1)), mi =>
-      transform(element_at(codebookLit(index.codebooks), mi + 1), c =>
-        VecMath.dot(slice(qv, mi * index.dsub + 1, lit(index.dsub)), c)))
+    lutFor(index.codebooks, index.dsub, qv)
 
   /** The ADC inner product of one code row against a query's LUT. */
   private[graft] def adcIp(lut: Column, codes: Column): Column =

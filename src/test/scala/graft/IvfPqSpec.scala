@@ -59,4 +59,87 @@ class IvfPqSpec extends AnyFunSuite with SparkSpec {
         s"result ($q,$v) came from an unprobed list")
     }
   }
+
+  test("residual encoding: codes quantize v - centroid(list), ADC recomposes q.v") {
+    import org.apache.spark.sql.functions.col
+    val ix = graft.ml.IvfPq.build(spark, sf)
+    val cents = ix.centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), graft.functions.VecMath.asDouble(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val rows = ix.coded.select("vec_id", "list_id", "codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toArray))
+    assert(rows.length === emb.size)
+    // per-row: the codes' reconstruction approximates the RESIDUAL —
+    // i.e. centroid + reconstruction is closer to v than the
+    // reconstruction alone would be to v for any off-list centroid;
+    // exactness is not expected (quantization), but the residual
+    // identity is checkable on the quantization ERROR: for every row,
+    // |v - (centroid + recon)| must be <= |v| (the codebooks learned
+    // the residual, which has much smaller norm than v)
+    rows.take(200).foreach { case (vid, lid, codes) =>
+      val recon = codes.zipWithIndex.flatMap { case (c, mi) => ix.codebooks(mi)(c) }
+      val approx = cents(lid).zip(recon).map { case (a, b) => a + b }
+      val err = emb(vid).zip(approx).map { case (a, b) => (a - b) * (a - b) }.sum
+      val vnorm2 = emb(vid).map(x => x * x).sum
+      assert(err < vnorm2,
+        s"residual reconstruction worse than zero-vector for $vid")
+    }
+  }
+
+  test("residual codebooks reconstruct with no more error than whole-vector PQ") {
+    // the defining IVFADC property at the same code budget: quantizing
+    // r = v − centroid(list) spends the codebook bits on within-list
+    // variation, so mean squared reconstruction error must not exceed
+    // whole-vector PQ's (equality is the degenerate no-cluster-
+    // structure case; real clustered data separates them further —
+    // this isotropic fixture bounds, real corpora improve)
+    import org.apache.spark.sql.functions.col
+    val ivfpq = graft.ml.IvfPq.build(spark, sf)
+    val flat = graft.ml.PqIndex.build(spark, sf)
+    val cents = ivfpq.centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), graft.functions.VecMath.asDouble(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def recon(cb: Array[Array[Array[Double]]], codes: Array[Int]) =
+      codes.zipWithIndex.flatMap { case (c, mi) => cb(mi)(c) }
+    val resErr = ivfpq.coded.select("vec_id", "list_id", "codes").collect()
+      .map { r =>
+        val approx = cents(r.getInt(1))
+          .zip(recon(ivfpq.codebooks, r.getSeq[Int](2).toArray))
+          .map { case (a, b) => a + b }
+        emb(r.getLong(0)).zip(approx).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum / emb.size
+    val flatErr = flat.codes.select("vec_id", "codes").collect()
+      .map { r =>
+        val approx = recon(flat.codebooks, r.getSeq[Int](1).toArray)
+        emb(r.getLong(0)).zip(approx).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum / emb.size
+    info(f"mean sq reconstruction error: residual $resErr%.4f vs whole-vector $flatErr%.4f")
+    assert(resErr <= flatErr * 1.02,
+      f"residual encoding reconstructs WORSE than whole-vector PQ: $resErr%.4f > $flatErr%.4f")
+  }
+
+  test("published artifact round-trip: a loaded IVF-PQ searches row-identically") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpq_store").toString
+    val v = graft.ml.IvfPq.save(spark, sf, root)
+    val loaded = graft.ml.IvfPq.load(spark, root, Some(v))
+    try {
+      val emb = Tables.embeddings(spark, sf)
+        .select(col("vec_id"),
+          graft.functions.VecMath.asDouble(col("embedding")).as("v"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val a = graft.ml.IvfPq
+        .searchWith(spark, graft.ml.IvfPq.build(spark, sf), emb, queries)
+        .collect().map(_.toSeq)
+      val b = graft.ml.IvfPq.searchWith(spark, loaded, emb, queries)
+        .collect().map(_.toSeq)
+      assert(a.toSeq === b.toSeq,
+        "loaded IVF-PQ returned different rows than the built one")
+    } finally graft.Caches.clear(root)
+  }
 }

@@ -90,6 +90,28 @@ class PqRecallSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.9, f"recall@3 too low: $recall%.2f")
   }
 
+  test("published artifact round-trip: a loaded index searches row-identically") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_store").toString
+    val v = PqIndex.save(spark, sf, root)
+    val loaded = PqIndex.load(spark, root, Some(v))
+    try {
+      val built = PqIndex.build(spark, sf)
+      assert(loaded.m === built.m && loaded.dsub === built.dsub)
+      // codebooks survive the parquet roundtrip bit-for-bit (doubles)
+      assert(loaded.codebooks.flatten.flatten.toSeq ===
+        built.codebooks.flatten.flatten.toSeq)
+      val emb = Tables.embeddings(spark, sf)
+        .select(col("vec_id"),
+          graft.functions.VecMath.asDouble(col("embedding")).as("v"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val a = PqIndex.search(spark, sf, built, queries).collect().map(_.toSeq)
+      val b = PqIndex.search(spark, sf, loaded, queries).collect().map(_.toSeq)
+      assert(a.toSeq === b.toSeq,
+        "loaded index returned different rows than the built one")
+    } finally graft.Caches.clear(root)
+  }
+
   private def reconstruct(ix: PqIndex.Index, codes: Array[Int]): Array[Double] =
     codes.zipWithIndex.flatMap { case (c, mi) => ix.codebooks(mi)(c) }
 }
