@@ -648,6 +648,71 @@ object ExtensionQueries {
        |GROUP BY a.source, b.source, t1.n, t2.n ORDER BY s1, s2""".stripMargin
 
   // ======================================================================
+  // x84: the SOURCE-MIX card — the per-source page of the release card
+  // the mixture decision actually reads (round-9 verdict #6): x80's
+  // token shares / tempered weights composed with x83's cross-source
+  // overlap matrix, one row per source. Pure composition: both inputs
+  // are the already-cached dimension-sized frames (x80 one corpus
+  // pass, x83 the shared posting), so the card costs two broadcast
+  // joins over a sources-sized frame. top_overlap_source breaks
+  // jaccard ties by MAX source name (struct-max semantics, mirrored
+  // in the oracle's window ordering).
+  def x84_card_sources(spark: SparkSession, sfDir: String): DataFrame = {
+    val mix = x80_mixture_weights(spark, sfDir)
+    val ov = x83_source_overlap(spark, sfDir)
+    val sym = ov.select(col("s1").as("source"), col("s2").as("other"), col("jaccard"))
+      .unionByName(
+        ov.select(col("s2").as("source"), col("s1").as("other"), col("jaccard")))
+    val top = sym.groupBy("source").agg(
+      count(lit(1)).as("n_overlapping"),
+      max(col("jaccard")).as("max_jaccard"),
+      max(struct(col("jaccard"), col("other"))).getField("other")
+        .as("top_overlap_source"))
+    mix.join(broadcast(top), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("w_raw"), col("w_temp"), col("boost"),
+        coalesce(col("n_overlapping"), lit(0L)).as("n_overlapping"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+        coalesce(col("top_overlap_source"), lit("")).as("top_overlap_source"))
+      .orderBy("source")
+  }
+
+  // lazy: MixTemp is declared further down the file — an eager val
+  // here would interpolate its yet-uninitialized 0.0
+  lazy val x84Sql: String =
+    s"""WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(len($SqlTok))::BIGINT AS n_tokens FROM documents GROUP BY source),
+       |tot AS (SELECT sum(n_tokens)::DOUBLE AS tot,
+       |  sum(power(n_tokens, $MixTemp)) AS tot_a FROM per),
+       |mix AS (SELECT source, n_docs, n_tokens,
+       |  round(n_tokens / tot, 6) AS w_raw,
+       |  round(power(n_tokens, $MixTemp) / tot_a, 6) AS w_temp,
+       |  round((power(n_tokens, $MixTemp) / tot_a) / (n_tokens / tot), 6) AS boost
+       |  FROM per, tot),
+       |$SqlShingleCte,
+       |ss AS (SELECT DISTINCT source, md5(sh.shingle) AS h
+       |       FROM sh JOIN documents USING (doc_id)),
+       |st AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+       |prs AS (SELECT a.source AS s1, b.source AS s2,
+       |  round(count(*)::DOUBLE / (t1.n + t2.n - count(*)), 6) AS jaccard
+       |  FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
+       |  JOIN st t1 ON t1.source = a.source JOIN st t2 ON t2.source = b.source
+       |  GROUP BY a.source, b.source, t1.n, t2.n),
+       |sym AS (SELECT s1 AS source, s2 AS other, jaccard FROM prs
+       |  UNION ALL SELECT s2, s1, jaccard FROM prs),
+       |rk AS (SELECT source, other, jaccard, row_number() OVER (
+       |  PARTITION BY source ORDER BY jaccard DESC, other DESC) AS r FROM sym),
+       |agg AS (SELECT source, count(*)::BIGINT AS n_overlapping,
+       |  max(jaccard) AS max_jaccard,
+       |  max(CASE WHEN r = 1 THEN other END) AS top_overlap_source
+       |  FROM rk GROUP BY source)
+       |SELECT m.source, m.n_docs, m.n_tokens, m.w_raw, m.w_temp, m.boost,
+       |  coalesce(a.n_overlapping, 0)::BIGINT AS n_overlapping,
+       |  coalesce(a.max_jaccard, 0.0::DOUBLE) AS max_jaccard,
+       |  coalesce(a.top_overlap_source, '') AS top_overlap_source
+       |FROM mix m LEFT JOIN agg a USING (source) ORDER BY source""".stripMargin
+
+  // ======================================================================
   // x81: deterministic global shuffle + shard assignment — the EXPORT
   // step between a curated corpus and a data loader: training wants
   // the corpus in a reproducible random order, split into S shard
@@ -2481,6 +2546,7 @@ object ExtensionQueries {
     "x80_mixture_weights" -> (x80_mixture_weights _),
     "x81_shuffle_shards" -> (x81_shuffle_shards _),
     "x83_source_overlap" -> (x83_source_overlap _),
+    "x84_card_sources" -> (x84_card_sources _),
     "x72_dup_clusters_all" -> (x72_dup_clusters_all _),
     "x59_seq_pack" -> (x59_seq_pack _),
     "x49_quantize" -> (x49_quantize _),
@@ -2542,6 +2608,7 @@ object ExtensionQueries {
     "x80_mixture_weights" -> x80Sql,
     "x81_shuffle_shards" -> x81Sql,
     "x83_source_overlap" -> x83Sql,
+    "x84_card_sources" -> x84Sql,
     "x72_dup_clusters_all" -> x72Sql,
     "x59_seq_pack" -> x59Sql,
     "x17_media_features" -> x17Sql,
