@@ -413,9 +413,19 @@ object Pipeline {
       // version when the gate ran: QualityModel.fromTable +
       // scoreWith() replays the release's keep/drop on the gate's
       // input (bit-identical — the scoring expression is the same
-      // closed form) or scores NEW data with the pinned gate.
-      val qualityTable = qualityModel.map(m =>
-        "quality_model" -> graft.ml.QualityModel.toTable(spark, m))
+      // closed form) or scores NEW data with the pinned gate. The
+      // gate's unigram LM (the xent reference distribution) ships
+      // beside it as quality_lm: with a pinned LM every feature is
+      // doc-intrinsic, which is what lets the DedupStream apply THE
+      // published gate micro-batch by micro-batch with verdicts
+      // independent of arrival slicing.
+      // LM source = trainCorpus (the gate's own fitting corpus), NOT
+      // the post-gate survivors: scoreWithLm(model, quality_lm, x)
+      // must reproduce the run's verdicts bit-for-bit, and the run's
+      // features read trainCorpus's distribution.
+      val qualityTable = qualityModel.toSeq.flatMap(m => Seq(
+        "quality_model" -> graft.ml.QualityModel.toTable(spark, m),
+        "quality_lm" -> graft.ml.QualityModel.unigramLm(trainCorpus)))
       val version = VersionedStore.publishAll(
         Map("documents" -> corpus, "vectors" -> vecs, "packing" -> packed,
           "stats" -> stats, "tokenizer" -> tokenizer) ++ qualityTable,

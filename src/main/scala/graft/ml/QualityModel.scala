@@ -40,20 +40,43 @@ object QualityModel {
     * separate because the fitted model's specs pin this feature),
     * and the corpus-self-trained unigram cross-entropy (x71's signal).
     */
-  def features(docs: DataFrame): DataFrame = {
+  def features(docs: DataFrame): DataFrame =
+    featuresWith(unigramLm(docs), docs)
+
+  /** The corpus's unigram frequency table — (token, c) — the xent
+    * feature's reference distribution. Pinning THIS alongside the
+    * coefficients is what makes a published gate replayable batch-by-
+    * batch: against a pinned LM every feature is document-INTRINSIC,
+    * so a doc's verdict is independent of which other docs arrive in
+    * its micro-batch (the DedupStream gate's correctness argument).
+    */
+  def unigramLm(docs: DataFrame): DataFrame =
+    docs.select(Tokenize.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+
+  /** Per-doc features with xent read from an explicit unigram LM.
+    * Tokens absent from the LM (possible only when scoring NEW data
+    * with a pinned gate) back off to a half count — maximally
+    * surprising without a log(0). `features(docs)` is exactly
+    * `featuresWith(unigramLm(docs), docs)`, so fit-time and pinned
+    * replay share one definition.
+    */
+  def featuresWith(lm: DataFrame, docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), explode(col("toks")).as("token"))
-    val cnt = tok.groupBy("token").agg(count(lit(1)).as("c"))
-    val tot = cnt.agg(sum(col("c")).cast("double").as("n"))
+    val tot = lm.agg(sum(col("c")).cast("double").as("n"))
     val stopwords = Seq("a", "the", "and", "of", "to", "in", "is", "it")
     // per-(doc, token) instance counts first: the per-doc aggregate
     // then reads one row per DISTINCT doc token (so distinct_ratio is
     // a plain count, no countDistinct/Expand) and instance-weighted
     // means reconstruct exactly via the tc weights
     val perDoc = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tc"))
-    perDoc.join(cnt, Seq("token"))
+    perDoc.join(lm, Seq("token"), "left")
+      .withColumn("cc", coalesce(col("c").cast("double"), lit(0.5)))
       .crossJoin(broadcast(tot))
       .groupBy("doc_id").agg(
         sum(col("tc")).cast("double").as("n_tokens"),
@@ -63,7 +86,7 @@ object QualityModel {
         (max(col("tc")).cast("double") / sum(col("tc"))).as("top_share"),
         (sum(when(col("token").isin(stopwords: _*), col("tc")).otherwise(0L))
           .cast("double") / sum(col("tc"))).as("stopword_ratio"),
-        (sum(col("tc") * -log(col("c").cast("double") / col("n")))
+        (sum(col("tc") * -log(col("cc") / col("n")))
           / sum(col("tc"))).cast("double").as("xent"))
   }
 
@@ -149,6 +172,15 @@ object QualityModel {
     */
   def scoreWith(m: Fitted, docs: DataFrame): DataFrame =
     features(docs).select(col("doc_id"), pOf(m).as("p_quality"),
+      (pOf(m) >= lit(m.threshold)).as("keep"))
+
+  /** Score against a PINNED unigram LM — the streaming-gate form:
+    * per-doc verdicts are independent of batch slicing (see
+    * [[unigramLm]]), so a stream scoring micro-batches and a batch
+    * job scoring the union produce identical keep/drop sets.
+    */
+  def scoreWithLm(m: Fitted, lm: DataFrame, docs: DataFrame): DataFrame =
+    featuresWith(lm, docs).select(col("doc_id"), pOf(m).as("p_quality"),
       (pOf(m) >= lit(m.threshold)).as("keep"))
 
   /** Train on the seed slices, score EVERY doc: (doc_id, p_quality). */

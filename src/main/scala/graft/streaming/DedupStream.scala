@@ -128,6 +128,44 @@ object DedupStream {
     ContamGate(ev, ExtensionQueries.evalBloomOf(spark, ev), threshold)
   }
 
+  /** The learned quality gate in its STREAMING shape: a PINNED model —
+    * coefficients, operating point, AND the xent reference unigram LM
+    * — applied per micro-batch, never retrained. Retraining per batch
+    * would be both wrong (a gate that drifts with every arrival is
+    * not a gate) and degenerate (distant-supervision seeds of a small
+    * batch are noise); against the pinned LM every feature is
+    * doc-intrinsic, so verdicts are independent of arrival slicing —
+    * a gated stream accepts exactly the docs a batch job scoring the
+    * union would keep (DedupStreamSpec pins this).
+    *
+    * `lm` is persisted by the builders; release() when the stream is
+    * done.
+    */
+  final case class QualityGate private[streaming] (
+      model: graft.ml.QualityModel.Fitted, lm: DataFrame) {
+    def release(): Unit = { lm.unpersist(false); () }
+  }
+
+  def qualityGateOf(model: graft.ml.QualityModel.Fitted,
+      lm: DataFrame): QualityGate = QualityGate(model, lm.persist())
+
+  /** Load THE gate a published Pipeline snapshot curated with — the
+    * quality_model + quality_lm tables (Pipeline step 9b) — so the
+    * always-on ingest applies the release's own gate to new arrivals.
+    */
+  def qualityGateFrom(spark: SparkSession, storeRoot: String,
+      version: Option[Long] = None): QualityGate = {
+    val v = version
+      .orElse(graft.sources.VersionedStore.latestVersion(storeRoot))
+      .getOrElse(throw new IllegalStateException(
+        s"no published snapshot under $storeRoot"))
+    qualityGateOf(
+      graft.ml.QualityModel.fromTable(graft.sources.VersionedStore
+        .readTable(spark, storeRoot, v, "quality_model")),
+      graft.sources.VersionedStore.readTable(spark, storeRoot, v,
+        "quality_lm"))
+  }
+
   /** Stream docs from `docsDir`; per micro-batch drop near-dups
     * against the accepted corpus (and, when a [[ContamGate]] is
     * given, eval-contaminated docs), then vectorize survivors — every
@@ -136,14 +174,15 @@ object DedupStream {
     */
   def start(spark: SparkSession, docsDir: String, wordvecsLang: DataFrame,
       dim: Int, storeRoot: String, checkpoint: String,
-      gate: Option[ContamGate] = None): StreamingQuery = {
+      gate: Option[ContamGate] = None,
+      quality: Option[QualityGate] = None): StreamingQuery = {
     val docs = spark.readStream.schema(VectorizeStream.docSchema).parquet(docsDir)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch.select("doc_id", "text", "lang"), batchId,
-          wordvecsLang, dim, storeRoot, gate)
+          wordvecsLang, dim, storeRoot, gate, quality)
       }
       .start()
   }
@@ -153,7 +192,8 @@ object DedupStream {
     */
   private[streaming] def processBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, wordvecsLang: DataFrame, dim: Int,
-      storeRoot: String, gate: Option[ContamGate] = None): Unit = {
+      storeRoot: String, gate: Option[ContamGate] = None,
+      quality: Option[QualityGate] = None): Unit = {
     val batchDocs = batch.persist()
     try {
       val batchIds = batchDocs.select("doc_id")
@@ -199,7 +239,7 @@ object DedupStream {
           // expensive shingle projection and the drops join would
           // re-plan per consumer in the hot ingest loop.
           var gateCaches: Seq[DataFrame] = Nil
-          val survivors = (gate match {
+          val contamSurvivors = gate match {
             case None => dedupSurvivors
             case Some(g) =>
               val ds = dedupSurvivors.persist()
@@ -211,6 +251,21 @@ object DedupStream {
                 .filter(col("flagged"))
                 .select("doc_id")
               ds.join(flagged, Seq("doc_id"), "left_anti")
+          }
+          // learned quality gate LAST (the Pipeline's 3b composed into
+          // the ingest loop): only dedup+contam survivors pay the
+          // feature pass, the model is PINNED (no per-batch retrain —
+          // QualityGate doc), and verdicts are doc-intrinsic against
+          // the pinned LM so arrival slicing can't change them.
+          val survivors = (quality match {
+            case None => contamSurvivors
+            case Some(qg) =>
+              val cs = contamSurvivors.persist()
+              gateCaches = cs +: gateCaches
+              val bad = graft.ml.QualityModel
+                .scoreWithLm(qg.model, qg.lm, cs)
+                .filter(!col("keep")).select("doc_id")
+              cs.join(bad, Seq("doc_id"), "left_anti")
           }).persist()
           try {
             batchBands

@@ -379,4 +379,61 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
           "exercises the containment channel")
     } finally { cand.unpersist(); bands.unpersist(); sh.unpersist() }
   }
+
+  test("pinned quality gate: gated stream accepts exactly the batch gate's keeps") {
+    // THE published gate (Pipeline 9b: quality_model + quality_lm),
+    // applied per micro-batch with no retrain: against the pinned LM
+    // verdicts are doc-intrinsic, so gated-stream accepts must equal
+    // (ungated-stream accepts) ∩ (one batch scoring of the staged
+    // union) regardless of how arrivals were sliced.
+    val gibberish = (0 until 60).map(i => f"qzx${i}%03dvw").mkString(" ")
+    val planted = Seq(
+      (900001L, gibberish, "en", "fixture", gibberish.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft_qstream").toString
+    Tables.documents(spark, sf).unionByName(planted)
+      .write.parquet(s"$dir/documents.parquet")
+    val run = Pipeline.run(spark, dir, s"$dir/snapshot", qualityGate = true)
+    assert(run.droppedLowQuality >= 1L)
+    val qg = DedupStream.qualityGateFrom(spark, s"$dir/snapshot")
+    try {
+      val wordvecs = graft.queries.ReferenceQueries.wordvecsByLang(spark, sf)
+      def runStream(tag: String, quality: Option[DedupStream.QualityGate])
+          : Set[Long] = {
+        val work = Files.createTempDirectory(s"graft_qstream_$tag")
+        val docsDir = work.resolve("docs_in")
+        Files.createDirectory(docsDir)
+        stage(docsDir, work, "a", col("doc_id") < 250)
+        stage(docsDir, work, "b", col("doc_id") >= 250 && col("doc_id") < 900000L)
+        planted.coalesce(1).write
+          .parquet(work.resolve("stage_planted").toString)
+        val part = Files.list(work.resolve("stage_planted")).toArray
+          .map(_.toString).filter(_.endsWith(".parquet")).head
+        Files.copy(Paths.get(part), docsDir.resolve("c.parquet"))
+        DedupStream.start(spark, docsDir.toString, wordvecs, 8,
+          work.resolve("store").toString, work.resolve("ckpt").toString,
+          gate = None, quality = quality)
+          .awaitTermination(180000)
+        spark.read.parquet(s"${work.resolve("store")}/docs")
+          .select("doc_id").as[Long].collect().toSet
+      }
+      val accGated = runStream("on", Some(qg))
+      val accPlain = runStream("off", None)
+      val staged = Tables.documents(spark, sf).unionByName(planted)
+      // a doc with no token-bearing text gets no feature row and no
+      // verdict — the stream keeps it (only an explicit !keep drops),
+      // so the batch oracle defaults unscored docs to keep
+      val verdicts = graft.ml.QualityModel
+        .scoreWithLm(qg.model, qg.lm, staged)
+        .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+      val keeps = staged.select("doc_id").as[Long].collect()
+        .filter(id => verdicts.getOrElse(id, true)).toSet
+      assert(accGated === (accPlain intersect keeps),
+        "gated stream != ungated ∩ batch-gate keeps")
+      assert(!accGated.contains(900001L),
+        "the planted gibberish must not pass the pinned gate")
+      assert(accPlain.contains(900001L),
+        "fixture broken: gibberish should survive dedup without the gate")
+    } finally qg.release()
+  }
 }
