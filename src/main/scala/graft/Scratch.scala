@@ -73,9 +73,11 @@ object Scratch {
         println(f"TIME $name: $s%.2f s ($n merges, ${s / n * 1000}%.1f ms/merge)")
       }
       timeIt("train delta batch=8")(
-        graft.operators.Bpe.train(spark, words, k)._1.size)
+        graft.operators.Bpe.train(spark, words, k,
+          smallVocabCutoff = 0)._1.size)
       timeIt("train delta batch=1")(
-        graft.operators.Bpe.train(spark, words, k, batch = 1)._1.size)
+        graft.operators.Bpe.train(spark, words, k, batch = 1,
+          smallVocabCutoff = 0)._1.size)
       timeIt("train recount")(
         graft.operators.Bpe.trainRecount(spark, words, k)._1.size)
       spark.stop(); return

@@ -181,9 +181,25 @@ object Bpe {
     * `admit`); pair counts are maintained by delta (see object doc).
     * At a production 32k vocabulary this is ~32k/batch rounds, each
     * touching only the words the admitted pairs occur in.
+    *
+    * Small vocabularies (< `smallVocabCutoff` distinct words) take
+    * the plain recount path: the delta/batch machinery pays off only
+    * when per-round DATA volume dominates the 2-3 fixed Spark jobs a
+    * round costs — measured on local[32], recount wins 0.10 vs
+    * 0.19 s/merge at a 31-word vocab and still edges delta 0.59 vs
+    * 0.65 at 198k (r10 bpeprof; the bench watchlist caught the
+    * regression when delta ran unconditionally) — while at a
+    * multi-million-word production vocabulary the recount's
+    * per-merge full re-explode is the "days of wall-clock" ceiling
+    * the delta exists to remove. Identical output either way
+    * (BpeSpec pins train ≡ trainRecount; specs force the delta path
+    * with cutoff 0).
     */
   def train(spark: SparkSession, words: DataFrame, k: Int,
-      batch: Int = 8): (Seq[Merge], DataFrame) = {
+      batch: Int = 8,
+      smallVocabCutoff: Long = 1L << 18): (Seq[Merge], DataFrame) = {
+    if (smallVocabCutoff > 0 && words.count() < smallVocabCutoff)
+      return trainRecount(spark, words, k)
     var cur = initialSymbols(words).localCheckpoint(true)
     // Pair counts live as one materialized BASE plus a short stack of
     // small per-round DELTA frames, folded together lazily by the

@@ -131,4 +131,45 @@ class BenchGateSpec extends AnyFunSuite {
       "x55" -> 1.96))
     assert(Bench.loadLedger("/nonexistent/ledger.json").isEmpty)
   }
+
+  test("watchlist flags the committed-r9 sub-bar spikes while the run still certifies") {
+    // replay the committed round-9 shape against the ACTUAL committed
+    // ledger: an at-trend run carrying x68 at 0.60 s vs its 0.2195
+    // pin (2.76x), x70 at 0.53 vs 0.252 (2.10x), x72 at 2.13 vs its
+    // same-round 1.2942 re-pin (1.65x) — all under the 3x suspect
+    // bar, artifact self-certified clean, and a reader had no
+    // machine-readable hint (round-9 verdict "what's wrong" #2). With
+    // the watch list the 2x-breakers surface as NOTES: suspects stays
+    // empty, the contended verdict is unchanged.
+    val ledger = Bench.loadLedger("BENCH_LEDGER.json")
+    assert(ledger.nonEmpty, "committed ledger missing")
+    val times = ledger ++ Map(
+      "x68_weighted_sample" -> 0.60,
+      "x70_containment" -> 0.53,
+      "x72_dup_clusters_all" -> 2.13)
+    val watch = Bench.watchlist(times, ledger)
+    assert(watch === Seq("x68_weighted_sample", "x70_containment"),
+      s"expected exactly the 2x-breaking r9 spikes under watch, got $watch")
+    // x72 at 1.65x sits under the 2x watch bar by design (it was
+    // re-pinned in-round; flagging sub-2x would drown the list)
+    assert(Bench.suspects(times, ledger).isEmpty,
+      "watch entries must not escalate to suspect")
+    // the gate itself still certifies the run (watch is a note)
+    assert(!Bench.contendedVerdict(0.8, 0.27, 0,
+      Bench.medianLedgerRatio(times, ledger),
+      Bench.p90LedgerRatio(times, ledger)))
+  }
+
+  test("watchlist ignores tiny pins, failed runs, and suspect escalations") {
+    val led = Map("a" -> 0.30, "b" -> 0.05, "c" -> 2.0, "d" -> 1.0,
+      "e" -> 1.0, "f" -> 1.0, "g" -> 1.0, "h" -> 1.0)
+    val times = Map(
+      "a" -> 0.75, // 2.5x on a 0.3 pin -> watch
+      "b" -> 0.40, // 8x but pin under 0.2 -> ignored
+      "c" -> 7.0, // 3.5x over 0.5 s -> SUSPECT, so not watch
+      "d" -> -2.5, // failed -> ignored
+      "e" -> 1.0, "f" -> 1.0, "g" -> 1.0, "h" -> 1.0)
+    assert(Bench.watchlist(times, led) === Seq("a"))
+    assert(Bench.suspects(times, led) === Seq("c"))
+  }
 }

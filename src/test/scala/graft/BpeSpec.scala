@@ -95,7 +95,10 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
       .groupBy("token").agg(count(lit(1)).as("freq"))
     val (recount, _) = Bpe.trainRecount(spark, words, 100)
     assert(recount.size === 100, "corpus must support 100 merges")
-    val (delta, _) = Bpe.train(spark, words, 100, batch = 1)
+    // cutoff 0 forces the delta path (the corpus vocab is small, so
+    // the default would delegate to recount and test nothing)
+    val (delta, _) = Bpe.train(spark, words, 100, batch = 1,
+      smallVocabCutoff = 0)
     assert(delta === recount)
   }
 
@@ -103,8 +106,10 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     val words = Tables.documents(spark, sf)
       .select(explode(graft.functions.Tokenize.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
-    val (seq1, _) = Bpe.train(spark, words, 104, batch = 1)
-    val (seq8, _) = Bpe.train(spark, words, 104, batch = 8)
+    val (seq1, _) = Bpe.train(spark, words, 104, batch = 1,
+      smallVocabCutoff = 0)
+    val (seq8, _) = Bpe.train(spark, words, 104, batch = 8,
+      smallVocabCutoff = 0)
     assert(seq8 === seq1)
   }
 
