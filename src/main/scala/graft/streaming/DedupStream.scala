@@ -491,6 +491,55 @@ object DedupStream {
         .select("lang", "n_rows", "token_hll", "token_freq", "token_theta")),
       Seq("lang"))
 
+  /** The LIVE dataset card — "what's in the corpus so far", per
+    * language, answered entirely from the maintained sketch slices:
+    * token totals, approximate distinct vocabulary (HLL + theta — two
+    * independent estimators of the same quantity, their agreement is
+    * the card's own sanity check), and the heavy tokens with
+    * frequency bounds. x62 is the BATCH card (a corpus pass over a
+    * finished dataset); this is its always-on sibling at kilobyte
+    * read cost — the accepted text is never rescanned, each batch
+    * sketched itself once in its own ingest loop.
+    */
+  def liveCard(spark: SparkSession, storeRoot: String): DataFrame =
+    corpusStats(spark, storeRoot)
+      .select(col("lang"),
+        col("n_rows").as("total_tokens"),
+        round(hll_sketch_estimate(col("token_hll")), 0).cast("long")
+          .as("distinct_tokens_hll"),
+        round(graft.functions.ThetaExpressions
+          .theta_estimate(col("token_theta")), 0).cast("long")
+          .as("distinct_tokens_theta"),
+        graft.functions.FreqExpressions.freq_top_k(col("token_freq"), 5)
+          .as("top_tokens"))
+      .orderBy("lang")
+
+  /** Ingest-level totals for the live card, from artifact METADATA
+    * and narrow column scans — accepted docs and boilerplate owners
+    * are parquet row counts (footer-only), cleaned/emptied read one
+    * small long column; no text column is ever materialized.
+    */
+  def ingestTotals(spark: SparkSession, storeRoot: String): DataFrame = {
+    val accepted = readOrEmpty(spark, s"$storeRoot/docs", keptDocSchema)
+      .count()
+    val cleaned = readOrEmpty(spark, s"$storeRoot/cleandocs", cleanDocSchema)
+      .select("n_tokens_kept")
+    val (cleanedDocs, emptied) = {
+      val r = cleaned.agg(count(lit(1)).as("n"),
+        sum(when(col("n_tokens_kept") === 0L, 1L).otherwise(0L)).as("e"))
+        .head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val owners = readOrEmpty(spark, s"$storeRoot/segown", segownSchema)
+      .count()
+    val trackedShingles = readOrEmpty(spark, s"$storeRoot/df", dfSchema)
+      .select("h").distinct().count()
+    import spark.implicits._
+    Seq((accepted, cleanedDocs, emptied, owners, trackedShingles))
+      .toDF("accepted_docs", "cleaned_docs", "emptied_docs",
+        "boilerplate_owned_segments", "tracked_shingles")
+  }
+
   /** The training-consumer view of the segment channel: every accepted
     * doc's cleaned reassembly (cleaned_text "" = the doc was pure
     * boilerplate by the time it arrived), merged across batch slices.

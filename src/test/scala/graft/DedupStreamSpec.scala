@@ -380,6 +380,66 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     } finally { cand.unpersist(); bands.unpersist(); sh.unpersist() }
   }
 
+  test("live card answers from artifacts and reconciles with a direct recount") {
+    val work = Files.createTempDirectory("graft_livecard")
+    val docsDir = work.resolve("docs_in")
+    Files.createDirectory(docsDir)
+    val store = work.resolve("store").toString
+    stage(docsDir, work, "all", col("doc_id") >= 0)
+    val wordvecs = graft.queries.ReferenceQueries.wordvecsByLang(spark, sf)
+    DedupStream.start(spark, docsDir.toString, wordvecs, 8, store,
+      work.resolve("ckpt").toString)
+      .awaitTermination(180000)
+
+    // ground truth from the accepted docs themselves (lang rejoined
+    // from the source table — the artifact stores only id+text)
+    val accepted = spark.read.parquet(s"$store/docs").select("doc_id")
+    val acceptedLang = Tables.documents(spark, sf)
+      .join(accepted, Seq("doc_id"), "left_semi")
+      .select(col("lang"),
+        explode(graft.functions.Tokenize.tokensByLang(
+          col("text"), col("lang"))).as("token"))
+      .persist()
+    try {
+      val exact = acceptedLang.groupBy("lang").agg(
+        count(lit(1)).as("tot"),
+        countDistinct(col("token")).as("dst"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      val topExact = acceptedLang.groupBy("lang", "token")
+        .agg(count(lit(1)).as("c"))
+        .collect().groupBy(_.getString(0)).view
+        .mapValues(_.maxBy(r => (r.getLong(2), r.getString(1))).getString(1))
+        .toMap
+
+      val card = DedupStream.liveCard(spark, store).collect()
+      assert(card.nonEmpty)
+      card.foreach { r =>
+        val lang = r.getString(0)
+        val (tot, dst) = exact(lang)
+        assert(r.getLong(1) === tot, s"total_tokens($lang) != recount")
+        // two independent estimators of the distinct vocabulary; at
+        // this cardinality both are near-exact
+        assert(math.abs(r.getLong(2) - dst) <= math.max(2L, dst / 50),
+          s"hll distinct off for $lang: ${r.getLong(2)} vs $dst")
+        assert(math.abs(r.getLong(3) - dst) <= math.max(2L, dst / 50),
+          s"theta distinct off for $lang: ${r.getLong(3)} vs $dst")
+        val top = r.getSeq[org.apache.spark.sql.Row](4)
+        assert(top.nonEmpty && top.head.getString(0) === topExact(lang),
+          s"top token mismatch for $lang")
+      }
+
+      val t = DedupStream.ingestTotals(spark, store).head()
+      assert(t.getLong(0) === accepted.count())
+      assert(t.getLong(1) ===
+        spark.read.parquet(s"$store/cleandocs").count())
+      assert(t.getLong(3) ===
+        spark.read.parquet(s"$store/segown").count())
+      assert(t.getLong(4) ===
+        spark.read.parquet(s"$store/df").select("h").distinct().count())
+    } finally { acceptedLang.unpersist(); () }
+  }
+
   test("pinned quality gate: gated stream accepts exactly the batch gate's keeps") {
     // THE published gate (Pipeline 9b: quality_model + quality_lm),
     // applied per micro-batch with no retrain: against the pinned LM
