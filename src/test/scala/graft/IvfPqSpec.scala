@@ -88,6 +88,24 @@ class IvfPqSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("the probe knob recovers recall: P=8 composed recall@3 >= 0.9") {
+    // composed recall is CAPPED by the probe stage, so the recall
+    // dial is P, not the codebook: IvfRecallSpec's ladder reaches
+    // 1.00 at P=8 and the residual-ADC stage is near-exact at
+    // shortlist=64, so the composition must clear 0.9 there — the
+    // floor the P=4 default cannot reach on this fixture (its misses
+    // live in unprobed lists)
+    val brute = ExtensionQueries.x05_ann_topk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val bruteTop3 = brute.filter(_._2 <= 3).map(t => (t._1, t._3)).toSet
+    val composed = graft.ml.IvfPq.searchTopK(spark, sf, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val hits = composed.count { case (q, v) => bruteTop3((q, v)) }
+    val recall = hits.toDouble / bruteTop3.size
+    info(f"IVF-PQ recall@3 at P=8 = $recall%.2f ($hits/${bruteTop3.size})")
+    assert(recall >= 0.9, f"P=8 composed recall below 0.9: $recall%.2f")
+  }
+
   test("residual codebooks reconstruct with no more error than whole-vector PQ") {
     // the defining IVFADC property at the same code budget: quantizing
     // r = v − centroid(list) spends the codebook bits on within-list
