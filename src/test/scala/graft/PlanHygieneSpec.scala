@@ -130,6 +130,24 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"quadratic plan in x83:\n$p")
   }
 
+  test("x84 source card composes cached frames: posting root, broadcast joins only") {
+    val df = graft.queries.ExtensionQueries.x84_card_sources(spark, sf)
+    df.count() // materialize through the shared posting entry
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"x84's overlap leg must read the shared posting cache:\n$p")
+    // BroadcastNestedLoopJoin IS expected once: x80's 1-row totals
+    // frame rides a broadcast cross join. CartesianProduct (unbroadcast
+    // quadratic) never is.
+    assert(!p.contains("CartesianProduct"),
+      s"quadratic plan in x84:\n$p")
+    // the final composition join (mix ⋈ overlap summary, both
+    // source-grain) must broadcast; x83's posting self-join inside the
+    // overlap leg is the one legitimate shuffle merge
+    assert(p.contains("BroadcastHashJoin [source"),
+      s"x84's source-grain composition join must broadcast:\n$p")
+  }
+
   test("x61 chunking is per-doc HOFs — no join, no quadratic plan") {
     val p = plan(graft.queries.ExtensionQueries.x61_chunks(spark, sf))
     assert(!p.contains("Join"), s"unexpected join in x61 plan:\n$p")
