@@ -25,15 +25,22 @@ import org.apache.spark.sql.functions._
   *     integer-arithmetic peak / mean-|s| / RMS over the PCM samples.
   *     Non-audio payloads quarantine as `codec = "unknown"`, valid
   *     magic with unreadable bytes as `codec = "corrupt"`.
+  *   - [[decodeVideoMeta]] / [[decodeVideoFrames]] — REAL container
+  *     parse + sampled frame decode for AVI video (the RIFF chunk
+  *     walk is ~80 lines of pure JVM; frames decode through the same
+  *     ImageIO JPEG leg for MJPEG, or a direct BGR row walk for
+  *     uncompressed 24-bit DIB). The metadata pass touches headers
+  *     only; the frame pass decodes ONLY the sampled chunks.
   *   - [[extractFeatures]] — byte-level statistics for ANY payload
-  *     (the x17 surface, oracle-checked byte-exactly): video codecs
-  *     are genuinely not in this environment, so that format keeps
-  *     the deterministic byte-feature fallback.
+  *     (the x17 surface, oracle-checked byte-exactly): the
+  *     codec-free fallback for everything else (MP4/MKV demuxing and
+  *     inter-frame codecs are genuinely not in this environment).
   *
   * The Spark-side plumbing — schema, typed Datasets, mapPartitions
   * batching with per-partition decoder init, explode of frame samples
-  * — is identical for both tiers; swapping in a JNI video decoder
-  * changes one function body, nothing in the plan.
+  * — is identical for all tiers; linking a JNI demuxer/codec for the
+  * container formats the JDK lacks changes one function body, nothing
+  * in the plan.
   */
 object MultiModal {
 
@@ -208,11 +215,220 @@ object MultiModal {
     st
   }
 
+  /** Container metadata for one video payload — parsed from the AVI
+    * headers WITHOUT decoding any frame (the metadata pass a corpus
+    * triage runs before spending decode cycles). `n_frames` is the
+    * header's declared total; `n_chunks` is the count of actual frame
+    * chunks in the movi list — a mismatch is itself a triage signal.
+    */
+  case class VideoMeta(media_id: Long, format: String, codec: String,
+      width: Int, height: Int, fps: Double, n_frames: Long, n_chunks: Int)
+
+  /** Decoded-pixel statistics for one SAMPLED video frame — the same
+    * exact integer-sum contract as [[ImageStats]] (one floating
+    * division at the end), per frame. `frame_codec` is what the chunk
+    * actually held: "mjpeg" (JPEG-in-AVI), "rgb24" (uncompressed
+    * bottom-up/top-down DIB), or a quarantine tag.
+    */
+  case class VideoFrameStats(media_id: Long, frame_idx: Int,
+      frame_codec: String, width: Int, height: Int, mean_r: Double,
+      mean_g: Double, mean_b: Double, mean_luma: Double)
+
+  /** Video container sniff — RIFF/AVI magic, the same cheap gate as
+    * [[sniffCodec]]/[[sniffAudio]].
+    */
+  private[sources] def sniffVideo(b: Array[Byte]): String =
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
+      "avi"
+    else "unknown"
+
+  /** Parsed AVI structure: main-header fields, the video stream's
+    * BITMAPINFOHEADER fields, and the (offset, length) of every frame
+    * chunk in the movi list — located, NOT decoded.
+    */
+  private[sources] final case class AviParsed(microSecPerFrame: Long,
+      totalFrames: Long, width: Int, height: Int, biWidth: Int,
+      biHeight: Int, biBitCount: Int, biCompression: String,
+      frames: Vector[(Int, Int)])
+
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Walk the RIFF chunk tree of an AVI payload: read `avih` (timing,
+    * declared frame count, raster size), the video stream's `strf`
+    * (BITMAPINFOHEADER — needed to decode uncompressed DIB frames),
+    * and record every `##db`/`##dc` frame chunk's byte range inside
+    * the `movi` list. Returns None for a payload whose chunk tree is
+    * unwalkable or that carries no `avih` — corrupt, not merely empty.
+    */
+  private[sources] def parseAvi(b: Array[Byte]): Option[AviParsed] =
+    try {
+      if (sniffVideo(b) != "avi") return None
+      var usPerFrame = 0L; var total = 0L; var w = 0; var h = 0
+      var biW = 0; var biH = 0; var bits = 0; var comp = ""
+      var sawAvih = false
+      var inVids = false
+      val frames = Vector.newBuilder[(Int, Int)]
+      def walk(start: Int, end: Int): Unit = {
+        var o = start
+        while (o + 8 <= end) {
+          val id = fourcc(b, o)
+          val sz = u32le(b, o + 4).toInt
+          val data = o + 8
+          if (sz < 0 || data + sz > end) return // truncated/garbage chunk
+          if (id == "LIST" && sz >= 4) {
+            val lt = fourcc(b, data)
+            if (lt == "hdrl" || lt == "strl" || lt == "movi" || lt == "rec ")
+              walk(data + 4, data + sz)
+          } else if (id == "avih" && sz >= 40) {
+            usPerFrame = u32le(b, data); total = u32le(b, data + 16)
+            w = u32le(b, data + 32).toInt; h = u32le(b, data + 36).toInt
+            sawAvih = true
+          } else if (id == "strh" && sz >= 4) {
+            inVids = fourcc(b, data) == "vids"
+          } else if (id == "strf" && inVids && sz >= 20) {
+            biW = u32le(b, data + 4).toInt; biH = u32le(b, data + 8).toInt
+            bits = u16le(b, data + 14)
+            val c = u32le(b, data + 16)
+            comp = if (c == 0L) "rgb" else fourcc(b, data + 16)
+          } else if (id.length == 4 && Character.isDigit(id.charAt(0)) &&
+            Character.isDigit(id.charAt(1)) && id.charAt(2) == 'd' &&
+            (id.charAt(3) == 'b' || id.charAt(3) == 'c')) {
+            frames += ((data, sz))
+          }
+          o = data + sz + (sz & 1) // RIFF chunks are word-aligned
+        }
+      }
+      walk(12, b.length)
+      if (!sawAvih) None
+      else Some(AviParsed(usPerFrame, total, w, h, biW, biH, bits, comp,
+        frames.result()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL video container parse over a media table — header metadata
+    * only, no frame decode (a corpus triage pass). Quarantine
+    * discipline as everywhere: non-AVI payloads tag `unknown`, a valid
+    * magic over an unwalkable chunk tree tags `corrupt`.
+    */
+  def decodeVideoMeta(media: Dataset[MediaRecord]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      sniffVideo(r.payload) match {
+        case "unknown" =>
+          VideoMeta(r.media_id, r.format, "unknown", 0, 0, 0.0, 0L, 0)
+        case _ => parseAvi(r.payload) match {
+          case None =>
+            VideoMeta(r.media_id, r.format, "corrupt", 0, 0, 0.0, 0L, 0)
+          case Some(p) =>
+            val fps =
+              if (p.microSecPerFrame > 0) 1e6 / p.microSecPerFrame else 0.0
+            VideoMeta(r.media_id, r.format, "avi", p.width, p.height, fps,
+              p.totalFrames, p.frames.length)
+        }
+      }
+    })
+  }
+
+  /** REAL video frame decode with container-level sampling: every
+    * `every`-th frame chunk of each AVI payload is decoded — MJPEG
+    * frames through ImageIO (the JPEG leg [[decodeImages]] already
+    * uses), uncompressed 24-bit DIB frames by direct BGR row walk
+    * (honoring bottom-up vs top-down via the strf height sign) — and
+    * reduced to exact integer-sum pixel stats. Unsampled chunks are
+    * never touched (the container walk records byte ranges only), so
+    * the decode cost scales with the SAMPLE, not the footage — the
+    * property that makes frame-sampling viable over 100 TB of video.
+    * flatMap keeps it distributed; non-video rows emit nothing.
+    */
+  def decodeVideoFrames(media: Dataset[MediaRecord], every: Int = 4): Dataset[VideoFrameStats] = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        parseAvi(r.payload) match {
+          case None => Iterator.empty
+          case Some(p) =>
+            p.frames.iterator.zipWithIndex.collect {
+              case ((off, len), i) if i % every == 0 =>
+                decodeFrame(r.media_id, r.payload, off, len, i, p)
+            }
+        }
+      }
+    }
+  }
+
+  private def decodeFrame(mediaId: Long, b: Array[Byte], off: Int, len: Int,
+      idx: Int, p: AviParsed): VideoFrameStats = {
+    val isJpeg = len >= 3 && (b(off) & 0xff) == 0xff &&
+      (b(off + 1) & 0xff) == 0xd8 && (b(off + 2) & 0xff) == 0xff
+    try {
+      if (isJpeg) {
+        val img = javax.imageio.ImageIO.read(
+          new ByteArrayInputStream(b, off, len))
+        if (img == null)
+          return VideoFrameStats(mediaId, idx, "corrupt", 0, 0, 0, 0, 0, 0)
+        val w = img.getWidth; val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+        var i = 0
+        while (i < px.length) {
+          val q = px(i)
+          val red = (q >> 16) & 0xff; val grn = (q >> 8) & 0xff
+          val blu = q & 0xff
+          sr += red; sg += grn; sb += blu
+          sl += 299L * red + 587L * grn + 114L * blu
+          i += 1
+        }
+        val n = px.length.toDouble
+        VideoFrameStats(mediaId, idx, "mjpeg", w, h,
+          sr / n, sg / n, sb / n, sl / (1000.0 * n))
+      } else if (p.biBitCount == 24 && p.biCompression == "rgb") {
+        // uncompressed DIB: BGR byte triples, rows padded to 4 bytes,
+        // bottom-up unless the strf height is negative (top-down)
+        val w = if (p.biWidth > 0) p.biWidth else p.width
+        val h = math.abs(if (p.biHeight != 0) p.biHeight else p.height)
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        if (w <= 0 || h <= 0 || len < rowSize * h)
+          return VideoFrameStats(mediaId, idx, "corrupt", 0, 0, 0, 0, 0, 0)
+        var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+        var y = 0
+        while (y < h) {
+          // stored row y counts from the bottom in a bottom-up DIB;
+          // the sums are row-order-invariant, so only bounds matter
+          var o = off + y * rowSize
+          var x = 0
+          while (x < w) {
+            val blu = b(o) & 0xff; val grn = b(o + 1) & 0xff
+            val red = b(o + 2) & 0xff
+            sr += red; sg += grn; sb += blu
+            sl += 299L * red + 587L * grn + 114L * blu
+            o += 3; x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        VideoFrameStats(mediaId, idx, "rgb24", w, h,
+          sr / n, sg / n, sb / n, sl / (1000.0 * n))
+      } else
+        VideoFrameStats(mediaId, idx, "unsupported", 0, 0, 0, 0, 0, 0)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        VideoFrameStats(mediaId, idx, "corrupt", 0, 0, 0, 0, 0, 0)
+    }
+  }
+
   /** Byte-level feature extraction for ANY payload as a per-partition
     * batch map — deterministic statistics that need no codec (the
-    * video stand-in until a real decoder is linked; images get true
-    * pixel features from [[decodeImages]], audio from
-    * [[decodeAudio]]).
+    * fallback for codecless payloads; images get true pixel features
+    * from [[decodeImages]], audio from [[decodeAudio]], AVI video
+    * from [[decodeVideoMeta]]/[[decodeVideoFrames]]).
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
