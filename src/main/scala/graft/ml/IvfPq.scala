@@ -78,6 +78,47 @@ object IvfPq {
     })
   }
 
+  /** Incremental add — the FAISS `add()` contract: new vectors join
+    * an EXISTING index without retraining either quantizer. Each
+    * vector is assigned to its nearest current centroid (the same
+    * `v·c − |c|²/2` argmax the build runs, same first-max tiebreak),
+    * residual-encoded against the SAME codebooks, and unioned onto
+    * the coded frame. Because both quantizers are immutable across
+    * appends, the appended rows are ROW-IDENTICAL to what a full
+    * encode of (base ∪ delta) under the same quantizers would produce
+    * — IvfPqSpec pins exactly that — so the recall analysis and every
+    * search property carry over unchanged. This is the maintenance
+    * path a deployed index lives on: the nightly delta encodes in one
+    * corpus-linear broadcast pass (no shuffle — centroids and
+    * codebooks ride as plan literals) and appends; RETRAINING is a
+    * deliberate distribution-drift event, not an ingest side effect.
+    * The memoized build cache is not touched — append returns a new
+    * Index value.
+    */
+  def append(index: Index, newVecs: DataFrame): Index = {
+    val cents = index.centroids.select("list_id", "centroid")
+      .orderBy("list_id").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val centLit = array(cents.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+    val offLit = array(cents.toIndexedSeq.map(c =>
+      lit(0.5 * c.map(x => x * x).sum)): _*)
+    val scores = zip_with(transform(centLit, c => VecMath.dot(col("v"), c)),
+      offLit, (d, o) => d - o)
+    val resid = newVecs
+      .withColumn("scores", scores)
+      .withColumn("list_id",
+        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+      .join(broadcast(index.centroids), Seq("list_id"))
+      .select(col("vec_id"), col("list_id"),
+        zip_with(col("v"), col("centroid"), (a, b) => a - b).as("r"),
+        VecMath.l2norm(col("v")).as("vnorm"))
+    val codedNew = PqIndex.withCodes(resid, "r", index.codebooks)
+      .select("vec_id", "list_id", "codes", "vnorm")
+    Index(graft.Caches.persist(index.coded.unionByName(codedNew)),
+      index.centroids, index.codebooks, index.m, index.dsub)
+  }
+
   /** Publish the deployment triple as one atomic versioned snapshot. */
   def save(spark: SparkSession, sfDir: String, root: String,
       m: Int = 16, ksub: Int = 16): Long = {
