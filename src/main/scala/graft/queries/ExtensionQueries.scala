@@ -957,6 +957,83 @@ object ExtensionQueries {
        |FROM bi b JOIN cnt c USING (w1, w2) JOIN cw1 w USING (w1)
        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
 
+  // ======================================================================
+  // x85: CCNet-style per-language perplexity buckets — the release
+  // decision the xent signals (x71/x73) actually feed: each scored
+  // doc is assigned head / middle / tail by the TERTILES of its OWN
+  // LANGUAGE's cross-entropy distribution (CCNet's defining move —
+  // an absolute threshold would dump whole low-resource languages
+  // into one bucket; per-language cuts make the gate
+  // distribution-relative). Composition: x71's unigram xent per doc,
+  // x07's language call per doc, exact interpolated tertiles per
+  // language (a languages-sized dimension frame that broadcasts
+  // back). Shapes: two corpus-linear passes over the shared token
+  // posting + one tiny dim join — no new shuffle class. At 100 TB
+  // the exact per-lang percentile is the one sort-heavy piece; the
+  // scale path swaps it for the KLL sketch quantiles x64 already
+  // ships (same cuts to sketch accuracy, one pass, mergeable) —
+  // the bucket assignment and everything downstream is unchanged.
+  def x85_ccnet_buckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = spark; import s2.implicits._
+    val tok = docTok(Tables.documents(spark, sfDir))
+    // x71's unigram model + per-doc cross-entropy
+    val cnt = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).cast("double").as("n"))
+    val xent = tok.join(cnt, Seq("token"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id").agg(
+        round(avg(-log(col("c").cast("double") / col("n"))), 6).as("xent"))
+    // x07's language call (marker argmax, und fallback)
+    val markers = langMarkers.toDF("plang", "word")
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))
+    val lang = tok.join(broadcast(markers), col("token") === col("word"))
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("plang"))
+    val scored = xent.join(lang, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("plang"), lit("und")).as("pred_lang"),
+        col("xent"))
+    val cuts = scored.groupBy("pred_lang").agg(
+      round(expr("percentile(xent, 0.33)"), 6).as("t1"),
+      round(expr("percentile(xent, 0.67)"), 6).as("t2"))
+    scored.join(broadcast(cuts), Seq("pred_lang"))
+      .select(col("doc_id"), col("pred_lang"), col("xent"), col("t1"), col("t2"),
+        when(col("xent") <= col("t1"), lit("head"))
+          .when(col("xent") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  // lazy: langMarkers is declared further down the file (next to x07,
+  // whose heuristic this composes); a plain val would read it before
+  // object-init reaches it
+  lazy val x85Sql: String = {
+    val values = langMarkers.map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+       |tot AS (SELECT sum(c)::DOUBLE AS n FROM cnt),
+       |xent AS (SELECT t.doc_id,
+       |  round(avg(-ln(c.c / (SELECT n FROM tot))), 6) AS xent
+       |  FROM tok t JOIN cnt c USING (token) GROUP BY t.doc_id),
+       |markers(plang, word) AS (VALUES $values),
+       |sc AS (SELECT doc_id, plang, count(*) AS score FROM tok
+       |       JOIN markers ON token = word GROUP BY doc_id, plang),
+       |best AS (SELECT doc_id, plang, row_number() OVER
+       |  (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn FROM sc),
+       |scored AS (SELECT x.doc_id, coalesce(b.plang, 'und') AS pred_lang, x.xent
+       |  FROM xent x LEFT JOIN (SELECT doc_id, plang FROM best WHERE rn = 1) b
+       |  USING (doc_id)),
+       |cuts AS (SELECT pred_lang,
+       |  round(quantile_cont(xent, 0.33), 6) AS t1,
+       |  round(quantile_cont(xent, 0.67), 6) AS t2
+       |  FROM scored GROUP BY pred_lang)
+       |SELECT s.doc_id, s.pred_lang, s.xent, c.t1, c.t2,
+       |  CASE WHEN s.xent <= c.t1 THEN 'head'
+       |       WHEN s.xent <= c.t2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM scored s JOIN cuts c USING (pred_lang)
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   val x04Sql: String =
     s"""WITH $SqlSharedPairsCte
        |SELECT s.d1, s.d2,
@@ -2533,6 +2610,7 @@ object ExtensionQueries {
     "x70_containment" -> (x70_containment _),
     "x71_unigram_xent" -> (x71_unigram_xent _),
     "x73_bigram_xent" -> (x73_bigram_xent _),
+    "x85_ccnet_buckets" -> (x85_ccnet_buckets _),
     "x74_segment_dedup" -> (x74_segment_dedup _),
     "x77_dup_spans" -> (x77_dup_spans _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
@@ -2602,6 +2680,7 @@ object ExtensionQueries {
     "x70_containment" -> x70Sql,
     "x71_unigram_xent" -> x71Sql,
     "x73_bigram_xent" -> x73Sql,
+    "x85_ccnet_buckets" -> x85Sql,
     "x74_segment_dedup" -> x74Sql,
     "x77_dup_spans" -> x77Sql,
     "x78_fuzzy_pairs" -> x78Sql,
