@@ -404,6 +404,19 @@ object Pipeline {
         .select(col("rank").cast("long").as("rank"), col("left"),
           col("right"), col("merged"), col("pair_count"))
 
+      // 8c. the CCNet operating point: per-language xent tertile cuts
+      // over the PUBLISHED text, beside the unigram LM that defines
+      // the xent (QualityModel's definition — one xent shared with the
+      // quality gate; unseen tokens back off to a half count). Cuts
+      // without their LM are meaningless numbers; together they make
+      // the release's head/middle/tail rule replayable on the release
+      // itself (bit-for-bit, PipelineSpec) and on NEW data ("where
+      // would this land in the release's distribution" — the question
+      // a curriculum/mixture decision asks). Cost: one tokenize +
+      // LM-join pass over the persisted corpus, same class as 8/8b.
+      val ccnetLm = graft.ml.QualityModel.unigramLm(corpus)
+      val ccnetCuts = ExtensionQueries.ccnetCutsOf(ccnetLm, corpus)
+
       // 9. one atomic multi-table snapshot: the masked text a model
       // trains on + vectors + packing + stats, versioned together. The
       // vector / packing stats are observations on the write jobs
@@ -428,7 +441,8 @@ object Pipeline {
         "quality_lm" -> graft.ml.QualityModel.unigramLm(trainCorpus)))
       val version = VersionedStore.publishAll(
         Map("documents" -> corpus, "vectors" -> vecs, "packing" -> packed,
-          "stats" -> stats, "tokenizer" -> tokenizer) ++ qualityTable,
+          "stats" -> stats, "tokenizer" -> tokenizer,
+          "ccnet_lm" -> ccnetLm, "ccnet_cuts" -> ccnetCuts) ++ qualityTable,
         storeRoot)
       // The snapshot is PUBLISHED by this point; the funnel stats ride
       // the async listener bus, which Spark drops events from under

@@ -1034,6 +1034,43 @@ object ExtensionQueries {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  /** Per-language CCNet cut points (xent tertiles) under an EXPLICIT
+    * unigram LM — x85's operating point, factored so a release can
+    * pin both: cuts published beside the LM make the head/middle/tail
+    * rule replayable on any corpus. The xent definition is
+    * [[graft.ml.QualityModel.featuresWith]]'s (one definition shared
+    * with the learned quality gate — unseen tokens back off to a half
+    * count), NOT x85's self-trained closed form: an operating point
+    * only means something under a pinned reference distribution.
+    * `corpus` needs (doc_id, lang, text); `lang` here is the
+    * dataset's own language column (the pipeline knows its corpus),
+    * where standalone x85 has to infer one with x07's markers.
+    */
+  def ccnetCutsOf(lm: DataFrame, corpus: DataFrame): DataFrame =
+    graft.ml.QualityModel.featuresWith(lm, corpus)
+      .select(col("doc_id"), col("xent"))
+      .join(corpus.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang").agg(
+        round(expr("percentile(xent, 0.33)"), 6).as("t1"),
+        round(expr("percentile(xent, 0.67)"), 6).as("t2"))
+
+  /** Replay the bucket rule against a pinned (lm, cuts) operating
+    * point: per-doc xent under the published LM, bucket by the
+    * published cuts. Run on the release's own corpus it reproduces
+    * the release's split; run on NEW data it answers "where would
+    * this land in the release's distribution" — the question a
+    * curriculum or mixture decision actually asks.
+    */
+  def ccnetBucketsWith(lm: DataFrame, cuts: DataFrame, corpus: DataFrame): DataFrame =
+    graft.ml.QualityModel.featuresWith(lm, corpus)
+      .select(col("doc_id"), round(col("xent"), 6).as("xent"))
+      .join(corpus.select("doc_id", "lang"), Seq("doc_id"))
+      .join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("xent"), col("t1"), col("t2"),
+        when(col("xent") <= col("t1"), lit("head"))
+          .when(col("xent") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+
   val x04Sql: String =
     s"""WITH $SqlSharedPairsCte
        |SELECT s.d1, s.d2,

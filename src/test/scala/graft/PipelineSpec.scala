@@ -350,6 +350,61 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(ids(s"$work/a", rBroadcast.version) === ids(s"$work/b", rBloom.version))
   }
 
+  test("snapshot ships its CCNet operating point; the bucket rule replays") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_pipe_ccnet").toString + "/store"
+    val r = Pipeline.run(spark, sf, store)
+    val lm = VersionedStore.readTable(spark, store, r.version, "ccnet_lm")
+    val cuts = VersionedStore.readTable(spark, store, r.version, "ccnet_cuts")
+    val docs = VersionedStore.readTable(spark, store, r.version, "documents")
+
+    // one cut row per published language, cuts ordered
+    val langs = docs.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet
+    val cutRows = cuts.select("lang", "t1", "t2").collect()
+      .map(c => (c.getString(0), c.getDouble(1), c.getDouble(2)))
+    assert(cutRows.map(_._1).toSet === langs)
+    cutRows.foreach { case (l, t1, t2) => assert(t1 <= t2, s"lang $l") }
+
+    // the published LM is exactly the published text's unigram counts
+    val lmMap = lm.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val indep = graft.ml.QualityModel.unigramLm(docs).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(lmMap === indep, "ccnet_lm diverges from the published text")
+
+    // replay against the PINNED pair: every tokenizable published doc
+    // lands in a bucket, the rule is the pinned comparison, and
+    // recomputing the cuts from the published artifacts reproduces
+    // the published values (tolerance: one float-sum reassociation
+    // ulp, far inside the rule's 6-decimal grid)
+    val replay = graft.queries.ExtensionQueries
+      .ccnetBucketsWith(lm, cuts, docs).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4), x.getString(5)))
+    val tokenizable = docs
+      .filter(size(graft.functions.Tokenize.tokens(col("text"))) > 0).count()
+    assert(replay.length.toLong === tokenizable)
+    replay.foreach { case (id, _, xent, t1, t2, bucket) =>
+      val expect = if (xent <= t1) "head"
+        else if (xent <= t2) "middle" else "tail"
+      assert(bucket === expect, s"doc $id bucket rule")
+    }
+    // distribution-relative: each language with enough docs splits
+    val perLang = replay.groupBy(_._2)
+    for ((l, rows) <- perLang if rows.length >= 9)
+      assert(rows.map(_._6).distinct.length === 3,
+        s"lang $l (${rows.length} docs) should hit all three buckets")
+
+    val recut = graft.queries.ExtensionQueries.ccnetCutsOf(lm, docs)
+      .select("lang", "t1", "t2").collect()
+      .map(c => c.getString(0) -> (c.getDouble(1), c.getDouble(2))).toMap
+    cutRows.foreach { case (l, t1, t2) =>
+      val (u1, u2) = recut(l)
+      assert(math.abs(u1 - t1) < 1e-6 && math.abs(u2 - t2) < 1e-6,
+        s"republished cuts drift for $l: ($t1,$t2) vs ($u1,$u2)")
+    }
+  }
+
   test("semantic dedup stage: the jittered twin is pruned, quantizer built once") {
     import spark.implicits._
     // 24 docs that pass every text gate (distinct 120-token bodies),
