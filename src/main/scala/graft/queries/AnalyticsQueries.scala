@@ -862,6 +862,80 @@ object AnalyticsQueries {
   }
 
   // ======================================================================
+  // x89: Z-order layout audit — the multi-dimensional data-clustering
+  // decision a 100 TB table's writer makes so that point/range
+  // predicates on MULTIPLE columns each prune files. Events are
+  // clustered on (user_id, event hour): both dims are min-max scaled
+  // to 16 bits, bit-interleaved into a 32-bit Morton key, and files
+  // are modeled as the 32 z-PREFIX buckets (top 5 bits — exactly the
+  // z-range boxes a lakehouse writer produces, no global sort, no
+  // single-partition window). Per bucket the query reports the
+  // per-dimension min/max envelope — the file-skipping statistics a
+  // reader consults — and whether a canned center-quarter predicate
+  // on BOTH dims touches the bucket: with z-ordering, a 2-D selective
+  // predicate touches a small fraction of buckets, where any 1-D sort
+  // layout leaves one of the two dims unclustered (every file
+  // touched). Shapes: one tiny global-extent agg broadcast to one
+  // corpus-linear projection + one 32-key groupBy; the interleave is
+  // pure codegen'd bit arithmetic. Nothing here is testdata-sized
+  // state: at 100 TB the same plan emits the same 32 rows.
+  def x89_zorder_layout(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long").as("u"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+    val ext = e.agg(min(col("u")).as("lo_u"), max(col("u")).as("hi_u"),
+      min(col("hr")).as("lo_h"), max(col("hr")).as("hi_h"))
+    val scaled = e.crossJoin(broadcast(ext))
+      .withColumn("u16", expr("((u - lo_u) * 65535) div greatest(hi_u - lo_u, 1)"))
+      .withColumn("h16", expr("((hr - lo_h) * 65535) div greatest(hi_h - lo_h, 1)"))
+    val z = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(col("u16"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(col("h16"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    scaled.withColumn("bucket", shiftright(z, 27))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_events"),
+        min(col("u")).as("min_user"), max(col("u")).as("max_user"),
+        min(col("hr")).as("min_hour"), max(col("hr")).as("max_hour"),
+        first(col("lo_u")).as("lo_u"), first(col("hi_u")).as("hi_u"),
+        first(col("lo_h")).as("lo_h"), first(col("hi_h")).as("hi_h"))
+      .select(col("bucket"),
+        col("n_events"),
+        col("min_user"), col("max_user"), col("min_hour"), col("max_hour"),
+        (!(col("max_user") < col("lo_u") + expr("(hi_u - lo_u) div 4") ||
+           col("min_user") > col("lo_u") + expr("(hi_u - lo_u) div 2") ||
+           col("max_hour") < col("lo_h") + expr("(hi_h - lo_h) div 4") ||
+           col("min_hour") > col("lo_h") + expr("(hi_h - lo_h) div 2")))
+          .as("touched"))
+      .orderBy("bucket")
+  }
+
+  val x89Sql: String =
+    s"""WITH e AS (SELECT user_id::BIGINT AS u,
+       |           epoch_us(ts::TIMESTAMP) // 3600000000 AS hr FROM events),
+       |ext AS (SELECT min(u) AS lo_u, max(u) AS hi_u,
+       |        min(hr) AS lo_h, max(hr) AS hi_h FROM e),
+       |s AS (SELECT u, hr,
+       |      ((u - lo_u) * 65535) // greatest(hi_u - lo_u, 1) AS u16,
+       |      ((hr - lo_h) * 65535) // greatest(hi_h - lo_h, 1) AS h16,
+       |      lo_u, hi_u, lo_h, hi_h FROM e, ext),
+       |zc AS (SELECT u, hr, lo_u, hi_u, lo_h, hi_h,
+       |       (${(0 until 16).map(i =>
+                  s"(((u16 >> $i) & 1) << ${2 * i}) | (((h16 >> $i) & 1) << ${2 * i + 1})")
+                  .mkString(" | ")}) AS z
+       |       FROM s)
+       |SELECT z >> 27 AS bucket, count(*)::BIGINT AS n_events,
+       |  min(u) AS min_user, max(u) AS max_user,
+       |  min(hr) AS min_hour, max(hr) AS max_hour,
+       |  NOT (max(u) < any_value(lo_u) + (any_value(hi_u) - any_value(lo_u)) // 4
+       |    OR min(u) > any_value(lo_u) + (any_value(hi_u) - any_value(lo_u)) // 2
+       |    OR max(hr) < any_value(lo_h) + (any_value(hi_h) - any_value(lo_h)) // 4
+       |    OR min(hr) > any_value(lo_h) + (any_value(hi_h) - any_value(lo_h)) // 2)
+       |    AS touched
+       |FROM zc GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ======================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_sql_api" -> (q28_sql_api _),
     "x30_grouping_cube" -> (x30_grouping_cube _),
@@ -876,6 +950,7 @@ object AnalyticsQueries {
     "x39_json_roundtrip" -> (x39_json_roundtrip _),
     "x40_partition_prune" -> (x40_partition_prune _),
     "x41_salted_agg" -> (x41_salted_agg _),
+    "x89_zorder_layout" -> (x89_zorder_layout _),
     "x42_merge_upsert" -> (x42_merge_upsert _),
     "x43_quantiles" -> (x43_quantiles _),
     "x44_array_funcs" -> (x44_array_funcs _),
@@ -904,6 +979,7 @@ object AnalyticsQueries {
     "x38_csv_roundtrip" -> x38Sql,
     "x39_json_roundtrip" -> x39Sql,
     "x40_partition_prune" -> x40Sql,
+    "x89_zorder_layout" -> x89Sql,
     "x41_salted_agg" -> x41Sql,
     "x42_merge_upsert" -> x42Sql,
     "x43_quantiles" -> x43Sql,

@@ -556,7 +556,16 @@ object ExtensionQueries {
   // in the gram dimension, as in x74.
   private val SpanW = 8
 
-  def x77_dup_spans(spark: SparkSession, sfDir: String): DataFrame = {
+  def x77_dup_spans(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpanFrames(spark, sfDir)._2.orderBy("doc_id", "span_start")
+
+  /** x77/x86 shared core: (tt, spans) — the span-eligible tokenized
+    * docs (>= SpanW tokens) and the maximal duplicated-span frame
+    * (doc_id, span_start, span_len, n_grams, span_hash). x77 reports
+    * the spans; x86 performs the removal surgery on them.
+    */
+  private def dupSpanFrames(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, sfDir)
     val t = ReferenceQueries.parallelized(docs)
       .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
@@ -576,11 +585,58 @@ object ExtensionQueries {
         min(col("pos")).as("span_start"),
         (max(col("pos")) - min(col("pos")) + SpanW).as("span_len"),
         count(lit(1)).as("n_grams"))
-    sp.join(t, Seq("doc_id"))
+    val spans = sp.join(t, Seq("doc_id"))
       .select(col("doc_id"), col("span_start"), col("span_len"), col("n_grams"),
         md5(array_join(slice(col("toks"), (col("span_start") + 1).cast("int"),
           col("span_len").cast("int")), " ")).as("span_hash"))
-      .orderBy("doc_id", "span_start")
+    (t, spans)
+  }
+
+  // ======================================================================
+  // x86: duplicated-span REMOVAL — the surgery half of the exact-
+  // substring dedup recipe x77 is the detection half of. Every
+  // maximal duplicated span keeps ONE occurrence in the corpus — the
+  // canonical copy lives in the minimum doc_id holding that exact
+  // span content — and is cut from every other document, so shared
+  // boilerplate survives exactly once instead of per-page. x74
+  // removes whole aligned SEGMENTS (the CCNet line shape); this cuts
+  // arbitrary-offset token spans — the unaligned case segment
+  // boundaries can't see. Output: one row per span-eligible doc with
+  // the removal accounting and an md5 of the cleaned token stream
+  // (value-exact proof of the surgery without shipping megabytes).
+  // Shapes: the span frame is x77's (shared helper — same two
+  // equi-joins, no self-join); the keeper choice is one
+  // span_hash-keyed agg (16-byte key, dimension-sized); the cut list
+  // rides back on a doc_id equi-join as a collect_list bounded by
+  // spans-per-doc; the surgery itself is per-row array arithmetic
+  // (filter-with-index against the span intervals — overlapping cuts
+  // collapse for free because membership, not span length, decides
+  // each token). Nothing pairwise, nothing driver-side;
+  // corpus-linear at 100 TB.
+  def x86_span_removal(spark: SparkSession, sfDir: String): DataFrame = {
+    val (tt, spans) = dupSpanFrames(spark, sfDir)
+    // keeper via a span_hash-partitioned window min, NOT a groupBy +
+    // re-join against spans: the latter would plan the whole span
+    // subtree (gram explode + two aggs) TWICE — one window over the
+    // 16-byte-hash partitioning reuses it once, and span-groups are
+    // docs-per-span-content sized, never corpus sized
+    val cuts = spans
+      .withColumn("keep_doc",
+        min(col("doc_id")).over(Window.partitionBy("span_hash")))
+      .filter(col("doc_id") =!= col("keep_doc"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+        (col("span_start") + col("span_len")).as("e"))).as("sp"))
+    tt.join(cuts, Seq("doc_id"), "left")
+      .withColumn("sp",
+        coalesce(col("sp"), array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("kept", filter(col("toks"), (tok, i) =>
+        !exists(col("sp"),
+          p => i.cast("long") >= p("s") && i.cast("long") < p("e"))))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept"), " ")).as("cleaned_hash"))
+      .orderBy("doc_id")
   }
 
   val x77Sql: String =
@@ -597,6 +653,37 @@ object ExtensionQueries {
        |  md5(array_to_string(list_slice(tt.toks, (s.span_start + 1)::INT,
        |    (s.span_start + s.span_len)::INT), ' ')) AS span_hash
        |FROM sp s JOIN tt USING (doc_id) ORDER BY doc_id, span_start""".stripMargin
+
+  val x86Sql: String =
+    s"""WITH t AS (SELECT doc_id, $SqlTok AS toks FROM documents),
+       |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $SpanW),
+       |g AS (SELECT doc_id, toks, unnest(range(0, len(toks) - $SpanW + 1))::BIGINT AS pos FROM tt),
+       |gr AS (SELECT doc_id, pos, md5(array_to_string(list_slice(toks, pos + 1, pos + $SpanW), ' ')) AS h FROM g),
+       |df AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS dd FROM gr GROUP BY h) WHERE dd >= 2),
+       |d AS (SELECT doc_id, pos FROM gr JOIN df USING (h)),
+       |isl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM d),
+       |sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) - min(pos) + $SpanW AS span_len
+       |       FROM isl GROUP BY doc_id, grp),
+       |sph AS (SELECT s.doc_id, s.span_start, s.span_len,
+       |        md5(array_to_string(list_slice(tt.toks, (s.span_start + 1)::INT,
+       |          (s.span_start + s.span_len)::INT), ' ')) AS span_hash
+       |        FROM sp s JOIN tt USING (doc_id)),
+       |keep AS (SELECT span_hash, min(doc_id) AS keep_doc FROM sph GROUP BY span_hash),
+       |rem AS (SELECT DISTINCT s.doc_id,
+       |        unnest(range(s.span_start, s.span_start + s.span_len))::BIGINT AS pos
+       |        FROM sph s JOIN keep k USING (span_hash) WHERE s.doc_id <> k.keep_doc),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok,
+       |        unnest(range(0, len(toks)))::BIGINT AS pos FROM tt),
+       |kept AS (SELECT k.doc_id, k.tok, k.pos FROM tok k
+       |         LEFT JOIN rem r ON k.doc_id = r.doc_id AND k.pos = r.pos
+       |         WHERE r.pos IS NULL),
+       |agg AS (SELECT doc_id, count(*) AS n_kept,
+       |        md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_hash
+       |        FROM kept GROUP BY doc_id)
+       |SELECT tt.doc_id, len(tt.toks)::BIGINT AS n_tokens,
+       |  (len(tt.toks) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+       |  coalesce(a.cleaned_hash, md5('')) AS cleaned_hash
+       |FROM tt LEFT JOIN agg a USING (doc_id) ORDER BY tt.doc_id""".stripMargin
 
   // ======================================================================
   // x83: cross-source content-overlap matrix — the dataset-card
@@ -768,6 +855,41 @@ object ExtensionQueries {
       .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
         col("merged"), col("pair_count"))
       .orderBy("rank")
+  }
+
+  // ======================================================================
+  // x87: corpus tokenization under the trained BPE — the APPLY side
+  // of x79 at corpus scale (train → ship → tokenize EVERYTHING: the
+  // pass that prices a corpus in model tokens and feeds packing (x59)
+  // and mixture math (x80) in real token units instead of whitespace
+  // words). Scale shape: running text is never BPE-encoded
+  // occurrence by occurrence — the merge loop applies once to the
+  // WORD DIMENSION (distinct tokens, vocabulary-sized; x79's training
+  // already materializes exactly that encoded state), giving a
+  // (token → n_pieces) table that joins back onto the shared corpus
+  // posting as a broadcast; per-doc totals are one groupBy. At
+  // 100 TB the encode cost is the vocabulary's, not the corpus's,
+  // and a 32k-merge piece table is megabytes — always broadcastable.
+  // Rows-only for the driver (no SQL oracle can run a merge loop);
+  // BpeSpec pins per-doc counts against the single-node reference.
+  def x87_bpe_tokenize(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val words = docTok(docs).groupBy("token").agg(count(lit(1)).as("freq"))
+    val (_, encoded) = graft.operators.Bpe.train(spark, words, 20)
+    val pieces = encoded
+      .select(col("token"), size(col("syms")).cast("long").as("n_pieces"))
+    docTok(docs)
+      .join(broadcast(pieces), Seq("token"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_bpe_tokens"))
+      .join(docs.select("doc_id"), Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        round(coalesce(col("n_bpe_tokens") / col("n_words"), lit(0.0)), 6)
+          .as("pieces_per_word"))
+      .orderBy("doc_id")
   }
 
   // ======================================================================
@@ -1196,6 +1318,48 @@ object ExtensionQueries {
        |          JOIN nsh n1 ON n1.doc_id = s.d1 JOIN nsh n2 ON n2.doc_id = s.d2
        |          WHERE $SqlJaccardPred OR $SqlContainPred),
        |$SqlClosureTail""".stripMargin
+
+  // ======================================================================
+  // x88: soft dedup — the DOWNWEIGHT alternative to x72's drop
+  // policy. Dropping all-but-one per dup cluster maximizes diversity
+  // but discards every signal duplication carries (popular content IS
+  // more representative); the soft policy keeps every doc and assigns
+  // sampling weight 1/cluster_size over the SAME cross-measure
+  // closure, so each piece of content contributes exactly one
+  // effective document regardless of how many near-copies exist — the
+  // epoch-equivalent view a mixture sampler (x56/x68 consume given
+  // weights) needs. Singletons get weight 1 and their own id as
+  // cluster_id, making the frame total (every corpus doc has a row)
+  // and the effective corpus size = sum(weight). Shapes: the closure
+  // is x72's min-label propagation (banded pair frame, never
+  // all-pairs); the weight is arithmetic on its cluster_size; the
+  // totalization is one left join against the corpus spine. Nothing
+  // new shuffles at 100 TB beyond what x72 already does.
+  def x88_dup_weights(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select("doc_id")
+      .join(x72_dup_clusters_all(spark, sfDir), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("cluster_size"), lit(1L)), 6).as("weight"))
+      .orderBy("doc_id")
+
+  val x88Sql: String =
+    s"""WITH RECURSIVE $SqlSharedPairsCte,
+       |pairs AS (SELECT s.d1, s.d2 FROM shared s
+       |          JOIN nsh n1 ON n1.doc_id = s.d1 JOIN nsh n2 ON n2.doc_id = s.d2
+       |          WHERE $SqlJaccardPred OR $SqlContainPred),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+       |cl AS (SELECT n AS doc_id, min(m) AS cluster_id,
+       |       count(DISTINCT m)::BIGINT AS cluster_size FROM reach GROUP BY n)
+       |SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+       |  coalesce(cl.cluster_size, 1)::BIGINT AS cluster_size,
+       |  round(1.0 / coalesce(cl.cluster_size, 1), 6) AS weight
+       |FROM documents d LEFT JOIN cl USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
   // ======================================================================
   // x05: brute-force cosine top-k ANN baseline. Query set × corpus
@@ -2650,6 +2814,9 @@ object ExtensionQueries {
     "x85_ccnet_buckets" -> (x85_ccnet_buckets _),
     "x74_segment_dedup" -> (x74_segment_dedup _),
     "x77_dup_spans" -> (x77_dup_spans _),
+    "x86_span_removal" -> (x86_span_removal _),
+    "x87_bpe_tokenize" -> (x87_bpe_tokenize _),
+    "x88_dup_weights" -> (x88_dup_weights _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
     // contract is BpeSpec's reference-implementation equivalence
@@ -2720,6 +2887,8 @@ object ExtensionQueries {
     "x85_ccnet_buckets" -> x85Sql,
     "x74_segment_dedup" -> x74Sql,
     "x77_dup_spans" -> x77Sql,
+    "x86_span_removal" -> x86Sql,
+    "x88_dup_weights" -> x88Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,
     "x81_shuffle_shards" -> x81Sql,

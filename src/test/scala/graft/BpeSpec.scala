@@ -118,6 +118,36 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(sparkTrain(words, 8) === sparkTrain(words, 8))
   }
 
+  test("x87 per-doc bpe token counts equal the single-node reference") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.Tokenize.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val freq: Map[String, Long] = docs.values.flatten
+      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val merges = refTrain(freq, 20)
+    assert(merges.nonEmpty)
+    def encodeWord(w: String): Long = {
+      var syms: Vector[String] = w.split("").filter(_.nonEmpty).toVector :+ Bpe.Eow
+      for (m <- merges) {
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (s <- syms) {
+          if (b.nonEmpty && b.last == m.left && s == m.right) b(b.size - 1) = m.merged
+          else b += s
+        }
+        syms = b.toVector
+      }
+      syms.size.toLong
+    }
+    val pieceOf = freq.keysIterator.map(w => w -> encodeWord(w)).toMap
+    val expect = docs.map { case (id, toks) =>
+      id -> ((toks.size.toLong, toks.iterator.map(pieceOf).sum)) }
+    val got = ExtensionQueries.x87_bpe_tokenize(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect)
+    // and at least one word actually compresses (pieces < chars + eow)
+    assert(pieceOf.exists { case (w, p) => p < w.length + 1 })
+  }
+
   test("encode applies the learned table: concatenating symbols restores the word") {
     val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
     val df = spark.createDataFrame(words.toSeq).toDF("token", "freq")

@@ -115,6 +115,74 @@ class DupSpanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("randomized corpora: x86 removal equals a brute-force reference") {
+    // independent reference for the surgery: every span whose exact
+    // content also lives in a smaller doc_id has its positions cut;
+    // the canonical (min doc_id per span content) keeps everything.
+    // Position-set union handles overlapping cut intervals for free —
+    // the same invariant the query must honor.
+    val alphabet = Vector("a", "b")
+    var sawRemoval = false
+    for (seed <- Seq(5, 33, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 12L).map { id =>
+        val n = 10 + rnd.nextInt(20)
+        id -> Vector.fill(n)(alphabet(rnd.nextInt(alphabet.size)))
+      }
+      val dir = mkDocs(docs.map { case (id, toks) => id -> toks.mkString(" ") })
+
+      val gramDocs = scala.collection.mutable.Map[Seq[String], Set[Long]]()
+      for ((id, toks) <- docs; i <- 0 to toks.size - W)
+        gramDocs.updateWith(toks.slice(i, i + W)) {
+          prev => Some(prev.getOrElse(Set.empty) + id)
+        }
+      val spans = docs.flatMap { case (id, toks) =>
+        val dup = (0 to toks.size - W)
+          .filter(i => gramDocs(toks.slice(i, i + W)).size >= 2)
+        val islands = dup.foldLeft(List.empty[List[Int]]) {
+          case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 =>
+            (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }.map(_.reverse).reverse
+        islands.map { isl =>
+          val start = isl.head
+          val len = isl.last - start + W
+          (id, start, len, toks.slice(start, start + len).mkString(" "))
+        }
+      }
+      val keeper = spans.groupBy(_._4).map { case (c, ss) => c -> ss.map(_._1).min }
+      val expected = docs.filter(_._2.size >= W).map { case (id, toks) =>
+        val cut = spans.filter(s => s._1 == id && keeper(s._4) != id)
+          .flatMap(s => s._2 until (s._2 + s._3)).toSet
+        val kept = toks.zipWithIndex.collect { case (t, i) if !cut(i) => t }
+        (id, toks.size.toLong, cut.size.toLong, md5hex(kept.mkString(" ")))
+      }
+
+      val got = ExtensionQueries.x86_span_removal(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      assert(got.toSeq === expected,
+        s"seed $seed: x86 diverges from the brute-force reference")
+      sawRemoval ||= expected.exists(_._3 > 0)
+    }
+    assert(sawRemoval, "at least one seed should force a removal")
+  }
+
+  test("planted copy: the min-doc_id canonical keeps, every other copy is cut") {
+    val copy = (1 to 12).map(i => s"c$i").mkString(" ")
+    val pad2 = (1 to 4).map(i => s"u$i").mkString(" ")
+    val pad3 = (1 to 6).map(i => s"v$i").mkString(" ")
+    val dir = mkDocs(Seq(
+      3L -> s"$pad3 $copy", // larger id, front padding
+      1L -> copy, // canonical: smallest doc_id holding the span
+      2L -> s"$copy $pad2"))
+    val got = ExtensionQueries.x86_span_removal(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got(0) === ((1L, 12L, 0L, md5hex(copy))))
+    assert(got(1) === ((2L, 16L, 12L, md5hex(pad2))))
+    assert(got(2) === ((3L, 18L, 12L, md5hex(pad3))))
+  }
+
   test("two disjoint repeats in one doc stay two islands") {
     val r1 = (1 to W).map(i => s"p$i").mkString(" ")
     val r2 = (1 to W).map(i => s"q$i").mkString(" ")

@@ -107,6 +107,34 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"unexpected extra joins in x77:\n$p")
   }
 
+  test("x86 span removal: no self-join, no window — surgery is per-row array arithmetic") {
+    val p = plan(graft.queries.ExtensionQueries.x86_span_removal(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic plan in x86:\n$p")
+    // exactly x77's island window + the keeper's span_hash-partitioned
+    // min (NOT a groupBy re-joined against spans, which would plan the
+    // whole span subtree twice)
+    assert("Window".r.findAllIn(p).size <= 2,
+      s"unexpected extra window in x86:\n$p")
+    // the gram explode appears exactly as often as in x77 itself (its
+    // two consumers — dup dimension + hits — recompute the cheap
+    // codegen'd explode rather than materialize a corpus-sized frame);
+    // a keeper-by-join regression would double this
+    assert("Generate".r.findAllIn(p).size <= 2,
+      s"span subtree planned more than twice in x86:\n$p")
+  }
+
+  test("x89 z-order layout: extent agg broadcasts; interleave stays codegen, no UDF") {
+    val p = plan(AnalyticsQueries.x89_zorder_layout(spark, sf))
+    assert(!p.toLowerCase.contains("scalaudf") && !p.contains("BatchEvalPython"),
+      s"UDF in x89 plan:\n$p")
+    // the 1-row extent frame must ride a broadcast, never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"extent frame not broadcast in x89:\n$p")
+    // bucket assignment is a z-prefix, never a global-sort ntile
+    assert(!p.contains("Window"), s"global-order window in x89 plan:\n$p")
+  }
+
   test("x78 fuzzy pairs: deletion-key equi-join, never the quadratic verify") {
     val p = plan(graft.queries.ExtensionQueries.x78_fuzzy_pairs(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
