@@ -1362,6 +1362,80 @@ object ExtensionQueries {
        |FROM documents d LEFT JOIN cl USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
   // ======================================================================
+  // x90: PageRank centrality over the x04 similarity graph — graph
+  // analytics as a first-class operator, and a better canonical-
+  // selection signal than min-doc_id: inside a dup cluster the most
+  // central doc is the one most representative of the shared content
+  // (the copy every near-copy is near), which is what a curator
+  // actually wants to keep. Fixed-iteration power method (T=10,
+  // d=0.85, no dangling redistribution — leak is identical on both
+  // engines), exactly the PageRank formulation of the original paper
+  // restricted to T steps so the result is a closed deterministic
+  // form a SQL oracle can replay by unrolling the iterations as
+  // chained CTEs. Shapes per iteration: ONE edge⋈rank equi-join +
+  // one dst-keyed groupBy + one spine left join — corpus-linear in
+  // edges, the x29 loop rule (per-iteration localCheckpoint) keeps
+  // iteration j from replaying 1..j-1, and the edge frame is
+  // checkpointed ONCE so the banded pair build never re-runs. Driver
+  // holds one scalar (N). At 100 TB: edges come from the df-capped
+  // banded pair frame (never all-pairs), and T fixed joins on a
+  // hash-partitioned key is the textbook Pregel-on-relations plan.
+  private val PrDamp = 0.85
+  private val PrIters = 10
+
+  def x90_pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val nTotal = docs.count() // bounded driver metadata (one scalar)
+    val pairs = x04_ngram_jaccard(spark, sfDir).select("d1", "d2")
+    val edges = pairs
+      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint(true) // build the banded pair frame exactly once
+    val deg = edges.groupBy("d1").agg(count(lit(1)).as("deg"))
+    val outContrib = edges.join(deg, Seq("d1"))
+    var ranks = docs.withColumn("r", lit(1.0 / nTotal))
+    for (_ <- 1 to PrIters) {
+      val inbound = outContrib.join(ranks, col("d1") === col("doc_id"))
+        .select(col("d2").as("doc_id"), (col("r") / col("deg")).as("c"))
+        .groupBy("doc_id").agg(sum(col("c")).as("s"))
+      ranks = docs.join(inbound, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit((1 - PrDamp) / nTotal) +
+            lit(PrDamp) * coalesce(col("s"), lit(0.0))).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.join(deg.withColumnRenamed("d1", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+        round(col("r") * nTotal, 6).as("rank_norm"))
+      .orderBy("doc_id")
+  }
+
+  val x90Sql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""pr$i AS (SELECT d.doc_id,
+         |  (1 - $PrDamp) / nn.n + $PrDamp * coalesce(c.s, 0.0) AS r
+         |  FROM documents d CROSS JOIN nn
+         |  LEFT JOIN (SELECT e.t AS doc_id, sum(p.r / deg.deg) AS s
+         |             FROM edges e JOIN deg ON deg.s = e.s
+         |             JOIN pr${i - 1} p ON p.doc_id = e.s
+         |             GROUP BY e.t) c USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $SqlSharedPairsCte,
+       |pairs AS (SELECT s.d1, s.d2 FROM shared s
+       |          JOIN nsh n1 ON n1.doc_id = s.d1 JOIN nsh n2 ON n2.doc_id = s.d2
+       |          WHERE $SqlJaccardPred),
+       |edges AS (SELECT d1 AS s, d2 AS t FROM pairs
+       |          UNION ALL SELECT d2, d1 FROM pairs),
+       |deg AS (SELECT s, count(*)::BIGINT AS deg FROM edges GROUP BY s),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+       |pr0 AS (SELECT d.doc_id, 1.0 / nn.n AS r FROM documents d CROSS JOIN nn),
+       |$iters
+       |SELECT p.doc_id, coalesce(deg.deg, 0)::BIGINT AS deg,
+       |  round(p.r * nn.n, 6) AS rank_norm
+       |FROM pr$PrIters p CROSS JOIN nn LEFT JOIN deg ON deg.s = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
+  // ======================================================================
   // x05: brute-force cosine top-k ANN baseline. Query set × corpus
   // cross-join — at 100 TB the corpus side stays partitioned and the
   // (small) query set broadcasts; the top-k is a per-query window.
@@ -2817,6 +2891,7 @@ object ExtensionQueries {
     "x86_span_removal" -> (x86_span_removal _),
     "x87_bpe_tokenize" -> (x87_bpe_tokenize _),
     "x88_dup_weights" -> (x88_dup_weights _),
+    "x90_pagerank" -> (x90_pagerank _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
     // contract is BpeSpec's reference-implementation equivalence
@@ -2889,6 +2964,7 @@ object ExtensionQueries {
     "x77_dup_spans" -> x77Sql,
     "x86_span_removal" -> x86Sql,
     "x88_dup_weights" -> x88Sql,
+    "x90_pagerank" -> x90Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,
     "x81_shuffle_shards" -> x81Sql,
