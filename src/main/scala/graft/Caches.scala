@@ -76,6 +76,7 @@ object Caches {
       reg.remove(e.getKey)
     }
     graft.ml.IvfIndex.clear(sfDir)
+    graft.queries.ExtensionQueries.clearBpe(sfDir)
     hit.size
   }
 
@@ -85,6 +86,7 @@ object Caches {
     reg.values().asScala.foreach(_.unpersist(blocking = true))
     reg.clear()
     graft.ml.IvfIndex.clear()
+    graft.queries.ExtensionQueries.clearBpe(null)
     n
   }
 }

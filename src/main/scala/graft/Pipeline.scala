@@ -137,6 +137,17 @@ object Pipeline {
     *   (0.95), far above x69's 0.3 reporting floor.
     * @param semanticK coarse-quantizer k (scale knob, k ≈
     *   N/target_cluster).
+    * @param centralityCanonical when true, step 4's dup components
+    *   keep their highest-PageRank member (x90's rank over the dup
+    *   edge graph — the copy every near-copy is near, e.g. the
+    *   complete article among its partial scrapes) instead of the
+    *   min-doc_id canonical. Same components, same drop COUNT per
+    *   component (all-but-one), different representative. Off by
+    *   default: min-id is cheaper (no T-step rank) and the choice
+    *   only matters when copies differ in completeness. Batch-only —
+    *   the always-on stream keeps min-id (a centrality pick is not
+    *   stable under incremental arrival: a later, better-connected
+    *   copy would retroactively unseat a shipped canonical).
     * @param maxBroadcastEvalGrams contamination-gate envelope switch:
     *   up to this many distinct eval grams the gate broadcasts the
     *   gram set (x51's single-pass shape); above it the distributed
@@ -150,7 +161,8 @@ object Pipeline {
       semanticDedup: Boolean = false, semanticCos: Double = 0.95,
       semanticK: Int = 16,
       maxBroadcastEvalGrams: Long = 50L * 1000 * 1000,
-      qualityGate: Boolean = false, qualityMin: Double = 0.5): Result = {
+      qualityGate: Boolean = false, qualityMin: Double = 0.5,
+      centralityCanonical: Boolean = false): Result = {
     val docs = Tables.documents(spark, sfDir)
 
     // Funnel accounting beyond the four materializing counts rides the
@@ -240,8 +252,10 @@ object Pipeline {
       // survived while its component's representative also survived.
       val (edges, shHandle) = dupEdgesOf(gatedTrain)
       sh3 = shHandle
-      val dupLosers = ExtensionQueries
-        .clusterLosersOf(edges, "pipeline near-dup")
+      val dupLosers =
+        if (centralityCanonical)
+          ExtensionQueries.centralityLosersOf(edges, "pipeline near-dup")
+        else ExtensionQueries.clusterLosersOf(edges, "pipeline near-dup")
       dedupSurv = gatedTrain
         .join(dupLosers, Seq("doc_id"), "left_anti").persist()
       val survCount = dedupSurv.count()

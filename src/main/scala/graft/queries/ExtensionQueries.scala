@@ -847,10 +847,33 @@ object ExtensionQueries {
   // the accuracy contract is BpeSpec: Spark ≡ a single-node reference
   // implementation on fixtures AND on this corpus, plus determinism
   // and encode-roundtrip properties.
+  /** Session memo for the corpus k=20 BPE training shared by x79 (the
+    * merge table) and x87 (the encoded word-dimension state) — the two
+    * queries train on the IDENTICAL word-frequency frame, so training
+    * twice per session would be pure duplicated work (the IvfIndex
+    * memo precedent; the encoded state is localCheckpointed, hence
+    * session-lifetime like every other shared cache). Released by
+    * [[graft.Caches.clear]]/clearAll via [[clearBpe]] — the
+    * checkpointed frame has no file lineage for the path-based release
+    * to find, so the memo key IS the dataset path.
+    */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[graft.operators.Bpe.Merge], DataFrame)]()
+
+  private def corpusBpe(spark: SparkSession, sfDir: String)
+      : (Seq[graft.operators.Bpe.Merge], DataFrame) =
+    bpeMemo.computeIfAbsent(sfDir, _ => {
+      val words = docTok(Tables.documents(spark, sfDir))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      graft.operators.Bpe.train(spark, words, 20)
+    })
+
+  /** Drop the memoized corpus BPE state for `sfDir` (null = all). */
+  private[graft] def clearBpe(sfDir: String): Unit =
+    if (sfDir == null) bpeMemo.clear() else bpeMemo.remove(sfDir)
+
   def x79_bpe_train(spark: SparkSession, sfDir: String): DataFrame = {
-    val words = docTok(Tables.documents(spark, sfDir))
-      .groupBy("token").agg(count(lit(1)).as("freq"))
-    val (merges, _) = graft.operators.Bpe.train(spark, words, 20)
+    val (merges, _) = corpusBpe(spark, sfDir)
     spark.createDataFrame(merges)
       .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
         col("merged"), col("pair_count"))
@@ -874,8 +897,7 @@ object ExtensionQueries {
   // BpeSpec pins per-doc counts against the single-node reference.
   def x87_bpe_tokenize(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val words = docTok(docs).groupBy("token").agg(count(lit(1)).as("freq"))
-    val (_, encoded) = graft.operators.Bpe.train(spark, words, 20)
+    val (_, encoded) = corpusBpe(spark, sfDir)
     val pieces = encoded
       .select(col("token"), size(col("syms")).cast("long").as("n_pieces"))
     docTok(docs)
@@ -1383,6 +1405,31 @@ object ExtensionQueries {
   private val PrDamp = 0.85
   private val PrIters = 10
 
+  /** T-step power iteration over a SYMMETRIC (d1, d2) edge frame and a
+    * (doc_id) node spine: returns (doc_id, deg, r). Shared by x90 (full
+    * corpus spine) and the Pipeline's centrality canonical policy
+    * (graph-node spine — PageRank is linear in the 1/N teleport, so
+    * within-component ordering is independent of the spine choice).
+    */
+  private[graft] def pageRankOf(
+      edges: DataFrame, spine: DataFrame, nTotal: Long): DataFrame = {
+    val deg = edges.groupBy("d1").agg(count(lit(1)).as("deg"))
+    val outContrib = edges.join(deg, Seq("d1"))
+    var ranks = spine.withColumn("r", lit(1.0 / nTotal))
+    for (_ <- 1 to PrIters) {
+      val inbound = outContrib.join(ranks, col("d1") === col("doc_id"))
+        .select(col("d2").as("doc_id"), (col("r") / col("deg")).as("c"))
+        .groupBy("doc_id").agg(sum(col("c")).as("s"))
+      ranks = spine.join(inbound, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit((1 - PrDamp) / nTotal) +
+            lit(PrDamp) * coalesce(col("s"), lit(0.0))).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.join(deg.withColumnRenamed("d1", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"), col("r"))
+  }
+
   def x90_pagerank(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select("doc_id")
     val nTotal = docs.count() // bounded driver metadata (one scalar)
@@ -1390,23 +1437,35 @@ object ExtensionQueries {
     val edges = pairs
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(true) // build the banded pair frame exactly once
-    val deg = edges.groupBy("d1").agg(count(lit(1)).as("deg"))
-    val outContrib = edges.join(deg, Seq("d1"))
-    var ranks = docs.withColumn("r", lit(1.0 / nTotal))
-    for (_ <- 1 to PrIters) {
-      val inbound = outContrib.join(ranks, col("d1") === col("doc_id"))
-        .select(col("d2").as("doc_id"), (col("r") / col("deg")).as("c"))
-        .groupBy("doc_id").agg(sum(col("c")).as("s"))
-      ranks = docs.join(inbound, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          (lit((1 - PrDamp) / nTotal) +
-            lit(PrDamp) * coalesce(col("s"), lit(0.0))).as("r"))
-        .localCheckpoint(true)
-    }
-    ranks.join(deg.withColumnRenamed("d1", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+    pageRankOf(edges, docs, nTotal)
+      .select(col("doc_id"), col("deg"),
         round(col("r") * nTotal, 6).as("rank_norm"))
       .orderBy("doc_id")
+  }
+
+  /** The docs a CENTRALITY-canonical drop policy removes: every member
+    * of a dup component except its highest-PageRank member (rank over
+    * the dup-edge graph; exact ties break to min doc_id, so the policy
+    * degrades to the classic one on symmetric components). The keeper
+    * is the copy every near-copy is near — e.g. the complete article
+    * among its partial scrapes — where min-doc_id is just ingest
+    * order. Shapes: the closure is [[clusterLosersOf]]'s propagation,
+    * the rank is T bounded joins on the SAME edge frame, the pick is
+    * one component-partitioned window (group width = cluster size).
+    */
+  private[graft] def centralityLosersOf(
+      pairs: DataFrame, what: String): DataFrame = {
+    val edges = pairs
+      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("d1").as("doc_id")).distinct()
+    val ranks = pageRankOf(edges, nodes, nodes.count())
+    val labels = propagateLabels(pairs, what)
+    val w = Window.partitionBy("lbl")
+      .orderBy(desc("r"), asc("doc_id"))
+    labels.join(ranks, labels("n") === ranks("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1).select(col("n").as("doc_id"))
   }
 
   val x90Sql: String = {

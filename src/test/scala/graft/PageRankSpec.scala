@@ -33,6 +33,48 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     r
   }
 
+  test("centrality losers: the star hub keeps regardless of doc_id order") {
+    import spark.implicits._
+    // hub 9 connected to spokes 1..4 (plus one spoke-spoke edge so the
+    // graph isn't a pure tree); a second component is a symmetric
+    // 2-clique {20, 21}. Under min-id the star would keep doc 1; under
+    // centrality the hub (deg 4) must keep. The tie-symmetric clique
+    // degrades to min-id (keep 20).
+    val pairs = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (1L, 2L),
+      (20L, 21L)).toDF("d1", "d2")
+    val losers = graft.queries.ExtensionQueries
+      .centralityLosersOf(pairs, "spec").collect().map(_.getLong(0)).toSet
+    assert(losers === Set(1L, 2L, 3L, 4L, 21L))
+  }
+
+  test("centrality losers equal the dense reference on the corpus dup graph") {
+    val pairsDf = ExtensionQueries.x04_ngram_jaccard(spark, sf)
+      .select("d1", "d2")
+      .unionByName(graft.queries.ExtensionQueries.x70_containment(spark, sf)
+        .select("d1", "d2"))
+      .distinct()
+    val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty)
+    // driver reference: union-find components + dense PageRank, keep
+    // the (max rank, min doc_id) member per component
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val ranks = refRanks(members.size.toLong, pairs, members)
+    val keepers = members.groupBy(find).values.map(_.minBy(d => (-ranks(d), d)))
+    val expect = members.toSet -- keepers
+    val got = ExtensionQueries.centralityLosersOf(pairsDf, "spec")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+  }
+
   test("x90 equals the dense single-node reference on the corpus graph") {
     val docs = Tables.documents(spark, sf).select("doc_id").collect()
       .map(_.getLong(0)).toSeq
