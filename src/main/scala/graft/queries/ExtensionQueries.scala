@@ -1275,7 +1275,7 @@ object ExtensionQueries {
     * min. Converges in diameter rounds; each round is one join + one
     * groupBy (the scalable alternative to driver-side union-find).
     */
-  private def propagateLabels(pairs: DataFrame, what: String): DataFrame = {
+  private[graft] def propagateLabels(pairs: DataFrame, what: String): DataFrame = {
     // localCheckpoint per round: iterative plans otherwise re-execute
     // the whole growing lineage every round (42 s -> seconds at sf0.1;
     // on a cluster this is reliable checkpointing to the cluster FS).

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -88,6 +89,8 @@ object DedupStream {
     StructField("n_dropped", LongType), StructField("n_tokens_kept", LongType),
     StructField("n_tokens_dropped", LongType),
     StructField("cleaned_text", StringType)))
+  private[streaming] val dupedgeSchema: StructType = StructType(Seq(
+    StructField("d1", LongType), StructField("d2", LongType)))
 
   /** History-rare cutoff for the containment probe — x04/x70's
     * rare-shingle universe: a shingle in more docs carries no dedup
@@ -175,14 +178,15 @@ object DedupStream {
   def start(spark: SparkSession, docsDir: String, wordvecsLang: DataFrame,
       dim: Int, storeRoot: String, checkpoint: String,
       gate: Option[ContamGate] = None,
-      quality: Option[QualityGate] = None): StreamingQuery = {
+      quality: Option[QualityGate] = None,
+      softDedup: Boolean = false): StreamingQuery = {
     val docs = spark.readStream.schema(VectorizeStream.docSchema).parquet(docsDir)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch.select("doc_id", "text", "lang"), batchId,
-          wordvecsLang, dim, storeRoot, gate, quality)
+          wordvecsLang, dim, storeRoot, gate, quality, softDedup)
       }
       .start()
   }
@@ -193,7 +197,8 @@ object DedupStream {
   private[streaming] def processBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, wordvecsLang: DataFrame, dim: Int,
       storeRoot: String, gate: Option[ContamGate] = None,
-      quality: Option[QualityGate] = None): Unit = {
+      quality: Option[QualityGate] = None,
+      softDedup: Boolean = false): Unit = {
     val batchDocs = batch.persist()
     try {
       val batchIds = batchDocs.select("doc_id")
@@ -222,11 +227,16 @@ object DedupStream {
         .persist()
       val batchBands = ExtensionQueries.bandsOf(sh).persist()
       try {
-        val (drops, cand) = dropsOf(sh, batchBands, histBands, histDocs,
-          histShpost, histDocn, histDf)
+        val (drops, dupPairs, cand) = dropsOf(sh, batchBands, histBands,
+          histDocs, histShpost, histDocn, histDf)
         try {
-          val dedupSurvivors = batchDocs
-            .join(drops, Seq("doc_id"), "left_anti")
+          // SOFT mode: near-dups are accepted and RECORDED instead of
+          // dropped — the verified pair frame lands in the `dupedges`
+          // artifact and [[dupWeights]] turns its closure into x88's
+          // 1/cluster_size sampling weights. Later gates still apply.
+          val dedupSurvivors =
+            if (softDedup) batchDocs
+            else batchDocs.join(drops, Seq("doc_id"), "left_anti")
           // contamination gate AFTER dedup (the Pipeline's stage
           // order — only dedup survivors pay the 8-gram projection).
           // Contaminated docs leave NO trace in the artifacts, like
@@ -272,6 +282,23 @@ object DedupStream {
               .join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
               .write.mode(SaveMode.Overwrite)
               .parquet(s"$storeRoot/postings/batch=$batchId")
+            if (softDedup) {
+              // verified dup edges among ACCEPTED docs only — a
+              // contamination/quality casualty leaves no trace here
+              // either (history endpoints are accepted by
+              // construction: artifacts only ever hold survivors).
+              // Idempotent like every slice: recomputed from batch +
+              // self-excluded history, overwrites batch=N verbatim.
+              val gateDropped = batchIds
+                .join(survivors.select("doc_id"), Seq("doc_id"), "left_anti")
+              dupPairs
+                .join(gateDropped.select(col("doc_id").as("d1")),
+                  Seq("d1"), "left_anti")
+                .join(gateDropped.select(col("doc_id").as("d2")),
+                  Seq("d2"), "left_anti")
+                .write.mode(SaveMode.Overwrite)
+                .parquet(s"$storeRoot/dupedges/batch=$batchId")
+            }
             // the containment channel's three survivor-only slices:
             // hashed shingle posting, stable per-doc shingle counts,
             // and this batch's df contribution. Persisted once, three
@@ -398,15 +425,17 @@ object DedupStream {
     * INCLUDING the tiny-excerpt-inside-huge-doc shape banding can
     * never surface (collision probability is the Jaccard).
     *
-    * Returns (drop ids, candidate handle). The tagged candidate frame
-    * is scanned three times (historical-id semi-join, pair
-    * verification, drop attribution), so it is persisted here and
-    * MUST be unpersisted by the caller — same contract as
-    * [[graft.Pipeline.dupEdgesOf]].
+    * Returns (drop ids, verified pair frame, candidate handle) —
+    * hard mode materializes the drops, soft mode the pairs. The
+    * tagged candidate frame is scanned three times (historical-id
+    * semi-join, pair verification, drop/pair attribution), so it is
+    * persisted here and MUST be unpersisted by the caller — same
+    * contract as [[graft.Pipeline.dupEdgesOf]].
     */
   private[graft] def dropsOf(batchSh: DataFrame, batchBands: DataFrame,
       histBands: DataFrame, histDocs: DataFrame, histShpost: DataFrame,
-      histDocn: DataFrame, histDf: DataFrame): (DataFrame, DataFrame) = {
+      histDocn: DataFrame, histDf: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val bNew = batchBands.select(col("doc_id").as("dn"), col("band"), col("sig"))
     val bHist = histBands.select(col("doc_id").as("da"), col("band"), col("sig"))
       .withColumn("da_new", lit(false))
@@ -466,9 +495,11 @@ object DedupStream {
       persistShared = false)
     val verified = ExtensionQueries.dupVerifiedOf(
       tagged.select("d1", "d2").distinct(), batchSh.unionByName(histSh))
-    val drops = verified.join(tagged, Seq("d1", "d2"))
-      .select(col("drop_id").as("doc_id")).distinct()
-    (drops, tagged)
+    val verifiedTagged = verified.join(tagged, Seq("d1", "d2"))
+    val drops = verifiedTagged.select(col("drop_id").as("doc_id")).distinct()
+    // the verified PAIR view of the same frame: hard mode consumes
+    // drops, soft mode consumes edges — each mode evaluates one
+    (drops, verifiedTagged.select("d1", "d2").distinct(), tagged)
   }
 
   private[streaming] val statsSchema: StructType = StructType(Seq(
@@ -550,6 +581,35 @@ object DedupStream {
   def cleanedDocs(spark: SparkSession, storeRoot: String): DataFrame =
     readOrEmpty(spark, s"$storeRoot/cleandocs", cleanDocSchema)
 
+  /** Soft-dedup weights view over a softDedup store's maintained
+    * artifacts: the accumulated verified dup edges close into
+    * components (x72's min-label propagation) and every accepted doc
+    * gets x88's 1/cluster_size sampling weight (singletons 1), so a
+    * mixture sampler reads the stream's corpus epoch-equivalently
+    * without anything having been deleted. O(edges) per call — the
+    * accepted text is never rescanned; exact weights, because unlike
+    * a centrality pick (see Pipeline.centralityCanonical), component
+    * membership only ever GROWS under incremental arrival — a new
+    * edge can merge components but never unseat a member, so the
+    * closure over the accumulated edges equals the batch closure over
+    * the final corpus.
+    */
+  def dupWeights(spark: SparkSession, storeRoot: String): DataFrame = {
+    val edges = readOrEmpty(spark, s"$storeRoot/dupedges", dupedgeSchema)
+      .select("d1", "d2").distinct()
+    val sized = ExtensionQueries
+      .propagateLabels(edges, "stream dup weights")
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("lbl")))
+    readOrEmpty(spark, s"$storeRoot/docs", keptDocSchema).select("doc_id")
+      .join(sized.select(col("n").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        (lit(1.0) / coalesce(col("cluster_size"), lit(1L))).as("weight"))
+  }
+
   /** Maintenance compaction of a QUIESCED store: N per-batch slice
     * directories per artifact become one consolidated `batch=-1`
     * slice each, so history reads stop paying a directory listing +
@@ -585,6 +645,7 @@ object DedupStream {
       ("docn", docnSchema, identity[DataFrame] _),
       ("segown", segownSchema, identity[DataFrame] _),
       ("cleandocs", cleanDocSchema, identity[DataFrame] _),
+      ("dupedges", dupedgeSchema, identity[DataFrame] _),
       ("df", dfSchema,
         (df: DataFrame) => df.groupBy("h").agg(sum(col("cnt")).as("cnt"))),
       ("stats", statsSchema, (df: DataFrame) =>

@@ -157,6 +157,69 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     assert(own.count() === own.select("h").distinct().count())
   }
 
+  test("soft dedup: every arrival ships; maintained weights equal the closure replay") {
+    val work = Files.createTempDirectory("graft_dstream_soft")
+    val docsDir = work.resolve("docs_in")
+    Files.createDirectory(docsDir)
+    val store = work.resolve("store").toString
+    val ckpt = work.resolve("ckpt").toString
+    val wordvecs = graft.queries.ReferenceQueries.wordvecsByLang(spark, sf)
+
+    val b1 = stage(docsDir, work, "a", col("doc_id") < 250)
+    DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
+      softDedup = true).awaitTermination(180000)
+    val b2 = stage(docsDir, work, "b", col("doc_id") >= 250)
+    DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
+      softDedup = true).awaitTermination(180000)
+
+    // 1. nothing is dropped by dedup: every arrival is in the corpus
+    val allIds = (b1.select("doc_id").as[Long].collect() ++
+      b2.select("doc_id").as[Long].collect()).toSet
+    val accGot = spark.read.parquet(s"$store/docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(accGot === allIds, "soft mode must accept every arrival")
+
+    // 2. the weights view equals an x88-shape replay: the SAME
+    // candidate generators + exact verify expectedDrops uses, closed
+    // with a driver union-find into 1/cluster_size weights
+    val all = spark.read.parquet(s"$store/docs").select("doc_id", "text")
+    val sh = graft.queries.ExtensionQueries
+      .docShingles(all, persistShared = false).persist()
+    val pairs = try {
+      val cand = graft.queries.ExtensionQueries.bandCandidatesOf(sh)
+        .unionByName(graft.queries.ExtensionQueries.dupEdgesFromPosting(sh))
+        .distinct()
+      graft.queries.ExtensionQueries
+        .dupVerifiedOf(cand, sh).select("d1", "d2")
+        .as[(Long, Long)].collect().toSeq
+    } finally sh.unpersist()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val sizes = allIds.groupBy(find).map { case (r, m) => r -> m.size.toLong }
+    val expect = allIds.map { d =>
+      d -> ((find(d), sizes(find(d)), 1.0 / sizes(find(d))))
+    }.toMap
+    val got = DedupStream.dupWeights(spark, store).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === expect, "stream weights diverge from the closure replay")
+    assert(expect.values.exists(_._2 > 1L),
+      "testdata should plant clusters spanning the batch split")
+    // the dup edges artifact never references a non-accepted doc
+    val edgeIds = spark.read.parquet(s"$store/dupedges")
+      .select(col("d1").as("x")).unionByName(
+        spark.read.parquet(s"$store/dupedges").select(col("d2").as("x")))
+      .as[Long].collect().toSet
+    assert(edgeIds.subsetOf(allIds))
+  }
+
   test("contamination gate in the loop: flagged docs never reach the artifacts") {
     val work = Files.createTempDirectory("graft_dstream_gate")
     val docsDir = work.resolve("docs_in")
@@ -336,7 +399,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
       .groupBy("h").agg(fsum(col("cnt")).as("df"))
     // candidate generation itself must never read text: the postings
     // probe's scan carries no text column by construction
-    val (drops, cand) = DedupStream.dropsOf(sh, bands, histBands, histDocs,
+    val (drops, _, cand) = DedupStream.dropsOf(sh, bands, histBands, histDocs,
       histShpost, histDocn, histDf)
     try {
       assert(!cand.columns.contains("text"))
