@@ -1384,6 +1384,71 @@ object ExtensionQueries {
        |FROM documents d LEFT JOIN cl USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
   // ======================================================================
+  // x91: BM25 lexical retrieval — the query-time half of the engine
+  // (the RAG recipe's lexical leg beside the ANN leg x05/x06/x21/x75
+  // serve): score every document against a query-token set with the
+  // Lucene-practical BM25 formulation (k1=1.2, b=0.75, idf =
+  // ln((N − df + 0.5)/(df + 0.5) + 1)) and return the rounded top-20.
+  // Shapes: the posting filter against the broadcast query-token
+  // set prunes to query-term rows BEFORE any shuffle (at 100 TB with
+  // a real inverted index this is the posting-list fetch); per-term
+  // df and the corpus constants (N, avgdl) are dimension-sized
+  // broadcasts; the score is one doc-keyed agg over ≤|query| rows per
+  // doc; the top-20 is a TakeOrdered, never a global sort
+  // materialization. Ordering is on the ROUNDED score (ties by
+  // doc_id) so both engines rank identically.
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Query = Seq("spark", "join", "window")
+  private val Bm25TopK = 20
+
+  def x91_bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val post = docTok(docs)
+    val dl = post.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val consts = docs.agg(count(lit(1)).cast("double").as("n"))
+      .crossJoin(dl.agg(avg(col("dl")).as("avgdl")))
+    val qpost = post.filter(col("token").isin(Bm25Query: _*))
+    val tf = qpost.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = qpost.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(consts))
+      .withColumn("term_score",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * lit(Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum(col("term_score")), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  val x91Sql: String = {
+    val qList = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH post AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM post GROUP BY doc_id),
+       |consts AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+       |           (SELECT avg(dl) FROM dl) AS avgdl),
+       |qpost AS (SELECT doc_id, token FROM post WHERE token IN ($qList)),
+       |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM qpost
+       |       GROUP BY doc_id, token),
+       |idf AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM qpost
+       |        GROUP BY token)
+       |SELECT t.doc_id,
+       |  round(sum(ln((c.n - i.df + 0.5) / (i.df + 0.5) + 1.0) *
+       |    (t.tf * ($Bm25K1 + 1)) /
+       |    (t.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * d.dl / c.avgdl))), 6)
+       |    AS score,
+       |  count(*)::BIGINT AS n_terms
+       |FROM tf t JOIN idf i USING (token) JOIN dl d USING (doc_id)
+       |CROSS JOIN consts c
+       |GROUP BY t.doc_id ORDER BY score DESC, t.doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
+  // ======================================================================
   // x90: PageRank centrality over the x04 similarity graph — graph
   // analytics as a first-class operator, and a better canonical-
   // selection signal than min-doc_id: inside a dup cluster the most
@@ -2951,6 +3016,7 @@ object ExtensionQueries {
     "x87_bpe_tokenize" -> (x87_bpe_tokenize _),
     "x88_dup_weights" -> (x88_dup_weights _),
     "x90_pagerank" -> (x90_pagerank _),
+    "x91_bm25" -> (x91_bm25 _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
     // contract is BpeSpec's reference-implementation equivalence
@@ -3024,6 +3090,7 @@ object ExtensionQueries {
     "x86_span_removal" -> x86Sql,
     "x88_dup_weights" -> x88Sql,
     "x90_pagerank" -> x90Sql,
+    "x91_bm25" -> x91Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,
     "x81_shuffle_shards" -> x81Sql,

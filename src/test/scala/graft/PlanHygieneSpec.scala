@@ -135,6 +135,14 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window"), s"global-order window in x89 plan:\n$p")
   }
 
+  test("x91 bm25: top-k is a TakeOrdered, constants broadcast, no cartesian") {
+    val p = plan(graft.queries.ExtensionQueries.x91_bm25(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 should be a TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row consts frame must ride a broadcast:\n$p")
+  }
+
   test("x78 fuzzy pairs: deletion-key equi-join, never the quadratic verify") {
     val p = plan(graft.queries.ExtensionQueries.x78_fuzzy_pairs(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
