@@ -1449,6 +1449,91 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x92: hybrid retrieval fusion — Reciprocal Rank Fusion of the two
+  // retrieval legs the engine now has: x91's BM25 lexical ranking and
+  // a dense cosine ranking against a query embedding (vec_id 0's,
+  // exploiting the dataset's doc_id↔vec_id alignment — the x69
+  // precedent). RRF (the published formulation: score = Σ 1/(k + r),
+  // k=60) is THE standard hybrid-search combiner because it needs no
+  // score calibration between legs — only ranks. Shapes: each leg is
+  // its own already-scale-shaped query (posting-pruned agg + cosine
+  // broadcast probe), both end in a bounded top-20, and everything
+  // after — rank windows, full-outer fuse, final order — runs on
+  // ≤40 rows. The single-partition rank windows are bounded by the
+  // top-k, never corpus-sized.
+  private val RrfK = 60
+  private val RrfTopK = 20
+
+  def x92_hybrid_rrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val lex = x91_bm25(spark, sfDir)
+      .withColumn("rank_lex", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "rank_lex")
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", VecMath.asDouble(col("embedding")))
+      .withColumn("nrm", VecMath.l2norm(col("v")))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val dense = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        when(col("qn") > 0 && col("nrm") > 0,
+          VecMath.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .otherwise(lit(0.0)).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(RrfTopK)
+      .withColumn("rank_dense", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select("doc_id", "rank_dense")
+    lex.join(dense, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        coalesce(col("rank_lex"), lit(0)).cast("long").as("rank_lex"),
+        coalesce(col("rank_dense"), lit(0)).cast("long").as("rank_dense"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_dense")), lit(0.0)))
+          .as("rrf0"))
+      .orderBy(col("rrf0").desc, col("doc_id")).limit(RrfTopK)
+      .select(col("doc_id"), col("rank_lex"), col("rank_dense"),
+        round(col("rrf0"), 6).as("rrf"))
+  }
+
+  val x92Sql: String = {
+    val qList = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH post AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM post GROUP BY doc_id),
+       |consts AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+       |           (SELECT avg(dl) FROM dl) AS avgdl),
+       |qpost AS (SELECT doc_id, token FROM post WHERE token IN ($qList)),
+       |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM qpost
+       |       GROUP BY doc_id, token),
+       |idf AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM qpost
+       |        GROUP BY token),
+       |lexs AS (SELECT t.doc_id,
+       |  round(sum(ln((c.n - i.df + 0.5) / (i.df + 0.5) + 1.0) *
+       |    (t.tf * ($Bm25K1 + 1)) /
+       |    (t.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * d.dl / c.avgdl))), 6)
+       |    AS score
+       |  FROM tf t JOIN idf i USING (token) JOIN dl d USING (doc_id)
+       |  CROSS JOIN consts c
+       |  GROUP BY t.doc_id ORDER BY score DESC, t.doc_id LIMIT $Bm25TopK),
+       |lexr AS (SELECT doc_id,
+       |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex FROM lexs),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |dtop AS (SELECT e.vec_id AS doc_id,
+       |  list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+       |  FROM embeddings e, q WHERE e.vec_id <> 0
+       |  ORDER BY cos DESC, doc_id LIMIT $RrfTopK),
+       |dr AS (SELECT doc_id,
+       |  row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_dense FROM dtop),
+       |f AS (SELECT doc_id,
+       |  coalesce(l.rank_lex, 0)::BIGINT AS rank_lex,
+       |  coalesce(d.rank_dense, 0)::BIGINT AS rank_dense,
+       |  coalesce(1.0 / ($RrfK + l.rank_lex), 0.0) +
+       |    coalesce(1.0 / ($RrfK + d.rank_dense), 0.0) AS rrf0
+       |  FROM lexr l FULL OUTER JOIN dr d USING (doc_id))
+       |SELECT doc_id, rank_lex, rank_dense, round(rrf0, 6) AS rrf
+       |FROM f ORDER BY rrf0 DESC, doc_id LIMIT $RrfTopK""".stripMargin
+  }
+
+  // ======================================================================
   // x90: PageRank centrality over the x04 similarity graph — graph
   // analytics as a first-class operator, and a better canonical-
   // selection signal than min-doc_id: inside a dup cluster the most
@@ -3017,6 +3102,7 @@ object ExtensionQueries {
     "x88_dup_weights" -> (x88_dup_weights _),
     "x90_pagerank" -> (x90_pagerank _),
     "x91_bm25" -> (x91_bm25 _),
+    "x92_hybrid_rrf" -> (x92_hybrid_rrf _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
     // contract is BpeSpec's reference-implementation equivalence
@@ -3091,6 +3177,7 @@ object ExtensionQueries {
     "x88_dup_weights" -> x88Sql,
     "x90_pagerank" -> x90Sql,
     "x91_bm25" -> x91Sql,
+    "x92_hybrid_rrf" -> x92Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,
     "x81_shuffle_shards" -> x81Sql,
