@@ -1534,6 +1534,106 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x93: MMR diversity re-rank — the step after retrieval that a
+  // near-dup-heavy corpus makes mandatory: a plain top-k returns five
+  // copies of the same boilerplate; Maximal Marginal Relevance
+  // (λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), the classic formulation)
+  // greedily picks k diverse-but-relevant docs from the dense top-20.
+  // Shapes: candidate generation is the corpus-scale work and stays
+  // distributed (broadcast query probe, TakeOrdered top-20 — x05's
+  // plan); the greedy runs on the BOUNDED candidate set driver-side
+  // (20 rows × 64 floats — the Bpe-argmax bounded-metadata precedent,
+  // and where a production query coordinator runs its re-rank
+  // anyway). The oracle unrolls the k greedy steps as chained CTEs
+  // over the same candidate frame, so the whole trajectory —
+  // including every tie-break — is value-checked.
+  private val MmrLambda = 0.7
+  private val MmrBeta = 0.3
+  private val MmrK = 10
+
+  def x93_mmr_rerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", VecMath.asDouble(col("embedding")))
+      .withColumn("nrm", VecMath.l2norm(col("v")))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val cand = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        when(col("qn") > 0 && col("nrm") > 0,
+          VecMath.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .otherwise(lit(0.0)).as("cos"),
+        col("v"), col("nrm"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(RrfTopK)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray,
+        r.getDouble(3)))
+    def cosine(a: (Long, Double, Array[Double], Double),
+        b: (Long, Double, Array[Double], Double)): Double = {
+      if (a._4 <= 0 || b._4 <= 0) 0.0
+      else {
+        var d = 0.0
+        var i = 0
+        while (i < a._3.length) { d += a._3(i) * b._3(i); i += 1 }
+        d / (a._4 * b._4)
+      }
+    }
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double)] // rank, doc, rel, mmr
+    val sel = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Array[Double], Double)]
+    while (picked.size < MmrK && picked.size < cand.length) {
+      val best = cand.filterNot(c => sel.exists(_._1 == c._1))
+        .map { c =>
+          val ms = if (sel.isEmpty) 0.0 else sel.map(cosine(c, _)).max
+          (c, MmrLambda * c._2 - MmrBeta * ms)
+        }
+        .minBy { case (c, mmr) => (-mmr, c._1) }
+      sel += best._1
+      picked += ((picked.size + 1L, best._1._1, best._1._2, best._2))
+    }
+    picked.toSeq.toDF("rank", "doc_id", "relevance0", "mmr0")
+      .select(col("rank"), col("doc_id"),
+        round(col("relevance0"), 6).as("relevance"),
+        round(col("mmr0"), 6).as("mmr"))
+      .orderBy("rank")
+  }
+
+  val x93Sql: String = {
+    // every step CTE is MATERIALIZED: the greedy chain references each
+    // previous level ~3×, so default inlining expands 3^k plans (and
+    // re-opens the parquet per copy — "Too many open files")
+    val steps = (1 to MmrK).map { k =>
+      s"""sc$k AS MATERIALIZED (SELECT c.doc_id, c.cos,
+         |  $MmrLambda * c.cos - $MmrBeta * coalesce(m.ms, 0) AS mmr
+         |  FROM cand c LEFT JOIN (SELECT s.d1 AS doc_id, max(s.s) AS ms
+         |    FROM sim s JOIN sel${k - 1} p ON s.d2 = p.doc_id GROUP BY s.d1) m
+         |    USING (doc_id)
+         |  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${k - 1})),
+         |p$k AS MATERIALIZED (SELECT doc_id, cos, mmr FROM sc$k
+         |  ORDER BY mmr DESC, doc_id LIMIT 1),
+         |sel$k AS MATERIALIZED (SELECT doc_id FROM sel${k - 1}
+         |  UNION ALL SELECT doc_id FROM p$k)""".stripMargin
+    }.mkString(",\n")
+    val finalUnion = (1 to MmrK).map { k =>
+      s"SELECT $k::BIGINT AS rank, doc_id, round(cos, 6) AS relevance, " +
+        s"round(mmr, 6) AS mmr FROM p$k"
+    }.mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |cand AS MATERIALIZED (SELECT e.vec_id AS doc_id,
+       |  list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos,
+       |  e.embedding::DOUBLE[] AS emb
+       |  FROM embeddings e, q WHERE e.vec_id <> 0
+       |  ORDER BY cos DESC, doc_id LIMIT $RrfTopK),
+       |sim AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  list_cosine_similarity(a.emb, b.emb) AS s
+       |  FROM cand a JOIN cand b ON a.doc_id <> b.doc_id),
+       |sel0 AS (SELECT CAST(NULL AS BIGINT) AS doc_id WHERE false),
+       |$steps
+       |$finalUnion ORDER BY rank""".stripMargin
+  }
+
+  // ======================================================================
   // x90: PageRank centrality over the x04 similarity graph — graph
   // analytics as a first-class operator, and a better canonical-
   // selection signal than min-doc_id: inside a dup cluster the most
@@ -3103,6 +3203,7 @@ object ExtensionQueries {
     "x90_pagerank" -> (x90_pagerank _),
     "x91_bm25" -> (x91_bm25 _),
     "x92_hybrid_rrf" -> (x92_hybrid_rrf _),
+    "x93_mmr_rerank" -> (x93_mmr_rerank _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
     // contract is BpeSpec's reference-implementation equivalence
@@ -3178,6 +3279,7 @@ object ExtensionQueries {
     "x90_pagerank" -> x90Sql,
     "x91_bm25" -> x91Sql,
     "x92_hybrid_rrf" -> x92Sql,
+    "x93_mmr_rerank" -> x93Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,
     "x81_shuffle_shards" -> x81Sql,
