@@ -1534,6 +1534,60 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x94: soft-dedup sampling — the CONSUMER of x88's weights, closing
+  // the downweight policy loop: hash-stable Bernoulli keep with
+  // p = weight (1/cluster_size), so every duplicated content
+  // contributes ~one surviving copy per epoch IN EXPECTATION while
+  // nothing is ever deleted, and the per-source kept counts reconcile
+  // against the effective corpus size Σ weight that x88 promises.
+  // Hash-stable (x25/x68's md5-uniform convention) means re-runs and
+  // corpus growth never resample already-decided docs — the property
+  // an incremental training pipeline needs from its sampler. Shapes:
+  // the closure is x88's; the draw and the per-source reconcile are
+  // one corpus-linear projection + a dimension-keyed agg.
+  def x94_soft_sample(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = x88_dup_weights(spark, sfDir).select("doc_id", "weight")
+    Tables.documents(spark, sfDir).select("doc_id", "source")
+      .join(w, Seq("doc_id"))
+      .withColumn("h", md5(concat_ws("|", lit("softsample"), col("doc_id"))))
+      .withColumn("u",
+        (conv(substring(col("h"), 1, 15), 16, 10)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 0)) + lit(1))
+          .cast("double") / lit(1.152921504606846976e18))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("u") <= col("weight"), 1L).otherwise(0L)).as("n_kept"),
+        round(sum(col("weight")), 6).as("effective"))
+      .orderBy("source")
+  }
+
+  val x94Sql: String =
+    s"""WITH RECURSIVE $SqlSharedPairsCte,
+       |pairs AS (SELECT s.d1, s.d2 FROM shared s
+       |          JOIN nsh n1 ON n1.doc_id = s.d1 JOIN nsh n2 ON n2.doc_id = s.d2
+       |          WHERE $SqlJaccardPred OR $SqlContainPred),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+       |cl AS (SELECT n AS doc_id, count(DISTINCT m)::BIGINT AS cluster_size
+       |       FROM reach GROUP BY n),
+       |w AS (SELECT d.doc_id, d.source,
+       |      round(1.0 / coalesce(cl.cluster_size, 1), 6) AS weight,
+       |      md5('softsample|' || d.doc_id::VARCHAR) AS h
+       |      FROM documents d LEFT JOIN cl USING (doc_id)),
+       |u AS (SELECT doc_id, source, weight,
+       |  (list_reduce(list_transform(range(1, 16),
+       |     i -> (strpos('0123456789abcdef', substr(h, i, 1)) - 1)::BIGINT),
+       |     (a, b) -> a * 16 + b) + 1) / 1152921504606846976.0 AS u
+       |  FROM w)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN u <= weight THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  round(sum(weight), 6) AS effective
+       |FROM u GROUP BY source ORDER BY source""".stripMargin
+
+  // ======================================================================
   // x93: MMR diversity re-rank — the step after retrieval that a
   // near-dup-heavy corpus makes mandatory: a plain top-k returns five
   // copies of the same boilerplate; Maximal Marginal Relevance
@@ -3204,6 +3258,7 @@ object ExtensionQueries {
     "x91_bm25" -> (x91_bm25 _),
     "x92_hybrid_rrf" -> (x92_hybrid_rrf _),
     "x93_mmr_rerank" -> (x93_mmr_rerank _),
+    "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
     // contract is BpeSpec's reference-implementation equivalence
@@ -3280,6 +3335,7 @@ object ExtensionQueries {
     "x91_bm25" -> x91Sql,
     "x92_hybrid_rrf" -> x92Sql,
     "x93_mmr_rerank" -> x93Sql,
+    "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,
     "x81_shuffle_shards" -> x81Sql,
