@@ -872,6 +872,10 @@ object ExtensionQueries {
   private[graft] def clearBpe(sfDir: String): Unit =
     if (sfDir == null) bpeMemo.clear() else bpeMemo.remove(sfDir)
 
+  /** Spec hook: whether a corpus BPE memo exists for `sfDir`. */
+  private[graft] def bpeMemoized(sfDir: String): Boolean =
+    bpeMemo.containsKey(sfDir)
+
   def x79_bpe_train(spark: SparkSession, sfDir: String): DataFrame = {
     val (merges, _) = corpusBpe(spark, sfDir)
     spark.createDataFrame(merges)

@@ -66,6 +66,18 @@ class CachesSpec extends AnyFunSuite with SparkSpec {
     Caches.clearAll()
   }
 
+  test("Caches.clear(sfDir) also releases the dataset's BPE memo; queries rebuild") {
+    import graft.queries.ExtensionQueries
+    ExtensionQueries.x79_bpe_train(spark, sf).collect()
+    assert(ExtensionQueries.bpeMemoized(sf), "x79 should populate the memo")
+    Caches.clear(sf)
+    assert(!ExtensionQueries.bpeMemoized(sf), "clear must drop the BPE memo")
+    // transparent rebuild, identical answer (training is deterministic)
+    val again = ExtensionQueries.x79_bpe_train(spark, sf).collect()
+    assert(ExtensionQueries.bpeMemoized(sf))
+    assert(again.nonEmpty)
+  }
+
   test("IvfIndex.clear(sfDir) drops only that dataset's memoized index") {
     val ixA = graft.ml.IvfIndex.build(spark, sf)
     graft.ml.IvfIndex.clear(sf)
