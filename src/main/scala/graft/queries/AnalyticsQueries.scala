@@ -936,6 +936,63 @@ object AnalyticsQueries {
        |FROM zc GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ======================================================================
+  // x95: trailing-window anomaly detection — the monitoring pass a
+  // production ingest runs over its own event stream: hourly counts
+  // per event type, gap-filled to a dense hour spine (a silent-hour
+  // ZERO is exactly the anomaly a sparse frame would hide), then a
+  // per-type trailing 24-hour mean/stddev and the z-score flag
+  // (|z| > 3). Shapes: the hour spine is types × hours (a kilobyte
+  // dimension even over years), counts are ONE corpus-linear shuffle
+  // on (type, hour), and the trailing stats are an entity-partitioned
+  // window — never a global sort. The first 24 hours of each type
+  // warm up with NULL stats (empty/degenerate frame) and are
+  // never flagged, identically in both engines.
+  def x95_anomaly_hours(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+    val cnt = e.groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
+    val hours = e.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("hr"))
+    val spine = e.select("event_type").distinct().crossJoin(broadcast(hours))
+    val filled = spine.join(cnt, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
+    filled
+      .withColumn("mu", avg(col("cnt")).over(w))
+      .withColumn("sd", stddev_samp(col("cnt")).over(w))
+      .select(col("event_type"), col("hr"), col("cnt"),
+        round(coalesce(col("mu"), lit(0.0)), 6).as("mu"),
+        round(when(col("sd") > 0, (col("cnt") - col("mu")) / col("sd"))
+          .otherwise(lit(0.0)), 6).as("z"),
+        coalesce(col("sd") > 0 &&
+          abs((col("cnt") - col("mu")) / col("sd")) > 3, lit(false))
+          .as("anomaly"))
+      .orderBy("event_type", "hr")
+  }
+
+  val x95Sql: String =
+    """WITH e AS (SELECT event_type,
+      |           epoch_us(ts::TIMESTAMP) // 3600000000 AS hr FROM events),
+      |c AS (SELECT event_type, hr, count(*)::BIGINT AS cnt FROM e GROUP BY 1, 2),
+      |hours AS (SELECT unnest(range(min(hr), max(hr) + 1))::BIGINT AS hr FROM e),
+      |types AS (SELECT DISTINCT event_type FROM e),
+      |spine AS (SELECT t.event_type, h.hr FROM types t CROSS JOIN hours h),
+      |f AS (SELECT s.event_type, s.hr, coalesce(c.cnt, 0)::BIGINT AS cnt
+      |      FROM spine s LEFT JOIN c USING (event_type, hr)),
+      |wn AS (SELECT event_type, hr, cnt,
+      |  avg(cnt) OVER w AS mu, stddev_samp(cnt) OVER w AS sd
+      |  FROM f WINDOW w AS (PARTITION BY event_type ORDER BY hr
+      |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, hr, cnt,
+      |  round(coalesce(mu, 0.0), 6) AS mu,
+      |  round(CASE WHEN sd > 0 THEN (cnt - mu) / sd ELSE 0.0 END, 6) AS z,
+      |  (CASE WHEN sd IS NOT NULL AND sd > 0 AND abs((cnt - mu) / sd) > 3
+      |    THEN true ELSE false END) AS anomaly
+      |FROM wn ORDER BY event_type, hr""".stripMargin
+
+  // ======================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_sql_api" -> (q28_sql_api _),
     "x30_grouping_cube" -> (x30_grouping_cube _),
@@ -951,6 +1008,7 @@ object AnalyticsQueries {
     "x40_partition_prune" -> (x40_partition_prune _),
     "x41_salted_agg" -> (x41_salted_agg _),
     "x89_zorder_layout" -> (x89_zorder_layout _),
+    "x95_anomaly_hours" -> (x95_anomaly_hours _),
     "x42_merge_upsert" -> (x42_merge_upsert _),
     "x43_quantiles" -> (x43_quantiles _),
     "x44_array_funcs" -> (x44_array_funcs _),
@@ -980,6 +1038,7 @@ object AnalyticsQueries {
     "x39_json_roundtrip" -> x39Sql,
     "x40_partition_prune" -> x40Sql,
     "x89_zorder_layout" -> x89Sql,
+    "x95_anomaly_hours" -> x95Sql,
     "x41_salted_agg" -> x41Sql,
     "x42_merge_upsert" -> x42Sql,
     "x43_quantiles" -> x43Sql,
