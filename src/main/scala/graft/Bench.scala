@@ -181,6 +181,27 @@ object Bench {
       (loadStart > 2.0 && !provablyClean)
   }
 
+  /** Session-memoized query families whose ledger pins measure only
+    * the WARM path (BASELINE.md's shared-cache convention: the memo /
+    * shared posting builds once per session and min-of-N reports the
+    * steady state). That leaves the cold build cost invisible to the
+    * plausibility gate (round-10 verdict "what's wrong" #3), so each
+    * family's designated representative runs ONCE, before anything
+    * warms the shared caches, and its first-touch seconds publish
+    * under "cold" in the artifact — a cold-path regression is now
+    * machine-visible even though the gate still judges warm numbers.
+    * x04 builds the shared shingle posting (x02/x70/x46… reuse);
+    * x79 builds the corpus BPE memo (x87 reuses); x96 publishes+loads
+    * the BM25 artifact (x97's lexical leg reuses); x97 additionally
+    * publishes+loads the IVF-PQ artifact. Probes run in declared
+    * order; each adds exactly ONE cold family on top of the previous
+    * probes' warm state (x97 after x96 isolates the dense artifact's
+    * cold cost from the lexical one it reuses).
+    */
+  private[graft] val coldProbes: Seq[String] =
+    Seq("x04_ngram_jaccard", "x79_bpe_train", "x96_bm25_indexed",
+      "x97_hybrid_indexed")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the target environment is local[32] (see build docs); honor an
@@ -216,6 +237,12 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         (ok, (System.nanoTime() - t0) / 1e9)
       }
+    // Cold-path probe BEFORE the warm pass: first-touch seconds for the
+    // memoized families (see coldProbes doc). Recorded beside — never
+    // instead of — the warm min-of-N the ledger pins.
+    val cold = coldProbes.filter(SparkEntry.queries.contains).map { q =>
+      q -> sample(q, SparkEntry.queries(q), 1).head._2
+    }
     def best(samples: Seq[(Boolean, Double)]): Double = {
       val anyOk = samples.exists(_._1)
       val b = samples.collect { case (ok, s) if ok == anyOk => s }.min
@@ -275,7 +302,9 @@ object Bench {
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val watchJson = watchlist(timedMap, ledger)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_pct":${math.rint(stealPct * 100) / 100},"ledger_queries":${ledger.size},"median_ledger_ratio":${math.rint(medianRatio * 1000) / 1000},"p90_ledger_ratio":${math.rint(p90Ratio * 1000) / 1000},"retried":$retriedJson,"suspect":$suspectJson,"watch":$watchJson,"contended":$contended}""")
+    val coldJson = cold.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_pct":${math.rint(stealPct * 100) / 100},"ledger_queries":${ledger.size},"median_ledger_ratio":${math.rint(medianRatio * 1000) / 1000},"p90_ledger_ratio":${math.rint(p90Ratio * 1000) / 1000},"retried":$retriedJson,"suspect":$suspectJson,"watch":$watchJson,"cold":$coldJson,"contended":$contended}""")
     spark.stop()
   }
 }

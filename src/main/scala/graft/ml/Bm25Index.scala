@@ -1,0 +1,197 @@
+package graft.ml
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The persisted lexical-retrieval artifact — the inverted index that
+  * turns BM25 from a per-query corpus scan (x91's demo shape) into a
+  * posting-list fetch whose cost is ∝ Σ df(query terms). The exact
+  * `IvfIndex.save/load` precedent applied to the lexical leg
+  * (round-10 verdict "what's missing" #1): build ONCE over the
+  * corpus, publish as one atomic [[graft.sources.VersionedStore]]
+  * snapshot, and every later query loads the artifact and touches
+  * only its own terms' rows.
+  *
+  * Three tables, one snapshot:
+  *
+  *   - `posting` — (token, doc_id, tf, dl): one row per distinct
+  *     (doc, token), the term frequency, and the document length
+  *     DENORMALIZED inline. dl is doc-intrinsic (a doc's token count
+  *     never changes after acceptance), so carrying it on the posting
+  *     row deletes the corpus-sized dl join from the query path —
+  *     the classic Lucene layout (per-doc norm stored with the
+  *     posting). Published clustered by token (repartition on token +
+  *     sort within partitions) so parquet row-group min/max stats
+  *     prune an `In(token, …)` scan to the query's terms — the
+  *     on-disk analogue of a posting-list fetch; at 100 TB the same
+  *     layout is bucketed by token.
+  *   - `df` — (token, df): the per-term document frequency dimension,
+  *     vocabulary-sized, broadcast at query time.
+  *   - `consts` — one row (n, avgdl): the corpus constants the BM25
+  *     denominator needs.
+  *
+  * Scoring is the Lucene-practical BM25 x91 pins (k1=1.2, b=0.75,
+  * idf = ln((N − df + 0.5)/(df + 0.5) + 1)); Bm25IndexSpec pins the
+  * index-backed answer row-identical to x91's scan-based answer at
+  * all three SFs, and x96 runs the loaded-artifact path under x91's
+  * own DuckDB oracle.
+  *
+  * The STREAMING maintenance path ([[graft.streaming.DedupStream]]'s
+  * lexical channel) appends per-batch posting/df/consts slices as
+  * accepted docs arrive — [[fromStore]] assembles the same Index
+  * shape from the maintained slices, so the index is maintained, not
+  * rebuilt (the x52 incremental-idf precedent).
+  */
+object Bm25Index {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** The deployment triple. `posting`: (token, doc_id, tf, dl);
+    * `df`: (token, df); `consts`: one row (n, avgdl).
+    */
+  final case class Index(posting: DataFrame, df: DataFrame, consts: DataFrame)
+
+  private val cache = new ConcurrentHashMap[(Int, String), Index]()
+  private val published = new ConcurrentHashMap[(Int, String), Index]()
+
+  /** Cross-engine deterministic rounding (ReferenceQueries.round). */
+  private def round6(c: org.apache.spark.sql.Column) =
+    floor(c * 1e6 + lit(0.5)) / 1e6
+
+  /** Build the index frames from a (doc_id, text) corpus. The ONE
+    * corpus-linear tokenize+agg pass a deployment pays at build time;
+    * `docs` rows without tokens still count toward N (x91's n is the
+    * documents count) but have no posting/dl rows — exactly the
+    * frames x91 derives per query.
+    */
+  def buildOf(docs: DataFrame, persistShared: Boolean = false): Index = {
+    val post = graft.queries.ReferenceQueries.docTokens(docs, persistShared)
+    val tf = post.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = post.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val posting = tf.join(dl, Seq("doc_id"))
+      .select("token", "doc_id", "tf", "dl")
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val consts = docs.agg(count(lit(1)).cast("double").as("n"))
+      .crossJoin(dl.agg(avg(col("dl")).as("avgdl")))
+    Index(posting, df, consts)
+  }
+
+  /** Build (memoized per session × dataset) over the documents table.
+    * The posting and df frames persist through [[graft.Caches]] so
+    * repeated searches (and both bench passes) pay the tokenize once.
+    */
+  def build(spark: SparkSession, sfDir: String): Index =
+    cache.computeIfAbsent((System.identityHashCode(spark), sfDir), _ => {
+      // persistShared: the corpus (doc_id, token) projection is THE
+      // session-shared working set (SCALE.md §caches) — the build
+      // rides the same materialization x91/x09/x52 read
+      val ix = buildOf(graft.Tables.documents(spark, sfDir),
+        persistShared = true)
+      Index(graft.Caches.persist(ix.posting), graft.Caches.persist(ix.df),
+        ix.consts)
+    })
+
+  /** Publish the triple as one atomic versioned snapshot. The posting
+    * goes out clustered by token (see object doc) so a loaded scan
+    * prunes to the query's terms via row-group stats.
+    */
+  def saveIndex(spark: SparkSession, ix: Index, root: String): Long =
+    graft.sources.VersionedStore.publishAll(
+      Map(
+        "posting" -> ix.posting.repartition(col("token"))
+          .sortWithinPartitions("token"),
+        "df" -> ix.df,
+        "consts" -> ix.consts),
+      root)
+
+  def save(spark: SparkSession, sfDir: String, root: String): Long =
+    saveIndex(spark, build(spark, sfDir), root)
+
+  /** Load a published index (latest snapshot, or a pinned `version`).
+    * No tokenize, no corpus scan — a fresh session searches
+    * immediately, and the posting scan stays LAZY so query-time
+    * term filters push down into the parquet read.
+    */
+  def load(spark: SparkSession, root: String,
+      version: Option[Long] = None): Index = {
+    val v = version.orElse(graft.sources.VersionedStore.latestVersion(root))
+      .getOrElse(throw new IllegalStateException(s"no published index under $root"))
+    Index(
+      graft.sources.VersionedStore.readTable(spark, root, v, "posting"),
+      graft.sources.VersionedStore.readTable(spark, root, v, "df"),
+      graft.sources.VersionedStore.readTable(spark, root, v, "consts"))
+  }
+
+  /** The session's published-artifact path for a dataset: publish once
+    * per (session, dataset) under the JVM temp root, then serve the
+    * LOADED index — the deployment shape (x96/x97 ride this). A
+    * pre-existing snapshot from an earlier session is reused as-is
+    * (artifacts are the contract); a load failure republishes.
+    */
+  def loadOrPublish(spark: SparkSession, sfDir: String): Index =
+    published.computeIfAbsent((System.identityHashCode(spark), sfDir), _ => {
+      val root = artifactRoot("bm25", sfDir)
+      try load(spark, root)
+      catch {
+        case _: Exception =>
+          save(spark, sfDir, root)
+          load(spark, root)
+      }
+    })
+
+  /** Canonical per-dataset artifact root under the JVM temp dir. */
+  private[graft] def artifactRoot(kind: String, sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-artifacts/$kind/$key"
+  }
+
+  /** Search an index: the posting fetch is the term filter (pushed to
+    * the scan on a loaded artifact), df rides as a term-count-sized
+    * broadcast, consts as a 1-row broadcast, and the score is one
+    * doc-keyed agg over ≤ |terms| rows per doc followed by a
+    * TakeOrdered — cost ∝ Σ df(query terms), never corpus-linear.
+    * Output and ordering are exactly x91's: (doc_id, score rounded to
+    * 6, n_terms), ranked on the ROUNDED score with doc_id tiebreak.
+    */
+  def searchWith(ix: Index, terms: Seq[String], topK: Int): DataFrame = {
+    val qpost = ix.posting.filter(col("token").isin(terms: _*))
+    val qdf = ix.df.filter(col("token").isin(terms: _*))
+    qpost.join(broadcast(qdf), Seq("token"))
+      .crossJoin(broadcast(ix.consts))
+      .withColumn("term_score",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * lit(K1 + 1)) /
+          (col("tf") + lit(K1) *
+            (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round6(sum(col("term_score"))).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Assemble an Index from a DedupStream store's maintained lexical
+    * slices (quiesced store — see the channel doc in DedupStream):
+    * posting rows are doc-intrinsic and read verbatim; df sums its
+    * per-batch contribution slices; consts re-derive from the summed
+    * per-batch totals. No accepted text is ever re-tokenized.
+    */
+  def fromStore(spark: SparkSession, storeRoot: String): Index = {
+    val posting = spark.read.parquet(s"$storeRoot/lexpost")
+      .select("token", "doc_id", "tf", "dl")
+    val df = spark.read.parquet(s"$storeRoot/lexdf")
+      .groupBy("token").agg(sum(col("cnt")).as("df"))
+    val consts = spark.read.parquet(s"$storeRoot/lexconsts")
+      .agg(sum(col("n_docs")).cast("double").as("n"),
+        (sum(col("sum_dl")).cast("double") /
+          sum(col("n_dl_docs")).cast("double")).as("avgdl"))
+    Index(posting, df, consts)
+  }
+
+  /** Drop memoized indexes (frames persist through Caches, which owns
+    * their release).
+    */
+  def clear(): Unit = { cache.clear(); published.clear() }
+}

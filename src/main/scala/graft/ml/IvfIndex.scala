@@ -48,9 +48,19 @@ object IvfIndex {
 
   def build(spark: SparkSession, sfDir: String, k: Int = 16): Index = {
     val key = (System.identityHashCode(spark), sfDir, k)
-    cache.computeIfAbsent(key, _ => {
-      val emb = embFrame(spark, sfDir)
+    cache.computeIfAbsent(key, _ => buildIndex(spark, embFrame(spark, sfDir), k))
+  }
 
+  /** Build over an EXPLICIT (vec_id, v) frame — the space-agnostic
+    * entry the stream-maintained index rides (a DedupStream store's
+    * doc vectors are their own embedding space). Unmemoized: the
+    * caller owns the returned index's persisted assignment frame
+    * (release with `index.assigned.unpersist()`).
+    */
+  def buildFrom(spark: SparkSession, vecs: DataFrame, k: Int = 16): Index =
+    buildIndex(spark, vecs, k)
+
+  private def buildIndex(spark: SparkSession, emb: DataFrame, k: Int): Index = {
       // --- train: bounded deterministic sample, local Lloyd's ---
       val maxTrain = k * 256
       val sample = emb
@@ -77,7 +87,6 @@ object IvfIndex {
       import spark.implicits._
       Index(assigned, cents.toIndexedSeq.map(_.toSeq).zipWithIndex
         .map { case (c, i) => (i, c) }.toDF("list_id", "centroid"))
-    })
   }
 
   /** Publish a built index as a versioned on-disk artifact (round-4

@@ -62,20 +62,40 @@ object IvfPq {
   def build(spark: SparkSession, sfDir: String,
       m: Int = 16, ksub: Int = 16): Index = {
     val key = (System.identityHashCode(spark), sfDir, m, ksub)
-    cache.computeIfAbsent(key, _ => {
-      val ivf = IvfIndex.build(spark, sfDir)
-      val resid = embOf(spark, sfDir)
-        .join(ivf.assigned.select("vec_id", "list_id"), Seq("vec_id"))
-        .join(broadcast(ivf.centroids), Seq("list_id"))
-        .select(col("vec_id"), col("list_id"),
-          zip_with(col("v"), col("centroid"), (a, b) => a - b).as("r"),
-          VecMath.l2norm(col("v")).as("vnorm"))
-      val codebooks = PqIndex.trainCodebooks(resid, "r", m, ksub)
-      val coded = graft.Caches.persist(
-        PqIndex.withCodes(resid, "r", codebooks)
-          .select("vec_id", "list_id", "codes", "vnorm"))
-      Index(coded, ivf.centroids, codebooks, m, codebooks.head.head.length)
-    })
+    cache.computeIfAbsent(key, _ =>
+      encodeWith(IvfIndex.build(spark, sfDir), embOf(spark, sfDir), m, ksub))
+  }
+
+  /** Build over an EXPLICIT (vec_id, v) frame with its own coarse
+    * quantizer — the space-agnostic entry the stream-maintained index
+    * rides (a DedupStream store's doc vectors are their own embedding
+    * space, with their own dimension). Unmemoized; the coarse
+    * assignment frame stays persisted for the session (the coded
+    * frame's lineage reads it), released with [[graft.Caches]] teardown.
+    */
+  def buildFrom(spark: SparkSession, vecs: DataFrame, nLists: Int = 16,
+      m: Int = 16, ksub: Int = 16): Index =
+    encodeWith(IvfIndex.buildFrom(spark, vecs, nLists), vecs, m, ksub)
+
+  /** The shared residual-encode core: assign lists, subtract each
+    * vector's list centroid, train residual codebooks on a bounded
+    * sample, encode. The coded frame persists through [[graft.Caches]]
+    * (canonical-plan dedup — repeated searches hit one
+    * materialization).
+    */
+  private def encodeWith(ivf: IvfIndex.Index, vecs: DataFrame,
+      m: Int, ksub: Int): Index = {
+    val resid = vecs
+      .join(ivf.assigned.select("vec_id", "list_id"), Seq("vec_id"))
+      .join(broadcast(ivf.centroids), Seq("list_id"))
+      .select(col("vec_id"), col("list_id"),
+        zip_with(col("v"), col("centroid"), (a, b) => a - b).as("r"),
+        VecMath.l2norm(col("v")).as("vnorm"))
+    val codebooks = PqIndex.trainCodebooks(resid, "r", m, ksub)
+    val coded = graft.Caches.persist(
+      PqIndex.withCodes(resid, "r", codebooks)
+        .select("vec_id", "list_id", "codes", "vnorm"))
+    Index(coded, ivf.centroids, codebooks, m, codebooks.head.head.length)
   }
 
   /** Incremental add — the FAISS `add()` contract: new vectors join
@@ -121,13 +141,36 @@ object IvfPq {
 
   /** Publish the deployment triple as one atomic versioned snapshot. */
   def save(spark: SparkSession, sfDir: String, root: String,
-      m: Int = 16, ksub: Int = 16): Long = {
-    val ix = build(spark, sfDir, m, ksub)
+      m: Int = 16, ksub: Int = 16): Long =
+    saveIndex(spark, build(spark, sfDir, m, ksub), root)
+
+  /** Publish an EXPLICIT Index value — the path [[append]]'s result
+    * ships on (the stream-maintained index publishes pinned-version-in
+    * → new-version-out without rebuilding anything).
+    */
+  def saveIndex(spark: SparkSession, ix: Index, root: String): Long =
     graft.sources.VersionedStore.publishAll(
       Map("coded" -> ix.coded, "centroids" -> ix.centroids,
         "codebooks" -> PqIndex.codebooksTable(spark, ix.codebooks)),
       root)
-  }
+
+  private val published = new ConcurrentHashMap[(Int, String), Index]()
+
+  /** The session's published-artifact index for a dataset (the
+    * Bm25Index.loadOrPublish twin): publish once per (session,
+    * dataset) under the JVM temp root, then serve the LOADED index —
+    * x97's dense leg rides this.
+    */
+  def loadOrPublish(spark: SparkSession, sfDir: String): Index =
+    published.computeIfAbsent((System.identityHashCode(spark), sfDir), _ => {
+      val root = Bm25Index.artifactRoot("ivfpq", sfDir)
+      try load(spark, root)
+      catch {
+        case _: Exception =>
+          save(spark, sfDir, root)
+          load(spark, root)
+      }
+    })
 
   /** Load a published index (latest snapshot, or a pinned `version`):
     * no k-means, no corpus scan — a fresh session probes immediately.
@@ -205,5 +248,5 @@ object IvfPq {
   }
 
   /** Drop memoized indexes (Caches holds the coded frames). */
-  def clear(): Unit = cache.clear()
+  def clear(): Unit = { cache.clear(); published.clear() }
 }

@@ -944,9 +944,13 @@ object AnalyticsQueries {
   // (|z| > 3). Shapes: the hour spine is types × hours (a kilobyte
   // dimension even over years), counts are ONE corpus-linear shuffle
   // on (type, hour), and the trailing stats are an entity-partitioned
-  // window — never a global sort. The first 24 hours of each type
-  // warm up with NULL stats (empty/degenerate frame) and are
-  // never flagged, identically in both engines.
+  // window — never a global sort. Warm-up is gated on a FULL frame
+  // (round-10 ADVICE: with rowsBetween(-24,-1) only hours 1-2 are
+  // structurally unflaggable, and a partial-window z-score over a few
+  // samples is noise): the trailing mean/stddev still publish as they
+  // fill in, but the anomaly FLAG requires all 24 trailing hours —
+  // each type's first 24 hours never fire, identically in both
+  // engines.
   def x95_anomaly_hours(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(spark, sfDir)
@@ -962,11 +966,12 @@ object AnalyticsQueries {
     filled
       .withColumn("mu", avg(col("cnt")).over(w))
       .withColumn("sd", stddev_samp(col("cnt")).over(w))
+      .withColumn("nw", count(lit(1)).over(w))
       .select(col("event_type"), col("hr"), col("cnt"),
         round(coalesce(col("mu"), lit(0.0)), 6).as("mu"),
         round(when(col("sd") > 0, (col("cnt") - col("mu")) / col("sd"))
           .otherwise(lit(0.0)), 6).as("z"),
-        coalesce(col("sd") > 0 &&
+        coalesce(col("nw") === 24 && col("sd") > 0 &&
           abs((col("cnt") - col("mu")) / col("sd")) > 3, lit(false))
           .as("anomaly"))
       .orderBy("event_type", "hr")
@@ -982,13 +987,15 @@ object AnalyticsQueries {
       |f AS (SELECT s.event_type, s.hr, coalesce(c.cnt, 0)::BIGINT AS cnt
       |      FROM spine s LEFT JOIN c USING (event_type, hr)),
       |wn AS (SELECT event_type, hr, cnt,
-      |  avg(cnt) OVER w AS mu, stddev_samp(cnt) OVER w AS sd
+      |  avg(cnt) OVER w AS mu, stddev_samp(cnt) OVER w AS sd,
+      |  count(*) OVER w AS nw
       |  FROM f WINDOW w AS (PARTITION BY event_type ORDER BY hr
       |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
       |SELECT event_type, hr, cnt,
       |  round(coalesce(mu, 0.0), 6) AS mu,
       |  round(CASE WHEN sd > 0 THEN (cnt - mu) / sd ELSE 0.0 END, 6) AS z,
-      |  (CASE WHEN sd IS NOT NULL AND sd > 0 AND abs((cnt - mu) / sd) > 3
+      |  (CASE WHEN nw = 24 AND sd IS NOT NULL AND sd > 0
+      |    AND abs((cnt - mu) / sd) > 3
       |    THEN true ELSE false END) AS anomaly
       |FROM wn ORDER BY event_type, hr""".stripMargin
 

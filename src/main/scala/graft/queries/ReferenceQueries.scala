@@ -96,7 +96,7 @@ object ReferenceQueries {
     else docs
   }
 
-  private[queries] def docTokens(docs: DataFrame, persist: Boolean = true): DataFrame = {
+  private[graft] def docTokens(docs: DataFrame, persist: Boolean = true): DataFrame = {
     val tok = parallelized(docs)
       .select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("token"))
     if (persist) graft.Caches.persist(tok)

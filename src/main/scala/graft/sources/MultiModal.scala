@@ -364,31 +364,40 @@ object MultiModal {
     }
   }
 
+  /** The shared JPEG-sample leg: decode `len` bytes at `off` through
+    * ImageIO and reduce to the exact integer-sum pixel stats — used by
+    * both the AVI MJPEG branch and the MP4 jpeg-sample branch.
+    */
+  private def jpegFrameStats(mediaId: Long, b: Array[Byte], off: Int,
+      len: Int, idx: Int): VideoFrameStats = {
+    val img = javax.imageio.ImageIO.read(
+      new ByteArrayInputStream(b, off, len))
+    if (img == null)
+      return VideoFrameStats(mediaId, idx, "corrupt", 0, 0, 0, 0, 0, 0)
+    val w = img.getWidth; val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+    var i = 0
+    while (i < px.length) {
+      val q = px(i)
+      val red = (q >> 16) & 0xff; val grn = (q >> 8) & 0xff
+      val blu = q & 0xff
+      sr += red; sg += grn; sb += blu
+      sl += 299L * red + 587L * grn + 114L * blu
+      i += 1
+    }
+    val n = px.length.toDouble
+    VideoFrameStats(mediaId, idx, "mjpeg", w, h,
+      sr / n, sg / n, sb / n, sl / (1000.0 * n))
+  }
+
   private def decodeFrame(mediaId: Long, b: Array[Byte], off: Int, len: Int,
       idx: Int, p: AviParsed): VideoFrameStats = {
     val isJpeg = len >= 3 && (b(off) & 0xff) == 0xff &&
       (b(off + 1) & 0xff) == 0xd8 && (b(off + 2) & 0xff) == 0xff
     try {
       if (isJpeg) {
-        val img = javax.imageio.ImageIO.read(
-          new ByteArrayInputStream(b, off, len))
-        if (img == null)
-          return VideoFrameStats(mediaId, idx, "corrupt", 0, 0, 0, 0, 0, 0)
-        val w = img.getWidth; val h = img.getHeight
-        val px = img.getRGB(0, 0, w, h, null, 0, w)
-        var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
-        var i = 0
-        while (i < px.length) {
-          val q = px(i)
-          val red = (q >> 16) & 0xff; val grn = (q >> 8) & 0xff
-          val blu = q & 0xff
-          sr += red; sg += grn; sb += blu
-          sl += 299L * red + 587L * grn + 114L * blu
-          i += 1
-        }
-        val n = px.length.toDouble
-        VideoFrameStats(mediaId, idx, "mjpeg", w, h,
-          sr / n, sg / n, sb / n, sl / (1000.0 * n))
+        jpegFrameStats(mediaId, b, off, len, idx)
       } else if (p.biBitCount == 24 && p.biCompression == "rgb") {
         // uncompressed DIB: BGR byte triples, rows padded to 4 bytes,
         // bottom-up unless the strf height is negative (top-down)
@@ -421,6 +430,218 @@ object MultiModal {
     } catch {
       case scala.util.control.NonFatal(_) =>
         VideoFrameStats(mediaId, idx, "corrupt", 0, 0, 0, 0, 0, 0)
+    }
+  }
+
+  // ==================================================================
+  // MP4 / ISO-BMFF leg (round-10 verdict missing #5) — the container
+  // actual corpora carry. Box-tree walk with the AVI quarantine
+  // discipline: non-MP4 payloads tag `unknown`, a valid ftyp over an
+  // unwalkable/incomplete tree tags `corrupt`. The metadata pass
+  // touches headers only; the frame pass decodes ONLY sampled samples,
+  // and only for an ImageIO-decodable sample-table codec (jpeg/mjpa —
+  // inter-frame codecs like avc1 are genuinely not in this JVM and
+  // their samples tag `unsupported`).
+
+  /** Container sniff: an ISO-BMFF file leads with an `ftyp` box. */
+  private[sources] def sniffMp4(b: Array[Byte]): String =
+    if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+      b(7) == 'p') "mp4"
+    else "unknown"
+
+  private def u16be(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def u32be(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def u64be(b: Array[Byte], o: Int): Long =
+    (u32be(b, o) << 32) | u32be(b, o + 4)
+
+  /** Parsed ISO-BMFF structure for the FIRST video (`vide` handler)
+    * track: brands + movie/track timing, the stsd sample-entry codec
+    * and raster, and the (offset, size) of every sample — located via
+    * stsc × stsz × stco exactly as the spec composes them, NOT decoded.
+    */
+  private[sources] final case class Mp4Parsed(brand: String,
+      timescale: Long, duration: Long, trackTimescale: Long,
+      trackDuration: Long, sampleCodec: String, width: Int, height: Int,
+      samples: Vector[(Long, Int)])
+
+  /** Walk the box tree: descend the container boxes (moov/trak/mdia/
+    * minf/stbl), read mvhd/mdhd version-aware, gate the sample-table
+    * reads on the track's `hdlr` being `vide` (hdlr precedes minf in
+    * mdia — the same in-order reliance as the AVI walk's strh→strf),
+    * and assemble per-sample byte ranges from stsc (sample→chunk runs)
+    * + stsz (sizes) + stco/co64 (chunk offsets). Returns None when the
+    * tree is unwalkable or no video sample table materializes.
+    */
+  private[sources] def parseMp4(b: Array[Byte]): Option[Mp4Parsed] =
+    try {
+      if (sniffMp4(b) != "mp4") return None
+      var brand = ""
+      var mvTs = 0L; var mvDur = 0L
+      var mdTs = 0L; var mdDur = 0L
+      var inVide = false
+      var sawVide = false
+      var codec = ""; var w = 0; var h = 0
+      var stszUniform = 0L
+      var stszSizes: Array[Int] = null
+      var nSamples = 0L
+      var stscRuns: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
+      var chunkOffs: Array[Long] = null
+      val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+      def walk(start: Long, end: Long): Unit = {
+        var o = start
+        while (o + 8 <= end) {
+          val sz0 = u32be(b, o.toInt)
+          val id = fourcc(b, o.toInt + 4)
+          var data = o + 8
+          val boxEnd =
+            if (sz0 == 1L && o + 16 <= end) { data = o + 16; o + u64be(b, o.toInt + 8) }
+            else if (sz0 == 0L) end
+            else o + sz0
+          if (boxEnd < data || boxEnd > end) return // truncated/garbage box
+          val d = data.toInt
+          val len = (boxEnd - data).toInt
+          id match {
+            case "ftyp" if len >= 4 => brand = fourcc(b, d)
+            case "trak" =>
+              // per-track handler gate resets; only the FIRST vide
+              // track's sample table is kept
+              inVide = false
+              walk(data, boxEnd)
+            case c if containers(c) => walk(data, boxEnd)
+            case "mvhd" if len >= 8 =>
+              val v = b(d) & 0xff
+              if (v == 1 && len >= 28) { mvTs = u32be(b, d + 20); mvDur = u64be(b, d + 24) }
+              else if (len >= 20) { mvTs = u32be(b, d + 12); mvDur = u32be(b, d + 16) }
+            case "mdhd" if len >= 8 && !sawVide =>
+              val v = b(d) & 0xff
+              if (v == 1 && len >= 28) { mdTs = u32be(b, d + 20); mdDur = u64be(b, d + 24) }
+              else if (len >= 20) { mdTs = u32be(b, d + 12); mdDur = u32be(b, d + 16) }
+            case "hdlr" if len >= 12 =>
+              inVide = fourcc(b, d + 8) == "vide" && !sawVide
+            case "stsd" if inVide && len >= 16 =>
+              // first sample entry: 4cc at +4, VisualSampleEntry raster
+              // at +32/+34 (6 reserved + 2 dref + 16 predefined skipped)
+              codec = fourcc(b, d + 12)
+              if (len >= 44) { w = u16be(b, d + 40); h = u16be(b, d + 42) }
+              sawVide = true
+            case "stsz" if inVide && len >= 12 =>
+              stszUniform = u32be(b, d + 4)
+              nSamples = u32be(b, d + 8)
+              if (stszUniform == 0L) {
+                val n = nSamples.toInt
+                if (len < 12 + 4 * n) return
+                stszSizes = Array.tabulate(n)(i => u32be(b, d + 12 + 4 * i).toInt)
+              }
+            case "stsc" if inVide && len >= 8 =>
+              val n = u32be(b, d + 4).toInt
+              if (len < 8 + 12 * n) return
+              stscRuns = Array.tabulate(n)(i =>
+                (u32be(b, d + 8 + 12 * i), u32be(b, d + 12 + 12 * i)))
+            case "stco" if inVide && len >= 8 =>
+              val n = u32be(b, d + 4).toInt
+              if (len < 8 + 4 * n) return
+              chunkOffs = Array.tabulate(n)(i => u32be(b, d + 8 + 4 * i))
+            case "co64" if inVide && len >= 8 =>
+              val n = u32be(b, d + 4).toInt
+              if (len < 8 + 8 * n) return
+              chunkOffs = Array.tabulate(n)(i => u64be(b, d + 8 + 8 * i))
+            case _ => // leaf we don't need
+          }
+          o = boxEnd
+        }
+      }
+      walk(0L, b.length.toLong)
+      if (!sawVide || chunkOffs == null || stscRuns == null ||
+        (stszUniform == 0L && stszSizes == null)) return None
+      // expand stsc runs: chunk i (1-based) carries the samples_per_chunk
+      // of the last run whose first_chunk <= i; samples are consecutive
+      // from the chunk's stco offset, sized by stsz
+      val samples = Vector.newBuilder[(Long, Int)]
+      var s = 0L
+      var run = 0
+      var ci = 0
+      while (ci < chunkOffs.length && s < nSamples) {
+        while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= ci + 1)
+          run += 1
+        val spc = stscRuns(run)._2
+        var off = chunkOffs(ci)
+        var k = 0L
+        while (k < spc && s < nSamples) {
+          val sz =
+            if (stszUniform != 0L) stszUniform.toInt else stszSizes(s.toInt)
+          if (off + sz > b.length) return None // sample outside the file
+          samples += ((off, sz))
+          off += sz; s += 1; k += 1
+        }
+        ci += 1
+      }
+      if (s < nSamples) return None // sample table claims more than stored
+      Some(Mp4Parsed(brand, mvTs, mvDur, mdTs, mdDur, codec, w, h,
+        samples.result()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** ISO-BMFF container metadata — the same triage surface as
+    * [[VideoMeta]]: declared raster/codec/timing plus the located
+    * sample count, headers only, no sample bytes touched.
+    */
+  case class Mp4Meta(media_id: Long, format: String, codec: String,
+      brand: String, sample_codec: String, width: Int, height: Int,
+      fps: Double, duration_s: Double, n_samples: Int)
+
+  def decodeMp4Meta(media: Dataset[MediaRecord]): Dataset[Mp4Meta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      sniffMp4(r.payload) match {
+        case "unknown" =>
+          Mp4Meta(r.media_id, r.format, "unknown", "", "", 0, 0, 0.0, 0.0, 0)
+        case _ => parseMp4(r.payload) match {
+          case None =>
+            Mp4Meta(r.media_id, r.format, "corrupt", "", "", 0, 0, 0.0, 0.0, 0)
+          case Some(p) =>
+            val durS =
+              if (p.trackTimescale > 0) p.trackDuration.toDouble / p.trackTimescale
+              else 0.0
+            val fps = if (durS > 0) p.samples.length / durS else 0.0
+            Mp4Meta(r.media_id, r.format, "mp4", p.brand, p.sampleCodec,
+              p.width, p.height, fps, durS, p.samples.length)
+        }
+      }
+    })
+  }
+
+  /** Sampled frame decode for MP4 payloads whose sample table is
+    * ImageIO-decodable (jpeg-in-mp4); every `every`-th sample decodes
+    * through the shared JPEG leg, others tag `unsupported`. Cost ∝
+    * sample count, never footage — the [[decodeVideoFrames]] contract.
+    */
+  def decodeMp4Frames(media: Dataset[MediaRecord], every: Int = 4): Dataset[VideoFrameStats] = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        parseMp4(r.payload) match {
+          case None => Iterator.empty
+          case Some(p) =>
+            p.samples.iterator.zipWithIndex.collect {
+              case ((off, len), i) if i % every == 0 =>
+                val isJpeg = len >= 3 && (r.payload(off.toInt) & 0xff) == 0xff &&
+                  (r.payload(off.toInt + 1) & 0xff) == 0xd8 &&
+                  (r.payload(off.toInt + 2) & 0xff) == 0xff
+                if (!isJpeg)
+                  VideoFrameStats(r.media_id, i, "unsupported", 0, 0, 0, 0, 0, 0)
+                else
+                  try jpegFrameStats(r.media_id, r.payload, off.toInt, len, i)
+                  catch {
+                    case scala.util.control.NonFatal(_) =>
+                      VideoFrameStats(r.media_id, i, "corrupt", 0, 0, 0, 0, 0, 0)
+                  }
+            }
+        }
+      }
     }
   }
 

@@ -92,6 +92,15 @@ object DedupStream {
   private[streaming] val dupedgeSchema: StructType = StructType(Seq(
     StructField("d1", LongType), StructField("d2", LongType)))
 
+  private[streaming] val lexpostSchema: StructType = StructType(Seq(
+    StructField("token", StringType), StructField("doc_id", LongType),
+    StructField("tf", LongType), StructField("dl", LongType)))
+  private[streaming] val lexdfSchema: StructType = StructType(Seq(
+    StructField("token", StringType), StructField("cnt", LongType)))
+  private[streaming] val lexconstsSchema: StructType = StructType(Seq(
+    StructField("n_docs", LongType), StructField("n_dl_docs", LongType),
+    StructField("sum_dl", LongType)))
+
   /** History-rare cutoff for the containment probe — x04/x70's
     * rare-shingle universe: a shingle in more docs carries no dedup
     * signal and its posting list alone would blow up the probe join.
@@ -179,14 +188,15 @@ object DedupStream {
       dim: Int, storeRoot: String, checkpoint: String,
       gate: Option[ContamGate] = None,
       quality: Option[QualityGate] = None,
-      softDedup: Boolean = false): StreamingQuery = {
+      softDedup: Boolean = false,
+      lexIndex: Boolean = false): StreamingQuery = {
     val docs = spark.readStream.schema(VectorizeStream.docSchema).parquet(docsDir)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch.select("doc_id", "text", "lang"), batchId,
-          wordvecsLang, dim, storeRoot, gate, quality, softDedup)
+          wordvecsLang, dim, storeRoot, gate, quality, softDedup, lexIndex)
       }
       .start()
   }
@@ -198,7 +208,8 @@ object DedupStream {
       batchId: Long, wordvecsLang: DataFrame, dim: Int,
       storeRoot: String, gate: Option[ContamGate] = None,
       quality: Option[QualityGate] = None,
-      softDedup: Boolean = false): Unit = {
+      softDedup: Boolean = false,
+      lexIndex: Boolean = false): Unit = {
     val batchDocs = batch.persist()
     try {
       val batchIds = batchDocs.select("doc_id")
@@ -320,6 +331,39 @@ object DedupStream {
                 .write.mode(SaveMode.Overwrite)
                 .parquet(s"$storeRoot/df/batch=$batchId")
             } finally survHash.unpersist()
+            // LEXICAL channel — streaming maintenance of the
+            // ml/Bm25Index artifact (the x52 incremental-idf
+            // precedent applied to retrieval): each batch publishes
+            // its survivors' (token, doc_id, tf, dl) posting rows,
+            // its per-term df CONTRIBUTION, and its corpus-constant
+            // totals as idempotent batch slices. Posting rows and dl
+            // are doc-intrinsic (never stale); df and the constants
+            // are additive, summed on read by Bm25Index.fromStore —
+            // the index is maintained, never rebuilt, and accepted
+            // text is tokenized exactly once (in its own batch).
+            // Replay-safe like every slice: recomputed content is
+            // identical and overwrites batch=N verbatim.
+            if (lexIndex) {
+              val lexTf = ReferenceQueries.docTokens(survivors, persist = false)
+                .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+                .persist()
+              try {
+                val lexDl = lexTf.groupBy("doc_id")
+                  .agg(sum(col("tf")).as("dl"))
+                lexTf.join(lexDl, Seq("doc_id"))
+                  .select("token", "doc_id", "tf", "dl")
+                  .write.mode(SaveMode.Overwrite)
+                  .parquet(s"$storeRoot/lexpost/batch=$batchId")
+                lexTf.groupBy("token").agg(count(lit(1)).as("cnt"))
+                  .write.mode(SaveMode.Overwrite)
+                  .parquet(s"$storeRoot/lexdf/batch=$batchId")
+                survivors.agg(count(lit(1)).as("n_docs"))
+                  .crossJoin(lexDl.agg(count(lit(1)).as("n_dl_docs"),
+                    sum(col("dl")).as("sum_dl")))
+                  .write.mode(SaveMode.Overwrite)
+                  .parquet(s"$storeRoot/lexconsts/batch=$batchId")
+              } finally lexTf.unpersist()
+            }
             survivors.write.mode(SaveMode.Overwrite)
               .parquet(s"$storeRoot/docs/batch=$batchId")
             // live corpus stats: the batch's survivors sketched once
@@ -610,6 +654,40 @@ object DedupStream {
         (lit(1.0) / coalesce(col("cluster_size"), lit(1L))).as("weight"))
   }
 
+  /** The maintained vector store as an ANN-ready (vec_id, v) frame —
+    * every accepted doc's vector, keyed by doc id (the store's vec
+    * column is the array<double> VecAgg emits; null/unknown-only
+    * vectors are excluded, they have no meaningful direction).
+    */
+  def storeVectors(spark: SparkSession, storeRoot: String): DataFrame =
+    spark.read.parquet(s"$storeRoot/vectors")
+      .filter(col("vec").isNotNull &&
+        graft.functions.VecMath.l2norm(col("vec")) > 0)
+      .select(col("doc_id").as("vec_id"), col("vec").as("v"))
+
+  /** Post-stream (or per-compaction) ANN-index maintenance — the
+    * composition round-10 verdict asked for (missing #4): every
+    * accepted vector not yet in the published IVF-PQ index is
+    * [[graft.ml.IvfPq.append]]ed (FAISS add(): nearest-centroid
+    * assign + residual-encode under the IMMUTABLE quantizers — one
+    * corpus-linear broadcast pass, no shuffle, no retrain) and the
+    * result ships as the NEXT snapshot version under `indexRoot` —
+    * pinned version in, new version out, so index readers upgrade
+    * atomically and a crash mid-publish leaves the old version
+    * serving. Idempotent: a re-run finds no un-indexed vectors and
+    * publishes an identical-content version. DedupStreamSpec pins the
+    * post-stream loaded index row-identical to a batch
+    * `append(base, deltas)` and serving a planted arrival at rank 1.
+    */
+  def maintainAnnIndex(spark: SparkSession, storeRoot: String,
+      indexRoot: String, version: Option[Long] = None): Long = {
+    val base = graft.ml.IvfPq.load(spark, indexRoot, version)
+    val deltas = storeVectors(spark, storeRoot)
+      .join(base.coded.select("vec_id"), Seq("vec_id"), "left_anti")
+    graft.ml.IvfPq.saveIndex(spark,
+      graft.ml.IvfPq.append(base, deltas), indexRoot)
+  }
+
   /** Maintenance compaction of a QUIESCED store: N per-batch slice
     * directories per artifact become one consolidated `batch=-1`
     * slice each, so history reads stop paying a directory listing +
@@ -646,6 +724,13 @@ object DedupStream {
       ("segown", segownSchema, identity[DataFrame] _),
       ("cleandocs", cleanDocSchema, identity[DataFrame] _),
       ("dupedges", dupedgeSchema, identity[DataFrame] _),
+      ("lexpost", lexpostSchema, identity[DataFrame] _),
+      ("lexdf", lexdfSchema,
+        (df: DataFrame) => df.groupBy("token").agg(sum(col("cnt")).as("cnt"))),
+      ("lexconsts", lexconstsSchema,
+        (df: DataFrame) => df.agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_dl_docs")).as("n_dl_docs"),
+          sum(col("sum_dl")).as("sum_dl"))),
       ("df", dfSchema,
         (df: DataFrame) => df.groupBy("h").agg(sum(col("cnt")).as("cnt"))),
       ("stats", statsSchema, (df: DataFrame) =>

@@ -172,4 +172,17 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.watchlist(times, led) === Seq("a"))
     assert(Bench.suspects(times, led) === Seq("c"))
   }
+
+  test("cold probes cover the memoized families and are real queries") {
+    // round-10 ask #8: the artifact must carry first-touch timings for
+    // the session-memoized entries whose pins are warm-path-only. The
+    // probe list must stay non-empty, name only declared queries, and
+    // keep the two memo families (shared shingle posting; BPE memo) —
+    // removing one would re-blind the gate to that family's cold cost.
+    assert(Bench.coldProbes.nonEmpty)
+    Bench.coldProbes.foreach(q =>
+      assert(SparkEntry.queries.contains(q), s"cold probe $q is not a query"))
+    assert(Bench.coldProbes.contains("x04_ngram_jaccard"))
+    assert(Bench.coldProbes.contains("x79_bpe_train"))
+  }
 }

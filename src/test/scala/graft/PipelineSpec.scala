@@ -372,19 +372,27 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       for ((m, nbrs) <- adj; t <- nbrs) in(t) += rk(m) / nbrs.size
       rk = members.map(d => d -> (0.15 / members.size + 0.85 * in(d))).toMap
     }
-    val keepers = members.groupBy(find).values
-      .map(_.minBy(d => (-rk(d), d))).toSet
-    val losers = members.filterNot(keepers).toSet
-    assert(losers.nonEmpty)
-    assert(r.prunedNearDup === losers.size)
-    // every centrality loser is gone from the published snapshot, and
-    // every keeper that no later gate dropped is present
+    // epsilon-tolerant reconcile (round-10 ADVICE: exact keeper-set
+    // equality vs the distributed float summation is machine-flaky):
+    // one keeper per component is pick-independent, so the pruned
+    // count pins exactly; the published keeper per component must be a
+    // valid argmax up to relative float epsilon.
+    val comps = members.groupBy(find).values.toSeq
+    assert(members.size > comps.size, "fixture needs non-trivial components")
+    assert(r.prunedNearDup === (members.size - comps.size).toLong)
     val published = VersionedStore
       .readTable(spark, store, r.version, "documents")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(losers.forall(d => !published(d)))
-    assert(keepers.exists(published), "some component keeper must survive " +
-      "the downstream gates and ship")
+    for (comp <- comps) {
+      val pub = comp.filter(published)
+      assert(pub.size <= 1, s"component $comp published $pub")
+      val maxR = comp.map(rk).max
+      val eps = 1e-9 * math.max(maxR, 1e-12)
+      pub.foreach(d => assert(rk(d) >= maxR - eps,
+        s"published $d is not a valid centrality keeper of $comp"))
+    }
+    assert(comps.exists(_.exists(published)), "some component keeper must " +
+      "survive the downstream gates and ship")
   }
 
   test("contamination gate: the bloom path matches the broadcast gate's keep/drop set") {
