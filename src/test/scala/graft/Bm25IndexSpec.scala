@@ -10,14 +10,18 @@ import graft.queries.ExtensionQueries
 import graft.streaming.DedupStream
 
 /** Round-10 verdict ask #1: lexical retrieval must stop re-scanning
-  * the corpus per query. The contract: (a) the index-backed search
-  * answers IDENTICALLY to x91's scan-based formulation at every SF —
-  * same docs, same rounded scores, same order; (b) the loaded
-  * artifact's posting scan PRUNES to the query's terms (pushed
-  * filters, the on-disk posting-list fetch); (c) the DedupStream
-  * lexical channel maintains the same index incrementally — an index
-  * assembled from the stream's per-batch slices searches
-  * row-identically to a batch build over the accepted corpus.
+  * the corpus per query. The contract: (a) the published-artifact
+  * search (x96: save → load → search) answers IDENTICALLY to the
+  * session-built index (x91) at every SF — same docs, same rounded
+  * scores, same order — so the publish/load roundtrip is lossless
+  * (the truly independent scan-based formulation is x91's DuckDB
+  * oracle, which recomputes everything from the raw table and stays
+  * green against BOTH paths); (b) the loaded artifact's posting scan
+  * PRUNES to the query's terms (pushed filters, the on-disk
+  * posting-list fetch); (c) the DedupStream lexical channel maintains
+  * the same index incrementally — an index assembled from the
+  * stream's per-batch slices searches row-identically to a batch
+  * build over the accepted corpus.
   */
 class Bm25IndexSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
@@ -26,13 +30,14 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSpec {
     df.select("doc_id", "score", "n_terms").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
 
-  test("index-backed search is row-identical to the x91 scan at all three SFs") {
+  test("published-artifact search is row-identical to the session-built index at all three SFs") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
         "/root/testdata/sf0.1")) {
-      val scan = rows(ExtensionQueries.x91_bm25(spark, dir))
+      val built = rows(ExtensionQueries.x91_bm25(spark, dir))
       val indexed = rows(ExtensionQueries.x96_bm25_indexed(spark, dir))
-      assert(indexed === scan, s"index-backed BM25 diverges from the scan at $dir")
-      assert(scan.nonEmpty, s"empty BM25 result at $dir")
+      assert(indexed === built,
+        s"artifact-served BM25 diverges from the built index at $dir")
+      assert(built.nonEmpty, s"empty BM25 result at $dir")
     }
   }
 

@@ -143,6 +143,37 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"the 1-row consts frame must ride a broadcast:\n$p")
   }
 
+  test("x96 indexed bm25: TakeOrdered, no cartesian, df broadcast") {
+    val p = plan(graft.queries.ExtensionQueries.x96_bm25_indexed(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 should be a TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in x96:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the terms-sized df dimension must broadcast:\n$p")
+  }
+
+  test("x97 indexed hybrid: no cartesian beyond the 1-row broadcasts, windows bounded") {
+    val p = plan(graft.queries.ExtensionQueries.x97_hybrid_indexed(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in x97:\n$p")
+    // probe/fuse windows run over bounded frames (k-list centroids ×
+    // queries; ≤40 fused rows) — corpus-sized data never enters a
+    // single-partition window (the corpus-shaped reads are the coded
+    // artifact scan and the shortlist re-rank join)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"x97's dimension frames must broadcast:\n$p")
+  }
+
+  test("x98 batch mmr: candidate window partitions by query, greedy stays in flatMapGroups") {
+    val p = plan(graft.queries.ExtensionQueries.x98_mmr_batch(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in x98:\n$p")
+    // the top-20 window must partition by query_id, never a global
+    // single-partition sort over the corpus × queries frame
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"corpus-sized single-partition exchange in x98:\n$p")
+    assert(p.contains("MapGroups"),
+      s"the greedy must run per group in executors:\n$p")
+  }
+
   test("x78 fuzzy pairs: deletion-key equi-join, never the quadratic verify") {
     val p = plan(graft.queries.ExtensionQueries.x78_fuzzy_pairs(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
