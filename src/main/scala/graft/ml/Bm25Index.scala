@@ -172,6 +172,42 @@ object Bm25Index {
       .limit(topK)
   }
 
+  /** BATCH search — the serving-pipeline shape: MANY queries' term
+    * sets (query_id, token) score in ONE pass over the union of their
+    * posting lists. The query dimension broadcasts, the posting scan
+    * prunes to the union term set (still pushed down on a loaded
+    * artifact), the score is one (query, doc)-keyed agg, and the
+    * per-query top-k is a query-partitioned window over the bounded
+    * match sets — cost ∝ Σ_q Σ df(q's terms), scaling out with
+    * partitions as query count grows. Ranking ties match
+    * [[searchWith]]: rounded score desc, then doc_id.
+    */
+  def searchBatch(ix: Index, queryTerms: Seq[(Long, String)],
+      topK: Int): DataFrame = {
+    import ix.posting.sparkSession.implicits._
+    val allTerms = queryTerms.map(_._2).distinct
+    val qt = queryTerms.toDF("query_id", "token")
+    val qpost = ix.posting.filter(col("token").isin(allTerms: _*))
+      .join(broadcast(qt), Seq("token"))
+    val qdf = ix.df.filter(col("token").isin(allTerms: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    qpost.join(broadcast(qdf), Seq("token"))
+      .crossJoin(broadcast(ix.consts))
+      .withColumn("term_score",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * lit(K1 + 1)) /
+          (col("tf") + lit(K1) *
+            (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(round6(sum(col("term_score"))).as("score"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "doc_id", "score", "n_terms")
+      .orderBy("query_id", "rank")
+  }
+
   /** Assemble an Index from a DedupStream store's maintained lexical
     * slices (quiesced store — see the channel doc in DedupStream):
     * posting rows are doc-intrinsic and read verbatim; df sums its

@@ -1873,6 +1873,153 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x100: BATCH BM25 — the multi-query serving shape (x98 did this for
+  // MMR; this is the lexical leg's grouped form): four queries' term
+  // sets score in ONE pass over the union of their posting lists,
+  // served from the session-built Bm25Index via searchBatch. Shapes:
+  // query dimension broadcast, posting pruned to the union term set,
+  // one (query, doc)-keyed agg, per-query top-20 via a
+  // query-partitioned window over the bounded match sets — cost
+  // ∝ Σ_q Σ df(terms), scaling out with partitions as queries grow.
+  // Query 0 is x91's exact term set, so its slice doubles as a
+  // cross-check of the single-query path.
+  private val BmBatchTerms: Seq[(Long, String)] = Seq(
+    (0L, "spark"), (0L, "join"), (0L, "window"),
+    (1L, "data"), (1L, "query"),
+    (2L, "stream"), (2L, "batch"), (2L, "table"),
+    (3L, "scan"), (3L, "window"))
+
+  def x100_bm25_batch(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ml.Bm25Index.searchBatch(
+      graft.ml.Bm25Index.build(spark, sfDir), BmBatchTerms, Bm25TopK)
+
+  val x100Sql: String = {
+    val vals = BmBatchTerms
+      .map { case (q, t) => s"($q::BIGINT, '$t')" }.mkString(", ")
+    val allTerms = BmBatchTerms.map(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH post AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM post GROUP BY doc_id),
+       |consts AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+       |           (SELECT avg(dl) FROM dl) AS avgdl),
+       |qt(query_id, token) AS (VALUES $vals),
+       |qpost AS (SELECT q.query_id, p.doc_id, p.token
+       |          FROM post p JOIN qt q USING (token)),
+       |tf AS (SELECT query_id, doc_id, token, count(*)::BIGINT AS tf
+       |       FROM qpost GROUP BY 1, 2, 3),
+       |idf AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM post
+       |        WHERE token IN ($allTerms) GROUP BY token),
+       |s AS (SELECT t.query_id, t.doc_id,
+       |  round(sum(ln((c.n - i.df + 0.5) / (i.df + 0.5) + 1.0) *
+       |    (t.tf * ($Bm25K1 + 1)) /
+       |    (t.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * d.dl / c.avgdl))), 6)
+       |    AS score,
+       |  count(*)::BIGINT AS n_terms
+       |  FROM tf t JOIN idf i USING (token) JOIN dl d USING (doc_id)
+       |  CROSS JOIN consts c
+       |  GROUP BY t.query_id, t.doc_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rank FROM s)
+       |SELECT query_id, rank::BIGINT AS rank, doc_id, score, n_terms
+       |FROM r WHERE rank <= $Bm25TopK ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ======================================================================
+  // x101: BATCH hybrid RRF — x92's grouped form completing the batch
+  // retrieval family (x100 lexical × the per-query dense ranking):
+  // per-query Reciprocal Rank Fusion of both legs, everything after
+  // the two bounded top-20s running on ≤40 rows per query. The fused
+  // rank is a query-partitioned window — never a global sort.
+  def x101_hybrid_batch(spark: SparkSession, sfDir: String): DataFrame = {
+    val lex = x100_bm25_batch(spark, sfDir)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", VecMath.asDouble(col("embedding")))
+      .withColumn("nrm", VecMath.l2norm(col("v")))
+    val q = e.filter(col("vec_id").isin(MmrQueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val dw = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("doc_id"))
+    val dense = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        when(col("qn") > 0 && col("nrm") > 0,
+          VecMath.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .otherwise(lit(0.0)).as("cos"))
+      .withColumn("rank_dense", row_number().over(dw))
+      .filter(col("rank_dense") <= RrfTopK)
+      .select("query_id", "doc_id", "rank_dense")
+    val fw = Window.partitionBy("query_id")
+      .orderBy(col("rrf0").desc, col("doc_id"))
+    lex.join(dense, Seq("query_id", "doc_id"), "full")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("rank_lex"), lit(0)).cast("long").as("rank_lex"),
+        coalesce(col("rank_dense"), lit(0)).cast("long").as("rank_dense"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_dense")), lit(0.0)))
+          .as("rrf0"))
+      .withColumn("rank", row_number().over(fw))
+      .filter(col("rank") <= RrfTopK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rank_lex"), col("rank_dense"), round(col("rrf0"), 6).as("rrf"))
+      .orderBy("query_id", "rank")
+  }
+
+  val x101Sql: String = {
+    val vals = BmBatchTerms
+      .map { case (q, t) => s"($q::BIGINT, '$t')" }.mkString(", ")
+    val allTerms = BmBatchTerms.map(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    val ids = MmrQueryIds.mkString(", ")
+    s"""WITH post AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM post GROUP BY doc_id),
+       |consts AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+       |           (SELECT avg(dl) FROM dl) AS avgdl),
+       |qt(query_id, token) AS (VALUES $vals),
+       |qpost AS (SELECT q.query_id, p.doc_id, p.token
+       |          FROM post p JOIN qt q USING (token)),
+       |tf AS (SELECT query_id, doc_id, token, count(*)::BIGINT AS tf
+       |       FROM qpost GROUP BY 1, 2, 3),
+       |idf AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM post
+       |        WHERE token IN ($allTerms) GROUP BY token),
+       |s AS (SELECT t.query_id, t.doc_id,
+       |  round(sum(ln((c.n - i.df + 0.5) / (i.df + 0.5) + 1.0) *
+       |    (t.tf * ($Bm25K1 + 1)) /
+       |    (t.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * d.dl / c.avgdl))), 6)
+       |    AS score
+       |  FROM tf t JOIN idf i USING (token) JOIN dl d USING (doc_id)
+       |  CROSS JOIN consts c
+       |  GROUP BY t.query_id, t.doc_id),
+       |lexr AS (SELECT query_id, doc_id, rank_lex FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY score DESC, doc_id) AS rank_lex FROM s)
+       |  WHERE rank_lex <= $Bm25TopK),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id IN ($ids)),
+       |sc AS (SELECT q.query_id, e.vec_id AS doc_id,
+       |  list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+       |dr AS (SELECT query_id, doc_id, rank_dense FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY cos DESC, doc_id) AS rank_dense FROM sc)
+       |  WHERE rank_dense <= $RrfTopK),
+       |f AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+       |  coalesce(l.doc_id, d.doc_id) AS doc_id,
+       |  coalesce(l.rank_lex, 0)::BIGINT AS rank_lex,
+       |  coalesce(d.rank_dense, 0)::BIGINT AS rank_dense,
+       |  coalesce(1.0 / ($RrfK + l.rank_lex), 0.0) +
+       |    coalesce(1.0 / ($RrfK + d.rank_dense), 0.0) AS rrf0
+       |  FROM lexr l FULL OUTER JOIN dr d
+       |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+       |SELECT query_id, rank::BIGINT AS rank, doc_id, rank_lex, rank_dense,
+       |  round(rrf0, 6) AS rrf FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY rrf0 DESC, doc_id) AS rank FROM f)
+       |WHERE rank <= $RrfTopK ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ======================================================================
   // x99: retrieval evaluation metrics — the measurement half every
   // retrieval deployment runs beside its indexes: score a RUN (here
   // x92's hybrid RRF top-20, re-ranked on its rounded fused score)
@@ -3539,6 +3686,8 @@ object ExtensionQueries {
     "x97_hybrid_indexed" -> (x97_hybrid_indexed _),
     "x98_mmr_batch" -> (x98_mmr_batch _),
     "x99_retrieval_eval" -> (x99_retrieval_eval _),
+    "x100_bm25_batch" -> (x100_bm25_batch _),
+    "x101_hybrid_batch" -> (x101_hybrid_batch _),
     "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
@@ -3621,6 +3770,8 @@ object ExtensionQueries {
     "x96_bm25_indexed" -> x91Sql,
     "x98_mmr_batch" -> x98Sql,
     "x99_retrieval_eval" -> x99Sql,
+    "x100_bm25_batch" -> x100Sql,
+    "x101_hybrid_batch" -> x101Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

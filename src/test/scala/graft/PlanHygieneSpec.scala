@@ -163,6 +163,15 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"x97's dimension frames must broadcast:\n$p")
   }
 
+  test("x100 batch bm25: query-partitioned top-k, no corpus single-partition exchange") {
+    val p = plan(graft.queries.ExtensionQueries.x100_bm25_batch(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in x100:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"corpus-sized single-partition exchange in x100:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query dimension and df must broadcast in x100:\n$p")
+  }
+
   test("x98 batch mmr: candidate window partitions by query, greedy stays in flatMapGroups") {
     val p = plan(graft.queries.ExtensionQueries.x98_mmr_batch(spark, sf))
     assert(!p.contains("CartesianProduct"), s"cartesian in x98:\n$p")
