@@ -156,11 +156,24 @@ object Bm25Index {
     * Output and ordering are exactly x91's: (doc_id, score rounded to
     * 6, n_terms), ranked on the ROUNDED score with doc_id tiebreak.
     */
-  def searchWith(ix: Index, terms: Seq[String], topK: Int): DataFrame = {
-    val qpost = ix.posting.filter(col("token").isin(terms: _*))
-    val qdf = ix.df.filter(col("token").isin(terms: _*))
+  def searchWith(ix: Index, terms: Seq[String], topK: Int): DataFrame =
+    scoreAndTop(ix.posting.filter(col("token").isin(terms: _*)),
+      ix.df.filter(col("token").isin(terms: _*)), ix.consts, topK)
+
+  /** Search with a DYNAMIC term frame (one `token` column) — the entry
+    * a query-expansion round needs, where the term set is itself a
+    * query result. The posting prune is a broadcast equi-join instead
+    * of a static pushed filter (at scale: a runtime/DPP-style filter);
+    * scoring and ranking are [[searchWith]]'s exactly.
+    */
+  def searchWithFrame(ix: Index, terms: DataFrame, topK: Int): DataFrame =
+    scoreAndTop(ix.posting.join(broadcast(terms), Seq("token")),
+      ix.df.join(broadcast(terms), Seq("token")), ix.consts, topK)
+
+  private def scoreAndTop(qpost: DataFrame, qdf: DataFrame,
+      consts: DataFrame, topK: Int): DataFrame =
     qpost.join(broadcast(qdf), Seq("token"))
-      .crossJoin(broadcast(ix.consts))
+      .crossJoin(broadcast(consts))
       .withColumn("term_score",
         log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
           (col("tf") * lit(K1 + 1)) /
@@ -170,7 +183,6 @@ object Bm25Index {
         count(lit(1)).as("n_terms"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
-  }
 
   /** BATCH search — the serving-pipeline shape: MANY queries' term
     * sets (query_id, token) score in ONE pass over the union of their

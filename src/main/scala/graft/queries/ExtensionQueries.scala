@@ -2020,6 +2020,91 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x102: pseudo-relevance-feedback query expansion — the classic
+  // two-round retrieval recipe (RM3's shape, simplified to uniform
+  // term weights): round 1 retrieves the BM25 top-10 as the feedback
+  // set; the 5 strongest feedback terms — scored fb_tf × idf over the
+  // feedback docs' vocabulary, original terms excluded, ties broken
+  // on the rounded score then token — join the original terms; round
+  // 2 is plain BM25 over the expanded set. Shapes: the feedback set
+  // is 10 doc ids (broadcast); the candidate-term frame is those 10
+  // docs' vocabulary (bounded by doc length, never corpus-sized); the
+  // candidates' global df comes from a token-keyed join against the
+  // index df dimension; round 2's posting prune is a broadcast
+  // equi-join on the 8-term frame (a runtime filter at scale — the
+  // expanded set is a query result, so no static pushdown exists).
+  private val PrfFeedbackK = 10
+  private val PrfExpandK = 5
+
+  def x102_prf_expansion(spark: SparkSession, sfDir: String): DataFrame = {
+    val ix = graft.ml.Bm25Index.build(spark, sfDir)
+    import spark.implicits._
+    val fb = graft.ml.Bm25Index.searchWith(ix, Bm25Query, PrfFeedbackK)
+      .select("doc_id")
+    val cand = ix.posting.join(broadcast(fb), Seq("doc_id"))
+      .filter(!col("token").isin(Bm25Query: _*))
+      .groupBy("token").agg(sum(col("tf")).as("fb_tf"))
+    val exps = cand.join(ix.df, Seq("token"))
+      .crossJoin(broadcast(ix.consts))
+      .withColumn("es", round(col("fb_tf") *
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
+      .orderBy(col("es").desc, col("token"))
+      .limit(PrfExpandK)
+      .select("token")
+    val terms = exps.unionByName(Bm25Query.toDF("token")).distinct()
+    graft.ml.Bm25Index.searchWithFrame(ix, terms, Bm25TopK)
+  }
+
+  val x102Sql: String = {
+    val qList = Bm25Query.map(t => s"'$t'").mkString(", ")
+    val qUnnest = Bm25Query.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH post AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM post GROUP BY doc_id),
+       |consts AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+       |           (SELECT avg(dl) FROM dl) AS avgdl),
+       |qpost0 AS (SELECT doc_id, token FROM post WHERE token IN ($qList)),
+       |tf0 AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM qpost0
+       |        GROUP BY doc_id, token),
+       |idf0 AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM qpost0
+       |         GROUP BY token),
+       |fbs AS (SELECT t.doc_id,
+       |  round(sum(ln((c.n - i.df + 0.5) / (i.df + 0.5) + 1.0) *
+       |    (t.tf * ($Bm25K1 + 1)) /
+       |    (t.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * d.dl / c.avgdl))), 6)
+       |    AS score
+       |  FROM tf0 t JOIN idf0 i USING (token) JOIN dl d USING (doc_id)
+       |  CROSS JOIN consts c
+       |  GROUP BY t.doc_id ORDER BY score DESC, t.doc_id LIMIT $PrfFeedbackK),
+       |fb AS (SELECT doc_id FROM fbs),
+       |cand AS (SELECT p.token, count(*)::BIGINT AS fb_tf
+       |         FROM post p JOIN fb USING (doc_id)
+       |         WHERE p.token NOT IN ($qList) GROUP BY p.token),
+       |dfc AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM post
+       |        WHERE token IN (SELECT token FROM cand) GROUP BY token),
+       |exps AS (SELECT c.token,
+       |  round(c.fb_tf * ln((x.n - f.df + 0.5) / (f.df + 0.5) + 1.0), 6) AS es
+       |  FROM cand c JOIN dfc f USING (token) CROSS JOIN consts x
+       |  ORDER BY es DESC, c.token LIMIT $PrfExpandK),
+       |terms AS (SELECT token FROM exps
+       |          UNION SELECT unnest($qUnnest) AS token),
+       |qpost AS (SELECT p.doc_id, p.token FROM post p
+       |          JOIN terms USING (token)),
+       |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM qpost
+       |       GROUP BY doc_id, token),
+       |idf AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM qpost
+       |        GROUP BY token)
+       |SELECT t.doc_id,
+       |  round(sum(ln((c.n - i.df + 0.5) / (i.df + 0.5) + 1.0) *
+       |    (t.tf * ($Bm25K1 + 1)) /
+       |    (t.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * d.dl / c.avgdl))), 6)
+       |    AS score,
+       |  count(*)::BIGINT AS n_terms
+       |FROM tf t JOIN idf i USING (token) JOIN dl d USING (doc_id)
+       |CROSS JOIN consts c
+       |GROUP BY t.doc_id ORDER BY score DESC, t.doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
+  // ======================================================================
   // x99: retrieval evaluation metrics — the measurement half every
   // retrieval deployment runs beside its indexes: score a RUN (here
   // x92's hybrid RRF top-20, re-ranked on its rounded fused score)
@@ -3688,6 +3773,7 @@ object ExtensionQueries {
     "x99_retrieval_eval" -> (x99_retrieval_eval _),
     "x100_bm25_batch" -> (x100_bm25_batch _),
     "x101_hybrid_batch" -> (x101_hybrid_batch _),
+    "x102_prf_expansion" -> (x102_prf_expansion _),
     "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
@@ -3772,6 +3858,7 @@ object ExtensionQueries {
     "x99_retrieval_eval" -> x99Sql,
     "x100_bm25_batch" -> x100Sql,
     "x101_hybrid_batch" -> x101Sql,
+    "x102_prf_expansion" -> x102Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,
