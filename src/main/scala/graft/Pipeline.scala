@@ -431,6 +431,16 @@ object Pipeline {
       val ccnetLm = graft.ml.QualityModel.unigramLm(corpus)
       val ccnetCuts = ExtensionQueries.ccnetCutsOf(ccnetLm, corpus)
 
+      // 8d. the release's LEXICAL RETRIEVAL INDEX (ml/Bm25Index over
+      // the PUBLISHED text, x91's tokenizer): posting (token-clustered,
+      // dl inline) + df dimension + corpus consts ride the same atomic
+      // version, so "retrieve over this release" needs no post-hoc
+      // corpus pass — a fresh session loads the snapshot and serves
+      // BM25 immediately (Bm25Index.fromSnapshot), the same
+      // release-completeness argument as the tokenizer and the quality
+      // model. Cost: one more tokenize+agg pass, same class as 8/8b.
+      val lexIx = graft.ml.Bm25Index.buildOf(corpus)
+
       // 9. one atomic multi-table snapshot: the masked text a model
       // trains on + vectors + packing + stats, versioned together. The
       // vector / packing stats are observations on the write jobs
@@ -456,7 +466,11 @@ object Pipeline {
       val version = VersionedStore.publishAll(
         Map("documents" -> corpus, "vectors" -> vecs, "packing" -> packed,
           "stats" -> stats, "tokenizer" -> tokenizer,
-          "ccnet_lm" -> ccnetLm, "ccnet_cuts" -> ccnetCuts) ++ qualityTable,
+          "ccnet_lm" -> ccnetLm, "ccnet_cuts" -> ccnetCuts,
+          "lexical_posting" -> lexIx.posting.repartition(col("token"))
+            .sortWithinPartitions("token"),
+          "lexical_df" -> lexIx.df,
+          "lexical_consts" -> lexIx.consts) ++ qualityTable,
         storeRoot)
       // The snapshot is PUBLISHED by this point; the funnel stats ride
       // the async listener bus, which Spark drops events from under

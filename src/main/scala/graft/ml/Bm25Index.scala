@@ -220,6 +220,21 @@ object Bm25Index {
       .orderBy("query_id", "rank")
   }
 
+  /** Load the lexical index a Pipeline snapshot ships (the
+    * lexical_posting / lexical_df / lexical_consts tables riding the
+    * release version) — "retrieve over this release" with no corpus
+    * pass, the fromSnapshot twin of [[load]].
+    */
+  def fromSnapshot(spark: SparkSession, root: String,
+      version: Option[Long] = None): Index = {
+    val v = version.orElse(graft.sources.VersionedStore.latestVersion(root))
+      .getOrElse(throw new IllegalStateException(s"no published snapshot under $root"))
+    Index(
+      graft.sources.VersionedStore.readTable(spark, root, v, "lexical_posting"),
+      graft.sources.VersionedStore.readTable(spark, root, v, "lexical_df"),
+      graft.sources.VersionedStore.readTable(spark, root, v, "lexical_consts"))
+  }
+
   /** Assemble an Index from a DedupStream store's maintained lexical
     * slices (quiesced store — see the channel doc in DedupStream):
     * posting rows are doc-intrinsic and read verbatim; df sums its

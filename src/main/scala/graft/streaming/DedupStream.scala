@@ -680,12 +680,20 @@ object DedupStream {
     * `append(base, deltas)` and serving a planted arrival at rank 1.
     */
   def maintainAnnIndex(spark: SparkSession, storeRoot: String,
-      indexRoot: String, version: Option[Long] = None): Long = {
+      indexRoot: String, version: Option[Long] = None,
+      keepVersions: Option[Int] = None): Long = {
     val base = graft.ml.IvfPq.load(spark, indexRoot, version)
     val deltas = storeVectors(spark, storeRoot)
       .join(base.coded.select("vec_id"), Seq("vec_id"), "left_anti")
-    graft.ml.IvfPq.saveIndex(spark,
+    val v = graft.ml.IvfPq.saveIndex(spark,
       graft.ml.IvfPq.append(base, deltas), indexRoot)
+    // retention: each maintenance publishes a full new version, so an
+    // always-on loop would grow the root unboundedly — vacuum after
+    // publish keeps the last K (readers pinned to a vacuumed version
+    // must re-pin; the marker always names a live one)
+    keepVersions.foreach(k =>
+      graft.sources.VersionedStore.vacuum(indexRoot, k))
+    v
   }
 
   /** Maintenance compaction of a QUIESCED store: N per-batch slice

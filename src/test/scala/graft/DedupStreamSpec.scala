@@ -646,5 +646,16 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     val v3 = DedupStream.maintainAnnIndex(spark, store, indexRoot)
     assert(codedKey(graft.ml.IvfPq.load(spark, indexRoot, Some(v3)).coded)
       === codedKey(loaded.coded), "re-run maintenance changed the index")
+
+    // retention: keepVersions vacuums after publish — only the last K
+    // versions survive and the marker serves the newest
+    val v4 = DedupStream.maintainAnnIndex(spark, store, indexRoot,
+      keepVersions = Some(1))
+    assert(graft.sources.VersionedStore.latestVersion(indexRoot) === Some(v4))
+    assert(codedKey(graft.ml.IvfPq.load(spark, indexRoot).coded)
+      === codedKey(loaded.coded), "vacuumed root must still serve the content")
+    val live = new java.io.File(indexRoot).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).toSeq
+    assert(live === Seq(s"v=$v4"), s"retention left extra versions: $live")
   }
 }

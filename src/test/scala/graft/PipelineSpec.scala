@@ -414,6 +414,28 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(ids(s"$work/a", rBroadcast.version) === ids(s"$work/b", rBloom.version))
   }
 
+  test("snapshot ships its lexical index: loaded index equals a fresh build over the published text") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_pipe_lex").toString + "/store"
+    val r = Pipeline.run(spark, sf, store)
+    val fromSnap = graft.ml.Bm25Index.fromSnapshot(spark, store)
+    val pub = VersionedStore.readTable(spark, store, r.version, "documents")
+    val fresh = graft.ml.Bm25Index.buildOf(pub)
+    def rows(ix: graft.ml.Bm25Index.Index, terms: Seq[String]) =
+      graft.ml.Bm25Index.searchWith(ix, terms, 20)
+        .collect().map(x => (x.getLong(0), x.getDouble(1), x.getLong(2))).toSeq
+    for (terms <- Seq(Seq("spark", "join", "window"), Seq("data", "table"))) {
+      val got = rows(fromSnap, terms)
+      assert(got === rows(fresh, terms),
+        s"snapshot lexical index diverges from the published text for $terms")
+      assert(got.nonEmpty, s"no hits for $terms in the published corpus")
+    }
+    // the shipped constants describe exactly the published corpus
+    val cs = fromSnap.consts.collect().head
+    assert(cs.getDouble(0) === pub.count().toDouble,
+      "lexical_consts n must be the published doc count")
+  }
+
   test("snapshot ships its CCNet operating point; the bucket rule replays") {
     val store = java.nio.file.Files
       .createTempDirectory("graft_pipe_ccnet").toString + "/store"
