@@ -2195,6 +2195,120 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x103: BATCH retrieval evaluation — x99's grouped form, closing the
+  // batch retrieval family (x100 lexical → x101 fusion → x103 eval):
+  // per-query recall@20 / MRR / nDCG@10 of the batch hybrid runs
+  // against each query's graded dense ranking. One ≤40-rows-per-query
+  // full-outer join keyed by (query_id, doc_id) + one query-keyed
+  // aggregate — the shape a million-query evaluation batch runs, the
+  // metric cost staying noise on top of the retrievals'.
+  def x103_eval_batch(spark: SparkSession, sfDir: String): DataFrame = {
+    val run = x101_hybrid_batch(spark, sfDir)
+      .select(col("query_id"), col("doc_id"), col("rank").as("run_rank"))
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", VecMath.asDouble(col("embedding")))
+      .withColumn("nrm", VecMath.l2norm(col("v")))
+    val q = e.filter(col("vec_id").isin(MmrQueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val dw = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("doc_id"))
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        when(col("qn") > 0 && col("nrm") > 0,
+          VecMath.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .otherwise(lit(0.0)).as("cos"))
+      .withColumn("truth_rank", row_number().over(dw))
+      .filter(col("truth_rank") <= RrfTopK)
+      .select("query_id", "doc_id", "truth_rank")
+    val idcg = (1 to 10)
+      .map(i => (21.0 - i) / (math.log(i + 1.0) / math.log(2.0))).sum
+    val hit = col("run_rank").isNotNull && col("truth_rank").isNotNull
+    run.join(truth, Seq("query_id", "doc_id"), "full")
+      .groupBy("query_id")
+      .agg(
+        sum(when(hit, 1L).otherwise(0L)).as("n_overlap"),
+        round(sum(when(hit, 1.0).otherwise(0.0)) / RrfTopK, 6)
+          .as("recall_at_20"),
+        round(coalesce(
+          max(when(col("truth_rank") === 1, lit(1.0) / col("run_rank"))),
+          lit(0.0)), 6).as("mrr"),
+        round(sum(when(col("run_rank") <= 10 && col("truth_rank").isNotNull,
+          (lit(21.0) - col("truth_rank")) /
+            (log(col("run_rank") + lit(1.0)) / log(lit(2.0))))
+          .otherwise(lit(0.0))) / idcg, 6).as("ndcg_at_10"))
+      .orderBy("query_id")
+  }
+
+  val x103Sql: String = {
+    val vals = BmBatchTerms
+      .map { case (q, t) => s"($q::BIGINT, '$t')" }.mkString(", ")
+    val allTerms = BmBatchTerms.map(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    val ids = MmrQueryIds.mkString(", ")
+    s"""WITH post AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM post GROUP BY doc_id),
+       |consts AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+       |           (SELECT avg(dl) FROM dl) AS avgdl),
+       |qt(query_id, token) AS (VALUES $vals),
+       |qpost AS (SELECT q.query_id, p.doc_id, p.token
+       |          FROM post p JOIN qt q USING (token)),
+       |tf AS (SELECT query_id, doc_id, token, count(*)::BIGINT AS tf
+       |       FROM qpost GROUP BY 1, 2, 3),
+       |idf AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM post
+       |        WHERE token IN ($allTerms) GROUP BY token),
+       |s AS (SELECT t.query_id, t.doc_id,
+       |  round(sum(ln((c.n - i.df + 0.5) / (i.df + 0.5) + 1.0) *
+       |    (t.tf * ($Bm25K1 + 1)) /
+       |    (t.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * d.dl / c.avgdl))), 6)
+       |    AS score
+       |  FROM tf t JOIN idf i USING (token) JOIN dl d USING (doc_id)
+       |  CROSS JOIN consts c
+       |  GROUP BY t.query_id, t.doc_id),
+       |lexr AS (SELECT query_id, doc_id, rank_lex FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY score DESC, doc_id) AS rank_lex FROM s)
+       |  WHERE rank_lex <= $Bm25TopK),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id IN ($ids)),
+       |sc AS (SELECT q.query_id, e.vec_id AS doc_id,
+       |  list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+       |dr AS (SELECT query_id, doc_id, rank_dense FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY cos DESC, doc_id) AS rank_dense FROM sc)
+       |  WHERE rank_dense <= $RrfTopK),
+       |f AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+       |  coalesce(l.doc_id, d.doc_id) AS doc_id,
+       |  coalesce(1.0 / ($RrfK + l.rank_lex), 0.0) +
+       |    coalesce(1.0 / ($RrfK + d.rank_dense), 0.0) AS rrf0
+       |  FROM lexr l FULL OUTER JOIN dr d
+       |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+       |runr AS (SELECT query_id, doc_id, rank AS run_rank FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY rrf0 DESC, doc_id) AS rank FROM f)
+       |  WHERE rank <= $RrfTopK),
+       |idcg AS (SELECT sum((21.0 - i) / (ln(i + 1.0) / ln(2.0))) AS v
+       |         FROM (SELECT unnest(range(1, 11))::DOUBLE AS i)),
+       |j AS (SELECT coalesce(r.query_id, d.query_id) AS query_id,
+       |      r.run_rank, d.rank_dense AS truth_rank
+       |      FROM runr r FULL OUTER JOIN dr d
+       |        ON r.query_id = d.query_id AND r.doc_id = d.doc_id)
+       |SELECT query_id,
+       |  sum(CASE WHEN run_rank IS NOT NULL AND truth_rank IS NOT NULL
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
+       |  round(sum(CASE WHEN run_rank IS NOT NULL AND truth_rank IS NOT NULL
+       |      THEN 1.0 ELSE 0.0 END) / $RrfTopK, 6) AS recall_at_20,
+       |  round(coalesce(max(CASE WHEN truth_rank = 1
+       |      THEN 1.0 / run_rank END), 0.0), 6) AS mrr,
+       |  round(sum(CASE WHEN run_rank <= 10 AND truth_rank IS NOT NULL
+       |      THEN (21.0 - truth_rank) / (ln(run_rank + 1.0) / ln(2.0))
+       |      ELSE 0.0 END) / (SELECT v FROM idcg), 6) AS ndcg_at_10
+       |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
+  }
+
+  // ======================================================================
   // x90: PageRank centrality over the x04 similarity graph — graph
   // analytics as a first-class operator, and a better canonical-
   // selection signal than min-doc_id: inside a dup cluster the most
@@ -3774,6 +3888,7 @@ object ExtensionQueries {
     "x100_bm25_batch" -> (x100_bm25_batch _),
     "x101_hybrid_batch" -> (x101_hybrid_batch _),
     "x102_prf_expansion" -> (x102_prf_expansion _),
+    "x103_eval_batch" -> (x103_eval_batch _),
     "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
@@ -3859,6 +3974,7 @@ object ExtensionQueries {
     "x100_bm25_batch" -> x100Sql,
     "x101_hybrid_batch" -> x101Sql,
     "x102_prf_expansion" -> x102Sql,
+    "x103_eval_batch" -> x103Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,
