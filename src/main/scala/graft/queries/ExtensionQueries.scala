@@ -2033,6 +2033,13 @@ object ExtensionQueries {
   // index df dimension; round 2's posting prune is a broadcast
   // equi-join on the 8-term frame (a runtime filter at scale — the
   // expanded set is a query result, so no static pushdown exists).
+  // Honest cost note: candidate generation reads the posting BY DOC
+  // (the 10 feedback ids), which the token-clustered layout can't
+  // prune — one linear pass over the session-persisted posting here;
+  // at 100 TB the artifact additionally ships a doc_id-clustered
+  // FORWARD projection of the same rows and this becomes a 10-doc
+  // point fetch (same rows, second sort order — the standard
+  // forward-index companion every PRF deployment carries).
   private val PrfFeedbackK = 10
   private val PrfExpandK = 5
 

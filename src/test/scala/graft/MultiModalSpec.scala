@@ -493,4 +493,67 @@ class MultiModalSpec extends AnyFunSuite with SparkSpec {
     assert(MultiModal.decodeMp4Meta(corpus).collect().forall(_.codec === "unknown"))
     assert(MultiModal.decodeMp4Frames(corpus).isEmpty)
   }
+
+  test("decodeMp4: version-1 timing boxes, 64-bit sizes, and co64 offsets parse identically") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    import spark.implicits._
+
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    // a box carrying the size==1 + 64-bit largesize header form
+    def mbox64(tpe: String, data: Array[Byte]): Array[Byte] =
+      be32(1) ++ cc(tpe) ++ be64(data.length + 16L) ++ data
+
+    def jpegOf(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "jpg", bos), "no jpg writer in this JDK")
+      bos.toByteArray
+    }
+    val img = new BufferedImage(8, 6, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8)
+      img.setRGB(x, y, ((x * 30) % 256 << 16) | ((y * 40) % 256 << 8) | 77)
+    val jpegs = (0 until 3).map(_ => jpegOf(img))
+
+    val ftyp = mbox("ftyp", cc("iso6") ++ be32(0) ++ cc("iso6"))
+    // mdat in the 64-bit-size header form: sample offsets shift by the
+    // extra 8 header bytes, which co64 must carry exactly
+    val mdat = mbox64("mdat", jpegs.reduce(_ ++ _))
+    val base = ftyp.length + 16L
+    // mvhd/mdhd VERSION 1: 64-bit creation/modification/duration,
+    // timescale at +20, duration at +24
+    val mvhd = mbox("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(1000) ++ be64(400) ++ zeros(80))
+    val mdhd = mbox("mdhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(30000) ++ be64(3000) ++ zeros(4))
+    val stsdEntry = be32(86) ++ cc("jpeg") ++ zeros(6) ++ be16(1) ++
+      zeros(16) ++ be16(8) ++ be16(6) ++ zeros(50)
+    val stbl = mbox("stbl",
+      mbox("stsd", be32(0) ++ be32(1) ++ stsdEntry) ++
+      mbox("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(3) ++ be32(1)) ++
+      mbox("stsz", be32(0) ++ be32(0) ++ be32(3) ++
+        jpegs.flatMap(j => be32(j.length.toLong)).toArray) ++
+      mbox("co64", be32(0) ++ be32(1) ++ be64(base)))
+    val payload = ftyp ++ mdat ++ mbox("moov", mvhd ++ mbox("trak",
+      mbox("mdia", mdhd ++
+        mbox("hdlr", be32(0) ++ be32(0) ++ cc("vide") ++ zeros(12)) ++
+        mbox("minf", stbl))))
+
+    val ds = spark.createDataset(Seq(
+      MultiModal.MediaRecord(1L, "video", payload)))
+    val m = MultiModal.decodeMp4Meta(ds).collect().head
+    assert(m.codec === "mp4" && m.brand === "iso6")
+    assert(m.sample_codec === "jpeg" && m.width === 8 && m.height === 6)
+    // v1 mdhd: 3000 / 30000 = 0.1 s; 3 samples -> 30 fps
+    assert(m.duration_s === 0.1 && m.fps === 30.0 && m.n_samples === 3)
+
+    val frames = MultiModal.decodeMp4Frames(ds, every = 1).collect()
+    assert(frames.length === 3 && frames.forall(_.frame_codec === "mjpeg"))
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(jpegs(0)))
+    val px = ref.getRGB(0, 0, 8, 6, null, 0, 8)
+    val exp = pixelSums(8, 6, (x, y) => px(y * 8 + x))
+    frames.foreach(f =>
+      assert((f.mean_r, f.mean_g, f.mean_b, f.mean_luma) === exp,
+        s"v1/co64 sample ${f.frame_idx} stats must be exact"))
+  }
 }
