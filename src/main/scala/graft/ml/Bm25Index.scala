@@ -214,7 +214,7 @@ object Bm25Index {
       .groupBy("query_id", "doc_id")
       .agg(round6(sum(col("term_score"))).as("score"),
         count(lit(1)).as("n_terms"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select("query_id", "rank", "doc_id", "score", "n_terms")
       .orderBy("query_id", "rank")

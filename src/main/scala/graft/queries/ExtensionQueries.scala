@@ -1959,7 +1959,7 @@ object ExtensionQueries {
         (coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(RrfK) + col("rank_dense")), lit(0.0)))
           .as("rrf0"))
-      .withColumn("rank", row_number().over(fw))
+      .withColumn("rank", row_number().over(fw).cast("long"))
       .filter(col("rank") <= RrfTopK)
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("rank_lex"), col("rank_dense"), round(col("rrf0"), 6).as("rrf"))

@@ -41,6 +41,22 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("batch search's query-0 slice equals the single-query search") {
+    // x100's query 0 carries x91's exact term set, so its slice must
+    // reproduce the single-query ranking verbatim — rank, score, and
+    // term count (the searchBatch ↔ searchWith consistency pin)
+    val single = ExtensionQueries.x91_bm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .zipWithIndex.map { case ((d, s, n), i) => (i + 1L, d, s, n) }.toSeq
+    val batch0 = ExtensionQueries.x100_bm25_batch(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("query_id") === 0)
+      .select("rank", "doc_id", "score", "n_terms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(batch0 === single, "batch query-0 slice diverges from x91")
+    assert(single.length === 20)
+  }
+
   test("loaded posting scan prunes to the query terms (pushed filters)") {
     // force the artifact path, then check the LOADED index's plan: the
     // term filter must reach the parquet scan as a pushed In-filter so
