@@ -239,9 +239,23 @@ object Bench {
       }
     // Cold-path probe BEFORE the warm pass: first-touch seconds for the
     // memoized families (see coldProbes doc). Recorded beside — never
-    // instead of — the warm min-of-N the ledger pins.
+    // instead of — the warm min-of-N the ledger pins. Two determinism
+    // rules (round-11 review): (a) the per-dataset published artifacts
+    // are DELETED first, so x96/x97's cold always measures
+    // build+publish+load — a surviving tmpdir artifact would silently
+    // turn the probe into a sub-second load and hide a build
+    // regression; (b) a throwing probe publishes NEGATIVE seconds
+    // (the warm pass's failed convention), never a plausible-looking
+    // time for a query that didn't run.
+    Seq("bm25", "ivfpq").foreach { kind =>
+      val p = new org.apache.hadoop.fs.Path(
+        graft.ml.Bm25Index.artifactRoot(kind, sfDir))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
     val cold = coldProbes.filter(SparkEntry.queries.contains).map { q =>
-      q -> sample(q, SparkEntry.queries(q), 1).head._2
+      val (ok, t) = sample(q, SparkEntry.queries(q), 1).head
+      q -> (if (ok) t else -t)
     }
     def best(samples: Seq[(Boolean, Double)]): Double = {
       val anyOk = samples.exists(_._1)

@@ -76,6 +76,8 @@ object Caches {
       reg.remove(e.getKey)
     }
     graft.ml.IvfIndex.clear(sfDir)
+    graft.ml.IvfPq.clear(sfDir)
+    graft.ml.Bm25Index.clear(sfDir)
     graft.queries.ExtensionQueries.clearBpe(sfDir)
     hit.size
   }
@@ -86,6 +88,8 @@ object Caches {
     reg.values().asScala.foreach(_.unpersist(blocking = true))
     reg.clear()
     graft.ml.IvfIndex.clear()
+    graft.ml.IvfPq.clear()
+    graft.ml.Bm25Index.clear()
     graft.queries.ExtensionQueries.clearBpe(null)
     n
   }

@@ -438,8 +438,11 @@ object Pipeline {
       // corpus pass — a fresh session loads the snapshot and serves
       // BM25 immediately (Bm25Index.fromSnapshot), the same
       // release-completeness argument as the tokenizer and the quality
-      // model. Cost: one more tokenize+agg pass, same class as 8/8b.
+      // model. Cost: ONE more tokenize+agg pass — the posting persists
+      // for the publish window and df/consts derive from it (buildOf's
+      // contract), so the three table writes share one materialization.
       val lexIx = graft.ml.Bm25Index.buildOf(corpus)
+      lexIx.posting.persist()
 
       // 9. one atomic multi-table snapshot: the masked text a model
       // trains on + vectors + packing + stats, versioned together. The
@@ -472,6 +475,8 @@ object Pipeline {
           "lexical_df" -> lexIx.df,
           "lexical_consts" -> lexIx.consts) ++ qualityTable,
         storeRoot)
+      // the lexical posting's persist was scoped to the publish window
+      lexIx.posting.unpersist(false)
       // The snapshot is PUBLISHED by this point; the funnel stats ride
       // the async listener bus, which Spark drops events from under
       // load (bounded AsyncEventQueue, warn-only). A missing metric

@@ -18,6 +18,27 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Cheap source-identity fingerprint of one table — total byte size
+    * + latest modification time from filesystem METADATA (no data
+    * scan). Published inside derived artifacts (Bm25Index / IvfPq
+    * loadOrPublish) so a snapshot built from an older copy of the
+    * table is detected and republished instead of silently served
+    * (round-11 review: a path-keyed artifact over regenerated testdata
+    * would answer from the old corpus).
+    */
+  def fileFingerprint(spark: SparkSession, sfDir: String,
+      name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory) {
+      val kids = fs.listStatus(p)
+      val size = kids.map(_.getLen).sum
+      val mtime = (st.getModificationTime +: kids.map(_.getModificationTime)).max
+      s"$size:$mtime"
+    } else s"${st.getLen}:${st.getModificationTime}"
+  }
+
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =

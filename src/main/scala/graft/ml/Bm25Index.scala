@@ -73,9 +73,17 @@ object Bm25Index {
     val dl = post.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val posting = tf.join(dl, Seq("doc_id"))
       .select("token", "doc_id", "tf", "dl")
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // df and the constants derive FROM the posting (one row per
+    // (doc, token) ⇒ per-token row count IS the doc frequency; the
+    // distinct (doc_id, dl) pairs re-yield the length table) so a
+    // caller that persists the posting pays ONE tokenize for the
+    // whole triple — CacheManager substitutes the cached subtree into
+    // the derived plans (round-11 review: the previous independent
+    // tf/dl/df branches cost ~4 corpus tokenizes at publish).
+    val df = posting.groupBy("token").agg(count(lit(1)).as("df"))
     val consts = docs.agg(count(lit(1)).cast("double").as("n"))
-      .crossJoin(dl.agg(avg(col("dl")).as("avgdl")))
+      .crossJoin(posting.select("doc_id", "dl").distinct()
+        .agg(avg(col("dl")).as("avgdl")))
     Index(posting, df, consts)
   }
 
@@ -107,8 +115,22 @@ object Bm25Index {
         "consts" -> ix.consts),
       root)
 
-  def save(spark: SparkSession, sfDir: String, root: String): Long =
-    saveIndex(spark, build(spark, sfDir), root)
+  /** [[saveIndex]] plus a `meta` table carrying the source table's
+    * filesystem fingerprint — what [[loadOrPublish]] validates.
+    */
+  def save(spark: SparkSession, sfDir: String, root: String): Long = {
+    import spark.implicits._
+    val ix = build(spark, sfDir)
+    graft.sources.VersionedStore.publishAll(
+      Map(
+        "posting" -> ix.posting.repartition(col("token"))
+          .sortWithinPartitions("token"),
+        "df" -> ix.df,
+        "consts" -> ix.consts,
+        "meta" -> Seq(graft.Tables.fileFingerprint(spark, sfDir, "documents"))
+          .toDF("fingerprint")),
+      root)
+  }
 
   /** Load a published index (latest snapshot, or a pinned `version`).
     * No tokenize, no corpus scan — a fresh session searches
@@ -128,18 +150,23 @@ object Bm25Index {
   /** The session's published-artifact path for a dataset: publish once
     * per (session, dataset) under the JVM temp root, then serve the
     * LOADED index — the deployment shape (x96/x97 ride this). A
-    * pre-existing snapshot from an earlier session is reused as-is
-    * (artifacts are the contract); a load failure republishes.
+    * pre-existing snapshot is reused only when its `meta` fingerprint
+    * still matches the source table's filesystem identity (size +
+    * mtime, metadata-only) — a stale artifact over regenerated data
+    * republishes instead of silently answering from the old corpus
+    * (round-11 review). Any load/validate failure also republishes.
     */
   def loadOrPublish(spark: SparkSession, sfDir: String): Index =
     published.computeIfAbsent((System.identityHashCode(spark), sfDir), _ => {
       val root = artifactRoot("bm25", sfDir)
-      try load(spark, root)
-      catch {
-        case _: Exception =>
-          save(spark, sfDir, root)
-          load(spark, root)
-      }
+      val want = graft.Tables.fileFingerprint(spark, sfDir, "documents")
+      val fresh =
+        try graft.sources.VersionedStore.latestVersion(root).exists { v =>
+          graft.sources.VersionedStore.readTable(spark, root, v, "meta")
+            .collect().headOption.exists(_.getString(0) == want)
+        } catch { case _: Exception => false }
+      if (!fresh) save(spark, sfDir, root)
+      load(spark, root)
     })
 
   /** Canonical per-dataset artifact root under the JVM temp dir. */
@@ -257,4 +284,18 @@ object Bm25Index {
     * their release).
     */
   def clear(): Unit = { cache.clear(); published.clear() }
+
+  /** Drop only the indexes memoized for one dataset — wired into
+    * [[graft.Caches.clear]] so a cache eviction can't leave a memo
+    * serving unpersisted frames (which would silently revert every
+    * BM25 query to a per-query corpus tokenize for the session —
+    * round-11 review finding).
+    */
+  def clear(sfDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    cache.keySet().asScala.filter(_._2 == sfDir).toList
+      .foreach(cache.remove)
+    published.keySet().asScala.filter(_._2 == sfDir).toList
+      .foreach(published.remove)
+  }
 }

@@ -69,13 +69,21 @@ object IvfPq {
   /** Build over an EXPLICIT (vec_id, v) frame with its own coarse
     * quantizer — the space-agnostic entry the stream-maintained index
     * rides (a DedupStream store's doc vectors are their own embedding
-    * space, with their own dimension). Unmemoized; the coarse
-    * assignment frame stays persisted for the session (the coded
-    * frame's lineage reads it), released with [[graft.Caches]] teardown.
+    * space, with their own dimension). Unmemoized. The coarse
+    * assignment frame would otherwise leak (it is neither in the
+    * IvfIndex memo nor in Caches — round-11 review): the coded frame
+    * is materialized eagerly here, then the assignments release. If
+    * the coded cache is later evicted, a recompute re-derives the
+    * assignment unpersisted — slower, never wrong.
     */
   def buildFrom(spark: SparkSession, vecs: DataFrame, nLists: Int = 16,
-      m: Int = 16, ksub: Int = 16): Index =
-    encodeWith(IvfIndex.buildFrom(spark, vecs, nLists), vecs, m, ksub)
+      m: Int = 16, ksub: Int = 16): Index = {
+    val ivf = IvfIndex.buildFrom(spark, vecs, nLists)
+    val ix = encodeWith(ivf, vecs, m, ksub)
+    ix.coded.count()
+    ivf.assigned.unpersist(true)
+    ix
+  }
 
   /** The shared residual-encode core: assign lists, subtract each
     * vector's list centroid, train residual codebooks on a bounded
@@ -139,10 +147,21 @@ object IvfPq {
       index.centroids, index.codebooks, index.m, index.dsub)
   }
 
-  /** Publish the deployment triple as one atomic versioned snapshot. */
+  /** Publish the deployment triple as one atomic versioned snapshot,
+    * plus a `meta` table with the source table's filesystem
+    * fingerprint (what [[loadOrPublish]] validates).
+    */
   def save(spark: SparkSession, sfDir: String, root: String,
-      m: Int = 16, ksub: Int = 16): Long =
-    saveIndex(spark, build(spark, sfDir, m, ksub), root)
+      m: Int = 16, ksub: Int = 16): Long = {
+    import spark.implicits._
+    val ix = build(spark, sfDir, m, ksub)
+    graft.sources.VersionedStore.publishAll(
+      Map("coded" -> ix.coded, "centroids" -> ix.centroids,
+        "codebooks" -> PqIndex.codebooksTable(spark, ix.codebooks),
+        "meta" -> Seq(graft.Tables.fileFingerprint(spark, sfDir, "embeddings"))
+          .toDF("fingerprint")),
+      root)
+  }
 
   /** Publish an EXPLICIT Index value — the path [[append]]'s result
     * ships on (the stream-maintained index publishes pinned-version-in
@@ -157,19 +176,21 @@ object IvfPq {
   private val published = new ConcurrentHashMap[(Int, String), Index]()
 
   /** The session's published-artifact index for a dataset (the
-    * Bm25Index.loadOrPublish twin): publish once per (session,
-    * dataset) under the JVM temp root, then serve the LOADED index —
-    * x97's dense leg rides this.
+    * Bm25Index.loadOrPublish twin, same stale-fingerprint republish
+    * rule): publish once per (session, dataset) under the JVM temp
+    * root, then serve the LOADED index — x97's dense leg rides this.
     */
   def loadOrPublish(spark: SparkSession, sfDir: String): Index =
     published.computeIfAbsent((System.identityHashCode(spark), sfDir), _ => {
       val root = Bm25Index.artifactRoot("ivfpq", sfDir)
-      try load(spark, root)
-      catch {
-        case _: Exception =>
-          save(spark, sfDir, root)
-          load(spark, root)
-      }
+      val want = graft.Tables.fileFingerprint(spark, sfDir, "embeddings")
+      val fresh =
+        try graft.sources.VersionedStore.latestVersion(root).exists { v =>
+          graft.sources.VersionedStore.readTable(spark, root, v, "meta")
+            .collect().headOption.exists(_.getString(0) == want)
+        } catch { case _: Exception => false }
+      if (!fresh) save(spark, sfDir, root)
+      load(spark, root)
     })
 
   /** Load a published index (latest snapshot, or a pinned `version`):
@@ -249,4 +270,16 @@ object IvfPq {
 
   /** Drop memoized indexes (Caches holds the coded frames). */
   def clear(): Unit = { cache.clear(); published.clear() }
+
+  /** Drop only one dataset's memoized/published-index entries — the
+    * [[graft.Caches.clear]] hook (same rationale as Bm25Index.clear:
+    * after an eviction the memo must not serve unpersisted frames).
+    */
+  def clear(sfDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    cache.keySet().asScala.filter(_._2 == sfDir).toList
+      .foreach(cache.remove)
+    published.keySet().asScala.filter(_._2 == sfDir).toList
+      .foreach(published.remove)
+  }
 }

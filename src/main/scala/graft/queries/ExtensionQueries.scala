@@ -879,13 +879,20 @@ object ExtensionQueries {
     * the repo's release convention (Caches.clear / IvfIndex.clear
     * both unpersist blocking); relying on GC + ContextCleaner would
     * leave the localCheckpoint blocks pinned indefinitely (round-10
-    * ADVICE).
+    * ADVICE). `Dataset.unpersist` would be a silent NO-OP here — the
+    * CacheManager has no entry for a checkpoint's LogicalRDD
+    * (round-11 review) — so the release goes through CheckpointShim,
+    * which unpersists the underlying RDD; the memo entry is removed
+    * first, so nothing can re-read the now-dead frame.
     */
   private[graft] def clearBpe(sfDir: String): Unit =
     if (sfDir == null) {
-      bpeMemo.values().forEach(e => { e._2.unpersist(true); () })
-      bpeMemo.clear()
-    } else Option(bpeMemo.remove(sfDir)).foreach(_._2.unpersist(true))
+      import scala.jdk.CollectionConverters._
+      bpeMemo.keySet().asScala.toList.foreach(clearBpe)
+    } else Option(bpeMemo.remove(sfDir)).foreach { e =>
+      org.apache.spark.sql.graftshim.CheckpointShim.releaseCheckpoint(e._2)
+      ()
+    }
 
   /** Spec hook: whether a corpus BPE memo exists for `sfDir`. */
   private[graft] def bpeMemoized(sfDir: String): Boolean =

@@ -481,6 +481,12 @@ object MultiModal {
       var brand = ""
       var mvTs = 0L; var mvDur = 0L
       var mdTs = 0L; var mdDur = 0L
+      // per-trak staging for mdhd: ISO-BMFF does not mandate child
+      // order inside mdia, so mdhd may appear before OR after the
+      // hdlr/stsd that identify the track as video (round-11 review);
+      // every trak's mdhd parses into the staging slots, and the slots
+      // COMMIT when that trak turns out to be the chosen video track.
+      var curMdTs = 0L; var curMdDur = 0L
       var inVide = false
       var sawVide = false
       var codec = ""; var w = 0; var h = 0
@@ -506,19 +512,23 @@ object MultiModal {
           id match {
             case "ftyp" if len >= 4 => brand = fourcc(b, d)
             case "trak" =>
-              // per-track handler gate resets; only the FIRST vide
-              // track's sample table is kept
+              // per-track handler gate + mdhd staging reset; only the
+              // FIRST vide track's sample table and timing are kept —
+              // committed when THIS trak's walk turned sawVide on
               inVide = false
+              curMdTs = 0L; curMdDur = 0L
+              val sawBefore = sawVide
               walk(data, boxEnd)
+              if (sawVide && !sawBefore) { mdTs = curMdTs; mdDur = curMdDur }
             case c if containers(c) => walk(data, boxEnd)
             case "mvhd" if len >= 8 =>
               val v = b(d) & 0xff
               if (v == 1 && len >= 28) { mvTs = u32be(b, d + 20); mvDur = u64be(b, d + 24) }
               else if (len >= 20) { mvTs = u32be(b, d + 12); mvDur = u32be(b, d + 16) }
-            case "mdhd" if len >= 8 && !sawVide =>
+            case "mdhd" if len >= 8 =>
               val v = b(d) & 0xff
-              if (v == 1 && len >= 28) { mdTs = u32be(b, d + 20); mdDur = u64be(b, d + 24) }
-              else if (len >= 20) { mdTs = u32be(b, d + 12); mdDur = u32be(b, d + 16) }
+              if (v == 1 && len >= 28) { curMdTs = u32be(b, d + 20); curMdDur = u64be(b, d + 24) }
+              else if (len >= 20) { curMdTs = u32be(b, d + 12); curMdDur = u32be(b, d + 16) }
             case "hdlr" if len >= 12 =>
               inVide = fourcc(b, d + 8) == "vide" && !sawVide
             case "stsd" if inVide && len >= 16 =>

@@ -68,14 +68,40 @@ class CachesSpec extends AnyFunSuite with SparkSpec {
 
   test("Caches.clear(sfDir) also releases the dataset's BPE memo; queries rebuild") {
     import graft.queries.ExtensionQueries
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
     ExtensionQueries.x79_bpe_train(spark, sf).collect()
     assert(ExtensionQueries.bpeMemoized(sf), "x79 should populate the memo")
+    // the memo's encoded frame is a localCheckpoint — its blocks show
+    // up as persistent RDDs the CacheManager does NOT track
+    val rddsWithMemo = spark.sparkContext.getPersistentRDDs.keySet
+    assert((rddsWithMemo -- rddsBefore).nonEmpty,
+      "the BPE memo should hold checkpoint storage")
     Caches.clear(sf)
     assert(!ExtensionQueries.bpeMemoized(sf), "clear must drop the BPE memo")
+    // release is REAL, not GC-deferred: the checkpoint RDDs introduced
+    // by the memo are gone from persistent storage (Dataset.unpersist
+    // would be a silent no-op here — the CheckpointShim pin)
+    val rddsAfter = spark.sparkContext.getPersistentRDDs.keySet
+    assert((rddsWithMemo -- rddsBefore -- rddsAfter).nonEmpty,
+      "clearBpe must unpersist the checkpointed frame's storage")
     // transparent rebuild, identical answer (training is deterministic)
     val again = ExtensionQueries.x79_bpe_train(spark, sf).collect()
     assert(ExtensionQueries.bpeMemoized(sf))
     assert(again.nonEmpty)
+  }
+
+  test("Caches.clear(sfDir) drops the dataset's Bm25/IvfPq memos so queries re-register caches") {
+    import graft.queries.ExtensionQueries
+    ExtensionQueries.x91_bm25(spark, sf).collect()
+    val before = Caches.registered(sf).size
+    assert(before > 0, "the BM25 build should register shared caches")
+    Caches.clear(sf)
+    // a cleared memo must NOT serve the old (now unpersisted) frames:
+    // the next call rebuilds and re-registers through Caches
+    ExtensionQueries.x91_bm25(spark, sf).collect()
+    assert(Caches.registered(sf).nonEmpty,
+      "post-clear BM25 must re-register its caches (stale memo served)")
+    Caches.clearAll()
   }
 
   test("IvfIndex.clear(sfDir) drops only that dataset's memoized index") {

@@ -555,5 +555,17 @@ class MultiModalSpec extends AnyFunSuite with SparkSpec {
     frames.foreach(f =>
       assert((f.mean_r, f.mean_g, f.mean_b, f.mean_luma) === exp,
         s"v1/co64 sample ${f.frame_idx} stats must be exact"))
+
+    // mdia child ORDER is not mandated by ISO-BMFF: the same track
+    // with (hdlr, minf, mdhd) — timing box LAST — must parse the same
+    // timing (the per-trak staging commit, round-11 review)
+    val lateMdhd = ftyp ++ mdat ++ mbox("moov", mvhd ++ mbox("trak",
+      mbox("mdia",
+        mbox("hdlr", be32(0) ++ be32(0) ++ cc("vide") ++ zeros(12)) ++
+        mbox("minf", stbl) ++ mdhd)))
+    val m2 = MultiModal.decodeMp4Meta(spark.createDataset(Seq(
+      MultiModal.MediaRecord(2L, "video", lateMdhd)))).collect().head
+    assert(m2.codec === "mp4" && m2.duration_s === 0.1 && m2.fps === 30.0,
+      "mdhd after minf must still supply the video timing")
   }
 }
