@@ -72,6 +72,52 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSpec {
       s"term filter not pushed into the posting scan:\n$plan")
   }
 
+  test("loadOrPublish republishes when the source table changed under the same path") {
+    // stale-artifact guard (round-11 review): the artifact is keyed by
+    // PATH, so a regenerated dataset at the same path must invalidate
+    // it via the published fingerprint — never serve old-corpus answers
+    import org.apache.spark.sql.functions.lit
+    val work = Files.createTempDirectory("graft_bm25_fp")
+    val dir = work.toString
+    Tables.documents(spark, sf).write.parquet(s"$dir/documents.parquet")
+    val ix1 = Bm25Index.loadOrPublish(spark, dir)
+    val r1 = rows(Bm25Index.searchWith(ix1, Seq("spark", "join"), 10))
+    assert(r1.nonEmpty)
+    val v1 = graft.sources.VersionedStore
+      .latestVersion(Bm25Index.artifactRoot("bm25", dir)).get
+
+    // regenerate the corpus at the SAME path with different content
+    val half = Tables.documents(spark, sf).filter(col("doc_id") < 250)
+      .withColumn("text", concat_ws(" ", col("text"), lit("spark")))
+    val tmp2 = work.resolve("re").toString
+    half.write.parquet(tmp2)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/documents.parquet"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp2),
+      new org.apache.hadoop.fs.Path(s"$dir/documents.parquet"))
+    // drop the session memo (a fresh session's state) and re-resolve
+    Bm25Index.clear(dir)
+    graft.Caches.clear(dir)
+    val ix2 = Bm25Index.loadOrPublish(spark, dir)
+    val v2 = graft.sources.VersionedStore
+      .latestVersion(Bm25Index.artifactRoot("bm25", dir)).get
+    assert(v2 > v1, "changed source must republish the artifact")
+    val r2 = rows(Bm25Index.searchWith(ix2, Seq("spark", "join"), 10))
+    assert(r2 !== r1, "republished index must answer from the NEW corpus")
+    val expect = rows(Bm25Index.searchWith(
+      Bm25Index.buildOf(spark.read.parquet(s"$dir/documents.parquet")),
+      Seq("spark", "join"), 10))
+    assert(r2 === expect)
+
+    // unchanged source: resolving again re-uses the artifact (no bump)
+    Bm25Index.clear(dir)
+    Bm25Index.loadOrPublish(spark, dir)
+    assert(graft.sources.VersionedStore
+      .latestVersion(Bm25Index.artifactRoot("bm25", dir)).get === v2,
+      "unchanged source must not republish")
+  }
+
   test("stream-maintained lexical slices assemble to the batch-built index") {
     val work = Files.createTempDirectory("graft_lexstream")
     val docsDir = work.resolve("docs_in")
