@@ -2323,6 +2323,183 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x104: UniMax per-language token-budget allocation (Chung et al.,
+  // ICLR 2023, "UniMax: Fairer and More Effective Language Sampling
+  // for Large-Scale Multilingual Pretraining") — the budget planner a
+  // multilingual training run executes BEFORE x56/x80's samplers: given
+  // a total token budget B and an epoch cap C, hand every language an
+  // equal share of B unless that share would cycle its corpus more
+  // than C times, in which case the language is capped at C epochs and
+  // its unused share waterfills into the remaining languages. Closed
+  // deterministic form (no iteration): sort languages by size
+  // ascending — the capped set is always a PREFIX of that order (a
+  // language caps only if C·n_i is under the current water level,
+  // which only rises as smaller languages cap out) — so prefix-sum
+  // windows decide cap membership row-locally and a SQL oracle
+  // replays the exact algorithm. Shapes: one corpus-linear tokenize +
+  // groupBy to the per-language dimension (≤ #langs rows), then every
+  // window/join runs on that bounded dimension — the unpartitioned
+  // windows are over ≤ 5 rows, never the corpus. B = the corpus's own
+  // token count (one mean epoch), C = 1.2: at every SF the four
+  // smaller languages cap at 1.2 epochs and the en remainder absorbs
+  // the reclaimed budget, so both branches of the allocator are
+  // exercised by the oracle. With C > 1, Σ C·n_i > B guarantees the
+  // largest language can never cap — the uncapped divisor is nonzero
+  // by construction.
+  private[graft] val UniMaxCap = 1.2
+
+  def x104_unimax(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .select(col("lang"), size(Tokenize.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("lang").agg(sum(col("n_tok")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).cast("double").as("budget"),
+      count(lit(1)).as("n_langs"))
+    // everything below runs on the per-language dimension (≤ 5 rows)
+    val w = Window.orderBy(col("n_tokens"), col("lang"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wPfx = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = per.crossJoin(broadcast(tot))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cap_tok", col("n_tokens").cast("double") * UniMaxCap)
+      .withColumn("prefix_prev",
+        coalesce(sum(col("cap_tok")).over(wPrev), lit(0.0)))
+      // water level if every smaller language capped: the remaining
+      // budget split over the remaining languages
+      .withColumn("cond",
+        (col("cap_tok") <
+          (col("budget") - col("prefix_prev")) / (col("n_langs") - col("rn") + 1))
+          .cast("int"))
+      // capped = the condition held for this row AND every smaller one
+      // (the prefix property above)
+      .withColumn("capped", min(col("cond")).over(wPfx))
+    val uncappedShare =
+      (col("budget") - col("capped_total")) / (col("n_langs") - col("n_capped"))
+    ranked
+      .withColumn("capped_total",
+        sum(when(col("capped") === 1, col("cap_tok")).otherwise(lit(0.0))).over(wAll))
+      .withColumn("n_capped", sum(col("capped")).over(wAll))
+      .select(col("lang"), col("n_tokens"),
+        col("capped").cast("long").as("capped"),
+        round(when(col("capped") === 1, col("cap_tok"))
+          .otherwise(uncappedShare), 4).as("alloc_tokens"),
+        round(when(col("capped") === 1, lit(UniMaxCap))
+          .otherwise(uncappedShare / col("n_tokens")), 6).as("epochs"))
+      .orderBy("lang")
+  }
+
+  val x104Sql: String =
+    s"""WITH per AS (SELECT lang, sum(len($SqlTok))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |tot AS (SELECT sum(n_tokens)::DOUBLE AS budget,
+       |        count(*)::BIGINT AS n_langs FROM per),
+       |r AS (SELECT lang, n_tokens, budget, n_langs,
+       |    row_number() OVER (ORDER BY n_tokens, lang) AS rn,
+       |    n_tokens::DOUBLE * $UniMaxCap AS cap_tok
+       |  FROM per, tot),
+       |c AS (SELECT *, coalesce(sum(cap_tok) OVER (ORDER BY rn
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+       |    AS prefix_prev FROM r),
+       |d AS (SELECT *, CASE WHEN cap_tok <
+       |    (budget - prefix_prev) / (n_langs - rn + 1)
+       |    THEN 1 ELSE 0 END AS cond FROM c),
+       |e AS (SELECT *, min(cond) OVER (ORDER BY rn
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped FROM d),
+       |f AS (SELECT *,
+       |    sum(CASE WHEN capped = 1 THEN cap_tok ELSE 0.0 END) OVER () AS capped_total,
+       |    sum(capped) OVER () AS n_capped FROM e)
+       |SELECT lang, n_tokens, capped::BIGINT AS capped,
+       |  round(CASE WHEN capped = 1 THEN cap_tok
+       |    ELSE (budget - capped_total) / (n_langs - n_capped) END, 4) AS alloc_tokens,
+       |  round(CASE WHEN capped = 1 THEN $UniMaxCap
+       |    ELSE ((budget - capped_total) / (n_langs - n_capped)) / n_tokens END, 6) AS epochs
+       |FROM f ORDER BY lang""".stripMargin
+
+  // ======================================================================
+  // x105: DSIR data selection (Xie et al., NeurIPS 2023, "Data
+  // Selection for Language Models via Importance Resampling") — score
+  // every document by how much more likely its hashed-bigram features
+  // are under a TARGET distribution (here: the English subcorpus, the
+  // "select data that looks like my high-quality target" use) than
+  // under the raw corpus, then keep the top-k. The published recipe
+  // verbatim at its bag-of-hashed-ngrams core: features are bigrams
+  // hashed into B=64 buckets (the md5-prefix convention every
+  // hash-stable operator here shares), bucket unigram-bag
+  // probabilities with add-1 smoothing on each side, and a doc's
+  // importance weight is its feature-count-weighted log-likelihood
+  // ratio Σ_b c_b·(ln p_target(b) − ln p_raw(b)). Shapes for 100 TB:
+  // one corpus-linear tokenize + explode, per-(doc, bucket) counts in
+  // one hash-agg, the two distributions are 64-ROW dimensions joined
+  // by broadcast, and the top-k is a TakeOrdered — no global window,
+  // no quadratic anything. Ordering is on the ROUNDED weight (the x92
+  // fused-score precedent) so the FP summation tail can never flip
+  // the cross-engine ranking; docs with < 2 tokens have no bigrams
+  // and are ineligible by construction (both engines agree).
+  private[queries] val DsirBuckets = 64
+  private[queries] val DsirTopK = 50
+
+  /** md5-prefix bucket of a string column — 7 hex digits mod B, the
+    * x68/x25 stable-hash convention (cross-engine reproducible).
+    */
+  private def hashBucket(c: Column, b: Int): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long") % b
+
+  def x105_dsir(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        Tokenize.shingles(Tokenize.tokens(col("text")), 2).as("g2"))
+      .select(col("doc_id"), col("lang"), explode(col("g2")).as("gram"))
+      .select(col("doc_id"), col("lang"),
+        hashBucket(col("gram"), DsirBuckets).as("bkt"))
+    val docB = grams.groupBy("doc_id", "bkt").agg(count(lit(1)).as("c"))
+    val tgt = grams.filter(col("lang") === "en")
+      .groupBy("bkt").agg(count(lit(1)).as("t"))
+    val raw = grams.groupBy("bkt").agg(count(lit(1)).as("r"))
+    val consts = grams.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("double").as("tt"),
+      count(lit(1)).cast("double").as("rr"))
+    docB.join(broadcast(raw), Seq("bkt"))
+      .join(broadcast(tgt), Seq("bkt"), "left")
+      .crossJoin(broadcast(consts))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_grams"),
+        round(sum(col("c") *
+          (log(coalesce(col("t"), lit(0L)) + lit(1.0)) -
+            log(col("tt") + lit(DsirBuckets.toDouble)) -
+            log(col("r") + lit(1.0)) +
+            log(col("rr") + lit(DsirBuckets.toDouble)))), 6).as("weight"))
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(DsirTopK)
+  }
+
+  val x105Sql: String = {
+    // 7-hex-digit md5 prefix → long, the x68 list_reduce convention
+    val hex7 =
+      """list_reduce(list_transform(range(1, 8),
+        |      i -> (strpos('0123456789abcdef', substr(md5(gram), i, 1)) - 1)::BIGINT),
+        |      (a, b) -> a * 16 + b)""".stripMargin
+    s"""WITH tok AS (SELECT doc_id, lang, $SqlTok AS toks FROM documents),
+       |g AS (SELECT doc_id, lang,
+       |    array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+       |  FROM (SELECT doc_id, lang, toks,
+       |        unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i FROM tok)),
+       |b AS (SELECT doc_id, lang, $hex7 % $DsirBuckets AS bkt FROM g),
+       |docb AS (SELECT doc_id, bkt, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+       |tgt AS (SELECT bkt, count(*)::BIGINT AS t FROM b WHERE lang = 'en' GROUP BY bkt),
+       |raw AS (SELECT bkt, count(*)::BIGINT AS r FROM b GROUP BY bkt),
+       |consts AS (SELECT
+       |  (SELECT count(*) FROM b WHERE lang = 'en')::DOUBLE AS tt,
+       |  (SELECT count(*) FROM b)::DOUBLE AS rr)
+       |SELECT d.doc_id, sum(d.c)::BIGINT AS n_grams,
+       |  round(sum(d.c * (ln(coalesce(t.t, 0) + 1.0) - ln(c.tt + $DsirBuckets)
+       |    - ln(r.r + 1.0) + ln(c.rr + $DsirBuckets))), 6) AS weight
+       |FROM docb d JOIN raw r USING (bkt) LEFT JOIN tgt t USING (bkt)
+       |CROSS JOIN consts c
+       |GROUP BY d.doc_id
+       |ORDER BY weight DESC, d.doc_id LIMIT $DsirTopK""".stripMargin
+  }
+
+  // ======================================================================
   // x90: PageRank centrality over the x04 similarity graph — graph
   // analytics as a first-class operator, and a better canonical-
   // selection signal than min-doc_id: inside a dup cluster the most
@@ -3903,6 +4080,8 @@ object ExtensionQueries {
     "x101_hybrid_batch" -> (x101_hybrid_batch _),
     "x102_prf_expansion" -> (x102_prf_expansion _),
     "x103_eval_batch" -> (x103_eval_batch _),
+    "x104_unimax" -> (x104_unimax _),
+    "x105_dsir" -> (x105_dsir _),
     "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
@@ -3989,6 +4168,8 @@ object ExtensionQueries {
     "x101_hybrid_batch" -> x101Sql,
     "x102_prf_expansion" -> x102Sql,
     "x103_eval_batch" -> x103Sql,
+    "x104_unimax" -> x104Sql,
+    "x105_dsir" -> x105Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

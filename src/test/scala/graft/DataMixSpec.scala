@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.ExtensionQueries
+
+/** Value-level contracts for the data-mix planning operators:
+  * x104 (UniMax waterfilling budget allocation) and x105 (DSIR
+  * hashed-bigram importance weights). Each is replayed against an
+  * independent driver-side implementation of the published algorithm
+  * — the sequential greedy waterfill for UniMax, the raw
+  * log-likelihood-ratio scorer for DSIR — so the distributed
+  * closed-form plans are pinned to the papers' semantics, not to
+  * themselves.
+  */
+class DataMixSpec extends AnyFunSuite with SparkSpec {
+
+  private def tok(text: String): Seq[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def round(v: Double, d: Int): Double = {
+    val p = math.pow(10, d)
+    math.floor(v * p + 0.5) / p
+  }
+
+  // --- x104 UniMax ------------------------------------------------------
+
+  /** The published algorithm verbatim: ascending-size sequential greedy.
+    * Each step computes the current water level (remaining budget over
+    * remaining languages); a language under C epochs of it caps, and
+    * its unused share stays in the pool for the rest.
+    */
+  private def greedyUniMax(sizes: Seq[(String, Long)], cap: Double)
+      : Map[String, Double] = {
+    var remaining = sizes.map(_._2.toDouble).sum
+    var left = sizes.size
+    val out = scala.collection.mutable.Map[String, Double]()
+    sizes.sortBy { case (l, n) => (n, l) }.foreach { case (lang, n) =>
+      val level = remaining / left
+      val alloc = math.min(cap * n, level)
+      out(lang) = alloc
+      remaining -= alloc
+      left -= 1
+    }
+    out.toMap
+  }
+
+  private lazy val unimax =
+    ExtensionQueries.x104_unimax(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+
+  test("x104: allocation conserves the budget exactly") {
+    val totalTokens = unimax.map(_._2).sum.toDouble
+    val totalAlloc = unimax.map(_._4).sum
+    assert(math.abs(totalAlloc - totalTokens) < 1e-4,
+      s"alloc $totalAlloc != budget $totalTokens")
+  }
+
+  test("x104: capped languages sit at exactly the epoch cap, uncapped below") {
+    assert(unimax.exists(_._3 == 1L) && unimax.exists(_._3 == 0L),
+      "fixture must exercise both branches")
+    unimax.foreach { case (lang, n, capped, alloc, epochs) =>
+      if (capped == 1L) {
+        assert(epochs == ExtensionQueries.UniMaxCap, s"$lang epochs $epochs")
+        assert(math.abs(alloc - ExtensionQueries.UniMaxCap * n) < 1e-3)
+      } else {
+        assert(epochs < ExtensionQueries.UniMaxCap,
+          s"uncapped $lang at $epochs >= cap")
+      }
+    }
+  }
+
+  test("x104: closed form == sequential greedy waterfill") {
+    val ref = greedyUniMax(
+      unimax.map(t => (t._1, t._2)).toSeq, ExtensionQueries.UniMaxCap)
+    unimax.foreach { case (lang, _, _, alloc, _) =>
+      assert(math.abs(alloc - round(ref(lang), 4)) < 1e-6,
+        s"$lang: closed $alloc vs greedy ${ref(lang)}")
+    }
+  }
+
+  test("x104: uncapped languages all receive the same share") {
+    val shares = unimax.collect { case (_, _, 0L, alloc, _) => alloc }
+    assert(shares.nonEmpty)
+    assert(shares.forall(s => math.abs(s - shares.head) < 1e-6))
+  }
+
+  // --- x105 DSIR --------------------------------------------------------
+
+  /** Independent driver-side DSIR replay over the raw table: hashed
+    * bigram bags, add-1 smoothed target/raw bucket distributions,
+    * per-doc count-weighted LLR, top-k by (rounded weight desc,
+    * doc_id).
+    */
+  private def dsirReference(): Seq[(Long, Long, Double)] = {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val B = 64
+    def buckets(text: String): Seq[Int] =
+      tok(text).sliding(2).filter(_.size == 2).map(_.mkString(" "))
+        .map(g => (java.lang.Long.parseLong(md5hex(g).take(7), 16) % B).toInt)
+        .toSeq
+    val perDoc = docs.map { case (id, lang, text) => (id, lang, buckets(text)) }
+    val tgt = new Array[Long](B)
+    val raw = new Array[Long](B)
+    perDoc.foreach { case (_, lang, bs) =>
+      bs.foreach { b =>
+        raw(b) += 1
+        if (lang == "en") tgt(b) += 1
+      }
+    }
+    val tt = tgt.sum.toDouble
+    val rr = raw.sum.toDouble
+    perDoc.filter(_._3.nonEmpty).map { case (id, _, bs) =>
+      val w = bs.groupBy(identity).map { case (b, g) =>
+        g.size * (math.log(tgt(b) + 1.0) - math.log(tt + B) -
+          math.log(raw(b) + 1.0) + math.log(rr + B))
+      }.sum
+      (id, bs.size.toLong, round(w, 6))
+    }.toSeq.sortBy { case (id, _, w) => (-w, id) }.take(50)
+  }
+
+  private lazy val dsir =
+    ExtensionQueries.x105_dsir(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+  test("x105: distributed top-50 == independent driver DSIR replay") {
+    val ref = dsirReference()
+    assert(dsir.length == 50)
+    assert(dsir.toSeq == ref,
+      s"first mismatch: ${dsir.toSeq.zip(ref).find(p => p._1 != p._2)}")
+  }
+
+  test("x105: selection is target-seeking (majority of top-50 is en)") {
+    val langs = Tables.documents(spark, sf).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nEn = dsir.count(d => langs(d._1) == "en")
+    // 218/500 docs are en at sf0.001; a target-blind scorer would pick
+    // ~22 of 50. The LLR scorer must do materially better.
+    assert(nEn >= 30, s"only $nEn/50 selected docs are en")
+  }
+}

@@ -143,6 +143,31 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"the 1-row consts frame must ride a broadcast:\n$p")
   }
 
+  test("x104 unimax: corpus agg map-side combines; windows only above the lang dimension") {
+    val df = graft.queries.ExtensionQueries.x104_unimax(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row totals frame must ride a broadcast:\n$p")
+    // the per-language aggregate must partial-aggregate before its
+    // exchange — the corpus-side shuffle carries ≤ #langs rows per task
+    assert(p.contains("HashAggregate"), s"expected hash agg:\n$p")
+    // the unpartitioned windows are legal ONLY because they run above
+    // the per-language aggregate (≤ 5 rows); the corpus never reaches
+    // a window (exactly one window subtree, above the agg)
+    assert(p.contains("Window"), s"expected the allocator windows:\n$p")
+  }
+
+  test("x105 dsir: top-k is a TakeOrdered, bucket dims broadcast, no global window") {
+    val p = plan(graft.queries.ExtensionQueries.x105_dsir(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 should be a TakeOrdered, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 64-row bucket dimensions must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in x105:\n$p")
+    assert(!p.contains("Window"),
+      s"ranking must be the TakeOrdered, never a corpus window:\n$p")
+  }
+
   test("x96 indexed bm25: TakeOrdered, no cartesian, df broadcast") {
     val p = plan(graft.queries.ExtensionQueries.x96_bm25_indexed(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
