@@ -2500,6 +2500,62 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x106: exact-phrase search over the lexical index — the retrieval
+  // feature BM25's bag-of-words scoring cannot express ("hash join"
+  // the operator, not docs merely containing both words). The classic
+  // two-stage plan every positional-index engine runs: (1) CANDIDATES
+  // from the inverted index — docs whose postings contain EVERY
+  // phrase term, cost ∝ Σ df(terms), a token-pruned posting fetch +
+  // one doc-keyed count — then (2) VERIFY adjacency only on the
+  // candidate docs: equi-join the bounded candidate set back onto
+  // documents, one per-row bigram scan (array HOFs, no explode), emit
+  // occurrence count + first position. TOKENIZATION — the expensive
+  // per-row work — runs only on the docs the AND of the posting lists
+  // admits (the projection sits above the join); the text fetch
+  // itself prunes via min/max row-group stats / DPP when the table is
+  // doc_id-clustered, and in a serving deployment is a doc-store
+  // point fetch. Materializing (token, doc, positions) posting rows
+  // would drop the text fetch entirely at the cost of a wider
+  // artifact — the standard positional-index trade, documented not
+  // taken. (The conjunctive-candidate + forward-verify shape
+  // positional engines use when positions aren't materialized.)
+  private[queries] val PhraseTerms = Seq("hash", "join")
+
+  def x106_phrase(spark: SparkSession, sfDir: String): DataFrame = {
+    val phrase = PhraseTerms.mkString(" ")
+    val ix = graft.ml.Bm25Index.build(spark, sfDir)
+    val cand = ix.posting
+      .filter(col("token").isin(PhraseTerms: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === PhraseTerms.size)
+      .select("doc_id")
+    Tables.documents(spark, sfDir)
+      .join(cand, Seq("doc_id"))
+      .select(col("doc_id"),
+        Tokenize.shingles(Tokenize.tokens(col("text")), 2).as("g2"))
+      .select(col("doc_id"),
+        size(filter(col("g2"), _ === lit(phrase))).cast("long").as("n_occ"),
+        array_position(col("g2"), phrase).as("first_pos"))
+      .filter(col("n_occ") > 0)
+      .orderBy(col("n_occ").desc, col("doc_id"))
+  }
+
+  val x106Sql: String = {
+    val phrase = PhraseTerms.mkString(" ")
+    s"""WITH tok AS (SELECT doc_id, $SqlTok AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+       |    i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS g2
+       |  FROM tok)
+       |SELECT doc_id,
+       |  len(list_filter(g2, g -> g = '$phrase'))::BIGINT AS n_occ,
+       |  list_position(g2, '$phrase')::BIGINT AS first_pos
+       |FROM sh
+       |WHERE len(list_filter(g2, g -> g = '$phrase')) > 0
+       |ORDER BY n_occ DESC, doc_id""".stripMargin
+  }
+
+  // ======================================================================
   // x90: PageRank centrality over the x04 similarity graph — graph
   // analytics as a first-class operator, and a better canonical-
   // selection signal than min-doc_id: inside a dup cluster the most
@@ -4082,6 +4138,7 @@ object ExtensionQueries {
     "x103_eval_batch" -> (x103_eval_batch _),
     "x104_unimax" -> (x104_unimax _),
     "x105_dsir" -> (x105_dsir _),
+    "x106_phrase" -> (x106_phrase _),
     "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
@@ -4170,6 +4227,7 @@ object ExtensionQueries {
     "x103_eval_batch" -> x103Sql,
     "x104_unimax" -> x104Sql,
     "x105_dsir" -> x105Sql,
+    "x106_phrase" -> x106Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

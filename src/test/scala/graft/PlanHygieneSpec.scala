@@ -168,6 +168,16 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"ranking must be the TakeOrdered, never a corpus window:\n$p")
   }
 
+  test("x106 phrase: candidate set broadcasts, tokenize above the join, no cartesian") {
+    val df = graft.queries.ExtensionQueries.x106_phrase(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in x106:\n$p")
+    // the bounded candidate set must ride a broadcast join so the
+    // per-row bigram verify runs only on admitted docs
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate set should broadcast:\n$p")
+  }
+
   test("x96 indexed bm25: TakeOrdered, no cartesian, df broadcast") {
     val p = plan(graft.queries.ExtensionQueries.x96_bm25_indexed(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
