@@ -2556,6 +2556,127 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x107: approximate k-NN GRAPH construction — every node's top-k
+  // nearest neighbors, the substrate SemDeDup-style clustering, label
+  // propagation, and graph-based curation algorithms consume (x90's
+  // PageRank runs over a shingle graph; this is its embedding-space
+  // sibling). The all-pairs form is quadratic and unshippable; the
+  // shipped shape is the OR-amplified banded LSH the MinHash family
+  // uses, transplanted to cosine space: 4 bands × 6 signed
+  // hyperplanes (md5-derived, so both engines build the IDENTICAL
+  // bands — the x06 determinism trick), candidates = pairs sharing
+  // any band bucket, exact cosine rescoring on candidates only,
+  // per-node top-3 by (rounded cosine, id). Shapes: the band
+  // dimension is a 4-way posexplode (corpus-linear), the candidate
+  // join shuffles on (band, bucket) — each task sees one bucket's
+  // rows, never the corpus — pair dedup happens in the (u, v) ID
+  // dimension BEFORE vectors are fetched back, and the rescore is two
+  // equi-joins + a per-node window. Accuracy is pinned in
+  // KnnGraphSpec (planted near-twins mutual-rank-1 + measured lift on
+  // the isotropic testdata); more planes per band shrink the
+  // per-bucket candidate fraction as the corpus grows (the standard
+  // LSH tuning knob, same ladder as x06 → IVF → IVF-PQ).
+  private[graft] val KnnBands = 4
+  private[graft] val KnnPlanesPerBand = 6
+  private[graft] val KnnK = 3
+
+  /** bandPlanes(b)(j)(d) = (first16bits(md5(s"${b}b_${j}_${d}")) /
+    * 32768.0) - 1.0 — the x06 md5-plane convention with a band-seeded
+    * name so the graph's bands are independent of x06's single table.
+    */
+  private lazy val bandPlanes: Seq[Seq[Seq[Double]]] = {
+    val mdHex = (s: String) => {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+    }
+    (0 until KnnBands).map { b =>
+      (0 until KnnPlanesPerBand).map { j =>
+        (0 until EmbDim).map { d =>
+          Integer.parseInt(mdHex(s"${b}b_${j}_${d}"), 16) / 32768.0 - 1.0
+        }
+      }
+    }
+  }
+
+  private def bandBucketOf(b: Int, v: Column): Column =
+    (0 until KnnPlanesPerBand).map { j =>
+      when(VecMath.dot(v, typedlit(bandPlanes(b)(j))) > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def x107_knn_graph(spark: SparkSession, sfDir: String): DataFrame =
+    knnGraphOf(Tables.embeddings(spark, sfDir))
+
+  /** The graph core over any (vec_id, embedding) frame — private[graft]
+    * so the spec can drive it on planted-structure fixtures (the
+    * testdata embeddings are isotropic noise, where NO sublinear
+    * candidate scheme can reach high recall — nearest "neighbors" at
+    * cosine ~0.34 are barely closer than random pairs; on a corpus
+    * with actual near-dup/cluster structure the same bands collide
+    * near-certainly, which is what KnnGraphSpec pins).
+    */
+  private[graft] def knnGraphOf(emb: DataFrame): DataFrame = {
+    val e = emb
+      .withColumn("v", VecMath.asDouble(col("embedding")))
+      .withColumn("nrm", VecMath.l2norm(col("v")))
+    val banded = e.select(col("vec_id"),
+      posexplode(array((0 until KnnBands).map(b => bandBucketOf(b, col("v"))): _*))
+        .as(Seq("band", "bucket")))
+    val pairs = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("u"), col("b.vec_id").as("nb"))
+      .distinct()
+    val ev = e.select(col("vec_id"), col("v"), col("nrm"))
+    val scored = pairs
+      .join(ev.select(col("vec_id").as("u"), col("v").as("uv"),
+        col("nrm").as("un")), Seq("u"))
+      .join(ev.select(col("vec_id").as("nb"), col("v").as("nv"),
+        col("nrm").as("nn")), Seq("nb"))
+      .withColumn("cos",
+        when(col("un") > 0 && col("nn") > 0,
+          VecMath.dot(col("uv"), col("nv")) / (col("un") * col("nn")))
+          .otherwise(lit(0.0)))
+    val w = Window.partitionBy("u").orderBy(col("cos").desc, col("nb"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= KnnK)
+      .select(col("u").as("vec_id"), col("rn"), col("nb"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("vec_id", "rn")
+  }
+
+  // lazy: references EmbDim, which is declared further down the object
+  // (a plain val would interpolate its pre-init 0)
+  lazy val x107Sql: String = {
+    // plane weight for (band b, plane j, dim d-1): first 16 md5 bits of
+    // the Scala side's exact seed string "${b}b_${j}_${d}"
+    val plw =
+      "(((strpos('0123456789abcdef', substr(md5(b.range || 'b_' || j.range || '_' || (d.range - 1)), 1, 1)) - 1) * 4096 + " +
+        "(strpos('0123456789abcdef', substr(md5(b.range || 'b_' || j.range || '_' || (d.range - 1)), 2, 1)) - 1) * 256 + " +
+        "(strpos('0123456789abcdef', substr(md5(b.range || 'b_' || j.range || '_' || (d.range - 1)), 3, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(md5(b.range || 'b_' || j.range || '_' || (d.range - 1)), 4, 1)) - 1)) / 32768.0 - 1.0)"
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dots AS (SELECT e.vec_id, b.range AS b, j.range AS j,
+       |    sum(e.v[d.range] * $plw) AS dp
+       |  FROM ev e, range(0, $KnnBands) b, range(0, $KnnPlanesPerBand) j,
+       |       range(1, ${EmbDim + 1}) d
+       |  GROUP BY 1, 2, 3),
+       |bkt AS (SELECT vec_id, b,
+       |    sum(CASE WHEN dp > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)::BIGINT
+       |      AS bucket
+       |  FROM dots GROUP BY vec_id, b),
+       |pairs AS (SELECT DISTINCT a.vec_id AS u, c.vec_id AS nb
+       |  FROM bkt a JOIN bkt c
+       |    ON a.b = c.b AND a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+       |scored AS (SELECT p.u, p.nb, list_cosine_similarity(ea.v, eb.v) AS cos
+       |  FROM pairs p JOIN ev ea ON ea.vec_id = p.u
+       |  JOIN ev eb ON eb.vec_id = p.nb),
+       |r AS (SELECT u, nb, cos,
+       |    row_number() OVER (PARTITION BY u ORDER BY cos DESC, nb) AS rn
+       |  FROM scored)
+       |SELECT u AS vec_id, rn, nb, round(cos, 6) AS cos
+       |FROM r WHERE rn <= $KnnK ORDER BY vec_id, rn""".stripMargin
+  }
+
+  // ======================================================================
   // x90: PageRank centrality over the x04 similarity graph — graph
   // analytics as a first-class operator, and a better canonical-
   // selection signal than min-doc_id: inside a dup cluster the most
@@ -4139,6 +4260,7 @@ object ExtensionQueries {
     "x104_unimax" -> (x104_unimax _),
     "x105_dsir" -> (x105_dsir _),
     "x106_phrase" -> (x106_phrase _),
+    "x107_knn_graph" -> (x107_knn_graph _),
     "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
@@ -4228,6 +4350,7 @@ object ExtensionQueries {
     "x104_unimax" -> x104Sql,
     "x105_dsir" -> x105Sql,
     "x106_phrase" -> x106Sql,
+    "x107_knn_graph" -> x107Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.ExtensionQueries
+
+/** Accuracy contract for the x107 banded-LSH k-NN graph.
+  *
+  * The testdata embeddings are isotropic noise — true top-3 cosines
+  * average ~0.34, barely above a random pair, so NO sublinear
+  * candidate scheme can reach high recall there (any config that does
+  * is secretly scoring most of the corpus; measured: 4×6 bands =
+  * 0.18 recall at 7% candidates, 16×3 bands = 0.99 recall at 87%
+  * candidates — the latter is the quadratic scan wearing a hat).
+  * What the operator is FOR is corpora with near-dup / cluster
+  * structure, where band collisions are near-certain for true
+  * neighbors: a planted twin at cosine ≈ 0.99 collides per 6-plane
+  * band w.p. ~(1 − θ/π)^6 ≈ 0.76, so missing all 4 bands is ~0.3%.
+  * The spec pins that deployment case exactly, plus a measured
+  * noise-floor lift on the real table.
+  */
+class KnnGraphSpec extends AnyFunSuite with SparkSpec {
+
+  test("planted near-twins are mutual rank-1 edges") {
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(1234)
+    val dim = ExtensionQueries.EmbDim
+    // 40 isotropic base vectors + a jittered twin for each of the
+    // first 10 (ids 1000+i): cosine(base, twin) ≈ 0.99
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }
+    val twins = (0 until 10).map { i =>
+      val b = base(i)._2
+      val t = b.map(x => x + 0.08f * rnd.nextGaussian().toFloat)
+      ((1000 + i).toLong, t)
+    }
+    val rows = (base ++ twins).map { case (id, v) =>
+      org.apache.spark.sql.Row(id, v.toSeq)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val g = ExtensionQueries.knnGraphOf(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val rank1 = g.collect { case (u, 1, nb) => u -> nb }.toMap
+    (0 until 10).foreach { i =>
+      assert(rank1.get(i.toLong).contains((1000 + i).toLong),
+        s"base $i should have its twin at rank 1, got ${rank1.get(i.toLong)}")
+      assert(rank1.get((1000 + i).toLong).contains(i.toLong),
+        s"twin ${1000 + i} should have its base at rank 1")
+    }
+  }
+
+  test("real-table recall lifts far above the random-candidate baseline") {
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val n = emb.length
+    val norm = emb.map { case (id, v) =>
+      (id, v, math.sqrt(v.map(x => x * x).sum))
+    }
+    def cos(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)) = {
+      var s = 0.0
+      var i = 0
+      while (i < a._2.length) { s += a._2(i) * b._2(i); i += 1 }
+      s / (a._3 * b._3)
+    }
+    val brute = norm.map { u =>
+      u._1 -> norm.filter(_._1 != u._1)
+        .map(v => (v._1, math.floor(cos(u, v) * 1e6 + 0.5) / 1e6))
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+    }.toMap
+    val g = ExtensionQueries.x107_knn_graph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+    val recall = g.map { case (u, nbs) =>
+      (nbs & brute(u)).size.toDouble / 3.0
+    }.sum / g.size
+    // random candidate sets of the same size would land ~3/(n-1) ≈
+    // 0.006; the banded candidates must do an order of magnitude
+    // better even on isotropic noise (measured ≈ 0.20)
+    assert(recall >= 0.12, s"mean recall $recall under the lift floor")
+    assert(recall * (n - 1) / 3.0 > 10.0, "no lift over random candidates")
+  }
+}

@@ -178,6 +178,13 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"candidate set should broadcast:\n$p")
   }
 
+  test("x107 knn graph: candidates via (band,bucket) equi-join, per-node window, no cartesian") {
+    val p = plan(graft.queries.ExtensionQueries.x107_knn_graph(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation must never be all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in x107:\n$p")
+  }
+
   test("x96 indexed bm25: TakeOrdered, no cartesian, df broadcast") {
     val p = plan(graft.queries.ExtensionQueries.x96_bm25_indexed(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
