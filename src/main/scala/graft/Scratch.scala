@@ -43,6 +43,45 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("x105prof")) {
+      import graft.queries.ExtensionQueries
+      val docs = Tables.documents(spark, sfDir)
+      time("tokenize-only")(docs.select(Tokenize.tokens(col("text")).as("t"))
+        .select(sum(size(col("t")))).collect().head.getLong(0))
+      val grams = docs.select(col("doc_id"), col("lang"),
+        explode(Tokenize.shingles(Tokenize.tokens(col("text")), 2)).as("gram"))
+      time("explode-grams")(grams.count())
+      val withB = grams.select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("gram")), 1, 7), 16, 10).cast("long") % 64).as("bkt"))
+      time("md5-bucket")(withB.count())
+      time("docB-agg")(withB.groupBy("doc_id", "bkt").count().count())
+      time("full-x105")(ExtensionQueries.x105_dsir(spark, sfDir).count())
+      time("full-x105-again")(ExtensionQueries.x105_dsir(spark, sfDir).count())
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("x106prof")) {
+      val ix = graft.ml.Bm25Index.build(spark, sfDir)
+      time("warm-posting")(ix.posting.count())
+      val cand = ix.posting
+        .filter(col("token").isin("hash", "join"))
+        .groupBy("doc_id").agg(count(lit(1)).as("nt"))
+        .filter(col("nt") === 2).select("doc_id")
+      time("cand")(cand.count())
+      time("cand2")(cand.count())
+      val joined = Tables.documents(spark, sfDir).join(cand, Seq("doc_id"))
+      time("join")(joined.count())
+      time("join2")(joined.count())
+      val g2 = joined
+        .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), Tokenize.shingles(col("toks"), 2).as("g2"))
+        .select(col("doc_id"),
+          size(filter(col("g2"), _ === lit("hash join"))).cast("long").as("n_occ"))
+      time("g2")(g2.count())
+      time("full")(SparkEntry.queries("x106_phrase")(spark, sfDir).count())
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("bpeprof")) {
       // Delta-maintenance vs full-recount trainer cost: wall clock for
       // k merges on the corpus word-frequency table (the SCALE.md

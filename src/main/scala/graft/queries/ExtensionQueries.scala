@@ -2445,19 +2445,28 @@ object ExtensionQueries {
     conv(substring(md5(c), 1, 7), 16, 10).cast("long") % b
 
   def x105_dsir(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = Tables.documents(spark, sfDir)
+    // the token ARRAY is materialized in its own projection before the
+    // shingles HOF (the docShingles rule: a raw tokens(text) argument
+    // re-runs the regex split per lambda call, ~100× per doc), and
+    // EVERY aggregate below derives from the one (doc_id, lang, bkt)
+    // rollup — its shuffle is plan-identical across the four
+    // consumers, so ReuseExchange materializes the corpus-side
+    // tokenize+hash+partial-agg exactly once per run
+    val docLB = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), Tokenize.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"),
-        Tokenize.shingles(Tokenize.tokens(col("text")), 2).as("g2"))
-      .select(col("doc_id"), col("lang"), explode(col("g2")).as("gram"))
+        explode(Tokenize.shingles(col("toks"), 2)).as("gram"))
       .select(col("doc_id"), col("lang"),
         hashBucket(col("gram"), DsirBuckets).as("bkt"))
-    val docB = grams.groupBy("doc_id", "bkt").agg(count(lit(1)).as("c"))
-    val tgt = grams.filter(col("lang") === "en")
-      .groupBy("bkt").agg(count(lit(1)).as("t"))
-    val raw = grams.groupBy("bkt").agg(count(lit(1)).as("r"))
-    val consts = grams.agg(
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("double").as("tt"),
-      count(lit(1)).cast("double").as("rr"))
+      .groupBy("doc_id", "lang", "bkt").agg(count(lit(1)).as("c"))
+    val docB = docLB.select("doc_id", "bkt", "c")
+    val tgt = docLB.filter(col("lang") === "en")
+      .groupBy("bkt").agg(sum(col("c")).as("t"))
+    val raw = docLB.groupBy("bkt").agg(sum(col("c")).as("r"))
+    val consts = docLB.agg(
+      sum(when(col("lang") === "en", col("c")).otherwise(0L))
+        .cast("double").as("tt"),
+      sum(col("c")).cast("double").as("rr"))
     docB.join(broadcast(raw), Seq("bkt"))
       .join(broadcast(tgt), Seq("bkt"), "left")
       .crossJoin(broadcast(consts))
@@ -2531,12 +2540,23 @@ object ExtensionQueries {
       .select("doc_id")
     Tables.documents(spark, sfDir)
       .join(cand, Seq("doc_id"))
+      // token array materialized before the shingles HOF (docShingles
+      // rule: a raw tokens(text) argument re-runs the regex per
+      // lambda call), and the match count runs through posexplode +
+      // aggregate rather than array-HOF columns: a filter on a
+      // size(filter(...)) column is a pushable predicate, and Catalyst
+      // pushed exactly that below the candidate join — inlining the
+      // whole bigram pipeline into the parquet scan's Filter and
+      // re-tokenizing the full corpus (measured 3.8 s vs 0.5 s). The
+      // aggregate is a pushdown barrier; docs without an adjacency
+      // match simply produce no group.
+      .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        Tokenize.shingles(Tokenize.tokens(col("text")), 2).as("g2"))
-      .select(col("doc_id"),
-        size(filter(col("g2"), _ === lit(phrase))).cast("long").as("n_occ"),
-        array_position(col("g2"), phrase).as("first_pos"))
-      .filter(col("n_occ") > 0)
+        posexplode(Tokenize.shingles(col("toks"), 2)).as(Seq("p", "g")))
+      .filter(col("g") === phrase)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occ"),
+        (min(col("p")) + 1).cast("long").as("first_pos"))
       .orderBy(col("n_occ").desc, col("doc_id"))
   }
 

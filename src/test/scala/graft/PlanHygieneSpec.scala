@@ -176,6 +176,15 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     // per-row bigram verify runs only on admitted docs
     assert(p.contains("BroadcastHashJoin"),
       s"candidate set should broadcast:\n$p")
+    // regression pin: an n_occ filter expressed over array-HOF columns
+    // is a pushable predicate, and Catalyst pushed it below the
+    // candidate join — inlining the whole tokenize+bigram pipeline
+    // into the corpus scan's Filter (measured 3.8 s vs 0.5 s). The
+    // aggregate form must keep tokenization out of every Filter node.
+    p.linesIterator.filter(_.contains("Filter")).foreach { l =>
+      assert(!l.contains("split(lower"),
+        s"tokenize leaked into a Filter (pushdown regression):\n$l")
+    }
   }
 
   test("x107 knn graph: candidates via (band,bucket) equi-join, per-node window, no cartesian") {
