@@ -2697,6 +2697,113 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x108: document-level PMI co-occurrence — the corpus statistic
+  // word-embedding training (word2vec's negative sampling tables,
+  // GloVe's co-occurrence matrix) and collocation mining start from.
+  // For the top-|V| document-frequency tokens: n_ab = docs containing
+  // BOTH a and b, PMI = ln(n_ab·N / (n_a·n_b)) — positive PMI means
+  // the pair co-occurs more than independence predicts. Shapes for
+  // 100 TB: presence (doc, token ∈ V) rows come off the shared token
+  // posting restricted by a BROADCAST |V|-row vocabulary dimension
+  // (df counts ride along from that dim — no second corpus agg), the
+  // pair space is a per-doc self-equi-join on doc_id whose output is
+  // bounded by |V|² per doc — never corpus² — and the final agg keys
+  // on the pair dimension (≤ |V|² rows total). The vocabulary
+  // selection itself is a TakeOrdered over the token dimension.
+  private[queries] val PmiVocab = 12
+  private[queries] val PmiMinPairDocs = 5
+
+  def x108_pmi(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val pres = docTok(docs).select("doc_id", "token").distinct()
+    val topV = pres.groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(PmiVocab)
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val inV = pres.join(broadcast(topV), Seq("token"))
+    val pa = inV.select(col("doc_id"), col("token").as("ta"), col("df").as("na"))
+    val pb = inV.select(col("doc_id"), col("token").as("tb"), col("df").as("nb"))
+    pa.join(pb, Seq("doc_id")).filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb", "na", "nb").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= PmiMinPairDocs)
+      .crossJoin(broadcast(n))
+      .select(col("ta"), col("tb"), col("n_ab"), col("na"), col("nb"),
+        round(log(col("n_ab") * col("n") / (col("na") * col("nb"))), 6)
+          .as("pmi"))
+      .orderBy("ta", "tb")
+  }
+
+  val x108Sql: String =
+    s"""WITH pres AS (SELECT DISTINCT doc_id, unnest($SqlTok) AS token
+       |  FROM documents),
+       |topv AS (SELECT token, count(*)::BIGINT AS df FROM pres
+       |  GROUP BY token ORDER BY df DESC, token LIMIT $PmiVocab),
+       |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+       |inv AS (SELECT p.doc_id, p.token, t.df FROM pres p
+       |  JOIN topv t USING (token)),
+       |pairs AS (SELECT a.token AS ta, b.token AS tb, a.df AS na,
+       |    b.df AS nb, count(*)::BIGINT AS n_ab
+       |  FROM inv a JOIN inv b ON a.doc_id = b.doc_id AND a.token < b.token
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT ta, tb, n_ab, na, nb,
+       |  round(ln(n_ab * n.n / (na * nb)), 6) AS pmi
+       |FROM pairs, n WHERE n_ab >= $PmiMinPairDocs ORDER BY ta, tb""".stripMargin
+
+  // ======================================================================
+  // x109: curriculum phase assignment — order the corpus into
+  // easy→hard training phases by quality-score tertiles (curriculum
+  // learning's data-side half: schedule high-quality docs first, the
+  // distribution-relative cut discipline of x85 applied to the x08
+  // heuristic score). Cuts are exact interpolated percentiles of the
+  // ROUNDED score (the x85 convention: exact here, KLL sketch cuts at
+  // 100 TB), phase membership compares rounded-to-rounded so the FP
+  // boundary is deterministic cross-engine, and the output is the
+  // per-phase report card (count, score range, mean length) a
+  // training run's data loader consumes. Shapes: one corpus-linear
+  // score projection (x08's), a 2-value percentile dimension
+  // broadcast back, and a 3-key aggregate.
+  def x109_curriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = x08_quality(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val cuts = q.agg(
+      round(expr("percentile(quality, 0.3333333333333333)"), 6).as("c1"),
+      round(expr("percentile(quality, 0.6666666666666666)"), 6).as("c2"))
+    q.crossJoin(broadcast(cuts))
+      .select(col("n_tokens"), col("quality"),
+        when(col("quality") <= col("c1"), lit(3))
+          .when(col("quality") <= col("c2"), lit(2))
+          .otherwise(lit(1)).as("phase"))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("quality")), 6).as("min_q"),
+        round(max(col("quality")), 6).as("max_q"),
+        round(avg(col("n_tokens")), 6).as("avg_tokens"))
+      .orderBy("phase")
+  }
+
+  // lazy: references stopwords, which is declared further down the
+  // object (the x107Sql init-order rule)
+  lazy val x109Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
+       |       sum(CASE WHEN token IN (${stopwords.map(s => s"'$s'").mkString(", ")}) THEN 1 ELSE 0 END) AS n_stop
+       |       FROM tok GROUP BY doc_id),
+       |q AS (SELECT d.doc_id, coalesce(st.n_tokens, 0)::BIGINT AS n_tokens,
+       |  round(0.4 * least(coalesce(st.n_tokens, 0)::DOUBLE / 100.0, 1.0)
+       |      + 0.3 * (1.0 - coalesce(st.n_stop::DOUBLE / st.n_tokens, 0.0))
+       |      + 0.3 * least(coalesce(st.avg_tok_len, 0.0) / 8.0, 1.0), 6) AS quality
+       |  FROM documents d LEFT JOIN st USING (doc_id)),
+       |cuts AS (SELECT round(quantile_cont(quality, 0.3333333333333333), 6) AS c1,
+       |         round(quantile_cont(quality, 0.6666666666666666), 6) AS c2 FROM q),
+       |ph AS (SELECT n_tokens, quality,
+       |  CASE WHEN quality <= c.c1 THEN 3 WHEN quality <= c.c2 THEN 2
+       |       ELSE 1 END AS phase
+       |  FROM q, cuts c)
+       |SELECT phase, count(*)::BIGINT AS n_docs,
+       |  round(min(quality), 6) AS min_q, round(max(quality), 6) AS max_q,
+       |  round(avg(n_tokens), 6) AS avg_tokens
+       |FROM ph GROUP BY phase ORDER BY phase""".stripMargin
+
+  // ======================================================================
   // x90: PageRank centrality over the x04 similarity graph — graph
   // analytics as a first-class operator, and a better canonical-
   // selection signal than min-doc_id: inside a dup cluster the most
@@ -4281,6 +4388,8 @@ object ExtensionQueries {
     "x105_dsir" -> (x105_dsir _),
     "x106_phrase" -> (x106_phrase _),
     "x107_knn_graph" -> (x107_knn_graph _),
+    "x108_pmi" -> (x108_pmi _),
+    "x109_curriculum" -> (x109_curriculum _),
     "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
@@ -4371,6 +4480,8 @@ object ExtensionQueries {
     "x105_dsir" -> x105Sql,
     "x106_phrase" -> x106Sql,
     "x107_knn_graph" -> x107Sql,
+    "x108_pmi" -> x108Sql,
+    "x109_curriculum" -> x109Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

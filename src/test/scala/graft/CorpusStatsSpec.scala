@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.ExtensionQueries
+
+/** Semantic contracts for the corpus-statistics operators x108 (PMI
+  * co-occurrence) and x109 (curriculum phases) beyond their DuckDB
+  * oracles: the internal identities the formulas must satisfy on any
+  * corpus.
+  */
+class CorpusStatsSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val pmi =
+    ExtensionQueries.x108_pmi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+
+  test("x108: pairs are canonical (ta < tb) and counts are consistent") {
+    assert(pmi.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count().toDouble
+    pmi.foreach { case (ta, tb, nab, na, nb, p) =>
+      assert(ta < tb, s"non-canonical pair ($ta, $tb)")
+      assert(nab <= math.min(na, nb),
+        s"co-occurrence $nab exceeds a marginal ($na, $nb)")
+      val expect = math.floor(
+        math.log(nab * nDocs / (na.toDouble * nb)) * 1e6 + 0.5) / 1e6
+      assert(math.abs(p - expect) < 1e-9,
+        s"($ta, $tb): pmi $p != ln(n_ab·N/(n_a·n_b)) = $expect")
+    }
+  }
+
+  test("x108: a pair can never out-document its rarer member's df") {
+    // and every df must be <= N (doc-level presence counting)
+    val n = Tables.documents(spark, sf).count()
+    pmi.foreach { case (_, _, _, na, nb, _) =>
+      assert(na <= n && nb <= n)
+    }
+  }
+
+  private lazy val phases =
+    ExtensionQueries.x109_curriculum(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+
+  test("x109: phases partition the corpus") {
+    assert(phases.map(_._1).toSeq == Seq(1, 2, 3))
+    val total = Tables.documents(spark, sf).count()
+    assert(phases.map(_._2).sum == total,
+      s"phase counts ${phases.map(_._2).toSeq} don't sum to $total")
+  }
+
+  test("x109: phase quality ranges are ordered easy-first") {
+    val byPhase = phases.map(p => p._1 -> p).toMap
+    // phase 1 = above the upper cut, phase 3 = at/below the lower cut;
+    // the strict > in the phase rule makes the ranges disjoint
+    assert(byPhase(1)._3 > byPhase(2)._4,
+      s"phase-1 min ${byPhase(1)._3} should exceed phase-2 max ${byPhase(2)._4}")
+    assert(byPhase(2)._3 > byPhase(3)._4,
+      s"phase-2 min ${byPhase(2)._3} should exceed phase-3 max ${byPhase(3)._4}")
+    // tertile cuts on a 500-doc corpus: no phase is degenerate or
+    // wildly unbalanced (ties can shift boundary docs, not thirds)
+    phases.foreach { case (ph, n, _, _, _) =>
+      assert(n > 100 && n < 250, s"phase $ph holds $n of 500 docs")
+    }
+  }
+}

@@ -194,6 +194,21 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in x107:\n$p")
   }
 
+  test("x108 pmi: vocab dim broadcasts, pair join keys on doc_id, no cartesian") {
+    val p = plan(graft.queries.ExtensionQueries.x108_pmi(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"the pair space must stay per-doc (doc_id equi-join):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |V|-row vocabulary dimension must broadcast:\n$p")
+  }
+
+  test("x109 curriculum: cuts broadcast, no corpus window, no cartesian") {
+    val p = plan(graft.queries.ExtensionQueries.x109_curriculum(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in x109:\n$p")
+    assert(!p.contains("Window"),
+      s"phase assignment must be a broadcast-cuts projection, not a window:\n$p")
+  }
+
   test("x96 indexed bm25: TakeOrdered, no cartesian, df broadcast") {
     val p = plan(graft.queries.ExtensionQueries.x96_bm25_indexed(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
