@@ -2652,14 +2652,17 @@ object ExtensionQueries {
         col("nrm").as("un")), Seq("u"))
       .join(ev.select(col("vec_id").as("nb"), col("v").as("nv"),
         col("nrm").as("nn")), Seq("nb"))
+      // ranked on the ROUNDED cosine (the x92/x105 determinism
+      // discipline: the two engines' norm computations can differ in
+      // the last ulp, and an unrounded ordering would let that flip a
+      // rank at a near-tie)
       .withColumn("cos",
-        when(col("un") > 0 && col("nn") > 0,
+        round(when(col("un") > 0 && col("nn") > 0,
           VecMath.dot(col("uv"), col("nv")) / (col("un") * col("nn")))
-          .otherwise(lit(0.0)))
+          .otherwise(lit(0.0)), 6))
     val w = Window.partitionBy("u").orderBy(col("cos").desc, col("nb"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= KnnK)
-      .select(col("u").as("vec_id"), col("rn"), col("nb"),
-        round(col("cos"), 6).as("cos"))
+      .select(col("u").as("vec_id"), col("rn"), col("nb"), col("cos"))
       .orderBy("vec_id", "rn")
   }
 
@@ -2686,13 +2689,17 @@ object ExtensionQueries {
        |pairs AS (SELECT DISTINCT a.vec_id AS u, c.vec_id AS nb
        |  FROM bkt a JOIN bkt c
        |    ON a.b = c.b AND a.bucket = c.bucket AND a.vec_id <> c.vec_id),
-       |scored AS (SELECT p.u, p.nb, list_cosine_similarity(ea.v, eb.v) AS cos
+       |scored AS (SELECT p.u, p.nb,
+       |    round(CASE WHEN list_dot_product(ea.v, ea.v) > 0
+       |               AND list_dot_product(eb.v, eb.v) > 0
+       |          THEN list_cosine_similarity(ea.v, eb.v)
+       |          ELSE 0.0 END, 6) AS cos
        |  FROM pairs p JOIN ev ea ON ea.vec_id = p.u
        |  JOIN ev eb ON eb.vec_id = p.nb),
        |r AS (SELECT u, nb, cos,
        |    row_number() OVER (PARTITION BY u ORDER BY cos DESC, nb) AS rn
        |  FROM scored)
-       |SELECT u AS vec_id, rn, nb, round(cos, 6) AS cos
+       |SELECT u AS vec_id, rn, nb, cos
        |FROM r WHERE rn <= $KnnK ORDER BY vec_id, rn""".stripMargin
   }
 
@@ -2780,17 +2787,12 @@ object ExtensionQueries {
       .orderBy("phase")
   }
 
-  // lazy: references stopwords, which is declared further down the
-  // object (the x107Sql init-order rule)
+  // lazy: references the shared x08 quality fragments, which are
+  // declared further down the object (the x107Sql init-order rule)
   lazy val x109Sql: String =
-    s"""WITH tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
-       |st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
-       |       sum(CASE WHEN token IN (${stopwords.map(s => s"'$s'").mkString(", ")}) THEN 1 ELSE 0 END) AS n_stop
-       |       FROM tok GROUP BY doc_id),
+    s"""WITH $SqlQualityStCte,
        |q AS (SELECT d.doc_id, coalesce(st.n_tokens, 0)::BIGINT AS n_tokens,
-       |  round(0.4 * least(coalesce(st.n_tokens, 0)::DOUBLE / 100.0, 1.0)
-       |      + 0.3 * (1.0 - coalesce(st.n_stop::DOUBLE / st.n_tokens, 0.0))
-       |      + 0.3 * least(coalesce(st.avg_tok_len, 0.0) / 8.0, 1.0), 6) AS quality
+       |  $SqlQualityExpr AS quality
        |  FROM documents d LEFT JOIN st USING (doc_id)),
        |cuts AS (SELECT round(quantile_cont(quality, 0.3333333333333333), 6) AS c1,
        |         round(quantile_cont(quality, 0.6666666666666666), 6) AS c2 FROM q),
@@ -3138,6 +3140,23 @@ object ExtensionQueries {
   // x08: quality scoring — length/stopword/token-shape heuristics.
   private val stopwords = Seq("the", "a", "of", "in", "to", "and")
 
+  /** Shared oracle fragments for the x08 quality heuristic — x08Sql
+    * and x109Sql (which phase-buckets the same score) must state the
+    * IDENTICAL formula, or a future coefficient change would silently
+    * desynchronize them (round-11 review finding). No leading `|`
+    * margins: the fragments interpolate into stripMargin strings.
+    */
+  private val SqlQualityStCte: String =
+    s"""tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
+       sum(CASE WHEN token IN (${stopwords.map(s => s"'$s'").mkString(", ")}) THEN 1 ELSE 0 END) AS n_stop
+       FROM tok GROUP BY doc_id)"""
+
+  private val SqlQualityExpr: String =
+    """round(0.4 * least(coalesce(st.n_tokens, 0)::DOUBLE / 100.0, 1.0)
+      + 0.3 * (1.0 - coalesce(st.n_stop::DOUBLE / st.n_tokens, 0.0))
+      + 0.3 * least(coalesce(st.avg_tok_len, 0.0) / 8.0, 1.0), 6)"""
+
   def x08_quality(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val stats = docTok(docs).groupBy("doc_id").agg(
@@ -3156,20 +3175,13 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
-  val x08Sql: String = {
-    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
-    s"""WITH tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
-       |st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
-       |       sum(CASE WHEN token IN ($stopList) THEN 1 ELSE 0 END) AS n_stop
-       |       FROM tok GROUP BY doc_id)
+  val x08Sql: String =
+    s"""WITH $SqlQualityStCte
        |SELECT d.doc_id, coalesce(st.n_tokens, 0)::BIGINT AS n_tokens,
        |  round(coalesce(st.avg_tok_len, 0.0), 6) AS avg_tok_len,
        |  round(coalesce(st.n_stop::DOUBLE / st.n_tokens, 0.0), 6) AS stop_ratio,
-       |  round(0.4 * least(coalesce(st.n_tokens, 0)::DOUBLE / 100.0, 1.0)
-       |      + 0.3 * (1.0 - coalesce(st.n_stop::DOUBLE / st.n_tokens, 0.0))
-       |      + 0.3 * least(coalesce(st.avg_tok_len, 0.0) / 8.0, 1.0), 6) AS quality
+       |  $SqlQualityExpr AS quality
        |FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin
-  }
 
   // x09: token counting — whitespace tokens, regex tokens, distinct
   // ratio, and a BPE-ish subword estimate (ceil(len/4) pieces/token).
