@@ -444,6 +444,29 @@ object Pipeline {
       val lexIx = graft.ml.Bm25Index.buildOf(corpus)
       lexIx.posting.persist()
 
+      // 8e. the TRAINING PLAN: the two data-side scheduling artifacts
+      // a run of this release starts from, computed over the PUBLISHED
+      // text and riding the same atomic version. budget_plan is the
+      // UniMax epoch-capped allocation (x104's allocator) over the
+      // per-LANGUAGE token counts under the snapshot's own tokenizer
+      // rule (tokensByLang — ASCII-splitting zh here would budget a
+      // token count the release doesn't train on); curriculum_cuts is
+      // the x109 quality-tertile rule (x08's score, exact percentiles
+      // here / KLL at scale), shipped as the 1-row cut dimension so
+      // "which phase does this doc land in" is answerable on the
+      // release and on new data — the ccnet_cuts completeness
+      // argument applied to the training schedule. Cost: the budget
+      // rides one per-language aggregate; the cuts are one more
+      // tokenize+score pass (persistShared=false: run-scoped frames
+      // stay out of the session cache registry).
+      val budgetPlan = ExtensionQueries.unimaxAlloc(
+        corpus.select(col("lang"),
+          size(graft.functions.Tokenize.tokensByLang(col("text"), col("lang")))
+            .cast("long").as("n_tok"))
+          .groupBy("lang").agg(sum(col("n_tok")).as("n_tokens")))
+      val curriculumCuts = ExtensionQueries.curriculumCuts(
+        ExtensionQueries.qualityStatsOf(corpus, persistShared = false))
+
       // 9. one atomic multi-table snapshot: the masked text a model
       // trains on + vectors + packing + stats, versioned together. The
       // vector / packing stats are observations on the write jobs
@@ -473,7 +496,9 @@ object Pipeline {
           "lexical_posting" -> lexIx.posting.repartition(col("token"))
             .sortWithinPartitions("token"),
           "lexical_df" -> lexIx.df,
-          "lexical_consts" -> lexIx.consts) ++ qualityTable,
+          "lexical_consts" -> lexIx.consts,
+          "budget_plan" -> budgetPlan,
+          "curriculum_cuts" -> curriculumCuts) ++ qualityTable,
         storeRoot)
       // the lexical posting's persist was scoped to the publish window
       lexIx.posting.unpersist(false)

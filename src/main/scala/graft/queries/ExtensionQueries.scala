@@ -2348,10 +2348,17 @@ object ExtensionQueries {
   // by construction.
   private[graft] val UniMaxCap = 1.2
 
-  def x104_unimax(spark: SparkSession, sfDir: String): DataFrame = {
-    val per = Tables.documents(spark, sfDir)
+  def x104_unimax(spark: SparkSession, sfDir: String): DataFrame =
+    unimaxAlloc(Tables.documents(spark, sfDir)
       .select(col("lang"), size(Tokenize.tokens(col("text"))).cast("long").as("n_tok"))
-      .groupBy("lang").agg(sum(col("n_tok")).as("n_tokens"))
+      .groupBy("lang").agg(sum(col("n_tok")).as("n_tokens")))
+
+  /** The waterfilling allocator over any (lang, n_tokens) dimension —
+    * private[graft] so the Pipeline's training-plan step can run it
+    * over the published corpus (with the per-language tokenizer) and
+    * the spec can replay it.
+    */
+  private[graft] def unimaxAlloc(per: DataFrame): DataFrame = {
     val tot = per.agg(sum(col("n_tokens")).cast("double").as("budget"),
       count(lit(1)).as("n_langs"))
     // everything below runs on the per-language dimension (≤ 5 rows)
@@ -2771,10 +2778,7 @@ object ExtensionQueries {
   def x109_curriculum(spark: SparkSession, sfDir: String): DataFrame = {
     val q = x08_quality(spark, sfDir)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
-    val cuts = q.agg(
-      round(expr("percentile(quality, 0.3333333333333333)"), 6).as("c1"),
-      round(expr("percentile(quality, 0.6666666666666666)"), 6).as("c2"))
-    q.crossJoin(broadcast(cuts))
+    q.crossJoin(broadcast(curriculumCuts(q)))
       .select(col("n_tokens"), col("quality"),
         when(col("quality") <= col("c1"), lit(3))
           .when(col("quality") <= col("c2"), lit(2))
@@ -2786,6 +2790,17 @@ object ExtensionQueries {
         round(avg(col("n_tokens")), 6).as("avg_tokens"))
       .orderBy("phase")
   }
+
+  /** The 1-row (c1, c2) tertile cut dimension over any frame with the
+    * x08 `quality` column — private[graft] so the Pipeline's
+    * training-plan step publishes the cuts of the released corpus and
+    * the spec replays them (the ccnet_cuts precedent applied to the
+    * curriculum rule).
+    */
+  private[graft] def curriculumCuts(scored: DataFrame): DataFrame =
+    scored.agg(
+      round(expr("percentile(quality, 0.3333333333333333)"), 6).as("c1"),
+      round(expr("percentile(quality, 0.6666666666666666)"), 6).as("c2"))
 
   // lazy: references the shared x08 quality fragments, which are
   // declared further down the object (the x107Sql init-order rule)
@@ -3157,9 +3172,18 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
       + 0.3 * (1.0 - coalesce(st.n_stop::DOUBLE / st.n_tokens, 0.0))
       + 0.3 * least(coalesce(st.avg_tok_len, 0.0) / 8.0, 1.0), 6)"""
 
-  def x08_quality(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val stats = docTok(docs).groupBy("doc_id").agg(
+  def x08_quality(spark: SparkSession, sfDir: String): DataFrame =
+    qualityStatsOf(Tables.documents(spark, sfDir)).orderBy("doc_id")
+
+  /** x08's scoring over any (doc_id, text) frame — private[graft] so
+    * the Pipeline's curriculum step can score the published corpus
+    * (persistShared=false: a run-scoped frame must not enter the
+    * session-lifetime cache registry).
+    */
+  private[graft] def qualityStatsOf(docs: DataFrame,
+      persistShared: Boolean = true): DataFrame = {
+    val stats = ReferenceQueries.docTokens(docs, persistShared)
+      .groupBy("doc_id").agg(
       count(lit(1)).as("n_tokens"),
       avg(length(col("token"))).as("avg_tok_len"),
       sum(when(col("token").isin(stopwords: _*), 1L).otherwise(0L)).as("n_stop"))
@@ -3172,7 +3196,6 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
             lit(0.3) * (lit(1.0) - coalesce(col("n_stop") / col("n_tokens"), lit(0.0))) +
             lit(0.3) * least(coalesce(col("avg_tok_len"), lit(0.0)) / 8.0, lit(1.0)),
           6).as("quality"))
-      .orderBy("doc_id")
   }
 
   val x08Sql: String =

@@ -491,6 +491,64 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("snapshot ships its training plan; budget and curriculum cuts replay") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_pipe_plan").toString + "/store"
+    val r = Pipeline.run(spark, sf, store)
+    val plan = VersionedStore.readTable(spark, store, r.version, "budget_plan")
+    val cuts = VersionedStore.readTable(spark, store, r.version, "curriculum_cuts")
+    val docs = VersionedStore.readTable(spark, store, r.version, "documents")
+
+    // the budget plan covers every published language and conserves
+    // the published token budget (each alloc rounds to 4 decimals)
+    val rows = plan.collect().map(p => (p.getString(0), p.getLong(1),
+      p.getLong(2), p.getDouble(3), p.getDouble(4)))
+    val langs = docs.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(rows.map(_._1).toSet === langs)
+    val totalTokens = rows.map(_._2).sum.toDouble
+    assert(math.abs(rows.map(_._4).sum - totalTokens) <= rows.length * 5e-5)
+    rows.foreach { case (l, _, capped, _, epochs) =>
+      if (capped == 1L)
+        assert(epochs === graft.queries.ExtensionQueries.UniMaxCap, s"lang $l")
+      else assert(epochs < graft.queries.ExtensionQueries.UniMaxCap, s"lang $l")
+    }
+
+    // recomputing the allocation from the published text (the
+    // snapshot's own per-language tokenizer rule) reproduces the
+    // published plan verbatim
+    val replan = graft.queries.ExtensionQueries.unimaxAlloc(
+      docs.select(col("lang"),
+        size(graft.functions.Tokenize.tokensByLang(col("text"), col("lang")))
+          .cast("long").as("n_tok"))
+        .groupBy("lang").agg(sum(col("n_tok")).as("n_tokens")))
+      .collect().map(p => p.getString(0) -> (p.getLong(1), p.getDouble(3),
+        p.getDouble(4))).toMap
+    rows.foreach { case (l, n, _, alloc, epochs) =>
+      val (rn, ra, re) = replan(l)
+      assert(rn === n && math.abs(ra - alloc) < 1e-6 &&
+        math.abs(re - epochs) < 1e-9, s"budget plan drifts for $l")
+    }
+
+    // the published cuts reproduce from the published text, and the
+    // phase rule partitions the release
+    val c = cuts.collect().head
+    val (c1, c2) = (c.getDouble(0), c.getDouble(1))
+    assert(c1 <= c2)
+    val recut = graft.queries.ExtensionQueries.curriculumCuts(
+      graft.queries.ExtensionQueries.qualityStatsOf(docs,
+        persistShared = false)).collect().head
+    assert(math.abs(recut.getDouble(0) - c1) < 1e-6 &&
+      math.abs(recut.getDouble(1) - c2) < 1e-6,
+      "republished curriculum cuts drift from the published text")
+    val scored = graft.queries.ExtensionQueries.qualityStatsOf(docs,
+      persistShared = false).select("quality").collect().map(_.getDouble(0))
+    val phased = scored.map(q => if (q <= c1) 3 else if (q <= c2) 2 else 1)
+    assert(phased.length.toLong === docs.count())
+    assert(phased.toSet === Set(1, 2, 3),
+      "the published release should populate all three phases")
+  }
+
   test("semantic dedup stage: the jittered twin is pruned, quantizer built once") {
     import spark.implicits._
     // 24 docs that pass every text gate (distinct 120-token bodies),
