@@ -2802,6 +2802,76 @@ object ExtensionQueries {
       round(expr("percentile(quality, 0.3333333333333333)"), 6).as("c1"),
       round(expr("percentile(quality, 0.6666666666666666)"), 6).as("c2"))
 
+  // ======================================================================
+  // x110: deterministic train/val/test split + near-dup LEAKAGE audit
+  // — the evaluation-hygiene gate every training-data release needs:
+  // a random-looking split is only sound if no held-out document has
+  // a near-duplicate in train (else the eval measures memorization of
+  // a leaked twin, the train/test contamination failure the dedup
+  // literature warns about). Split assignment is the hash-stable
+  // md5-mod convention (x25/x68): re-runs and corpus growth never
+  // move a decided doc between splits. Leakage = x04's near-dup pairs
+  // (the session-shared df-capped pair frame — this audit costs
+  // arithmetic, not a second posting self-join) whose endpoints land
+  // in DIFFERENT splits; the report counts leaked docs per split. At
+  // 100 TB: split is a per-row projection, the pair frame is the
+  // already-banded dedup working set, and the report is a 3-row agg.
+  private def splitOf(c: Column): Column = {
+    val h = conv(substring(md5(concat_ws("|", lit("split"), c)), 1, 7), 16, 10)
+      .cast("long") % 10
+    when(h === 0, "val").when(h === 1, "test").otherwise("train")
+  }
+
+  def x110_split_leakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+    val pairs = x04_ngram_jaccard(spark, sfDir).select("d1", "d2")
+    val crossing = pairs
+      .join(docs.select(col("doc_id").as("d1"), col("split").as("s1")), Seq("d1"))
+      .join(docs.select(col("doc_id").as("d2"), col("split").as("s2")), Seq("d2"))
+      .filter(col("s1") =!= col("s2"))
+    val leaked = crossing.select(col("d1").as("doc_id"), col("s1").as("split"))
+      .union(crossing.select(col("d2").as("doc_id"), col("s2").as("split")))
+      .distinct()
+    docs.groupBy("split").agg(count(lit(1)).as("n_docs"))
+      .join(leaked.groupBy("split").agg(count(lit(1)).as("n_leaked")),
+        Seq("split"), "left")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        round(coalesce(col("n_leaked"), lit(0L)) / col("n_docs"), 6)
+          .as("leak_rate"))
+      .orderBy("split")
+  }
+
+  val x110Sql: String = {
+    val hashmod =
+      """list_reduce(list_transform(range(1, 8),
+        |      i -> (strpos('0123456789abcdef',
+        |            substr(md5('split|' || doc_id::VARCHAR), i, 1)) - 1)::BIGINT),
+        |      (a, b) -> a * 16 + b) % 10""".stripMargin
+    s"""WITH $SqlSharedPairsCte,
+       |pairs AS (SELECT s.d1, s.d2
+       |  FROM shared s JOIN nsh n1 ON n1.doc_id = s.d1
+       |  JOIN nsh n2 ON n2.doc_id = s.d2
+       |  WHERE $SqlJaccardPred),
+       |docs AS (SELECT doc_id,
+       |  CASE $hashmod WHEN 0 THEN 'val' WHEN 1 THEN 'test'
+       |       ELSE 'train' END AS split
+       |  FROM documents),
+       |crossing AS (SELECT p.d1, p.d2, a.split AS s1, b.split AS s2
+       |  FROM pairs p JOIN docs a ON a.doc_id = p.d1
+       |  JOIN docs b ON b.doc_id = p.d2
+       |  WHERE a.split <> b.split),
+       |leaked AS (SELECT DISTINCT doc_id, split FROM (
+       |  SELECT d1 AS doc_id, s1 AS split FROM crossing
+       |  UNION ALL SELECT d2, s2 FROM crossing)),
+       |base AS (SELECT split, count(*)::BIGINT AS n_docs FROM docs GROUP BY split),
+       |lk AS (SELECT split, count(*)::BIGINT AS n_leaked FROM leaked GROUP BY split)
+       |SELECT b.split, b.n_docs, coalesce(l.n_leaked, 0)::BIGINT AS n_leaked,
+       |  round(coalesce(l.n_leaked, 0)::DOUBLE / b.n_docs, 6) AS leak_rate
+       |FROM base b LEFT JOIN lk l USING (split) ORDER BY b.split""".stripMargin
+  }
+
   // lazy: references the shared x08 quality fragments, which are
   // declared further down the object (the x107Sql init-order rule)
   lazy val x109Sql: String =
@@ -4425,6 +4495,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x107_knn_graph" -> (x107_knn_graph _),
     "x108_pmi" -> (x108_pmi _),
     "x109_curriculum" -> (x109_curriculum _),
+    "x110_split_leakage" -> (x110_split_leakage _),
     "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
@@ -4517,6 +4588,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x107_knn_graph" -> x107Sql,
     "x108_pmi" -> x108Sql,
     "x109_curriculum" -> x109Sql,
+    "x110_split_leakage" -> x110Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

@@ -50,6 +50,43 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec {
       s"phase counts ${phases.map(_._2).toSeq} don't sum to $total")
   }
 
+  private lazy val leakage =
+    ExtensionQueries.x110_split_leakage(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+  test("x110: splits partition the corpus at the hash-expected shares") {
+    val total = Tables.documents(spark, sf).count()
+    assert(leakage.map(_._2).sum == total)
+    val byName = leakage.map(l => l._1 -> l._2).toMap
+    // md5-mod-10: train=8/10, val/test=1/10 each, binomial variance
+    assert(byName("train") > total * 6 / 10, s"train ${byName("train")}")
+    assert(byName("val") > 10 && byName("val") < total * 2 / 10)
+    assert(byName("test") > 10 && byName("test") < total * 2 / 10)
+  }
+
+  test("x110: leaked-doc counts replay from the pair frame + the hash split") {
+    def split(id: Long): String = {
+      val h = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"split|$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(7), 16) % 10
+      if (h == 0) "val" else if (h == 1) "test" else "train"
+    }
+    val pairs = ExtensionQueries.x04_ngram_jaccard(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val leakedRef = pairs.flatMap { case (a, b) =>
+      if (split(a) != split(b)) Seq(a -> split(a), b -> split(b)) else Nil
+    }.distinct.groupBy(_._2).map { case (s, g) => s -> g.length.toLong }
+    leakage.foreach { case (s, _, nLeaked, rate) =>
+      assert(nLeaked == leakedRef.getOrElse(s, 0L),
+        s"split $s: $nLeaked vs replay ${leakedRef.getOrElse(s, 0L)}")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // the fixture must actually exercise leakage (x04 has cross-split
+    // pairs at sf0.001)
+    assert(leakage.map(_._3).sum > 0, "fixture has no leaked docs")
+  }
+
   test("x109: phase quality ranges are ordered easy-first") {
     val byPhase = phases.map(p => p._1 -> p).toMap
     // phase 1 = above the upper cut, phase 3 = at/below the lower cut;

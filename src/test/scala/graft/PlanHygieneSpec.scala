@@ -209,6 +209,14 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"phase assignment must be a broadcast-cuts projection, not a window:\n$p")
   }
 
+  test("x110 split leakage: id-keyed joins only, no cartesian, no corpus window") {
+    val p = plan(graft.queries.ExtensionQueries.x110_split_leakage(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in x110:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in x110:\n$p")
+    assert(!p.contains("Window"),
+      s"the audit is joins + aggregates, never a corpus window:\n$p")
+  }
+
   test("x96 indexed bm25: TakeOrdered, no cartesian, df broadcast") {
     val p = plan(graft.queries.ExtensionQueries.x96_bm25_indexed(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
