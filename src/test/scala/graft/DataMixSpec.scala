@@ -93,6 +93,33 @@ class DataMixSpec extends AnyFunSuite with SparkSpec {
     assert(shares.forall(s => math.abs(s - shares.head) < 1e-6))
   }
 
+  test("x104 allocator: a single language is never capped and takes the whole budget") {
+    import spark.implicits._
+    val out = ExtensionQueries.unimaxAlloc(
+      Seq(("solo", 100L)).toDF("lang", "n_tokens")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // C > 1 makes capping a single language impossible: C·n > B = n
+    assert(r.getLong(2) == 0L, "single language must be uncapped")
+    assert(math.abs(r.getDouble(3) - 100.0) < 1e-9, "alloc = whole budget")
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-9, "exactly one epoch")
+  }
+
+  test("x104 allocator: extreme skew caps every small language, greedy agrees") {
+    import spark.implicits._
+    val sizes = Seq(("tiny1", 10L), ("tiny2", 10L), ("huge", 1000L))
+    val out = ExtensionQueries.unimaxAlloc(sizes.toDF("lang", "n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSeq
+    val ref = greedyUniMax(sizes, ExtensionQueries.UniMaxCap)
+    out.foreach { case (lang, capped, alloc) =>
+      assert(math.abs(alloc - round(ref(lang), 4)) < 1e-6, s"$lang")
+      if (lang != "huge") assert(capped == 1L, s"$lang should cap")
+      else assert(capped == 0L, "the large language absorbs the rest")
+    }
+    // reclaimed budget lands on the big language: 1020 − 2·12 = 996
+    assert(math.abs(out.collect { case ("huge", _, a) => a }.head - 996.0) < 1e-6)
+  }
+
   // --- x105 DSIR --------------------------------------------------------
 
   /** Independent driver-side DSIR replay over the raw table: hashed

@@ -57,6 +57,22 @@ class KnnGraphSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("degenerate frames: a lone vector yields an empty graph, not an error") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val dim = ExtensionQueries.EmbDim
+    val one = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(1L, Seq.fill(dim)(0.5f))).asJava, schema)
+    assert(ExtensionQueries.knnGraphOf(one).count() == 0L)
+    val none = spark.createDataFrame(Seq.empty[org.apache.spark.sql.Row].asJava, schema)
+    assert(ExtensionQueries.knnGraphOf(none).count() == 0L)
+  }
+
   test("real-table recall lifts far above the random-candidate baseline") {
     val emb = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
