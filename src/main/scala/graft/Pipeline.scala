@@ -559,4 +559,71 @@ object Pipeline {
       s""""packed_tokens":${r.packedTokens}}""")
     spark.stop()
   }
+
+  /** Release-to-release delta report between two published snapshot
+    * versions — the "what changed since the last release" question a
+    * dataset consumer asks before retraining. Two sections in one
+    * tidy (section, lang, metric, value) frame:
+    *
+    *   - `docs`: added / removed / changed / unchanged counts from
+    *     ONE full-outer join on doc_id over the two releases'
+    *     documents tables, content compared by md5 — corpus-linear,
+    *     one shuffle, no tokenize.
+    *   - `vocab` (per language): old/new distinct-token estimates and
+    *     the appeared / dropped / common estimates, computed entirely
+    *     from the theta sketches the releases ALREADY ship in their
+    *     stats tables (SketchStore.vocabStats) — the diff reads two
+    *     kilobyte sketch rows per language and never touches text. At
+    *     100 TB this is the whole point: release drift is answerable
+    *     from artifacts, not corpus scans.
+    *
+    * Languages present in only one release appear with the other
+    * side's estimates at 0 (full-outer on lang).
+    */
+  def releaseDiff(spark: SparkSession, storeRoot: String,
+      vOld: Long, vNew: Long): DataFrame = {
+    import graft.functions.ThetaExpressions._
+    val oldDocs = VersionedStore.readTable(spark, storeRoot, vOld, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h_old"))
+    val newDocs = VersionedStore.readTable(spark, storeRoot, vNew, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h_new"))
+    val docs = oldDocs.join(newDocs, Seq("doc_id"), "full_outer")
+      .agg(
+        sum(when(col("h_old").isNull, 1L).otherwise(0L)).as("added"),
+        sum(when(col("h_new").isNull, 1L).otherwise(0L)).as("removed"),
+        sum(when(col("h_old").isNotNull && col("h_new").isNotNull &&
+          col("h_old") =!= col("h_new"), 1L).otherwise(0L)).as("changed"),
+        sum(when(col("h_old") === col("h_new"), 1L).otherwise(0L))
+          .as("unchanged"))
+      .select(explode(map(
+        lit("added"), col("added"), lit("removed"), col("removed"),
+        lit("changed"), col("changed"), lit("unchanged"), col("unchanged")))
+        .as(Seq("metric", "v")))
+      .select(lit("docs").as("section"), lit("").as("lang"),
+        col("metric"), col("v").cast("double").as("value"))
+    val emptyTheta = theta_agg(lit(null).cast("string"), 12)
+    val oldStats = VersionedStore.readTable(spark, storeRoot, vOld, "stats")
+      .select(col("lang"), col("token_theta").as("t_old"))
+    val newStats = VersionedStore.readTable(spark, storeRoot, vNew, "stats")
+      .select(col("lang"), col("token_theta").as("t_new"))
+    val empty = oldStats.sparkSession.range(1)
+      .agg(emptyTheta.as("e")).select("e").collect().head.getAs[Array[Byte]](0)
+    val vocab = oldStats.join(newStats, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("t_old"), lit(empty)).as("t_old"),
+        coalesce(col("t_new"), lit(empty)).as("t_new"))
+      .select(col("lang"),
+        theta_estimate(col("t_old")).as("vocab_old"),
+        theta_estimate(col("t_new")).as("vocab_new"),
+        theta_diff_estimate(col("t_new"), col("t_old")).as("appeared"),
+        theta_diff_estimate(col("t_old"), col("t_new")).as("dropped"),
+        theta_intersect_estimate(col("t_old"), col("t_new")).as("common"))
+      .select(col("lang"), explode(map(
+        lit("vocab_old"), col("vocab_old"), lit("vocab_new"), col("vocab_new"),
+        lit("appeared"), col("appeared"), lit("dropped"), col("dropped"),
+        lit("common"), col("common"))).as(Seq("metric", "value")))
+      .select(lit("vocab").as("section"), col("lang"), col("metric"),
+        col("value"))
+    docs.unionByName(vocab).orderBy("section", "lang", "metric")
+  }
 }
