@@ -2816,7 +2816,9 @@ object ExtensionQueries {
   // in DIFFERENT splits; the report counts leaked docs per split. At
   // 100 TB: split is a per-row projection, the pair frame is the
   // already-banded dedup working set, and the report is a 3-row agg.
-  private def splitOf(c: Column): Column = {
+  // private[graft]: DedupStream's eval guard applies the same split
+  // rule to quarantine cross-split near-dup arrivals
+  private[graft] def splitOf(c: Column): Column = {
     val h = conv(substring(md5(concat_ws("|", lit("split"), c)), 1, 7), 16, 10)
       .cast("long") % 10
     when(h === 0, "val").when(h === 1, "test").otherwise("train")

@@ -189,14 +189,16 @@ object DedupStream {
       gate: Option[ContamGate] = None,
       quality: Option[QualityGate] = None,
       softDedup: Boolean = false,
-      lexIndex: Boolean = false): StreamingQuery = {
+      lexIndex: Boolean = false,
+      evalGuard: Boolean = false): StreamingQuery = {
     val docs = spark.readStream.schema(VectorizeStream.docSchema).parquet(docsDir)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch.select("doc_id", "text", "lang"), batchId,
-          wordvecsLang, dim, storeRoot, gate, quality, softDedup, lexIndex)
+          wordvecsLang, dim, storeRoot, gate, quality, softDedup, lexIndex,
+          evalGuard)
       }
       .start()
   }
@@ -209,7 +211,8 @@ object DedupStream {
       storeRoot: String, gate: Option[ContamGate] = None,
       quality: Option[QualityGate] = None,
       softDedup: Boolean = false,
-      lexIndex: Boolean = false): Unit = {
+      lexIndex: Boolean = false,
+      evalGuard: Boolean = false): Unit = {
     val batchDocs = batch.persist()
     try {
       val batchIds = batchDocs.select("doc_id")
@@ -238,16 +241,38 @@ object DedupStream {
         .persist()
       val batchBands = ExtensionQueries.bandsOf(sh).persist()
       try {
-        val (drops, dupPairs, cand) = dropsOf(sh, batchBands, histBands,
+        val (drops, dupTagged, cand) = dropsOf(sh, batchBands, histBands,
           histDocs, histShpost, histDocn, histDf)
+        val dupPairs = dupTagged.select("d1", "d2").distinct()
         try {
           // SOFT mode: near-dups are accepted and RECORDED instead of
           // dropped — the verified pair frame lands in the `dupedges`
           // artifact and [[dupWeights]] turns its closure into x88's
           // 1/cluster_size sampling weights. Later gates still apply.
+          // The EVAL GUARD (x110's audit turned prevention): in soft
+          // mode, a verified dup pair whose endpoints land in
+          // DIFFERENT hash splits (ExtensionQueries.splitOf — the
+          // x110 rule) is eval leakage in the making — a same-split
+          // near-dup is downweighted, a cross-split one must not
+          // coexist. The guard drops exactly the pair's designated
+          // loser (dropsOf's own policy: the batch side of a history
+          // pair — history is immutable — else the greater id), so
+          // the published corpus never holds a cross-split near-dup
+          // pair and an x110-style audit of the store reads zero
+          // leaks. Hard mode needs no guard: near-dup pairs never
+          // coexist there at all.
           val dedupSurvivors =
-            if (softDedup) batchDocs
-            else batchDocs.join(drops, Seq("doc_id"), "left_anti")
+            if (softDedup) {
+              if (!evalGuard) batchDocs
+              else {
+                val crossing = dupTagged.filter(
+                  ExtensionQueries.splitOf(col("d1")) =!=
+                    ExtensionQueries.splitOf(col("d2")))
+                batchDocs.join(
+                  crossing.select(col("drop_id").as("doc_id")).distinct(),
+                  Seq("doc_id"), "left_anti")
+              }
+            } else batchDocs.join(drops, Seq("doc_id"), "left_anti")
           // contamination gate AFTER dedup (the Pipeline's stage
           // order — only dedup survivors pay the 8-gram projection).
           // Contaminated docs leave NO trace in the artifacts, like
@@ -541,9 +566,13 @@ object DedupStream {
       tagged.select("d1", "d2").distinct(), batchSh.unionByName(histSh))
     val verifiedTagged = verified.join(tagged, Seq("d1", "d2"))
     val drops = verifiedTagged.select(col("drop_id").as("doc_id")).distinct()
-    // the verified PAIR view of the same frame: hard mode consumes
-    // drops, soft mode consumes edges — each mode evaluates one
-    (drops, verifiedTagged.select("d1", "d2").distinct(), tagged)
+    // the verified TAGGED view of the same frame: hard mode consumes
+    // drops, soft mode consumes the (d1, d2) edge projection, and the
+    // eval guard needs the per-pair drop side — each mode evaluates
+    // its own projection of one computation
+    (drops,
+      verifiedTagged.select("d1", "d2", "drop_id", "hist_id").distinct(),
+      tagged)
   }
 
   private[streaming] val statsSchema: StructType = StructType(Seq(

@@ -220,6 +220,78 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     assert(edgeIds.subsetOf(allIds))
   }
 
+  test("eval guard: cross-split near-dup arrivals are quarantined, same-split downweighted") {
+    val work = Files.createTempDirectory("graft_dstream_guard")
+    val docsDir = work.resolve("docs_in")
+    Files.createDirectory(docsDir)
+    val store = work.resolve("store").toString
+    val ckpt = work.resolve("ckpt").toString
+    val wordvecs = graft.queries.ReferenceQueries.wordvecsByLang(spark, sf)
+
+    // hand-planted corpus with KNOWN split assignments (md5-mod-10 of
+    // "split|id": 2/11/12/13/14 -> train, 10/30 -> val) and disjoint
+    // per-group vocabularies so only the planted twins near-dup
+    def text(prefix: String, n: Int, tweak: Boolean = false): String = {
+      val toks = (1 to n).map(i => s"$prefix$i")
+      (if (tweak) toks.dropRight(1) :+ s"${prefix}zz" else toks).mkString(" ")
+    }
+    def shipBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = work.resolve(s"stage_$name")
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("s").as("source"), length(col("text")).cast("long").as("n_chars"))
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.copy(Paths.get(part), docsDir.resolve(s"$name.parquet"))
+    }
+    shipBatch("h", Seq(
+      2L -> text("aa", 40), 10L -> text("bb", 40), 13L -> text("cc", 40)))
+    DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
+      softDedup = true, evalGuard = true).awaitTermination(180000)
+    shipBatch("i", Seq(
+      11L -> text("bb", 40, tweak = true), // train twin of VAL 10: leak
+      12L -> text("aa", 40, tweak = true), // train twin of train 2: ok
+      30L -> text("cc", 40, tweak = true), // val twin of TRAIN 13: leak
+      14L -> text("dd", 40))) // unrelated
+    DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
+      softDedup = true, evalGuard = true).awaitTermination(180000)
+
+    val accepted = spark.read.parquet(s"$store/docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(accepted === Set(2L, 10L, 13L, 12L, 14L),
+      s"guard should quarantine 11 and 30, got $accepted")
+
+    // the same-split twin is downweighted, not dropped
+    val w = DedupStream.dupWeights(spark, store).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(w(2L) == 0.5 && w(12L) == 0.5, s"train twins share weight: $w")
+    assert(w(10L) == 1.0 && w(13L) == 1.0 && w(14L) == 1.0)
+
+    // the x110 invariant on the published store: re-running the exact
+    // pair verify over the accepted corpus finds NO cross-split pair
+    val pub = spark.read.parquet(s"$store/docs").select("doc_id", "text")
+    val sh = graft.queries.ExtensionQueries
+      .docShingles(pub, persistShared = false).persist()
+    val crossing = try {
+      val cand = graft.queries.ExtensionQueries.bandCandidatesOf(sh)
+        .unionByName(graft.queries.ExtensionQueries.dupEdgesFromPosting(sh))
+        .distinct()
+      graft.queries.ExtensionQueries.dupVerifiedOf(cand, sh)
+        .filter(graft.queries.ExtensionQueries.splitOf(col("d1")) =!=
+          graft.queries.ExtensionQueries.splitOf(col("d2")))
+        .count()
+    } finally sh.unpersist()
+    assert(crossing == 0L, "published corpus must hold no cross-split near-dup")
+
+    // dup edges never reference a quarantined doc
+    val edgeIds = spark.read.parquet(s"$store/dupedges")
+      .select(col("d1").as("x")).unionByName(
+        spark.read.parquet(s"$store/dupedges").select(col("d2").as("x")))
+      .as[Long].collect().toSet
+    assert(edgeIds.subsetOf(accepted))
+  }
+
   test("contamination gate in the loop: flagged docs never reach the artifacts") {
     val work = Files.createTempDirectory("graft_dstream_gate")
     val docsDir = work.resolve("docs_in")
