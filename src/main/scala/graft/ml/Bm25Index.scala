@@ -187,6 +187,24 @@ object Bm25Index {
     scoreAndTop(ix.posting.filter(col("token").isin(terms: _*)),
       ix.df.filter(col("token").isin(terms: _*)), ix.consts, topK)
 
+  /** Boolean-AND posting primitive: ids of documents whose posting
+    * contains EVERY given term. The conjunction of the classic
+    * inverted-index algebra — a token-pruned posting fetch (cost
+    * ∝ Σ df(terms), the filter pushes into the token-clustered scan)
+    * plus one doc-keyed count; OR is a union of conjunctions and NOT
+    * an anti-join, so arbitrary boolean queries compose from this one
+    * primitive plus relational set ops (x111's shape). Posting rows
+    * are unique per (doc, token) by construction, so the count needs
+    * no distinct.
+    */
+  def conjunction(ix: Index, terms: Seq[String]): DataFrame = {
+    val ts = terms.distinct
+    ix.posting.filter(col("token").isin(ts: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === ts.size)
+      .select("doc_id")
+  }
+
   /** Search with a DYNAMIC term frame (one `token` column) — the entry
     * a query-expansion round needs, where the term set is itself a
     * query result. The posting prune is a broadcast equi-join instead

@@ -2540,11 +2540,7 @@ object ExtensionQueries {
   def x106_phrase(spark: SparkSession, sfDir: String): DataFrame = {
     val phrase = PhraseTerms.mkString(" ")
     val ix = graft.ml.Bm25Index.build(spark, sfDir)
-    val cand = ix.posting
-      .filter(col("token").isin(PhraseTerms: _*))
-      .groupBy("doc_id").agg(count(lit(1)).as("nt"))
-      .filter(col("nt") === PhraseTerms.size)
-      .select("doc_id")
+    val cand = graft.ml.Bm25Index.conjunction(ix, PhraseTerms)
     Tables.documents(spark, sfDir)
       .join(cand, Seq("doc_id"))
       // token array materialized before the shingles HOF (docShingles
@@ -2580,6 +2576,57 @@ object ExtensionQueries {
        |FROM sh
        |WHERE len(list_filter(g2, g -> g = '$phrase')) > 0
        |ORDER BY n_occ DESC, doc_id""".stripMargin
+  }
+
+  // ======================================================================
+  // x111: boolean retrieval over the inverted index — the unranked
+  // query algebra (AND / OR / NOT) every inverted-index engine ships
+  // beside its ranked search: compliance filters, candidate
+  // prefilters, and corpus slicing are boolean questions, not ranking
+  // ones. The whole query compiles to posting operations via ONE
+  // primitive (Bm25Index.conjunction: token-pruned fetch + doc-keyed
+  // count, cost ∝ Σ df) composed with relational set ops — OR is a
+  // full-outer merge of conjunctions, NOT an anti-join. No corpus
+  // scan, no text read: the answer never leaves the index. Fixed
+  // query: ((hash AND join AND merge) OR (sort AND line AND batch))
+  // AND NOT window, with per-branch membership flags.
+  private[graft] val BoolLeft = Seq("hash", "join", "merge")
+  private[graft] val BoolRight = Seq("sort", "line", "batch")
+  private[graft] val BoolNeg = Seq("window")
+
+  def x111_boolean(spark: SparkSession, sfDir: String): DataFrame = {
+    val ix = graft.ml.Bm25Index.build(spark, sfDir)
+    val left = graft.ml.Bm25Index.conjunction(ix, BoolLeft)
+      .select(col("doc_id"), lit(1L).as("in_left"))
+    val right = graft.ml.Bm25Index.conjunction(ix, BoolRight)
+      .select(col("doc_id"), lit(1L).as("in_right"))
+    left.join(right, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("in_left"), lit(0L)).as("in_left"),
+        coalesce(col("in_right"), lit(0L)).as("in_right"))
+      .join(graft.ml.Bm25Index.conjunction(ix, BoolNeg),
+        Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  val x111Sql: String = {
+    def conj(terms: Seq[String]): String = {
+      val list = terms.map(t => s"'$t'").mkString(", ")
+      s"SELECT doc_id FROM post WHERE token IN ($list) " +
+        s"GROUP BY doc_id HAVING count(*) = ${terms.size}"
+    }
+    s"""WITH post AS (SELECT DISTINCT doc_id, unnest($SqlTok) AS token
+       |  FROM documents),
+       |l AS (${conj(BoolLeft)}),
+       |r AS (${conj(BoolRight)}),
+       |neg AS (${conj(BoolNeg)}),
+       |f AS (SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+       |  CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS in_left,
+       |  CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS in_right
+       |  FROM l FULL OUTER JOIN r ON l.doc_id = r.doc_id)
+       |SELECT doc_id, in_left, in_right FROM f
+       |WHERE doc_id NOT IN (SELECT doc_id FROM neg)
+       |ORDER BY doc_id""".stripMargin
   }
 
   // ======================================================================
@@ -4498,6 +4545,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x108_pmi" -> (x108_pmi _),
     "x109_curriculum" -> (x109_curriculum _),
     "x110_split_leakage" -> (x110_split_leakage _),
+    "x111_boolean" -> (x111_boolean _),
     "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
@@ -4591,6 +4639,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x108_pmi" -> x108Sql,
     "x109_curriculum" -> x109Sql,
     "x110_split_leakage" -> x110Sql,
+    "x111_boolean" -> x111Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

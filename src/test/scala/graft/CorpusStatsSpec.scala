@@ -87,6 +87,25 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec {
     assert(leakage.map(_._3).sum > 0, "fixture has no leaked docs")
   }
 
+  test("x111: membership flags replay from raw token sets") {
+    val got = ExtensionQueries.x111_boolean(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet)
+    val expect = docs.flatMap { case (id, toks) =>
+      val l = ExtensionQueries.BoolLeft.forall(toks)
+      val rr = ExtensionQueries.BoolRight.forall(toks)
+      val n = ExtensionQueries.BoolNeg.forall(toks)
+      if ((l || rr) && !n)
+        Some(id -> ((if (l) 1L else 0L, if (rr) 1L else 0L)))
+      else None
+    }.toMap
+    assert(got === expect, "boolean answer diverges from the raw-text replay")
+    assert(got.nonEmpty && got.values.exists(_._1 == 1L) &&
+      got.values.exists(_._2 == 1L), "both branches should be populated")
+  }
+
   test("x109: phase quality ranges are ordered easy-first") {
     val byPhase = phases.map(p => p._1 -> p).toMap
     // phase 1 = above the upper cut, phase 3 = at/below the lower cut;

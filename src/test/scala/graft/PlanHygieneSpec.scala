@@ -217,6 +217,18 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"the audit is joins + aggregates, never a corpus window:\n$p")
   }
 
+  test("x111 boolean: pure posting algebra — no cartesian, no window, no text read") {
+    val df = graft.queries.ExtensionQueries.x111_boolean(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in x111:\n$p")
+    assert(!p.contains("Window"), s"boolean retrieval needs no window:\n$p")
+    // the answer never leaves the index: no tokenizer anywhere in the
+    // query-side plan (the posting build lives behind the cache)
+    p.linesIterator.filter(l => l.contains("Filter") || l.contains("Project"))
+      .foreach(l => assert(!l.contains("split(lower"),
+        s"text tokenization leaked into the boolean query:\n$l"))
+  }
+
   test("x96 indexed bm25: TakeOrdered, no cartesian, df broadcast") {
     val p = plan(graft.queries.ExtensionQueries.x96_bm25_indexed(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
