@@ -2630,6 +2630,202 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x112: intra-document repetition statistics — the Gopher-family
+  // repetition filters (Rae et al. 2021, "Scaling Language Models",
+  // appendix A1.1: fraction-of-characters-in-duplicate-n-grams and
+  // friends) adapted to this corpus's token level. Excessively
+  // repetitive text is the single most common failure mode of
+  // crawled training data (boilerplate loops, template spam, decoder
+  // babble), and every production curation stack gates on it; x08's
+  // quality score (length/punct/stopword) cannot see it because a
+  // repetitive doc is made of perfectly ordinary tokens. Per doc:
+  // type-token ratio (distinct/total — low = repetitive), the
+  // fraction of token instances claimed by the single most frequent
+  // bigram (top2_frac — the "top n-gram coverage" signal), and the
+  // duplicate-trigram fraction (repeat occurrences / total — the
+  // "duplicate n-gram" signal). Shapes: ONE corpus pass — per-row
+  // array HOFs for the distinct-count signals (no shuffle at all),
+  // and the bigram-mode signal rides a (doc_id, gram)-keyed count +
+  // doc-keyed max — fine-grained keys, no skew, corpus-linear; the
+  // per-doc scalars ride the exploded rows so no join back onto the
+  // corpus is needed. Thresholding is left to x57-style gates (the
+  // x71 convention: ship the signal, not the verdict).
+  def x112_repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val exploded = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+      // g3 materialized once here so the two consumers below reference
+      // the column, not two HOF evaluations (docShingles rule)
+      .select(col("doc_id"), col("toks"),
+        Tokenize.shingles(col("toks"), 3).as("g3"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("double").as("n_dist"),
+        size(col("g3")).cast("double").as("n3"),
+        (size(col("g3")) - size(array_distinct(col("g3"))))
+          .cast("double").as("dup3"),
+        // outer: a doc too short for a bigram still reports its row
+        explode_outer(Tokenize.shingles(col("toks"), 2)).as("g"))
+    exploded
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(col("g")).as("c"), first(col("n_tokens")).as("n_tokens"),
+        first(col("n_dist")).as("n_dist"), first(col("n3")).as("n3"),
+        first(col("dup3")).as("dup3"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        first(col("n_dist")).as("n_dist"), first(col("n3")).as("n3"),
+        first(col("dup3")).as("dup3"), max(col("c")).as("max2"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(when(col("n_tokens") > 0, col("n_dist") / col("n_tokens"))
+          .otherwise(0.0), 6).as("ttr"),
+        round(when(col("n_tokens") > 0,
+            coalesce(col("max2") * 2.0, lit(0.0)) / col("n_tokens"))
+          .otherwise(0.0), 6).as("top2_frac"),
+        round(when(col("n3") > 0, col("dup3") / col("n3"))
+          .otherwise(0.0), 6).as("dup3_frac"))
+      .orderBy("doc_id")
+  }
+
+  val x112Sql: String =
+    s"""WITH tok AS (SELECT doc_id, $SqlTok AS toks FROM documents),
+       |b AS (SELECT doc_id, toks,
+       |  list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+       |    i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS g2,
+       |  list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+       |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS g3
+       |  FROM tok),
+       |t2 AS (SELECT doc_id, max(c) AS max2 FROM (
+       |  SELECT doc_id, g, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(g2) AS g FROM b) GROUP BY 1, 2)
+       |  GROUP BY 1)
+       |SELECT b.doc_id, len(b.toks)::BIGINT AS n_tokens,
+       |  round(CASE WHEN len(b.toks) > 0
+       |    THEN len(list_distinct(b.toks))::DOUBLE / len(b.toks)
+       |    ELSE 0.0 END, 6) AS ttr,
+       |  round(CASE WHEN len(b.toks) > 0
+       |    THEN coalesce(t2.max2 * 2.0, 0.0) / len(b.toks)
+       |    ELSE 0.0 END, 6) AS top2_frac,
+       |  round(CASE WHEN len(g3) > 0
+       |    THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3)
+       |    ELSE 0.0 END, 6) AS dup3_frac
+       |FROM b LEFT JOIN t2 USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ======================================================================
+  // x113: "did-you-mean" spell correction against the index VOCABULARY
+  // — the query-assist layer every search deployment puts in front of
+  // x91/x96: a term with no (or thin) postings is corrected to the
+  // in-vocabulary terms within edit distance 1, ranked by document
+  // frequency (the signal the index already maintains — popular
+  // spellings are likelier intended). Candidate generation is x78's
+  // SymSpell deletion-neighborhood equi-join (lossless for distance
+  // ≤ 1 — see the proof sketch at x78), applied asymmetrically: the
+  // vocabulary side fans out once into |token|+1 deletion keys (a
+  // DIMENSION — the df table, never the corpus; at scale this variant
+  // frame is published WITH the index, the artifact convention), the
+  // query side is a handful of literals broadcast against it. The
+  // codegen levenshtein verify then runs only on key-collision
+  // candidates, and a per-query window ranks (distance, df desc,
+  // token) — a total order, so top-3 is deterministic in both
+  // engines. No corpus scan at query time; cost ∝ |V|.
+  private[graft] val SpellQueries =
+    Seq("sprk", "merg", "joinn", "windoe", "batchh")
+
+  def x113_spellfix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // self + all single-deletion variants — the distance-1 join keys
+    def delKeys(c: Column): Column =
+      array_distinct(concat(array(c),
+        transform(sequence(lit(1), length(c)),
+          i => concat(c.substr(lit(1), i - 1),
+            c.substr(i + 1, length(c))))))
+    val ix = graft.ml.Bm25Index.build(spark, sfDir)
+    val vocab = ix.df.select(col("token"), col("df"),
+      explode(delKeys(col("token"))).as("k"))
+    val qs = SpellQueries.toDF("qterm")
+      .select(col("qterm"), explode(delKeys(col("qterm"))).as("k"))
+    val w = Window.partitionBy(col("qterm"))
+      .orderBy(col("dist"), col("df").desc, col("token"))
+    vocab.join(broadcast(qs), Seq("k"))
+      .select(col("qterm"), col("token"), col("df")).distinct()
+      .withColumn("dist", levenshtein(col("qterm"), col("token")).cast("long"))
+      .filter(col("dist") <= 1)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("qterm"), col("rank"))
+  }
+
+  val x113Sql: String = {
+    val qlist = SpellQueries.map(q => s"'$q'").mkString(", ")
+    s"""WITH post AS (SELECT DISTINCT doc_id, unnest($SqlTok) AS token
+       |  FROM documents),
+       |v AS (SELECT token, count(*)::BIGINT AS df FROM post GROUP BY token),
+       |q AS (SELECT unnest([$qlist]) AS qterm),
+       |cand AS (SELECT q.qterm, v.token, v.df,
+       |    levenshtein(q.qterm, v.token)::BIGINT AS dist
+       |  FROM q CROSS JOIN v
+       |  WHERE levenshtein(q.qterm, v.token) <= 1),
+       |r AS (SELECT qterm, token, df, dist,
+       |    row_number() OVER (PARTITION BY qterm
+       |      ORDER BY dist, df DESC, token) AS rank
+       |  FROM cand)
+       |SELECT qterm, token, df, dist, rank::BIGINT AS rank
+       |FROM r WHERE rank <= 3 ORDER BY qterm, rank""".stripMargin
+  }
+
+  // ======================================================================
+  // x114: proximity (minimum-cover-span) scoring — the term-distance
+  // signal between x91's bag-of-words BM25 and x106's exact-phrase
+  // match: docs where the query terms appear NEAR each other rank
+  // above docs where they merely co-occur (the classic proximity
+  // re-rank every lexical engine layers on). Same two-stage shape as
+  // x106: (1) candidates from the inverted index — the conjunction
+  // primitive, cost ∝ Σ df — then (2) per-row position extraction on
+  // the candidate docs only (one pass over the token array via a
+  // sequence+filter HOF; no explode, no shuffle) and the min pairwise
+  // position gap, O(tf_a × tf_b) per row — bounded by IN-DOC term
+  // frequencies, never corpus size. Ships the raw span (1 = adjacent,
+  // x106's phrase case) plus both term frequencies; a reranker folds
+  // it into the score its own way.
+  private[graft] val ProxTerms = Seq("scan", "stream")
+
+  def x114_proximity(spark: SparkSession, sfDir: String): DataFrame = {
+    val ix = graft.ml.Bm25Index.build(spark, sfDir)
+    val cand = graft.ml.Bm25Index.conjunction(ix, ProxTerms)
+    val Seq(ta, tb) = ProxTerms
+    def positions(toks: Column, t: String): Column =
+      filter(sequence(lit(1), size(toks)), i => element_at(toks, i) === t)
+    Tables.documents(spark, sfDir)
+      .join(cand, Seq("doc_id"))
+      .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        positions(col("toks"), ta).as("p1"),
+        positions(col("toks"), tb).as("p2"))
+      .select(col("doc_id"),
+        size(col("p1")).cast("long").as("tf_a"),
+        size(col("p2")).cast("long").as("tf_b"),
+        (array_min(flatten(transform(col("p1"),
+          a => transform(col("p2"), b => abs(a - b))))) + 1)
+          .cast("long").as("min_span"))
+      .orderBy(col("min_span"), col("doc_id"))
+  }
+
+  val x114Sql: String = {
+    val Seq(ta, tb) = ProxTerms
+    s"""WITH tok AS (SELECT doc_id, $SqlTok AS toks FROM documents),
+       |c AS (SELECT doc_id FROM
+       |    (SELECT DISTINCT doc_id, unnest(toks) AS token FROM tok)
+       |  WHERE token IN ('$ta', '$tb')
+       |  GROUP BY doc_id HAVING count(*) = 2),
+       |p AS (SELECT t.doc_id,
+       |    list_filter(range(1, len(toks) + 1), i -> toks[i] = '$ta') AS p1,
+       |    list_filter(range(1, len(toks) + 1), i -> toks[i] = '$tb') AS p2
+       |  FROM tok t JOIN c USING (doc_id))
+       |SELECT doc_id, len(p1)::BIGINT AS tf_a, len(p2)::BIGINT AS tf_b,
+       |  (list_min(flatten(list_transform(p1,
+       |    a -> list_transform(p2, b -> abs(a - b))))) + 1)::BIGINT AS min_span
+       |FROM p ORDER BY min_span, doc_id""".stripMargin
+  }
+
+  // ======================================================================
   // x107: approximate k-NN GRAPH construction — every node's top-k
   // nearest neighbors, the substrate SemDeDup-style clustering, label
   // propagation, and graph-based curation algorithms consume (x90's
@@ -4546,6 +4742,9 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x109_curriculum" -> (x109_curriculum _),
     "x110_split_leakage" -> (x110_split_leakage _),
     "x111_boolean" -> (x111_boolean _),
+    "x112_repetition" -> (x112_repetition _),
+    "x113_spellfix" -> (x113_spellfix _),
+    "x114_proximity" -> (x114_proximity _),
     "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
@@ -4640,6 +4839,9 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x109_curriculum" -> x109Sql,
     "x110_split_leakage" -> x110Sql,
     "x111_boolean" -> x111Sql,
+    "x112_repetition" -> x112Sql,
+    "x113_spellfix" -> x113Sql,
+    "x114_proximity" -> x114Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

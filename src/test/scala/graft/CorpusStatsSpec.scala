@@ -106,6 +106,100 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec {
       got.values.exists(_._2 == 1L), "both branches should be populated")
   }
 
+  private def rawToks(s: String): Seq[String] =
+    s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  private def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("x112: repetition stats replay from raw text") {
+    val got = ExtensionQueries.x112_repetition(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> rawToks(r.getString(1)))
+    assert(got.size == docs.length, "every doc reports a repetition row")
+    def grams(t: Seq[String], n: Int): Seq[String] =
+      if (t.size < n) Nil else t.sliding(n).map(_.mkString(" ")).toSeq
+    docs.foreach { case (id, t) =>
+      val (nTok, ttr, top2, dup3) = got(id)
+      assert(nTok == t.size)
+      assert(ttr == round6(t.distinct.size.toDouble / t.size), s"ttr @$id")
+      val g2 = grams(t, 2)
+      val expTop2 =
+        if (g2.isEmpty) 0.0
+        else round6(g2.groupBy(identity).values.map(_.size).max * 2.0 / t.size)
+      assert(top2 == expTop2, s"top2_frac @$id: $top2 vs $expTop2")
+      val g3 = grams(t, 3)
+      val expDup3 =
+        if (g3.isEmpty) 0.0
+        else round6((g3.size - g3.distinct.size).toDouble / g3.size)
+      assert(dup3 == expDup3, s"dup3_frac @$id: $dup3 vs $expDup3")
+    }
+    // the signal must discriminate on this corpus: repetitive word
+    // soup has duplicate trigrams somewhere, and ttr varies
+    assert(got.values.exists(_._4 > 0.0), "no doc shows duplicate trigrams")
+    assert(got.values.map(_._2).toSet.size > 1, "ttr is constant")
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = d(0); d(0) = j
+      for (i <- 1 to a.length) {
+        val cur = d(i)
+        d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    d(a.length)
+  }
+
+  test("x113: deletion-join suggestions ≡ brute-force levenshtein over the vocabulary") {
+    val got = ExtensionQueries.x113_spellfix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => rawToks(r.getString(1)).distinct)
+    val df = docs.flatten.groupBy(identity).map { case (t, g) =>
+      t -> g.length.toLong
+    }
+    val expect = ExtensionQueries.SpellQueries.flatMap { q =>
+      df.toSeq.map { case (t, c) => (q, t, c, lev(q, t).toLong) }
+        .filter(_._4 <= 1)
+        .sortBy { case (_, t, c, d) => (d, -c, t) }
+        .take(3).zipWithIndex
+        .map { case ((qq, t, c, d), i) => (qq, t, c, d, i + 1L) }
+    }
+    assert(got.toSeq.sorted == expect.sorted,
+      s"spellfix diverges from brute force:\n got ${got.toSeq}\n exp $expect")
+    // fixture strength: the misspellings actually correct to something
+    assert(got.map(_._1).distinct.length >= 4,
+      "most planted misspellings should find a distance-1 vocabulary term")
+  }
+
+  test("x114: min-cover span replays from raw positions") {
+    val got = ExtensionQueries.x114_proximity(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val Seq(ta, tb) = ExtensionQueries.ProxTerms
+    val expect = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .flatMap { r =>
+        val t = rawToks(r.getString(1))
+        val p1 = t.zipWithIndex.collect { case (x, i) if x == ta => i + 1 }
+        val p2 = t.zipWithIndex.collect { case (x, i) if x == tb => i + 1 }
+        if (p1.isEmpty || p2.isEmpty) None
+        else Some(r.getLong(0) -> ((p1.size.toLong, p2.size.toLong,
+          (for (a <- p1; b <- p2) yield math.abs(a - b)).min + 1L)))
+      }.toMap
+    assert(got === expect, "proximity diverges from the raw-position replay")
+    assert(got.nonEmpty, "fixture has no co-occurring docs")
+    // span 1 would mean adjacency (x106's phrase case); all spans are
+    // at least 1 and bounded by the doc's token count
+    assert(got.values.forall(_._3 >= 1))
+  }
+
   test("x109: phase quality ranges are ordered easy-first") {
     val byPhase = phases.map(p => p._1 -> p).toMap
     // phase 1 = above the upper cut, phase 3 = at/below the lower cut;

@@ -229,6 +229,35 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
         s"text tokenization leaked into the boolean query:\n$l"))
   }
 
+  test("x112 repetition: per-doc HOFs + fine-keyed agg — no join, no window, no cartesian") {
+    val p = plan(graft.queries.ExtensionQueries.x112_repetition(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in x112:\n$p")
+    assert(!p.contains("Window"),
+      s"the bigram mode is a two-level agg, never a corpus window:\n$p")
+    // the scalars ride the exploded rows — no join back onto the corpus
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"x112 should be a single-pass agg, no join:\n$p")
+  }
+
+  test("x113 spellfix: deletion-key equi-join with the query side broadcast, never vocab×query") {
+    val p = plan(graft.queries.ExtensionQueries.x113_spellfix(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in x113:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in x113:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the literal query frame must broadcast against the variant keys:\n$p")
+  }
+
+  test("x114 proximity: conjunction candidates prune before tokenize, no cartesian") {
+    val p = plan(graft.queries.ExtensionQueries.x114_proximity(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in x114:\n$p")
+    // x106's pushdown pin: position extraction must never leak into a
+    // corpus-scan Filter below the candidate join
+    p.linesIterator.filter(_.contains("Filter")).foreach { l =>
+      assert(!l.contains("split(lower"),
+        s"tokenize leaked into a Filter (pushdown regression):\n$l")
+    }
+  }
+
   test("x96 indexed bm25: TakeOrdered, no cartesian, df broadcast") {
     val p = plan(graft.queries.ExtensionQueries.x96_bm25_indexed(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
