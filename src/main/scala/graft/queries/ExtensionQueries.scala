@@ -2826,6 +2826,109 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x115: session co-visitation matrix — the recommender-systems
+  // primitive ("users who viewed X in a session also viewed Y"), and
+  // the behavioral sibling of x108's document-level PMI: the item
+  // pair space is generated per SESSION, never across the corpus.
+  // Sessions are x12's rule verbatim (30-min inactivity gap over the
+  // per-user event stream); items are the `props.k` payload (F14's
+  // extraction); a session contributes each co-visited pair once
+  // (distinct before the pair join). Shapes: the sessionized item
+  // frame is session-keyed, so the pair self-join is an equi-join on
+  // (user, session) whose fan-out is bounded by per-session DISTINCT
+  // item counts — the classic covisitation bound Σ s_i², which real
+  // deployments additionally cap per session; pair aggregation keys
+  // on (item_a, item_b) — a dimension-sized result (items², not
+  // events²). One window (entity-partitioned), two shuffles, no
+  // corpus-wide structure.
+  def x115_covisit(spark: SparkSession, sfDir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    // distinct (user, session, item) — cached because BOTH sides of
+    // the pair join read it (the x78 discipline: without the cache
+    // the sessionization window runs twice)
+    val sess = graft.Caches.persist(
+      Tables.events(spark, sfDir)
+        .withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("item", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("item").isNotNull)
+        .withColumn("prev", lag(col("us"), 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("us") - col("prev") > 1800L * 1000000L,
+            1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("session_id"), col("item")).distinct())
+    sess.as("a").join(sess.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_id") === col("b.session_id") &&
+          col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("item_a"), col("item_b"))
+  }
+
+  val x115Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,
+      |    json_extract_string(props, '$.k')::BIGINT AS item
+      |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      |l AS (SELECT user_id, event_id, us, item,
+      |  lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+      |s AS (SELECT user_id, item,
+      |  sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY us, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM l),
+      |d AS (SELECT DISTINCT user_id, session_id, item FROM s)
+      |SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_sessions
+      |FROM d a JOIN d b
+      |  ON a.user_id = b.user_id AND a.session_id = b.session_id
+      |  AND a.item < b.item
+      |GROUP BY 1, 2 ORDER BY n_sessions DESC, item_a, item_b""".stripMargin
+
+  // ======================================================================
+  // x116: per-document TF-IDF keyword extraction — the doc-tagging /
+  // faceting operator (every corpus browser and labeling pipeline
+  // wants "what is this doc about" as a handful of terms). Classic
+  // tf·ln(N/df) with the top-3 per doc; ranking happens on the
+  // ROUNDED score (the x105 convention) with a token tie-break, so
+  // the cut is deterministic in both engines. Shapes: tf and df both
+  // derive from the session-shared (doc, token) posting — one
+  // tokenize for the whole query — df and N ride a token-keyed join
+  // + a 1-row broadcast, and the top-3 is a doc-partitioned window
+  // (fine-grained keys; x58's bounded TopK Aggregator is the
+  // drop-in alternative where rank output isn't needed).
+  def x116_keywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docTok(Tables.documents(spark, sfDir))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n") / col("df")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val x116Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+       |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+       |sc AS (SELECT tf.doc_id, tf.token, tf.tf,
+       |    round(tf.tf * ln(n.n / df.df), 6) AS score
+       |  FROM tf JOIN df USING (token) CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, token) AS rank FROM sc)
+       |SELECT doc_id, token, tf, score, rank::BIGINT AS rank
+       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // ======================================================================
   // x107: approximate k-NN GRAPH construction — every node's top-k
   // nearest neighbors, the substrate SemDeDup-style clustering, label
   // propagation, and graph-based curation algorithms consume (x90's
@@ -4745,6 +4848,8 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x112_repetition" -> (x112_repetition _),
     "x113_spellfix" -> (x113_spellfix _),
     "x114_proximity" -> (x114_proximity _),
+    "x115_covisit" -> (x115_covisit _),
+    "x116_keywords" -> (x116_keywords _),
     "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
@@ -4842,6 +4947,8 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x112_repetition" -> x112Sql,
     "x113_spellfix" -> x113Sql,
     "x114_proximity" -> x114Sql,
+    "x115_covisit" -> x115Sql,
+    "x116_keywords" -> x116Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

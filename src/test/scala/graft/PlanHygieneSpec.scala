@@ -258,6 +258,23 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("x115 covisit: session-keyed equi pair join, entity-partitioned window, no cartesian") {
+    val p = plan(graft.queries.ExtensionQueries.x115_covisit(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"the pair space must stay per-session (equi-join):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in x115:\n$p")
+  }
+
+  test("x116 keywords: doc-partitioned window over the shared posting, no cartesian") {
+    val p = plan(graft.queries.ExtensionQueries.x116_keywords(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in x116:\n$p")
+    // the ranking window must partition by doc_id — never a global sort
+    // of the scored posting (the single-partition WindowExec trap)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && !l.contains("doc_id")),
+      s"window must partition by doc_id:\n$p")
+  }
+
   test("x96 indexed bm25: TakeOrdered, no cartesian, df broadcast") {
     val p = plan(graft.queries.ExtensionQueries.x96_bm25_indexed(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
