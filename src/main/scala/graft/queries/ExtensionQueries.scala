@@ -2929,6 +2929,67 @@ object ExtensionQueries {
        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
   // ======================================================================
+  // x117: snippet extraction — the result-page highlight every search
+  // front-end needs: for each retrieved doc, the W-token window
+  // containing the MOST query-term instances (earliest such window on
+  // ties), returned as position + matched count + the joined snippet
+  // text. Two-stage like x106/x114: candidates from the posting
+  // conjunction (cost ∝ Σ df), then a per-row sliding-window argmax
+  // on candidate docs only — counts per start via slice+filter HOFs,
+  // max + first-index via array_max/array_position, all codegen
+  // array ops, O(n·W) per row, no explode, no shuffle beyond the
+  // candidate join. At scale the window scan runs on the ≤k docs a
+  // ranker admitted, not the corpus.
+  private[graft] val SnippetTerms = Seq("group", "filter")
+  private[graft] val SnippetW = 10
+
+  def x117_snippet(spark: SparkSession, sfDir: String): DataFrame = {
+    val ix = graft.ml.Bm25Index.build(spark, sfDir)
+    val cand = graft.ml.Bm25Index.conjunction(ix, SnippetTerms)
+    val isTerm: Column => Column =
+      t => SnippetTerms.map(t === _).reduce(_ || _)
+    Tables.documents(spark, sfDir)
+      .join(cand, Seq("doc_id"))
+      .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        transform(
+          sequence(lit(1), greatest(size(col("toks")) - (SnippetW - 1), lit(1))),
+          s => size(filter(slice(col("toks"), s, lit(SnippetW)), isTerm)))
+          .as("counts"))
+      .select(col("doc_id"), col("toks"),
+        array_max(col("counts")).cast("long").as("n_matched"),
+        array_position(col("counts"), array_max(col("counts")))
+          .as("best_start"))
+      .select(col("doc_id"), col("best_start"), col("n_matched"),
+        concat_ws(" ", slice(col("toks"), col("best_start").cast("int"),
+          lit(SnippetW))).as("snippet"))
+      .orderBy(col("n_matched").desc, col("doc_id"))
+  }
+
+  val x117Sql: String = {
+    val isTerm = SnippetTerms.map(t => s"t = '$t'").mkString(" OR ")
+    val w = SnippetW
+    s"""WITH tok AS (SELECT doc_id, $SqlTok AS toks FROM documents),
+       |c AS (SELECT doc_id FROM
+       |    (SELECT DISTINCT doc_id, unnest(toks) AS token FROM tok)
+       |  WHERE token IN (${SnippetTerms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY doc_id HAVING count(*) = ${SnippetTerms.size}),
+       |cnt AS (SELECT t.doc_id, toks,
+       |    list_transform(range(1, greatest(len(toks) - ${w - 1}, 1) + 1),
+       |      s -> len(list_filter(list_slice(toks, s, s + ${w - 1}),
+       |        t -> ($isTerm)))) AS counts
+       |  FROM tok t JOIN c USING (doc_id)),
+       |b AS (SELECT doc_id, toks,
+       |    list_max(counts)::BIGINT AS n_matched,
+       |    list_position(counts, list_max(counts))::BIGINT AS best_start
+       |  FROM cnt)
+       |SELECT doc_id, best_start, n_matched,
+       |  array_to_string(list_slice(toks, best_start, best_start + ${w - 1}),
+       |    ' ') AS snippet
+       |FROM b ORDER BY n_matched DESC, doc_id""".stripMargin
+  }
+
+  // ======================================================================
   // x107: approximate k-NN GRAPH construction — every node's top-k
   // nearest neighbors, the substrate SemDeDup-style clustering, label
   // propagation, and graph-based curation algorithms consume (x90's
@@ -4850,6 +4911,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x114_proximity" -> (x114_proximity _),
     "x115_covisit" -> (x115_covisit _),
     "x116_keywords" -> (x116_keywords _),
+    "x117_snippet" -> (x117_snippet _),
     "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
@@ -4949,6 +5011,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x114_proximity" -> x114Sql,
     "x115_covisit" -> x115Sql,
     "x116_keywords" -> x116Sql,
+    "x117_snippet" -> x117Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

@@ -256,6 +256,30 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec {
     assert(got.size == docs.length * 3, "every doc should yield 3 keywords")
   }
 
+  test("x117: best snippet window replays from a raw sliding scan") {
+    val got = ExtensionQueries.x117_snippet(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val terms = ExtensionQueries.SnippetTerms.toSet
+    val w = ExtensionQueries.SnippetW
+    val expect = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .flatMap { r =>
+        val t = rawToks(r.getString(1))
+        if (!terms.forall(t.contains(_))) None
+        else {
+          val starts = 1 to math.max(t.size - (w - 1), 1)
+          val counts = starts.map(s => t.slice(s - 1, s - 1 + w).count(terms))
+          val m = counts.max
+          val best = counts.indexOf(m) + 1
+          Some(r.getLong(0) -> ((best.toLong, m.toLong,
+            t.slice(best - 1, best - 1 + w).mkString(" "))))
+        }
+      }.toMap
+    assert(got === expect, "snippet choice diverges from the driver scan")
+    // fixture strength: some doc matches both terms inside one window
+    assert(got.values.exists(_._2 >= 2), "no window captures 2+ matches")
+  }
+
   test("x109: phase quality ranges are ordered easy-first") {
     val byPhase = phases.map(p => p._1 -> p).toMap
     // phase 1 = above the upper cut, phase 3 = at/below the lower cut;

@@ -275,6 +275,15 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"window must partition by doc_id:\n$p")
   }
 
+  test("x117 snippet: conjunction candidates prune before the window scan, no cartesian") {
+    val p = plan(graft.queries.ExtensionQueries.x117_snippet(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in x117:\n$p")
+    p.linesIterator.filter(_.contains("Filter")).foreach { l =>
+      assert(!l.contains("split(lower"),
+        s"tokenize leaked into a Filter (pushdown regression):\n$l")
+    }
+  }
+
   test("x96 indexed bm25: TakeOrdered, no cartesian, df broadcast") {
     val p = plan(graft.queries.ExtensionQueries.x96_bm25_indexed(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
