@@ -2990,6 +2990,75 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x118: label propagation over the k-NN graph — the semi-supervised
+  // labeling substrate (Zhu & Ghahramani 2002; "label spreading" in
+  // every data-curation stack that has a few trusted labels and a
+  // similarity graph): seeds keep their label, each unlabeled node
+  // takes the MAJORITY label among its x107 neighbors' current
+  // labels (ties → smallest label), two synchronous rounds. Seeds
+  // are the vec_id % 3 == 0 third of the embeddings table's labels;
+  // the rest are held out, so the output's `correct` flag measures
+  // propagation accuracy against ground truth the algorithm never
+  // saw. Shapes: the banded-LSH graph is built once and cached (both
+  // rounds read it); each round is one id-keyed equi-join onto the
+  // current label frame + an anti-join to restrict to the unlabeled
+  // frontier + a (node, label)-keyed count with a per-node argmax
+  // window — all fine-grained keys, T rounds = T bounded shuffles,
+  // the x90 fixed-iteration discipline.
+  def x118_label_prop(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = graft.Caches.persist(
+      x107_knn_graph(spark, sfDir).select(col("vec_id").as("u"), col("nb")))
+    val truth = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val l0 = truth.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"), col("label"), lit(0L).as("round"))
+    def propagate(labels: DataFrame, rnd: Int): DataFrame = {
+      val w = Window.partitionBy("u").orderBy(col("c").desc, col("label"))
+      edges
+        .join(labels.select(col("vec_id").as("nb"), col("label")), Seq("nb"))
+        .join(labels.select(col("vec_id").as("u")), Seq("u"), "left_anti")
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("u").as("vec_id"), col("label"),
+          lit(rnd.toLong).as("round"))
+    }
+    val l1 = l0.unionByName(propagate(l0, 1))
+    val l2 = l1.unionByName(propagate(l1, 2))
+    l2.join(truth.select(col("vec_id"), col("label").as("true_label")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("round"),
+        when(col("label") === col("true_label"), 1L).otherwise(0L)
+          .as("correct"))
+      .orderBy("vec_id")
+  }
+
+  lazy val x118Sql: String =
+    s"""WITH knn AS ($x107Sql),
+       |truth AS (SELECT vec_id, label::BIGINT AS label FROM embeddings),
+       |l0 AS (SELECT vec_id, label, 0::BIGINT AS round FROM truth
+       |  WHERE vec_id % 3 = 0),
+       |n1 AS (SELECT k.vec_id AS u, l.label, count(*) AS c
+       |  FROM knn k JOIN l0 l ON k.nb = l.vec_id
+       |  WHERE k.vec_id NOT IN (SELECT vec_id FROM l0)
+       |  GROUP BY 1, 2),
+       |a1 AS (SELECT u AS vec_id, label, 1::BIGINT AS round FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY u
+       |     ORDER BY c DESC, label) AS rn FROM n1) WHERE rn = 1),
+       |l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM a1),
+       |n2 AS (SELECT k.vec_id AS u, l.label, count(*) AS c
+       |  FROM knn k JOIN l1 l ON k.nb = l.vec_id
+       |  WHERE k.vec_id NOT IN (SELECT vec_id FROM l1)
+       |  GROUP BY 1, 2),
+       |a2 AS (SELECT u AS vec_id, label, 2::BIGINT AS round FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY u
+       |     ORDER BY c DESC, label) AS rn FROM n2) WHERE rn = 1),
+       |l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM a2)
+       |SELECT l2.vec_id, l2.label, l2.round,
+       |  CASE WHEN l2.label = t.label THEN 1 ELSE 0 END::BIGINT AS correct
+       |FROM l2 JOIN truth t ON l2.vec_id = t.vec_id
+       |ORDER BY l2.vec_id""".stripMargin
+
+  // ======================================================================
   // x107: approximate k-NN GRAPH construction — every node's top-k
   // nearest neighbors, the substrate SemDeDup-style clustering, label
   // propagation, and graph-based curation algorithms consume (x90's
@@ -4912,6 +4981,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x115_covisit" -> (x115_covisit _),
     "x116_keywords" -> (x116_keywords _),
     "x117_snippet" -> (x117_snippet _),
+    "x118_label_prop" -> (x118_label_prop _),
     "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
@@ -5012,6 +5082,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x115_covisit" -> x115Sql,
     "x116_keywords" -> x116Sql,
     "x117_snippet" -> x117Sql,
+    "x118_label_prop" -> x118Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

@@ -280,6 +280,40 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.exists(_._2 >= 2), "no window captures 2+ matches")
   }
 
+  test("x118: two propagation rounds replay from the x107 graph + seed labels") {
+    val got = ExtensionQueries.x118_label_prop(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val edges = ExtensionQueries.x107_knn_graph(spark, sf)
+      .select("vec_id", "nb").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val truth = Tables.embeddings(spark, sf).selectExpr(
+        "vec_id", "cast(label as long) as label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var labels = truth.filter(_._1 % 3 == 0)
+    var assigned = labels.map { case (v, l) => v -> ((l, 0L)) }
+    for (rnd <- 1 to 2) {
+      val newly = edges
+        .filter { case (u, nb) => !labels.contains(u) && labels.contains(nb) }
+        .groupBy(_._1).map { case (u, es) =>
+          val counts = es.map(e => labels(e._2))
+            .groupBy(identity).map { case (l, g) => (l, g.size) }
+          // majority, ties to the smallest label
+          u -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      labels = labels ++ newly
+      assigned = assigned ++ newly.map { case (v, l) => v -> ((l, rnd.toLong)) }
+    }
+    val expect = assigned.map { case (v, (l, rnd)) =>
+      v -> ((l, rnd, if (l == truth(v)) 1L else 0L))
+    }
+    assert(got === expect, "propagation diverges from the driver replay")
+    // fixture strength: the graph actually propagates — both rounds
+    // assign someone, and held-out nodes got labeled
+    assert(got.values.exists(_._2 == 1L) && got.values.exists(_._2 == 2L),
+      "both propagation rounds should assign labels")
+  }
+
   test("x109: phase quality ranges are ordered easy-first") {
     val byPhase = phases.map(p => p._1 -> p).toMap
     // phase 1 = above the upper cut, phase 3 = at/below the lower cut;

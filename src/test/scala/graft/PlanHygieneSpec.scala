@@ -284,6 +284,12 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("x118 label propagation: id-keyed joins over the cached graph, no cartesian") {
+    val p = plan(graft.queries.ExtensionQueries.x118_label_prop(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in x118:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in x118:\n$p")
+  }
+
   test("x96 indexed bm25: TakeOrdered, no cartesian, df broadcast") {
     val p = plan(graft.queries.ExtensionQueries.x96_bm25_indexed(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
