@@ -1344,14 +1344,18 @@ object ExtensionQueries {
     * `pairs` CTE (which edge rule feeds the closure) is the only part
     * that differs.
     */
-  private val SqlClosureTail =
+  // split so x119 can reuse the closure CTEs under its own final select
+  private val SqlClosureCtes =
     """edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
       |reach(n, m) AS (
       |  SELECT a, a FROM edges
       |  UNION
-      |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
-      |SELECT n AS doc_id, min(m) AS cluster_id, count(DISTINCT m)::BIGINT AS cluster_size
-      |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
+      |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)""".stripMargin
+
+  private val SqlClosureTail =
+    s"""$SqlClosureCtes
+       |SELECT n AS doc_id, min(m) AS cluster_id, count(DISTINCT m)::BIGINT AS cluster_size
+       |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
 
   val x29Sql: String =
     s"""WITH RECURSIVE $SqlSharedPairsCte,
@@ -2841,12 +2845,14 @@ object ExtensionQueries {
   // on (item_a, item_b) — a dimension-sized result (items², not
   // events²). One window (entity-partitioned), two shuffles, no
   // corpus-wide structure.
-  def x115_covisit(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Distinct (user, session, item) under x12's session rule — cached
+    * because BOTH sides of the pair join read it (the x78 discipline:
+    * without the cache the sessionization window runs twice), and
+    * shared with x120's normalization marginals.
+    */
+  private def covisitSessions(spark: SparkSession, sfDir: String): DataFrame = {
     val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-    // distinct (user, session, item) — cached because BOTH sides of
-    // the pair join read it (the x78 discipline: without the cache
-    // the sessionization window runs twice)
-    val sess = graft.Caches.persist(
+    graft.Caches.persist(
       Tables.events(spark, sfDir)
         .withColumn("us", expr("unix_micros(ts)"))
         .withColumn("item", get_json_object(col("props"), "$.k").cast("long"))
@@ -2858,17 +2864,27 @@ object ExtensionQueries {
         .withColumn("session_id", sum(col("new_sess")).over(
           wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("user_id"), col("session_id"), col("item")).distinct())
+  }
+
+  /** The per-session co-visited pair counts both x115 and x120 rank. */
+  private def covisitPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sess = covisitSessions(spark, sfDir)
     sess.as("a").join(sess.as("b"),
         col("a.user_id") === col("b.user_id") &&
           col("a.session_id") === col("b.session_id") &&
           col("a.item") < col("b.item"))
       .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
       .agg(count(lit(1)).as("n_sessions"))
-      .orderBy(col("n_sessions").desc, col("item_a"), col("item_b"))
   }
 
-  val x115Sql: String =
-    """WITH e AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,
+  def x115_covisit(spark: SparkSession, sfDir: String): DataFrame =
+    covisitPairs(spark, sfDir)
+      .orderBy(col("n_sessions").desc, col("item_a"), col("item_b"))
+
+  // shared between x115Sql and x120Sql: sessionized distinct items
+  // (d) — must stay the one statement of the session rule
+  private val SqlCovisitCtes =
+    """e AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,
       |    json_extract_string(props, '$.k')::BIGINT AS item
       |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
       |l AS (SELECT user_id, event_id, us, item,
@@ -2878,12 +2894,48 @@ object ExtensionQueries {
       |    OVER (PARTITION BY user_id ORDER BY us, event_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM l),
-      |d AS (SELECT DISTINCT user_id, session_id, item FROM s)
-      |SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_sessions
-      |FROM d a JOIN d b
+      |d AS (SELECT DISTINCT user_id, session_id, item FROM s),
+      |p AS (SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_sessions
+      |  FROM d a JOIN d b
       |  ON a.user_id = b.user_id AND a.session_id = b.session_id
       |  AND a.item < b.item
-      |GROUP BY 1, 2 ORDER BY n_sessions DESC, item_a, item_b""".stripMargin
+      |  GROUP BY 1, 2)""".stripMargin
+
+  val x115Sql: String =
+    s"""WITH $SqlCovisitCtes
+       |SELECT item_a, item_b, n_sessions FROM p
+       |ORDER BY n_sessions DESC, item_a, item_b""".stripMargin
+
+  // ======================================================================
+  // x120: normalized item-item similarity — x115's raw co-visitation
+  // counts are popularity-dominated (frequent items co-occur with
+  // everything); the cosine normalization c_ab / √(s_a·s_b) — the
+  // classic item-based collaborative-filtering weight — divides out
+  // both marginals, surfacing items that co-occur MORE than their
+  // popularity predicts. Ranking is on the ROUNDED similarity with
+  // an (item_a, item_b) tie-break (the cross-engine determinism
+  // discipline). Shapes: one extra item-keyed count over the SAME
+  // cached session frame plus two joins against the pair frame keyed
+  // on single items — both dimension-sized at any corpus scale.
+  def x120_item_sim(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnt = covisitSessions(spark, sfDir)
+      .groupBy(col("item")).agg(count(lit(1)).as("s"))
+    covisitPairs(spark, sfDir)
+      .join(cnt.select(col("item").as("item_a"), col("s").as("sa")), Seq("item_a"))
+      .join(cnt.select(col("item").as("item_b"), col("s").as("sb")), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_sessions"),
+        round(col("n_sessions") / sqrt(col("sa") * col("sb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("item_a"), col("item_b"))
+  }
+
+  val x120Sql: String =
+    s"""WITH $SqlCovisitCtes,
+       |cnt AS (SELECT item, count(*)::BIGINT AS s FROM d GROUP BY item)
+       |SELECT p.item_a, p.item_b, p.n_sessions,
+       |  round(p.n_sessions / sqrt(ca.s * cb.s), 6) AS sim
+       |FROM p JOIN cnt ca ON p.item_a = ca.item
+       |JOIN cnt cb ON p.item_b = cb.item
+       |ORDER BY sim DESC, item_a, item_b""".stripMargin
 
   // ======================================================================
   // x116: per-document TF-IDF keyword extraction — the doc-tagging /
@@ -3057,6 +3109,59 @@ object ExtensionQueries {
        |  CASE WHEN l2.label = t.label THEN 1 ELSE 0 END::BIGINT AS correct
        |FROM l2 JOIN truth t ON l2.vec_id = t.vec_id
        |ORDER BY l2.vec_id""".stripMargin
+
+  // ======================================================================
+  // x119: quality-canonical dedup policy — the THIRD answer to "which
+  // cluster member survives", completing the family: x72/Pipeline
+  // keep min-id (stable, arbitrary), x90's centrality keeps the most
+  // REPRESENTATIVE member, this keeps the highest-QUALITY member
+  // (the policy C4/CCNet-style curation actually wants: near-dup
+  // groups often mix a clean original with mangled re-crawls).
+  // Keeper = argmax (x08 quality, tie → min doc_id) per x72
+  // cross-measure cluster, selected on the ROUNDED score so both
+  // engines cut identically. Shapes: the closure is x72's banded
+  // min-label propagation, quality is the shared-posting aggregate,
+  // and the keeper is one first_value window over cluster-sized
+  // partitions — nothing new shuffles beyond what x72+x08 already
+  // pay.
+  def x119_quality_canonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = x72_dup_clusters_all(spark, sfDir)
+      .select("doc_id", "cluster_id")
+    val q = x08_quality(spark, sfDir).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(q, Seq("doc_id"))
+      .withColumn("keeper", first(col("doc_id")).over(w))
+      .select(col("cluster_id"), col("doc_id"), col("quality"), col("keeper"),
+        when(col("doc_id") === col("keeper"), 1L).otherwise(0L).as("is_keeper"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  // lazy: SqlQualityStCte/SqlQualityExpr are declared further down the
+  // object (a plain val would interpolate their pre-init null)
+  lazy val x119Sql: String = {
+    // the pair CTEs also define a `tok`; qualify the quality fragment's
+    // names so both families coexist in one statement
+    val qcte = SqlQualityStCte.replace("tok AS", "qtok AS")
+      .replace("FROM tok", "FROM qtok").replace("st AS", "qst AS")
+    val qexpr = SqlQualityExpr.replace("st.", "qst.")
+    s"""WITH RECURSIVE $SqlSharedPairsCte,
+       |pairs AS (SELECT s.d1, s.d2 FROM shared s
+       |          JOIN nsh n1 ON n1.doc_id = s.d1 JOIN nsh n2 ON n2.doc_id = s.d2
+       |          WHERE $SqlJaccardPred OR $SqlContainPred),
+       |$SqlClosureCtes,
+       |clus AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+       |$qcte,
+       |q AS (SELECT d.doc_id, $qexpr AS quality
+       |  FROM documents d LEFT JOIN qst USING (doc_id)),
+       |j AS (SELECT c.cluster_id, c.doc_id, q.quality
+       |  FROM clus c JOIN q USING (doc_id)),
+       |k AS (SELECT *, first_value(doc_id) OVER (PARTITION BY cluster_id
+       |    ORDER BY quality DESC, doc_id) AS keeper FROM j)
+       |SELECT cluster_id, doc_id, quality, keeper,
+       |  CASE WHEN doc_id = keeper THEN 1 ELSE 0 END::BIGINT AS is_keeper
+       |FROM k ORDER BY cluster_id, doc_id""".stripMargin
+  }
 
   // ======================================================================
   // x107: approximate k-NN GRAPH construction — every node's top-k
@@ -4982,6 +5087,8 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x116_keywords" -> (x116_keywords _),
     "x117_snippet" -> (x117_snippet _),
     "x118_label_prop" -> (x118_label_prop _),
+    "x119_quality_canonical" -> (x119_quality_canonical _),
+    "x120_item_sim" -> (x120_item_sim _),
     "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
@@ -5083,6 +5190,8 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x116_keywords" -> x116Sql,
     "x117_snippet" -> x117Sql,
     "x118_label_prop" -> x118Sql,
+    "x119_quality_canonical" -> x119Sql,
+    "x120_item_sim" -> x120Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

@@ -314,6 +314,70 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec {
       "both propagation rounds should assign labels")
   }
 
+  test("x119: quality keeper replays from the x72 clusters + x08 scores") {
+    val got = ExtensionQueries.x119_quality_canonical(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val clusters = ExtensionQueries.x72_dup_clusters_all(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val quality = ExtensionQueries.x08_quality(spark, sf)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = clusters.groupBy(_._2).toSeq.flatMap { case (cid, members) =>
+      val keeper = members.map(_._1)
+        .minBy(d => (-quality(d), d))
+      members.toSeq.map { case (d, _) =>
+        (cid, d) -> ((quality(d), keeper, if (d == keeper) 1L else 0L))
+      }
+    }.toMap
+    assert(got === expect, "keeper choice diverges from the driver argmax")
+    // policy distinction: somewhere the quality argmax is NOT the
+    // min-id member (else this operator is x72's policy renamed)
+    val minIdKeepers = clusters.groupBy(_._2).map { case (c, m) =>
+      c -> m.map(_._1).min
+    }
+    val qKeepers = expect.collect { case ((c, d), (_, k, 1L)) => c -> k }.toMap
+    assert(qKeepers.exists { case (c, k) => minIdKeepers(c) != k },
+      "fixture never distinguishes quality-keeper from min-id keeper")
+  }
+
+  test("x120: normalized similarity replays from x115 counts + session marginals") {
+    val got = ExtensionQueries.x120_item_sim(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val raw = ExtensionQueries.x115_covisit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // marginals: how many sessions each item appears in — recompute
+    // from raw events via the x115 replay path already proven above
+    val events = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) as us",
+        "cast(get_json_object(props, '$.k') as long) as item")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sessItems = events.groupBy(_._1).values.flatMap { evs =>
+      val ordered = evs.sortBy(e => (e._3, e._2))
+      ordered.foldLeft(List.empty[List[(Long, Long)]]) { case (acc, e) =>
+        acc match {
+          case (cur @ ((lastUs, _) :: _)) :: rest
+              if e._3 - lastUs <= 1800L * 1000000L =>
+            ((e._3, e._4) :: cur) :: rest
+          case _ => List((e._3, e._4)) :: acc
+        }
+      }.map(_.map(_._2).distinct)
+    }.toSeq
+    val marg = sessItems.flatten.groupBy(identity)
+      .map { case (i, g) => i -> g.size.toLong }
+    assert(got.keySet == raw.keySet, "x120 must cover exactly x115's pairs")
+    got.foreach { case ((a, b), (n, sim)) =>
+      assert(n == raw((a, b)))
+      val exp = round6(n / math.sqrt(marg(a).toDouble * marg(b)))
+      assert(sim == exp, s"sim($a,$b) $sim != $exp")
+      assert(sim > 0.0 && sim <= 1.0)
+    }
+  }
+
   test("x109: phase quality ranges are ordered easy-first") {
     val byPhase = phases.map(p => p._1 -> p).toMap
     // phase 1 = above the upper cut, phase 3 = at/below the lower cut;

@@ -290,6 +290,18 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in x118:\n$p")
   }
 
+  test("x119 quality canonical: closure + cluster-partitioned window, no cartesian") {
+    val p = plan(graft.queries.ExtensionQueries.x119_quality_canonical(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in x119:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in x119:\n$p")
+  }
+
+  test("x120 item similarity: dimension-keyed joins only, no cartesian") {
+    val p = plan(graft.queries.ExtensionQueries.x120_item_sim(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in x120:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in x120:\n$p")
+  }
+
   test("x96 indexed bm25: TakeOrdered, no cartesian, df broadcast") {
     val p = plan(graft.queries.ExtensionQueries.x96_bm25_indexed(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
