@@ -3164,6 +3164,96 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x121: hard-negative mining — the DPR-style training-data recipe
+  // (Karpukhin et al. 2020): a retriever trains best on negatives
+  // that LOOK relevant — BM25-top docs the dense ranking does NOT
+  // consider close. Per batch query: lexical top-k (x100's exact
+  // frame) anti-joined against the dense top-k (x101's dense leg),
+  // survivors re-ranked by their lexical rank — "lexically seductive,
+  // semantically wrong", the contrastive examples a training pipeline
+  // exports next to its positives. Shapes: both legs are the already-
+  // bounded per-query top-k frames (≤k rows per query); the mining
+  // itself is one id-keyed anti-join + a window over ≤k-row
+  // partitions — free at any corpus scale once the legs exist.
+  def x121_hard_negatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val lex = x100_bm25_batch(spark, sfDir)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").as("rank_lex"), col("score"))
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", VecMath.asDouble(col("embedding")))
+      .withColumn("nrm", VecMath.l2norm(col("v")))
+    val q = e.filter(col("vec_id").isin(MmrQueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val dw = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("doc_id"))
+    val dense = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        when(col("qn") > 0 && col("nrm") > 0,
+          VecMath.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .otherwise(lit(0.0)).as("cos"))
+      .withColumn("rank_dense", row_number().over(dw))
+      .filter(col("rank_dense") <= RrfTopK)
+      .select("query_id", "doc_id")
+    val w = Window.partitionBy("query_id").orderBy(col("rank_lex"))
+    lex.join(dense, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("neg_rank"), col("doc_id"),
+        col("rank_lex"), col("score"))
+      .orderBy("query_id", "neg_rank")
+  }
+
+  val x121Sql: String = {
+    val vals = BmBatchTerms
+      .map { case (q, t) => s"($q::BIGINT, '$t')" }.mkString(", ")
+    val allTerms = BmBatchTerms.map(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    val ids = MmrQueryIds.mkString(", ")
+    s"""WITH post AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM post GROUP BY doc_id),
+       |consts AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+       |           (SELECT avg(dl) FROM dl) AS avgdl),
+       |qt(query_id, token) AS (VALUES $vals),
+       |qpost AS (SELECT q.query_id, p.doc_id, p.token
+       |          FROM post p JOIN qt q USING (token)),
+       |tf AS (SELECT query_id, doc_id, token, count(*)::BIGINT AS tf
+       |       FROM qpost GROUP BY 1, 2, 3),
+       |idf AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM post
+       |        WHERE token IN ($allTerms) GROUP BY token),
+       |s AS (SELECT t.query_id, t.doc_id,
+       |  round(sum(ln((c.n - i.df + 0.5) / (i.df + 0.5) + 1.0) *
+       |    (t.tf * ($Bm25K1 + 1)) /
+       |    (t.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * d.dl / c.avgdl))), 6)
+       |    AS score
+       |  FROM tf t JOIN idf i USING (token) JOIN dl d USING (doc_id)
+       |  CROSS JOIN consts c
+       |  GROUP BY t.query_id, t.doc_id),
+       |lexr AS (SELECT query_id, doc_id, rank_lex, score FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY score DESC, doc_id) AS rank_lex FROM s)
+       |  WHERE rank_lex <= $Bm25TopK),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id IN ($ids)),
+       |sc AS (SELECT q.query_id, e.vec_id AS doc_id,
+       |  list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+       |dr AS (SELECT query_id, doc_id FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY cos DESC, doc_id) AS rank_dense FROM sc)
+       |  WHERE rank_dense <= $RrfTopK),
+       |h AS (SELECT l.query_id, l.doc_id, l.rank_lex, l.score
+       |  FROM lexr l LEFT JOIN dr d
+       |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+       |  WHERE d.doc_id IS NULL)
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY rank_lex)::BIGINT
+       |    AS neg_rank,
+       |  doc_id, rank_lex::BIGINT AS rank_lex, score
+       |FROM h ORDER BY query_id, neg_rank""".stripMargin
+  }
+
+  // ======================================================================
   // x107: approximate k-NN GRAPH construction — every node's top-k
   // nearest neighbors, the substrate SemDeDup-style clustering, label
   // propagation, and graph-based curation algorithms consume (x90's
@@ -5089,6 +5179,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x118_label_prop" -> (x118_label_prop _),
     "x119_quality_canonical" -> (x119_quality_canonical _),
     "x120_item_sim" -> (x120_item_sim _),
+    "x121_hard_negatives" -> (x121_hard_negatives _),
     "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
@@ -5192,6 +5283,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x118_label_prop" -> x118Sql,
     "x119_quality_canonical" -> x119Sql,
     "x120_item_sim" -> x120Sql,
+    "x121_hard_negatives" -> x121Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

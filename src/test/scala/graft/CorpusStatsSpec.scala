@@ -378,6 +378,34 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("x121: hard negatives are lexical-top rows minus the dense leg, densely re-ranked") {
+    val got = ExtensionQueries.x121_hard_negatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val lex = ExtensionQueries.x100_bm25_batch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+    // every negative is a lexical-top row with its rank/score intact
+    got.foreach { case (q, _, d, rl, s) =>
+      assert(lex.contains((q, d)), s"($q,$d) not in the lexical top-k")
+      assert(lex((q, d)) == ((rl, s)), s"rank/score mutated for ($q,$d)")
+    }
+    // neg_rank is dense 1..m per query, ordered by lexical rank
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val byNeg = rows.sortBy(_._2)
+      assert(byNeg.map(_._2).toSeq == (1L to rows.length).toSeq,
+        s"query $q: neg_rank not dense")
+      assert(byNeg.map(_._4).toSeq == byNeg.map(_._4).toSeq.sorted,
+        s"query $q: negatives not ordered by lexical rank")
+    }
+    // the mining must actually exclude something AND keep something
+    // across the batch (on isotropic-noise embeddings an individual
+    // query's two legs can be fully disjoint)
+    assert(got.length < lex.size,
+      "dense leg excluded nothing anywhere — not a hard-negative set")
+    assert(got.nonEmpty, "fixture yields no hard negatives")
+  }
+
   test("x109: phase quality ranges are ordered easy-first") {
     val byPhase = phases.map(p => p._1 -> p).toMap
     // phase 1 = above the upper cut, phase 3 = at/below the lower cut;

@@ -302,6 +302,11 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in x120:\n$p")
   }
 
+  test("x121 hard negatives: bounded-leg anti-join, no cartesian beyond the 4-row query broadcast") {
+    val p = plan(graft.queries.ExtensionQueries.x121_hard_negatives(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in x121:\n$p")
+  }
+
   test("x96 indexed bm25: TakeOrdered, no cartesian, df broadcast") {
     val p = plan(graft.queries.ExtensionQueries.x96_bm25_indexed(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
