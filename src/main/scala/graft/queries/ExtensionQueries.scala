@@ -3254,6 +3254,55 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x122: temperature-scaled multilingual mixture — the sampling rule
+  // x104's UniMax is the alternative TO (and what its paper
+  // benchmarks against): q_l ∝ p_l^α with α = 0.3, the mBERT/XLM-R
+  // convention that upsamples tail languages without the hard epoch
+  // cap. Shipping BOTH planners lets a run A/B the two budget
+  // policies over the same corpus census. Per language: raw share p,
+  // tempered sampling probability q, token allocation q·budget, and
+  // implied epochs (q·budget / n_l — the over-sampling factor the
+  // cap-less rule is criticized for, visible in the output on
+  // purpose). Shapes: the corpus pays the one tokenize+agg census
+  // x104 already prices; everything after runs on the ≤5-row
+  // language dimension (global windows on a dimension frame — the
+  // x104 discipline).
+  private[graft] val TempAlpha = 0.3
+
+  def x122_temp_mixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .select(col("lang"), size(Tokenize.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("lang").agg(sum(col("n_tok")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).cast("double").as("budget"))
+    val wAll = Window.orderBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_tokens") / col("budget"))
+      .withColumn("pa", pow(col("p"), lit(TempAlpha)))
+      .withColumn("q", col("pa") / sum(col("pa")).over(wAll))
+      .select(col("lang"), col("n_tokens"),
+        round(col("p"), 6).as("p"),
+        round(col("q"), 6).as("q"),
+        round(col("q") * col("budget"), 4).as("alloc_tokens"),
+        round(col("q") * col("budget") / col("n_tokens"), 6).as("epochs"))
+      .orderBy("lang")
+  }
+
+  val x122Sql: String =
+    s"""WITH per AS (SELECT lang, sum(len($SqlTok))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |tot AS (SELECT sum(n_tokens)::DOUBLE AS budget FROM per),
+       |s AS (SELECT lang, n_tokens, budget,
+       |    n_tokens / budget AS p,
+       |    pow(n_tokens / budget, $TempAlpha) AS pa
+       |  FROM per, tot),
+       |n AS (SELECT *, pa / sum(pa) OVER () AS q FROM s)
+       |SELECT lang, n_tokens, round(p, 6) AS p, round(q, 6) AS q,
+       |  round(q * budget, 4) AS alloc_tokens,
+       |  round(q * budget / n_tokens, 6) AS epochs
+       |FROM n ORDER BY lang""".stripMargin
+
+  // ======================================================================
   // x107: approximate k-NN GRAPH construction — every node's top-k
   // nearest neighbors, the substrate SemDeDup-style clustering, label
   // propagation, and graph-based curation algorithms consume (x90's
@@ -5180,6 +5229,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x119_quality_canonical" -> (x119_quality_canonical _),
     "x120_item_sim" -> (x120_item_sim _),
     "x121_hard_negatives" -> (x121_hard_negatives _),
+    "x122_temp_mixture" -> (x122_temp_mixture _),
     "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
@@ -5284,6 +5334,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x119_quality_canonical" -> x119Sql,
     "x120_item_sim" -> x120Sql,
     "x121_hard_negatives" -> x121Sql,
+    "x122_temp_mixture" -> x122Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

@@ -127,6 +127,49 @@ class DataMixSpec extends AnyFunSuite with SparkSpec {
     * per-doc count-weighted LLR, top-k by (rounded weight desc,
     * doc_id).
     */
+  private lazy val tempered =
+    ExtensionQueries.x122_temp_mixture(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+
+  test("x122: tempered probabilities normalize and conserve the budget") {
+    assert(math.abs(tempered.map(_._4).sum - 1.0) <= tempered.length * 5e-7,
+      s"q does not sum to 1: ${tempered.map(_._4).sum}")
+    val totalTokens = tempered.map(_._2).sum.toDouble
+    val totalAlloc = tempered.map(_._5).sum
+    assert(math.abs(totalAlloc - totalTokens) <= tempered.length * 5e-5,
+      s"alloc $totalAlloc != budget $totalTokens")
+  }
+
+  test("x122: α < 1 compresses shares — tails upsampled, heads downsampled, order kept") {
+    val byN = tempered.sortBy(_._2)
+    // q stays monotone in n (tempering reorders nothing) …
+    assert(byN.map(_._4).toSeq == byN.map(_._4).toSeq.sorted,
+      "q must stay monotone in corpus share")
+    // … but every ratio is compressed: for the extremes,
+    // q_max/q_min < p_max/p_min, and epochs cross 1.0
+    val (lo, hi) = (byN.head, byN.last)
+    if (lo._2 != hi._2) {
+      assert(hi._4 / lo._4 < hi._3 / lo._3,
+        "tempering must compress the share ratio")
+      assert(lo._6 > 1.0, s"smallest language should be upsampled: ${lo._6}")
+      assert(hi._6 < 1.0, s"largest language should be downsampled: ${hi._6}")
+    }
+  }
+
+  test("x122: q replays exactly from the closed form") {
+    val n = tempered.map(t => t._1 -> t._2).toMap
+    val budget = n.values.sum.toDouble
+    val pa = n.view.mapValues(v => math.pow(v / budget, 0.3)).toMap
+    val z = pa.values.sum
+    tempered.foreach { case (lang, _, p, q, alloc, epochs) =>
+      assert(p == round(n(lang) / budget, 6))
+      assert(q == round(pa(lang) / z, 6))
+      assert(alloc == round(pa(lang) / z * budget, 4))
+      assert(epochs == round(pa(lang) / z * budget / n(lang), 6))
+    }
+  }
+
   private def dsirReference(): Seq[(Long, Long, Double)] = {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "lang", "text").collect()
