@@ -3303,6 +3303,90 @@ object ExtensionQueries {
        |FROM n ORDER BY lang""".stripMargin
 
   // ======================================================================
+  // x123: max-passage BM25 retrieval — the standard long-document
+  // trick (Dai & Callan 2019's MaxP): score fixed-width overlapping
+  // PASSAGES (x61's 64-token / 32-stride chunk rule) instead of whole
+  // docs, rank a doc by its BEST passage. Bag-of-words doc scoring
+  // dilutes a strong local match inside a long document; MaxP is the
+  // production fix every lexical engine ships for long-form corpora,
+  // and it reuses x91's exact query so the two rankings are directly
+  // comparable. The passage frame (doc, chunk, dl, tokens) persists
+  // once (the docShingles discipline — both the stats and tf legs
+  // read it, one corpus tokenize total); df/N/avgdl are PASSAGE-level
+  // (the passage-index convention); the per-doc max is an argmax
+  // window over passage-sized partitions and the final top-k a
+  // TakeOrdered on the rounded score.
+  def x123_passage_bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val pass = graft.Caches.persist(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0L), col("n") - 1, lit(32L)))
+            .as(Seq("chunk_idx", "start_tok")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          slice(col("toks"), (col("start_tok") + 1).cast("int"), lit(64))
+            .as("ptoks"))
+        .withColumn("dl", size(col("ptoks")).cast("long")))
+    val consts = pass.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    val tf = pass
+      .select(col("doc_id"), col("chunk_idx"), col("dl"),
+        explode(col("ptoks")).as("token"))
+      .filter(col("token").isin(Bm25Query: _*))
+      .groupBy("doc_id", "chunk_idx", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("pscore").desc, col("chunk_idx"))
+    tf.join(broadcast(dfq), Seq("token"))
+      .crossJoin(broadcast(consts))
+      .withColumn("term_score",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * lit(Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(round(sum(col("term_score")), 6).as("pscore"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("chunk_idx").as("best_chunk"),
+        col("pscore").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  val x123Sql: String = {
+    val qList = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, $SqlTok AS toks FROM documents),
+       |nn AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM tok
+       |  WHERE len(toks) > 0),
+       |pd AS (SELECT doc_id, (start_tok // 32)::BIGINT AS chunk_idx,
+       |    len(list_slice(toks, (start_tok + 1)::INT, (start_tok + 64)::INT))::BIGINT AS dl,
+       |    list_slice(toks, (start_tok + 1)::INT, (start_tok + 64)::INT) AS ptoks
+       |  FROM (SELECT doc_id, toks, n, unnest(range(0, n, 32)) AS start_tok
+       |        FROM nn)),
+       |consts AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM pd),
+       |tf AS (SELECT doc_id, chunk_idx, dl, token, count(*)::BIGINT AS tf FROM
+       |    (SELECT doc_id, chunk_idx, dl, unnest(ptoks) AS token FROM pd)
+       |  WHERE token IN ($qList)
+       |  GROUP BY 1, 2, 3, 4),
+       |dfq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+       |s AS (SELECT t.doc_id, t.chunk_idx,
+       |  round(sum(ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+       |    (t.tf * ($Bm25K1 + 1)) /
+       |    (t.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * t.dl / c.avgdl))), 6)
+       |    AS pscore
+       |  FROM tf t JOIN dfq d USING (token) CROSS JOIN consts c
+       |  GROUP BY 1, 2),
+       |b AS (SELECT doc_id, chunk_idx AS best_chunk, pscore AS score,
+       |  row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY pscore DESC, chunk_idx) AS rn FROM s)
+       |SELECT doc_id, best_chunk, score FROM b WHERE rn = 1
+       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
+  // ======================================================================
   // x107: approximate k-NN GRAPH construction — every node's top-k
   // nearest neighbors, the substrate SemDeDup-style clustering, label
   // propagation, and graph-based curation algorithms consume (x90's
@@ -5230,6 +5314,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x120_item_sim" -> (x120_item_sim _),
     "x121_hard_negatives" -> (x121_hard_negatives _),
     "x122_temp_mixture" -> (x122_temp_mixture _),
+    "x123_passage_bm25" -> (x123_passage_bm25 _),
     "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
@@ -5335,6 +5420,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x120_item_sim" -> x120Sql,
     "x121_hard_negatives" -> x121Sql,
     "x122_temp_mixture" -> x122Sql,
+    "x123_passage_bm25" -> x123Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

@@ -406,6 +406,46 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty, "fixture yields no hard negatives")
   }
 
+  test("x123: max-passage ranking replays from a driver passage-BM25") {
+    val got = ExtensionQueries.x123_passage_bm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> rawToks(r.getString(1)))
+      .filter(_._2.nonEmpty)
+    val qterms = Seq("spark", "join", "window")
+    // passages: 64-token windows at stride 32 (x61's rule)
+    val passages = docs.flatMap { case (id, t) =>
+      (0L until t.size.toLong by 32L).zipWithIndex.map { case (s, i) =>
+        (id, i.toLong, t.slice(s.toInt, s.toInt + 64))
+      }
+    }
+    val nP = passages.length.toDouble
+    val avgdl = passages.map(_._3.size.toLong).sum.toDouble / nP
+    val dfP = qterms.map(q =>
+      q -> passages.count(_._3.contains(q)).toDouble).toMap
+    val scored = passages.flatMap { case (id, ci, p) =>
+      val s = qterms.map { q =>
+        val tf = p.count(_ == q).toDouble
+        if (tf == 0) 0.0
+        else math.log((nP - dfP(q) + 0.5) / (dfP(q) + 0.5) + 1.0) *
+          (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * p.size / avgdl))
+      }.sum
+      if (s == 0.0) None else Some((id, ci, round6(s)))
+    }
+    val best = scored.groupBy(_._1).map { case (id, ps) =>
+      ps.minBy(p => (-p._3, p._2))
+    }
+    val expect = best.toSeq.sortBy(p => (-p._3, p._1)).take(20)
+    assert(got.toSeq == expect,
+      s"MaxP diverges from the driver replay:\n got ${got.toSeq}\n exp $expect")
+    // the operator must differ from doc-level x91 somewhere in the
+    // ranking (else passages buy nothing on this corpus)
+    val x91Docs = ExtensionQueries.x91_bm25(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got.map(_._1).toSeq != x91Docs,
+      "passage ranking identical to doc ranking — fixture can't tell MaxP apart")
+  }
+
   test("x109: phase quality ranges are ordered easy-first") {
     val byPhase = phases.map(p => p._1 -> p).toMap
     // phase 1 = above the upper cut, phase 3 = at/below the lower cut;

@@ -307,6 +307,13 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in x121:\n$p")
   }
 
+  test("x123 max-passage: TakeOrdered top-k, doc-partitioned argmax, no cartesian") {
+    val p = plan(graft.queries.ExtensionQueries.x123_passage_bm25(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in x123:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the doc top-k should be a TakeOrdered, not a global sort:\n$p")
+  }
+
   test("x96 indexed bm25: TakeOrdered, no cartesian, df broadcast") {
     val p = plan(graft.queries.ExtensionQueries.x96_bm25_indexed(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
