@@ -56,6 +56,7 @@ object Bm25Index {
 
   private val cache = new ConcurrentHashMap[(Int, String), Index]()
   private val published = new ConcurrentHashMap[(Int, String), Index]()
+  private val publishedOf = new ConcurrentHashMap[(Int, String, String), Index]()
 
   /** Cross-engine deterministic rounding (ReferenceQueries.round). */
   private def round6(c: org.apache.spark.sql.Column) =
@@ -168,6 +169,43 @@ object Bm25Index {
       if (!fresh) save(spark, sfDir, root)
       load(spark, root)
     })
+
+  /** [[loadOrPublish]] for a DERIVED corpus — e.g. x123's passages as
+    * pseudo-docs — under its own artifact `kind`: the caller supplies
+    * the (doc_id, text) frame the index is built over; freshness is
+    * still validated against the SOURCE documents table's filesystem
+    * fingerprint (a derived frame is stale exactly when its source
+    * is). One memo + one versioned artifact per (session, dataset,
+    * kind); the loaded posting scan stays lazy so query-time term
+    * filters push into the parquet read — the same serving contract
+    * as the document-level index.
+    */
+  def loadOrPublishOf(spark: SparkSession, sfDir: String, kind: String,
+      docs: => DataFrame): Index =
+    publishedOf.computeIfAbsent(
+      (System.identityHashCode(spark), sfDir, kind), _ => {
+        import spark.implicits._
+        val root = artifactRoot(kind, sfDir)
+        val want = graft.Tables.fileFingerprint(spark, sfDir, "documents")
+        val fresh =
+          try graft.sources.VersionedStore.latestVersion(root).exists { v =>
+            graft.sources.VersionedStore.readTable(spark, root, v, "meta")
+              .collect().headOption.exists(_.getString(0) == want)
+          } catch { case _: Exception => false }
+        if (!fresh) {
+          val ix = buildOf(docs)
+          graft.sources.VersionedStore.publishAll(
+            Map(
+              "posting" -> ix.posting.repartition(col("token"))
+                .sortWithinPartitions("token"),
+              "df" -> ix.df,
+              "consts" -> ix.consts,
+              "meta" -> Seq(want).toDF("fingerprint")),
+            root)
+          ()
+        }
+        load(spark, root)
+      })
 
   /** Canonical per-dataset artifact root under the JVM temp dir. */
   private[graft] def artifactRoot(kind: String, sfDir: String): String = {
@@ -301,7 +339,9 @@ object Bm25Index {
   /** Drop memoized indexes (frames persist through Caches, which owns
     * their release).
     */
-  def clear(): Unit = { cache.clear(); published.clear() }
+  def clear(): Unit = {
+    cache.clear(); published.clear(); publishedOf.clear()
+  }
 
   /** Drop only the indexes memoized for one dataset — wired into
     * [[graft.Caches.clear]] so a cache eviction can't leave a memo
@@ -315,5 +355,7 @@ object Bm25Index {
       .foreach(cache.remove)
     published.keySet().asScala.filter(_._2 == sfDir).toList
       .foreach(published.remove)
+    publishedOf.keySet().asScala.filter(_._2 == sfDir).toList
+      .foreach(publishedOf.remove)
   }
 }

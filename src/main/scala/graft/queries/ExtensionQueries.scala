@@ -3387,6 +3387,52 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x124: x123 served from a PUBLISHED passage-level index — the
+  // deployment shape of MaxP (the x96 precedent applied to the
+  // passage corpus): passages become pseudo-docs ("doc#chunk" keys)
+  // in a Bm25Index built with the SAME buildOf/publish/load path as
+  // the document index, so query-time cost is the token-pruned
+  // passage-posting fetch ∝ Σ df — no tokenize, no corpus scan, no
+  // chunking in the query plan. The per-doc argmax decodes the
+  // pseudo-key; scores are row-identical to x123's scan-based answer
+  // (spec-pinned), and the artifact revalidates against the source
+  // table's fingerprint like every published index.
+  def x124_passage_indexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val ix = graft.ml.Bm25Index.loadOrPublishOf(spark, sfDir, "bm25p",
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0L), col("n") - 1, lit(32L)))
+            .as(Seq("chunk_idx", "start_tok")))
+        .select(
+          concat_ws("#", col("doc_id"), col("chunk_idx")).as("doc_id"),
+          concat_ws(" ", slice(col("toks"),
+            (col("start_tok") + 1).cast("int"), lit(64))).as("text")))
+    val scored = ix.posting.filter(col("token").isin(Bm25Query: _*))
+      .join(broadcast(ix.df.filter(col("token").isin(Bm25Query: _*))),
+        Seq("token"))
+      .crossJoin(broadcast(ix.consts))
+      .withColumn("term_score",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * lit(Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("term_score")), 6).as("pscore"))
+    val w = Window.partitionBy("doc").orderBy(col("pscore").desc, col("chunk_idx"))
+    scored
+      .withColumn("doc", split(col("doc_id"), "#").getItem(0).cast("long"))
+      .withColumn("chunk_idx", split(col("doc_id"), "#").getItem(1).cast("long"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc").as("doc_id"), col("chunk_idx").as("best_chunk"),
+        col("pscore").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  // ======================================================================
   // x107: approximate k-NN GRAPH construction — every node's top-k
   // nearest neighbors, the substrate SemDeDup-style clustering, label
   // propagation, and graph-based curation algorithms consume (x90's
@@ -5315,6 +5361,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x121_hard_negatives" -> (x121_hard_negatives _),
     "x122_temp_mixture" -> (x122_temp_mixture _),
     "x123_passage_bm25" -> (x123_passage_bm25 _),
+    "x124_passage_indexed" -> (x124_passage_indexed _),
     "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
@@ -5421,6 +5468,9 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x121_hard_negatives" -> x121Sql,
     "x122_temp_mixture" -> x122Sql,
     "x123_passage_bm25" -> x123Sql,
+    // deliberately x123's scan-based SQL: the loaded passage artifact
+    // must answer the identical MaxP question (the x96/x58 convention)
+    "x124_passage_indexed" -> x123Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

@@ -41,6 +41,35 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("passage-artifact MaxP is row-identical to the scan-based x123 at all three SFs") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val scan = ExtensionQueries.x123_passage_bm25(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val indexed = ExtensionQueries.x124_passage_indexed(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(indexed === scan,
+        s"passage-artifact MaxP diverges from the scan answer at $dir")
+      assert(scan.nonEmpty, s"empty MaxP result at $dir")
+    }
+  }
+
+  test("passage artifact publishes the full versioned triple and serves without tokenizing") {
+    ExtensionQueries.x124_passage_indexed(spark, sf).collect()
+    val root = Bm25Index.artifactRoot("bm25p", sf)
+    val v = graft.sources.VersionedStore.latestVersion(root)
+    assert(v.nonEmpty, s"no published passage index under $root")
+    for (t <- Seq("posting", "df", "consts", "meta"))
+      assert(graft.sources.VersionedStore.readTable(spark, root, v.get, t)
+        .count() > 0, s"artifact table $t is empty")
+    // the query-time plan over the LOADED index never tokenizes —
+    // the chunking and regex live entirely at publish time
+    val p = ExtensionQueries.x124_passage_indexed(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("split(lower"),
+      s"tokenizer leaked into the artifact-served MaxP plan:\n$p")
+  }
+
   test("batch search's query-0 slice equals the single-query search") {
     // x100's query 0 carries x91's exact term set, so its slice must
     // reproduce the single-query ranking verbatim — rank, score, and
