@@ -1435,6 +1435,8 @@ object ExtensionQueries {
   private val Bm25B = 0.75
   private val Bm25Query = Seq("spark", "join", "window")
   private val Bm25TopK = 20
+  private val NegDrawBank = 2000L
+  private val KnDiscount = 0.75
 
   def x91_bm25(spark: SparkSession, sfDir: String): DataFrame =
     graft.ml.Bm25Index.searchWith(
@@ -3433,6 +3435,241 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x125: word2vec NEGATIVE-SAMPLING table — the unigram^0.75 noise
+  // distribution (Mikolov et al.'s smoothing, also word2vec's C
+  // implementation default) plus a deterministic pre-sampled draw
+  // bank, which is how production embedding pipelines actually serve
+  // negatives: training pairs equi-join a K-row bank on
+  // hash(pair) % K instead of walking a CDF per draw. Output: per
+  // vocabulary token its count, smoothed probability, and how many of
+  // the K bank draws landed on it (so the bank's fidelity to the
+  // distribution is auditable in the same frame). Cross-engine
+  // determinism: c^0.75 is computed as sqrt(sqrt(c·c·c)) — IEEE
+  // multiply and sqrt are exactly rounded so both engines produce
+  // bit-identical doubles, which libm pow() does not guarantee — and
+  // the CDF's running sum is rounded to 12 dp in both engines before
+  // any draw compares against it (window-sum association may differ
+  // across engines by ~n·ulp « 5e-13, which the shared rounding
+  // absorbs). Draws are the md5→(0,1] convention (x68/x94). Shapes:
+  // the vocabulary CDF is a dimension (global window over vocab-sized
+  // rows), the bank is K rows resolved against ONE broadcast array —
+  // per-draw resolution is vocab-linear here, but only the K bank
+  // draws ever pay it; corpus-scale training joins the bank by key.
+  def x125_neg_sampling(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docTok(Tables.documents(spark, sfDir))
+    val cnt = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    def p75(c: Column) = { val d = c.cast("double"); sqrt(sqrt(d * d * d)) }
+    val tot = cnt.agg(sum(p75(col("c"))).as("z"))
+    val cdf = cnt.crossJoin(broadcast(tot))
+      .withColumn("p", p75(col("c")) / col("z"))
+      .withColumn("hi", round(sum(col("p")).over(Window.orderBy("token")), 12))
+    // sort_array orders the collected structs by token asc = CDF order
+    val cdfArr = cdf
+      .agg(sort_array(collect_list(struct(col("token"), col("hi")))).as("cdf"))
+    val bank = spark.range(NegDrawBank).select(col("id").as("draw_id"))
+      .withColumn("h", md5(concat_ws("|", lit("negsample"), col("draw_id"))))
+      .withColumn("u",
+        (conv(substring(col("h"), 1, 15), 16, 10)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 0)) + lit(1))
+          .cast("double") / lit(1.152921504606846976e18))
+    // first token in CDF order whose cumulative covers u; the coalesce
+    // guards the sub-ulp tail where the last rounded hi < u
+    val resolved = bank.crossJoin(broadcast(cdfArr))
+      .select(coalesce(
+        element_at(filter(col("cdf"), s => s.getField("hi") >= col("u")), 1)
+          .getField("token"),
+        element_at(col("cdf"), -1).getField("token")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_draws"))
+    cdf.join(resolved, Seq("token"), "left")
+      .select(col("token"), col("c"), round(col("p"), 6).as("p_ns"),
+        coalesce(col("n_draws"), lit(0L)).as("n_draws"))
+      .orderBy("token")
+  }
+
+  val x125Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |cnt AS (SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY token),
+       |tot AS (SELECT sum(sqrt(sqrt(c::DOUBLE * c * c))) AS z FROM cnt),
+       |cdf AS (SELECT token, c,
+       |    sqrt(sqrt(c::DOUBLE * c * c)) / (SELECT z FROM tot) AS p,
+       |    round(sum(sqrt(sqrt(c::DOUBLE * c * c)) / (SELECT z FROM tot))
+       |          OVER (ORDER BY token), 12) AS hi
+       |  FROM cnt),
+       |bank AS (SELECT i AS draw_id, md5('negsample|' || i::VARCHAR) AS h
+       |         FROM range(0, $NegDrawBank) t(i)),
+       |u AS (SELECT draw_id,
+       |    (list_reduce(list_transform(range(1, 16),
+       |       i -> (strpos('0123456789abcdef', substr(h, i, 1)) - 1)::BIGINT),
+       |       (a, b) -> a * 16 + b) + 1) / 1152921504606846976.0 AS u
+       |  FROM bank),
+       |pick AS (SELECT uu.draw_id,
+       |    coalesce((SELECT min(token) FROM cdf WHERE hi >= uu.u),
+       |             (SELECT max(token) FROM cdf)) AS token
+       |  FROM u uu),
+       |draws AS (SELECT token, count(*)::BIGINT AS n_draws FROM pick GROUP BY token)
+       |SELECT c.token, c.c, round(c.p, 6) AS p_ns,
+       |  coalesce(d.n_draws, 0)::BIGINT AS n_draws
+       |FROM cdf c LEFT JOIN draws d USING (token) ORDER BY c.token""".stripMargin
+
+  // ======================================================================
+  // x126: interpolated Kneser-Ney bigram scoring on a TRAIN-SPLIT LM —
+  // the held-out perplexity shape the CCNet recipe actually runs (LM
+  // fitted on one corpus, scores another), which x73's self-trained
+  // MLE structurally cannot: an unseen bigram has c12 = 0 and MLE
+  // assigns it nothing, while KN backs off to the CONTINUATION
+  // unigram (how many distinct contexts w2 follows — "Francisco" is
+  // frequent but only ever follows "San", so its continuation mass is
+  // tiny; Kneser-Ney's defining insight). Model (trained on x110's
+  // 'train' split, the session's one split convention): p(w2|w1) =
+  // (max(c12 − D, 0) + D·N1+(w1·)·p_cont(w2)) / c(w1·) with D = 0.75,
+  // p_cont(w2) = N1+(·w2)/N1+(··) — every probability positive for
+  // any (w1, w2) whose unigrams each appear in SOME train bigram, so
+  // held-out docs score without smoothing hacks; truly-OOV bigrams
+  // are counted, not scored. Σ_w2 p(w2|w1) = 1 exactly (spec-pinned).
+  // Shapes: the LM is three narrow aggs of the train bigram frame
+  // (vocab²-bounded dimensions, NOT corpus-sized), scoring is the
+  // corpus bigram frame left-joining them once — x73's cost profile
+  // with a second model dimension.
+  def x126_kn_bigram(spark: SparkSession, sfDir: String): DataFrame = {
+    val tokd = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+    val n1 = greatest(size(col("toks")) - 1, lit(0))
+    val bi = tokd
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), n1),
+          slice(col("toks"), lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .withColumn("split", splitOf(col("doc_id")))
+    val cnt12 = bi.filter(col("split") === "train")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cw1 = cnt12.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = cnt12.groupBy("w2").agg(count(lit(1)).as("nend"))
+    val tt = cnt12.agg(count(lit(1)).cast("double").as("t"))
+    val p = (greatest(col("c12") - lit(KnDiscount), lit(0.0)) +
+      lit(KnDiscount) * col("n1p") * (col("nend") / col("t"))) / col("c1")
+    bi.join(cnt12, Seq("w1", "w2"), "left")
+      .join(broadcast(cw1), Seq("w1"), "left")
+      .join(broadcast(cont), Seq("w2"), "left")
+      .crossJoin(broadcast(tt))
+      .withColumn("scored", col("c1").isNotNull && col("nend").isNotNull)
+      .withColumn("c12", coalesce(col("c12"), lit(0L)))
+      .groupBy("doc_id", "split").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(!col("scored"), 1L).otherwise(0L)).as("n_oov"),
+        round(avg(when(col("scored"), -log(p))), 6).as("xent_kn"))
+      .orderBy("doc_id")
+  }
+
+  val x126Sql: String = {
+    val hashmod =
+      """list_reduce(list_transform(range(1, 8),
+        |      i -> (strpos('0123456789abcdef',
+        |            substr(md5('split|' || doc_id::VARCHAR), i, 1)) - 1)::BIGINT),
+        |      (a, b) -> a * 16 + b) % 10""".stripMargin
+    s"""WITH tok AS (SELECT doc_id, $SqlTok AS toks FROM documents),
+       |pos AS (SELECT doc_id, toks,
+       |    unnest(range(1, greatest(len(toks) - 1, 0) + 1))::INT AS i FROM tok),
+       |bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+       |    CASE $hashmod WHEN 0 THEN 'val' WHEN 1 THEN 'test'
+       |         ELSE 'train' END AS split
+       |  FROM pos),
+       |cnt12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bi
+       |  WHERE split = 'train' GROUP BY w1, w2),
+       |cw1 AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1p
+       |  FROM cnt12 GROUP BY w1),
+       |cont AS (SELECT w2, count(*)::BIGINT AS nend FROM cnt12 GROUP BY w2),
+       |tt AS (SELECT count(*)::DOUBLE AS t FROM cnt12),
+       |s AS (SELECT b.doc_id, b.split,
+       |    (c.c1 IS NOT NULL AND e.nend IS NOT NULL) AS scored,
+       |    (greatest(coalesce(m.c12, 0) - $KnDiscount, 0.0) +
+       |     $KnDiscount * c.n1p * (e.nend / t.t)) / c.c1 AS p
+       |  FROM bi b LEFT JOIN cnt12 m USING (w1, w2)
+       |  LEFT JOIN cw1 c USING (w1) LEFT JOIN cont e USING (w2)
+       |  CROSS JOIN tt t)
+       |SELECT doc_id, split, count(*)::BIGINT AS n_bigrams,
+       |  sum(CASE WHEN NOT scored THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       |  round(avg(CASE WHEN scored THEN -ln(p) END), 6) AS xent_kn
+       |FROM s GROUP BY doc_id, split ORDER BY doc_id""".stripMargin
+  }
+
+  // ======================================================================
+  // x127: idf-weighted shingle COSINE near-dup — the sparse-vector
+  // member the dedup battery was missing: x04's Jaccard counts every
+  // shared shingle the same, so two docs overlapping only on
+  // corpus-common boilerplate shingles score as high as two sharing
+  // genuinely rare content. Weighting each shingle by idf = ln(N/df)
+  // and measuring cosine (Σ idf² over shared / the docs' weighted
+  // norms) down-weights exactly the shared-boilerplate pairs; on this
+  // corpus the measure separates cleanly (near-dups ≥ 0.7, background
+  // p99 ≈ 0.05 — threshold 0.5 sits mid-gap). Same df-capped inverted
+  // index shape as x04 with idf sums as the aggregates; the x70
+  // min-evidence floor (≥ 5 rare shingles on the smaller side) guards
+  // the norm denominators the same way it guards min(). Filters on
+  // the ROUNDED cosine (unlike x04, whose ratio of counts is exact in
+  // doubles, the weighted sums' association order differs across
+  // engines by ~ulps — the shared 6-dp round absorbs it before the
+  // threshold compares). The 1-row corpus-N broadcast plans as a
+  // scalar nested-loop cross (the q30 precedent); the pair frame
+  // persists per session like x04's. At 100 TB: identical posture to
+  // x04 — banding/df-caps bound the self-join, and the idf dimension
+  // is vocabulary-sized.
+  def x127_tfidf_cosine(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Caches.persist(weightedSharedShingles(spark, sfDir))
+      .filter(least(col("n1"), col("n2")) >= 5)
+      .withColumn("cosine", round(col("dot") / sqrt(col("sq1") * col("sq2")), 6))
+      .filter(col("cosine") >= 0.5)
+      .select(col("d1"), col("d2"), col("cosine"))
+      .orderBy("d1", "d2")
+
+  /** x127's pair frame: the x04 self-join with idf-weighted sufficient
+    * statistics (per-pair Σ idf², per-doc weighted norms). A separate
+    * cached frame from [[sharedShingleCounts]] by design: fusing the
+    * idf join into the shared frame would put a scalar N cross into
+    * x110's (pinned BNLJ-free) plan and re-price the whole x04 family
+    * for one consumer.
+    */
+  private def weightedSharedShingles(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val sh = docShingles(Tables.documents(spark, sfDir))
+    val nd = sh.agg(countDistinct(col("doc_id")).cast("double").as("nd"))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 1000)
+    val shw = sh.join(rare, Seq("shingle"))
+      .crossJoin(broadcast(nd))
+      .withColumn("idf", log(col("nd") / col("df")))
+    val norms = shw.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), sum(col("idf") * col("idf")).as("sq"))
+    shw.select(col("doc_id").as("d1"), col("shingle"), col("idf"))
+      .join(shw.select(col("doc_id").as("d2"), col("shingle")), Seq("shingle"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(sum(col("idf") * col("idf")).as("dot"))
+      .join(norms.select(col("doc_id").as("d1"), col("n").as("n1"),
+        col("sq").as("sq1")), Seq("d1"))
+      .join(norms.select(col("doc_id").as("d2"), col("n").as("n2"),
+        col("sq").as("sq2")), Seq("d2"))
+  }
+
+  val x127Sql: String =
+    s"""WITH $SqlShingleCte,
+       |nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS nd FROM sh),
+       |dfr AS (SELECT shingle, count(*)::BIGINT AS df FROM sh
+       |        GROUP BY shingle HAVING count(*) <= 1000),
+       |shw AS (SELECT s.doc_id, s.shingle, ln((SELECT nd FROM nd) / d.df) AS idf
+       |        FROM sh s JOIN dfr d USING (shingle)),
+       |nrm AS (SELECT doc_id, count(*)::BIGINT AS n, sum(idf * idf) AS sq
+       |        FROM shw GROUP BY doc_id),
+       |dt AS (SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.idf * a.idf) AS dot
+       |       FROM shw a JOIN shw b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |       GROUP BY a.doc_id, b.doc_id),
+       |cs AS (SELECT d1, d2, round(dot / sqrt(n1.sq * n2.sq), 6) AS cosine
+       |       FROM dt JOIN nrm n1 ON n1.doc_id = d1 JOIN nrm n2 ON n2.doc_id = d2
+       |       WHERE least(n1.n, n2.n) >= 5)
+       |SELECT d1, d2, cosine FROM cs WHERE cosine >= 0.5 ORDER BY d1, d2""".stripMargin
+
+  // ======================================================================
   // x107: approximate k-NN GRAPH construction — every node's top-k
   // nearest neighbors, the substrate SemDeDup-style clustering, label
   // propagation, and graph-based curation algorithms consume (x90's
@@ -5362,6 +5599,9 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x122_temp_mixture" -> (x122_temp_mixture _),
     "x123_passage_bm25" -> (x123_passage_bm25 _),
     "x124_passage_indexed" -> (x124_passage_indexed _),
+    "x125_neg_sampling" -> (x125_neg_sampling _),
+    "x126_kn_bigram" -> (x126_kn_bigram _),
+    "x127_tfidf_cosine" -> (x127_tfidf_cosine _),
     "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
@@ -5471,6 +5711,9 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     // deliberately x123's scan-based SQL: the loaded passage artifact
     // must answer the identical MaxP question (the x96/x58 convention)
     "x124_passage_indexed" -> x123Sql,
+    "x125_neg_sampling" -> x125Sql,
+    "x126_kn_bigram" -> x126Sql,
+    "x127_tfidf_cosine" -> x127Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

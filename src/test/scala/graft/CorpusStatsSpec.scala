@@ -460,4 +460,125 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec {
       assert(n > 100 && n < 250, s"phase $ph holds $n of 500 docs")
     }
   }
+
+  // --- x126 Kneser-Ney bigram LM ----------------------------------------
+
+  private def tok(text: String): Seq[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  private def splitOf(docId: Long): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"split|$docId".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(h.substring(0, 7), 16) % 10 match {
+      case 0 => "val"; case 1 => "test"; case _ => "train"
+    }
+  }
+
+  /** The KN model rebuilt driver-side from raw text — nothing shared
+    * with the distributed plan but the data and the split rule.
+    */
+  private lazy val knModel = {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bigrams = docs.map { case (id, t) =>
+      val ts = tok(t); (id, splitOf(id), ts.zip(ts.drop(1)))
+    }
+    val c12 = scala.collection.mutable.Map[(String, String), Long]()
+    bigrams.filter(_._2 == "train").foreach(_._3.foreach(bg =>
+      c12(bg) = c12.getOrElse(bg, 0L) + 1L))
+    val c1 = c12.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val n1p = c12.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+    val nend = c12.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val t = c12.size.toDouble
+    (bigrams, c12.toMap, c1, n1p, nend, t)
+  }
+
+  private def knP(w1: String, w2: String): Option[Double] = {
+    val (_, c12, c1, n1p, nend, t) = knModel
+    for (d <- c1.get(w1); e <- nend.get(w2)) yield
+      (math.max(c12.getOrElse((w1, w2), 0L) - 0.75, 0.0) +
+        0.75 * n1p(w1) * (e / t)) / d
+  }
+
+  test("x126: interpolated KN sums to exactly 1 over the continuation vocab") {
+    val (_, _, c1, _, nend, _) = knModel
+    val vocab2 = nend.keys.toSeq
+    c1.keys.take(20).foreach { w1 =>
+      val s = vocab2.flatMap(w2 => knP(w1, w2)).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"sum_w2 p(w2|$w1) = $s")
+    }
+  }
+
+  test("x126: per-doc output == independent driver KN replay") {
+    val (bigrams, _, _, _, _, _) = knModel
+    val expect = bigrams.filter(_._3.nonEmpty).map { case (id, sp, bgs) =>
+      val ps = bgs.map { case (a, b) => knP(a, b) }
+      val scored = ps.flatten
+      val x = if (scored.isEmpty) null
+        else java.lang.Double.valueOf(math.floor(
+          scored.map(p => -math.log(p)).sum / scored.size * 1e6 + 0.5) / 1e6)
+      (id, sp, bgs.size.toLong, (ps.size - scored.size).toLong, x)
+    }.sortBy(_._1).toSeq
+    val got = ExtensionQueries.x126_kn_bigram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4))))
+      .toSeq
+    assert(got == expect,
+      s"first mismatch: ${got.zip(expect).find(p => p._1 != p._2)}")
+  }
+
+  test("x126: held-out bigrams unseen in train still score (the KN backoff)") {
+    val (bigrams, c12, c1, _, nend, _) = knModel
+    val backed = bigrams.filter(_._2 != "train").flatMap(_._3).distinct
+      .filter(bg => !c12.contains(bg) &&
+        c1.contains(bg._1) && nend.contains(bg._2))
+    assert(backed.nonEmpty,
+      "fixture has no held-out bigram exercising the backoff path")
+    backed.take(20).foreach { case (a, b) =>
+      val p = knP(a, b).get
+      assert(p > 0 && p < 1, s"backoff p($b|$a) = $p out of range")
+    }
+  }
+
+  // --- x127 idf-weighted shingle cosine ----------------------------------
+
+  test("x127: weighted-cosine pairs == brute-force driver replay") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val shing = docs.map { case (id, t) =>
+      id -> tok(t).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = scala.collection.mutable.Map[String, Long]()
+    shing.values.foreach(_.foreach(s => df(s) = df.getOrElse(s, 0L) + 1L))
+    val nd = shing.count(_._2.nonEmpty).toDouble
+    val rare = df.filter(_._2 <= 1000).keySet
+    def w2(s: String) = { val x = math.log(nd / df(s)); x * x }
+    val rs = shing.map { case (id, ss) => id -> ss.filter(rare) }
+    val ids = rs.keys.toSeq.sorted
+    def rnd(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val expect = (for {
+      i <- ids; j <- ids if i < j
+      si = rs(i); sj = rs(j)
+      if math.min(si.size, sj.size) >= 5
+      shared = si & sj if shared.nonEmpty
+      c = rnd(shared.toSeq.sorted.map(w2).sum /
+        math.sqrt(si.toSeq.sorted.map(w2).sum * sj.toSeq.sorted.map(w2).sum))
+      if c >= 0.5
+    } yield (i, j, c)).toSeq.sorted
+    val got = ExtensionQueries.x127_tfidf_cosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect,
+      s"first mismatch: ${got.zip(expect).find(p => p._1 != p._2)}")
+    assert(got.nonEmpty, "fixture surfaced no weighted near-dups")
+  }
+
+  test("x127: boilerplate-only overlap scores below near-dup pairs") {
+    // the measure's defining separation on this corpus: everything it
+    // keeps is far above everything it rejects (threshold mid-gap)
+    val kept = ExtensionQueries.x127_tfidf_cosine(spark, sf).collect()
+      .map(_.getDouble(2))
+    assert(kept.forall(_ >= 0.5))
+    assert(kept.max > 0.7, "no high-confidence near-dup in the fixture")
+  }
 }

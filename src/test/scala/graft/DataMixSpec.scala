@@ -218,4 +218,59 @@ class DataMixSpec extends AnyFunSuite with SparkSpec {
     // ~22 of 50. The LLR scorer must do materially better.
     assert(nEn >= 30, s"only $nEn/50 selected docs are en")
   }
+
+  // --- x125 negative sampling -------------------------------------------
+
+  private lazy val negTable =
+    ExtensionQueries.x125_neg_sampling(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+
+  test("x125: noise distribution normalizes and the bank is fully spent") {
+    val pSum = negTable.map(_._3).sum
+    // each p_ns is rounded to 6 dp, so the sum can drift by vocab*5e-7
+    assert(math.abs(pSum - 1.0) <= negTable.length * 5e-7 + 1e-9,
+      s"p_ns sums to $pSum")
+    assert(negTable.map(_._4).sum == 2000L,
+      "bank draws lost or duplicated across tokens")
+  }
+
+  test("x125: table == independent driver replay (counts, CDF, every draw)") {
+    // recount the corpus driver-side from raw text — nothing shared
+    // with the distributed plan but the data
+    val texts = Tables.documents(spark, sf).select("text")
+      .collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map[String, Long]()
+    texts.foreach(t => tok(t).foreach(w =>
+      counts(w) = counts.getOrElse(w, 0L) + 1L))
+    val vocab = counts.keys.toSeq.sorted
+    def p75(c: Long) = { val d = c.toDouble; math.sqrt(math.sqrt(d * d * d)) }
+    val z = vocab.map(w => p75(counts(w))).sum
+    var acc = 0.0
+    val cdf = vocab.map { w =>
+      val p = p75(counts(w)) / z
+      acc += p
+      (w, p, round(acc, 12))
+    }
+    val draws = scala.collection.mutable.Map[String, Long]()
+    (0L until 2000L).foreach { i =>
+      val h = md5hex(s"negsample|$i")
+      val v = java.lang.Long.parseLong(h.substring(0, 15), 16)
+      val u = (v + 1).toDouble / 1.152921504606846976e18
+      val w = cdf.find(_._3 >= u).map(_._1).getOrElse(vocab.last)
+      draws(w) = draws.getOrElse(w, 0L) + 1L
+    }
+    val expect = cdf.map { case (w, p, _) =>
+      (w, counts(w), round(p, 6), draws.getOrElse(w, 0L))
+    }
+    assert(negTable.toSeq == expect,
+      s"first mismatch: ${negTable.toSeq.zip(expect).find(p => p._1 != p._2)}")
+  }
+
+  test("x125: bank fidelity — draw shares track the smoothed distribution") {
+    negTable.filter(_._3 >= 0.02).foreach { case (w, _, p, n) =>
+      val tol = 5 * math.sqrt(p * (1 - p) / 2000)
+      assert(math.abs(n / 2000.0 - p) <= tol,
+        s"$w: share ${n / 2000.0} vs p $p (tol $tol)")
+    }
+  }
 }

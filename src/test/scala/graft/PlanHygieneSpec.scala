@@ -314,6 +314,21 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"the doc top-k should be a TakeOrdered, not a global sort:\n$p")
   }
 
+  test("x126 KN bigram: model dims broadcast, no cartesian beyond the 1-row T scalar") {
+    val p = plan(graft.queries.ExtensionQueries.x126_kn_bigram(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in x126:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab-sized cw1/cont dims must broadcast:\n$p")
+  }
+
+  test("x127 weighted cosine: posting self-join only — no cartesian pair blowup") {
+    // the 1-row corpus-N scalar legitimately plans as a broadcast
+    // nested-loop cross (the q30 precedent); only an unbroadcast
+    // CartesianProduct would be a scale bug
+    val p = plan(graft.queries.ExtensionQueries.x127_tfidf_cosine(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in x127:\n$p")
+  }
+
   test("x96 indexed bm25: TakeOrdered, no cartesian, df broadcast") {
     val p = plan(graft.queries.ExtensionQueries.x96_bm25_indexed(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
