@@ -1,0 +1,86 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** PCA whitening of an embedding column — the standard embedding
+  * post-processing (decorrelate dimensions, equalize variance) that
+  * retrieval pipelines apply before cosine/ANN indexing: y = W(x − μ)
+  * with W = Λ^(−1/2)·Vᵀ from the eigendecomposition of the sample
+  * covariance, so the whitened frame has identity covariance (the
+  * defining property, spec-pinned).
+  *
+  * Scale shape: ONE distributed moment pass with a bounded
+  * (1 + d + d²)-double accumulator per partition (map-side combine,
+  * elementwise-add merge — shuffle volume is one buffer per partition,
+  * never per row), then a d×d eigendecomposition on the DRIVER
+  * (bounded metadata, the k-means-centroid precedent) and a broadcast
+  * closed-form transform: per output dim a native codegen dot product
+  * against a literal row of W. No per-row JVM lambda, no d×-fanout
+  * join, no gram-matrix shuffle.
+  */
+object Whiten {
+
+  /** Single-pass raw-moment accumulator: buffer = [n, Σx (d entries),
+    * Σxxᵀ (d² entries, row-major)]. Covariance follows as
+    * Σxxᵀ/n − μμᵀ; one pass instead of a mean pass + a centered pass
+    * (fine at embedding magnitudes ~O(1); a pathological offset would
+    * call for the two-pass form).
+    */
+  class MomentAgg(d: Int)
+      extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = new Array[Double](1 + d + d * d)
+    override def reduce(b: Array[Double], v: Seq[Double]): Array[Double] = {
+      val x = v.toArray
+      b(0) += 1
+      var i = 0
+      while (i < d) {
+        b(1 + i) += x(i)
+        val off = 1 + d + i * d
+        var j = 0
+        while (j < d) { b(off + j) += x(i) * x(j); j += 1 }
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Double]): Seq[Double] = b.toIndexedSeq
+    override def bufferEncoder: Encoder[Array[Double]] =
+      ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Fit (μ, W) over `embeddings.embedding`. Eigenvalues are floored
+    * at eps·λmax before the inverse square root so a (near-)degenerate
+    * direction scales by a huge-but-finite factor instead of
+    * overflowing — rank-deficient inputs stay representable, they just
+    * don't carry information in that direction.
+    */
+  def fit(embeddings: DataFrame, dim: Int, eps: Double = 1e-12)
+      : (Array[Double], Array[Array[Double]]) = {
+    val agg = udaf(new MomentAgg(dim), ExpressionEncoder[Seq[Double]]())
+    val m = embeddings
+      .select(graft.functions.VecMath.asDouble(col("embedding")).as("e"))
+      .agg(agg(col("e")).as("m"))
+      .head.getSeq[Double](0)
+    val n = m(0)
+    require(n > 1, s"whitening needs more than one vector, got $n")
+    val mu = Array.tabulate(dim)(i => m(1 + i) / n)
+    val c = breeze.linalg.DenseMatrix.tabulate(dim, dim)((i, j) =>
+      m(1 + dim + i * dim + j) / n - mu(i) * mu(j))
+    val es = breeze.linalg.eigSym(c)
+    val lmax = math.max(breeze.linalg.max(es.eigenvalues), Double.MinPositiveValue)
+    val w = Array.tabulate(dim) { k =>
+      val s = 1.0 / math.sqrt(math.max(es.eigenvalues(k), eps * lmax))
+      Array.tabulate(dim)(i => es.eigenvectors(i, k) * s)
+    }
+    (mu, w)
+  }
+}

@@ -3670,6 +3670,120 @@ object ExtensionQueries {
        |SELECT d1, d2, cosine FROM cs WHERE cosine >= 0.5 ORDER BY d1, d2""".stripMargin
 
   // ======================================================================
+  // x128: per-source KL DIVERGENCE from the corpus distribution — the
+  // drift audit behind every source-weighting decision (x80/x84 weight
+  // sources by SIZE; this measures how off-distribution each source's
+  // actual text is): KL(p_s ‖ p_corpus) over unigrams, plus the token
+  // contributing most divergence (the explainability column a release
+  // review reads first). Every source term exists in the corpus by
+  // construction (p_c > 0 wherever p_s > 0) so the sum is finite with
+  // no smoothing. Shapes: one (source, token) agg over the shared
+  // posting joined to two broadcast dimensions (vocab counts, 1-row
+  // total); the argmax is a window over vocab-sized source partitions.
+  // Corpus-linear once, never pairwise.
+  def x128_source_kl(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docTok(Tables.documents(spark, sfDir))
+      .join(Tables.documents(spark, sfDir).select("doc_id", "source"),
+        Seq("doc_id"))
+    val st = tok.groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+    val srcTot = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+    val ct = st.groupBy("token").agg(sum(col("c_st")).as("c_t"))
+    val tot = ct.agg(sum(col("c_t")).cast("double").as("n"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("kl_term").desc, col("token"))
+    st.join(srcTot, Seq("source")).join(broadcast(ct), Seq("token"))
+      .crossJoin(broadcast(tot))
+      .withColumn("ps", col("c_st").cast("double") / col("n_s"))
+      .withColumn("pc", col("c_t").cast("double") / col("n"))
+      .withColumn("kl_term", col("ps") * log(col("ps") / col("pc")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source").agg(
+        max(col("n_s")).as("n_tokens"),
+        round(sum(col("kl_term")), 6).as("kl"),
+        max(when(col("rn") === 1, col("token"))).as("top_token"))
+      .orderBy("source")
+  }
+
+  val x128Sql: String =
+    s"""WITH tok AS (SELECT source, unnest($SqlTok) AS token FROM documents),
+       |st AS (SELECT source, token, count(*)::BIGINT AS c_st FROM tok GROUP BY 1, 2),
+       |s AS (SELECT source, sum(c_st)::BIGINT AS n_s FROM st GROUP BY source),
+       |ct AS (SELECT token, sum(c_st)::BIGINT AS c_t FROM st GROUP BY token),
+       |tot AS (SELECT sum(c_t)::DOUBLE AS n FROM ct),
+       |contrib AS (SELECT st.source, st.token, s.n_s,
+       |    (st.c_st::DOUBLE / s.n_s) *
+       |    ln((st.c_st::DOUBLE / s.n_s) /
+       |       (ct.c_t::DOUBLE / (SELECT n FROM tot))) AS kl_term
+       |  FROM st JOIN s USING (source) JOIN ct USING (token)),
+       |r AS (SELECT source, token, n_s, kl_term,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY kl_term DESC, token) AS rn FROM contrib)
+       |SELECT source, max(n_s)::BIGINT AS n_tokens, round(sum(kl_term), 6) AS kl,
+       |  max(CASE WHEN rn = 1 THEN token END) AS top_token
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  // ======================================================================
+  // x129: PCA WHITENING of the embedding table — y = W(x − μ) with
+  // W = Λ^(−1/2)Vᵀ, the standard decorrelation retrieval pipelines
+  // apply before cosine/ANN indexing (whitened dims carry equal
+  // variance, so no direction dominates the metric). One distributed
+  // moment pass (bounded d²-buffer Aggregator, map-side combined), a
+  // 64×64 DRIVER eigendecomposition (bounded metadata — the centroid
+  // precedent), then a broadcast closed-form transform: per output
+  // dim one native codegen dot against a literal W row. Rows-only by
+  // contract (an eigendecomposition has no DuckDB twin); the accuracy
+  // contract is EmbedQualitySpec: the whitened frame's sample
+  // covariance IS the identity and its mean IS zero — the defining
+  // algebraic properties, checked to float tolerance.
+  def x129_whiten(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val (mu, w) = graft.ml.Whiten.fit(emb, dim)
+    emb.select(col("vec_id"),
+        zip_with(VecMath.asDouble(col("embedding")), typedlit(mu.toSeq),
+          (a, b) => a - b).as("xc"))
+      .select(col("vec_id"),
+        array((0 until dim).map(k =>
+          round(VecMath.dot(typedlit(w(k).toSeq), col("xc")), 6)): _*)
+          .as("whitened"))
+      .orderBy("vec_id")
+  }
+
+  // ======================================================================
+  // x130: per-language tokenizer FERTILITY — the equity report every
+  // multilingual tokenizer audit publishes (pieces-per-word and
+  // chars-per-piece by language): a language the BPE vocabulary
+  // under-serves pays more pieces per word, which silently taxes its
+  // effective training budget — this is the table that decides whether
+  // the UniMax/temperature allocations (x104/x122) should budget in
+  // BPE TOKENS rather than words. Rides the session BPE memo (x79's
+  // build, x87's per-word piece counts) + the documents lang column;
+  // one broadcast piece-dimension join and a languages-sized agg.
+  // Rows-only by contract (BPE encode has no DuckDB twin — the x87
+  // convention); accuracy contract is BpeSpec: the report replays
+  // exactly from x87's per-doc frame + a driver-side regroup.
+  def x130_bpe_fertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val (_, encoded) = corpusBpe(spark, sfDir)
+    val pieces = encoded.select(col("token"),
+      size(col("syms")).cast("long").as("n_pieces"))
+    docTok(docs)
+      .join(broadcast(pieces), Seq("token"))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang").agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(length(col("token")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"),
+        round(col("n_pieces").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_pieces"), 6)
+          .as("chars_per_piece"))
+      .orderBy("lang")
+  }
+
+  // ======================================================================
   // x107: approximate k-NN GRAPH construction — every node's top-k
   // nearest neighbors, the substrate SemDeDup-style clustering, label
   // propagation, and graph-based curation algorithms consume (x90's
@@ -5602,11 +5716,18 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x125_neg_sampling" -> (x125_neg_sampling _),
     "x126_kn_bigram" -> (x126_kn_bigram _),
     "x127_tfidf_cosine" -> (x127_tfidf_cosine _),
+    "x128_source_kl" -> (x128_source_kl _),
     "x94_soft_sample" -> (x94_soft_sample _),
     "x78_fuzzy_pairs" -> (x78_fuzzy_pairs _),
     // rows-only (iterative greedy argmax not SQL-expressible): accuracy
     // contract is BpeSpec's reference-implementation equivalence
     "x79_bpe_train" -> (x79_bpe_train _),
+    // rows-only (eigendecomposition not SQL-expressible): accuracy
+    // contract is EmbedQualitySpec's identity-covariance check
+    "x129_whiten" -> (x129_whiten _),
+    // rows-only (BPE encode not SQL-expressible — the x87 convention):
+    // accuracy contract is BpeSpec's regroup-of-x87 replay
+    "x130_bpe_fertility" -> (x130_bpe_fertility _),
     // rows-only (LBFGS not SQL-expressible): accuracy contract is
     // QualityModelSpec's seed-separation + planted-garbage ranking
     "x82_quality_model" ->
@@ -5714,6 +5835,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x125_neg_sampling" -> x125Sql,
     "x126_kn_bigram" -> x126Sql,
     "x127_tfidf_cosine" -> x127Sql,
+    "x128_source_kl" -> x128Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

@@ -162,4 +162,30 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     // and the symbols of each word concatenate back to word + </w>
     for ((w, syms) <- a) assert(syms.mkString("") === w + Bpe.Eow)
   }
+
+  test("x130 fertility report == driver regroup of x87's per-doc frame") {
+    val sfDir = "/root/testdata/sf0.001"
+    val perDoc = graft.queries.ExtensionQueries.x87_bpe_tokenize(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val meta = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val langOf = meta.map(m => m._1 -> m._2).toMap
+    val charsOf = meta.map { case (id, _, t) =>
+      id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .map(_.length.toLong).sum
+    }.toMap
+    def rnd(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val expect = perDoc.filter(_._2 > 0).groupBy(d => langOf(d._1))
+      .map { case (lang, ds) =>
+        val (w, p) = (ds.map(_._2).sum, ds.map(_._3).sum)
+        val c = ds.map(d => charsOf(d._1)).sum
+        (lang, ds.length.toLong, w, p, rnd(p.toDouble / w), rnd(c.toDouble / p))
+      }.toSeq.sortBy(_._1)
+    val got = graft.queries.ExtensionQueries.x130_bpe_fertility(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expect,
+      s"first mismatch: ${got.zip(expect).find(p => p._1 != p._2)}")
+    assert(got.map(_._1).distinct.size >= 3, "fixture spans too few languages")
+  }
 }

@@ -65,4 +65,37 @@ class EmbedQualitySpec extends AnyFunSuite with SparkSpec {
     assert(dupMean > bgMean + 0.03,
       f"near-dup pairs not ordered above background: $dupMean%.3f vs $bgMean%.3f")
   }
+
+  test("x129: whitened embeddings have identity covariance and zero mean") {
+    val rows = ExtensionQueries.x129_whiten(spark, sf).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val n = rows.length
+    assert(n > 100, s"only $n whitened vectors")
+    val d = rows.head.length
+    assert(rows.forall(_.length == d), "ragged whitened output")
+    val mu = Array.tabulate(d)(i => rows.map(_(i)).sum / n)
+    // y = W(x − μ) with W from the SAME data's eigensystem makes the
+    // sample covariance exactly I up to float + the 6-dp output round
+    for (i <- 0 until d) {
+      assert(math.abs(mu(i)) < 1e-4, s"whitened mean[$i] = ${mu(i)}")
+      for (j <- i until d) {
+        val cij = rows.map(r => (r(i) - mu(i)) * (r(j) - mu(j))).sum / n
+        val want = if (i == j) 1.0 else 0.0
+        assert(math.abs(cij - want) < 1e-3,
+          s"whitened cov[$i,$j] = $cij, want $want")
+      }
+    }
+  }
+
+  test("x129: whitening is invertible on this corpus (no collapsed direction)") {
+    // every whitened dim must actually vary — a degenerate eigenvalue
+    // would surface as a (clamped) near-constant output dimension
+    val rows = ExtensionQueries.x129_whiten(spark, sf).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val d = rows.head.length
+    for (i <- 0 until d) {
+      val col = rows.map(_(i))
+      assert(col.max - col.min > 1e-3, s"whitened dim $i is ~constant")
+    }
+  }
 }
