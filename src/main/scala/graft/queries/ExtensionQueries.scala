@@ -1501,7 +1501,8 @@ object ExtensionQueries {
       .orderBy(col("cos").desc, col("doc_id")).limit(RrfTopK)
       .withColumn("rank_dense", row_number().over(
         Window.orderBy(col("cos").desc, col("doc_id"))))
-      .select("doc_id", "rank_dense")
+      .select("doc_id", "cos", "rank_dense") // cos rides for x132; rank
+      // consumers (x92/x99) prune it, so their plans are unchanged
   }
 
   def x92_hybrid_rrf(spark: SparkSession, sfDir: String): DataFrame = {
@@ -3750,6 +3751,124 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x131: n-gram NOVELTY audit — per doc, the share of its 8-grams
+  // that appear in no other document: the memorization-potential
+  // signal the dedup literature reads before dedup even runs (a doc
+  // whose grams are mostly corpus-shared is template/copy material; a
+  // fully-novel doc is unique content). Complements the pairwise
+  // family: x74/x77 find WHICH segments collide, this prices HOW MUCH
+  // of each doc is corpus-shared as one per-doc scalar a gate can
+  // threshold. Rides x51's session-cached 8-gram posting (identical
+  // plan ⇒ one cache entry); cost beyond it is one gram-df agg + one
+  // equi-join + a per-doc agg — corpus-linear. Per-doc-DISTINCT grams
+  // (the posting's own semantics): df counts documents, so "shared"
+  // means cross-document, never within-doc repetition (x112's job).
+  def x131_novelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh8 = graft.Caches.persist(
+      docShingles(Tables.documents(spark, sfDir), 8))
+    val df8 = sh8.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh8.join(df8, Seq("shingle"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round(lit(1.0) - col("n_shared").cast("double") / col("n_grams"), 6)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val x131Sql: String =
+    s"""WITH tok AS (SELECT doc_id, $SqlTok AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |  range(1, greatest(len(toks) - 7, 0) + 1),
+       |  i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS shingle
+       |  FROM tok),
+       |dfg AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle)
+       |SELECT s.doc_id, count(*)::BIGINT AS n_grams,
+       |  sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+       |  round(1.0 - sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+       |        / count(*), 6) AS novelty
+       |FROM sh s JOIN dfg d USING (shingle)
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  // ======================================================================
+  // x132: Z-SCORE hybrid fusion — the score-calibrated alternative to
+  // x92's rank-only RRF: each leg's top-k scores are standardized
+  // against that leg's own candidate distribution (z = (s−μ)/σ over
+  // the leg's k rows), then summed (CombSUM over z-scores — the
+  // classic normalization when legs' score scales are incomparable,
+  // BM25 sums vs cosine). A doc missing from a leg contributes 0 (the
+  // leg's mean) rather than RRF's rank-0 convention; documents strong
+  // in BOTH legs rise, single-leg outliers are tempered by the other
+  // leg's silence. Shapes: both legs are the existing bounded top-k
+  // frames; the μ/σ dimensions are 1-row broadcasts; fusion is a
+  // ≤2k-row full-outer join. σ=0 legs (all-equal scores) z to 0 by
+  // guard, in both engines.
+  def x132_z_fusion(spark: SparkSession, sfDir: String): DataFrame = {
+    def zLeg(leg: DataFrame, scoreCol: String, zName: String): DataFrame = {
+      val st = leg.agg(avg(col(scoreCol)).as("m"),
+        stddev_pop(col(scoreCol)).as("sd"))
+      leg.crossJoin(broadcast(st))
+        .select(col("doc_id"),
+          when(col("sd") > 0, (col(scoreCol) - col("m")) / col("sd"))
+            .otherwise(lit(0.0)).as(zName))
+    }
+    val lz = zLeg(x91_bm25(spark, sfDir).select("doc_id", "score"),
+      "score", "z_lex")
+    val dz = zLeg(denseTopRanked(spark, sfDir).select("doc_id", "cos"),
+      "cos", "z_dense")
+    lz.join(dz, Seq("doc_id"), "full")
+      .withColumn("fused0",
+        coalesce(col("z_lex"), lit(0.0)) + coalesce(col("z_dense"), lit(0.0)))
+      .orderBy(col("fused0").desc, col("doc_id")).limit(RrfTopK)
+      .select(col("doc_id"),
+        round(coalesce(col("z_lex"), lit(0.0)), 6).as("z_lex"),
+        round(coalesce(col("z_dense"), lit(0.0)), 6).as("z_dense"),
+        round(col("fused0"), 6).as("fused"))
+  }
+
+  val x132Sql: String = {
+    val qList = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH post AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM post GROUP BY doc_id),
+       |consts AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+       |           (SELECT avg(dl) FROM dl) AS avgdl),
+       |qpost AS (SELECT doc_id, token FROM post WHERE token IN ($qList)),
+       |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM qpost
+       |       GROUP BY doc_id, token),
+       |idf AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM qpost
+       |        GROUP BY token),
+       |lexs AS (SELECT t.doc_id,
+       |  round(sum(ln((c.n - i.df + 0.5) / (i.df + 0.5) + 1.0) *
+       |    (t.tf * ($Bm25K1 + 1)) /
+       |    (t.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * d.dl / c.avgdl))), 6)
+       |    AS score
+       |  FROM tf t JOIN idf i USING (token) JOIN dl d USING (doc_id)
+       |  CROSS JOIN consts c
+       |  GROUP BY t.doc_id ORDER BY score DESC, t.doc_id LIMIT $Bm25TopK),
+       |lst AS (SELECT avg(score) AS m, stddev_pop(score) AS sd FROM lexs),
+       |lz AS (SELECT doc_id, CASE WHEN t.sd > 0
+       |         THEN (score - t.m) / t.sd ELSE 0.0 END AS z_lex
+       |       FROM lexs CROSS JOIN lst t),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |dtop AS (SELECT e.vec_id AS doc_id,
+       |  list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+       |  FROM embeddings e, q WHERE e.vec_id <> 0
+       |  ORDER BY cos DESC, doc_id LIMIT $RrfTopK),
+       |dst AS (SELECT avg(cos) AS m, stddev_pop(cos) AS sd FROM dtop),
+       |dz AS (SELECT doc_id, CASE WHEN t.sd > 0
+       |         THEN (cos - t.m) / t.sd ELSE 0.0 END AS z_dense
+       |       FROM dtop CROSS JOIN dst t),
+       |f AS (SELECT doc_id, l.z_lex, d.z_dense,
+       |  coalesce(l.z_lex, 0.0) + coalesce(d.z_dense, 0.0) AS fused0
+       |  FROM lz l FULL OUTER JOIN dz d USING (doc_id))
+       |SELECT doc_id, round(coalesce(z_lex, 0.0), 6) AS z_lex,
+       |  round(coalesce(z_dense, 0.0), 6) AS z_dense,
+       |  round(fused0, 6) AS fused
+       |FROM f ORDER BY fused0 DESC, doc_id LIMIT $RrfTopK""".stripMargin
+  }
+
+  // ======================================================================
   // x130: per-language tokenizer FERTILITY — the equity report every
   // multilingual tokenizer audit publishes (pieces-per-word and
   // chars-per-piece by language): a language the BPE vocabulary
@@ -5728,6 +5847,8 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     // rows-only (BPE encode not SQL-expressible — the x87 convention):
     // accuracy contract is BpeSpec's regroup-of-x87 replay
     "x130_bpe_fertility" -> (x130_bpe_fertility _),
+    "x131_novelty" -> (x131_novelty _),
+    "x132_z_fusion" -> (x132_z_fusion _),
     // rows-only (LBFGS not SQL-expressible): accuracy contract is
     // QualityModelSpec's seed-separation + planted-garbage ranking
     "x82_quality_model" ->
@@ -5836,6 +5957,8 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x126_kn_bigram" -> x126Sql,
     "x127_tfidf_cosine" -> x127Sql,
     "x128_source_kl" -> x128Sql,
+    "x131_novelty" -> x131Sql,
+    "x132_z_fusion" -> x132Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

@@ -541,6 +541,73 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // --- x131 n-gram novelty ------------------------------------------------
+
+  test("x131: novelty == driver replay over per-doc-distinct 8-grams") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val grams = docs.map { case (id, t) =>
+      id -> tok(t).sliding(8).filter(_.size == 8).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = scala.collection.mutable.Map[String, Long]()
+    grams.values.foreach(_.foreach(g => df(g) = df.getOrElse(g, 0L) + 1L))
+    def rnd(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val expect = grams.toSeq.filter(_._2.nonEmpty).map { case (id, gs) =>
+      val shared = gs.count(g => df(g) >= 2).toLong
+      (id, gs.size.toLong, shared, rnd(1.0 - shared.toDouble / gs.size))
+    }.sortBy(_._1)
+    val got = ExtensionQueries.x131_novelty(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expect,
+      s"first mismatch: ${got.zip(expect).find(p => p._1 != p._2)}")
+    // the fixture's planted dups must surface as low-novelty docs
+    assert(got.exists(_._4 < 0.5), "no low-novelty (copied) doc found")
+    assert(got.exists(_._4 == 1.0), "no fully-novel doc found")
+  }
+
+  // --- x132 z-score fusion -------------------------------------------------
+
+  test("x132: fused ranking == driver z-normalization of both legs") {
+    val lex = ExtensionQueries.x91_bm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    val qv = emb(0L)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      val (na, nb) = (math.sqrt(a.map(x => x * x).sum),
+        math.sqrt(b.map(x => x * x).sum))
+      if (na > 0 && nb > 0) d / (na * nb) else 0.0
+    }
+    val dense = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(qv, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(20)
+    def z(leg: Seq[(Long, Double)]): Map[Long, Double] = {
+      val xs = leg.map(_._2)
+      val m = xs.sum / xs.size
+      val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.size)
+      leg.map { case (id, s) =>
+        id -> (if (sd > 0) (s - m) / sd else 0.0)
+      }.toMap
+    }
+    val (lzm, dzm) = (z(lex.toSeq), z(dense))
+    def rnd(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val expect = (lzm.keySet ++ dzm.keySet).toSeq
+      .map { id =>
+        val f = lzm.getOrElse(id, 0.0) + dzm.getOrElse(id, 0.0)
+        (id, f, rnd(lzm.getOrElse(id, 0.0)), rnd(dzm.getOrElse(id, 0.0)), rnd(f))
+      }
+      .sortBy { case (id, f, _, _, _) => (-f, id) }.take(20)
+      .map { case (id, _, zl, zd, fr) => (id, zl, zd, fr) }
+    val got = ExtensionQueries.x132_z_fusion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expect,
+      s"first mismatch: ${got.zip(expect).find(p => p._1 != p._2)}")
+  }
+
   // --- x127 idf-weighted shingle cosine ----------------------------------
 
   test("x127: weighted-cosine pairs == brute-force driver replay") {

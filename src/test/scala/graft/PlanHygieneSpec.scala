@@ -329,6 +329,19 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in x127:\n$p")
   }
 
+  test("x131 novelty: rides the 8-gram posting — one df agg + equi-join, no cartesian") {
+    val p = plan(graft.queries.ExtensionQueries.x131_novelty(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in x131:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in x131:\n$p")
+  }
+
+  test("x132 z-fusion: bounded legs + 1-row stat broadcasts, no cartesian") {
+    val p = plan(graft.queries.ExtensionQueries.x132_z_fusion(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in x132:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"fused top-k should be a TakeOrdered:\n$p")
+  }
+
   test("x96 indexed bm25: TakeOrdered, no cartesian, df broadcast") {
     val p = plan(graft.queries.ExtensionQueries.x96_bm25_indexed(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
