@@ -3751,6 +3751,69 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x133: HIERARCHICAL mixture plan — the two-level sampling recipe
+  // multilingual corpora actually train with: UniMax waterfilling
+  // across LANGUAGES (the fairness axis, x104's allocator verbatim),
+  // then a proportional split across SOURCES within each language
+  // (no within-language distortion — every cell of a language runs
+  // the same epochs, which the output exposes as the per-cell epochs
+  // column being constant per lang; a reviewer spots a violated
+  // invariant at a glance). Shapes: one (lang, source) census
+  // (corpus-linear), the waterfill on the ≤n_langs dimension, one
+  // broadcast join back to the ≤langs×sources cell dimension.
+  // Allocation math runs on the ROUNDED lang allocation in both
+  // engines so the split inherits x104's cross-engine determinism.
+  def x133_mix_hier(spark: SparkSession, sfDir: String): DataFrame = {
+    val cell = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"),
+        size(Tokenize.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("lang", "source").agg(sum(col("n_tok")).as("n_tokens"))
+    val perLang = cell.groupBy("lang").agg(sum(col("n_tokens")).as("n_tokens"))
+    val alloc = unimaxAlloc(perLang)
+      .select(col("lang"), col("n_tokens").as("lang_tokens"),
+        col("alloc_tokens").as("lang_alloc"))
+    cell.join(broadcast(alloc), Seq("lang"))
+      .select(col("lang"), col("source"), col("n_tokens"),
+        round(col("lang_alloc") *
+          (col("n_tokens").cast("double") / col("lang_tokens")), 4)
+          .as("alloc_tokens"),
+        round(col("lang_alloc") / col("lang_tokens"), 6).as("epochs"))
+      .orderBy("lang", "source")
+  }
+
+  val x133Sql: String =
+    s"""WITH cell AS (SELECT lang, source, sum(len($SqlTok))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY lang, source),
+       |per AS (SELECT lang, sum(n_tokens)::BIGINT AS n_tokens
+       |  FROM cell GROUP BY lang),
+       |tot AS (SELECT sum(n_tokens)::DOUBLE AS budget,
+       |        count(*)::BIGINT AS n_langs FROM per),
+       |r AS (SELECT lang, n_tokens, budget, n_langs,
+       |    row_number() OVER (ORDER BY n_tokens, lang) AS rn,
+       |    n_tokens::DOUBLE * $UniMaxCap AS cap_tok
+       |  FROM per, tot),
+       |c AS (SELECT *, coalesce(sum(cap_tok) OVER (ORDER BY rn
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+       |    AS prefix_prev FROM r),
+       |d AS (SELECT *, CASE WHEN cap_tok <
+       |    (budget - prefix_prev) / (n_langs - rn + 1)
+       |    THEN 1 ELSE 0 END AS cond FROM c),
+       |e AS (SELECT *, min(cond) OVER (ORDER BY rn
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped FROM d),
+       |f AS (SELECT *,
+       |    sum(CASE WHEN capped = 1 THEN cap_tok ELSE 0.0 END) OVER () AS capped_total,
+       |    sum(capped) OVER () AS n_capped FROM e),
+       |a AS (SELECT lang, n_tokens AS lang_tokens,
+       |    round(CASE WHEN capped = 1 THEN cap_tok
+       |      ELSE (budget - capped_total) / (n_langs - n_capped) END, 4)
+       |      AS lang_alloc FROM f)
+       |SELECT c.lang, c.source, c.n_tokens,
+       |  round(a.lang_alloc * (c.n_tokens::DOUBLE / a.lang_tokens), 4)
+       |    AS alloc_tokens,
+       |  round(a.lang_alloc / a.lang_tokens, 6) AS epochs
+       |FROM cell c JOIN a USING (lang) ORDER BY c.lang, c.source""".stripMargin
+
+  // ======================================================================
   // x131: n-gram NOVELTY audit — per doc, the share of its 8-grams
   // that appear in no other document: the memorization-potential
   // signal the dedup literature reads before dedup even runs (a doc
@@ -5849,6 +5912,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x130_bpe_fertility" -> (x130_bpe_fertility _),
     "x131_novelty" -> (x131_novelty _),
     "x132_z_fusion" -> (x132_z_fusion _),
+    "x133_mix_hier" -> (x133_mix_hier _),
     // rows-only (LBFGS not SQL-expressible): accuracy contract is
     // QualityModelSpec's seed-separation + planted-garbage ranking
     "x82_quality_model" ->
@@ -5959,6 +6023,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x128_source_kl" -> x128Sql,
     "x131_novelty" -> x131Sql,
     "x132_z_fusion" -> x132Sql,
+    "x133_mix_hier" -> x133Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

@@ -219,6 +219,35 @@ class DataMixSpec extends AnyFunSuite with SparkSpec {
     assert(nEn >= 30, s"only $nEn/50 selected docs are en")
   }
 
+  // --- x133 hierarchical mixture ------------------------------------------
+
+  private lazy val hier =
+    ExtensionQueries.x133_mix_hier(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+
+  test("x133: within-language epochs are uniform and equal x104's") {
+    val x104epochs = unimax.map(u => u._1 -> u._5).toMap
+    hier.groupBy(_._1).foreach { case (lang, cells) =>
+      val eps = cells.map(_._5).distinct
+      assert(eps.size == 1,
+        s"$lang: proportional split must not distort within-language epochs, got $eps")
+      assert(math.abs(eps.head - x104epochs(lang)) < 2e-6,
+        s"$lang: hierarchical epochs ${eps.head} != x104 ${x104epochs(lang)}")
+    }
+  }
+
+  test("x133: cell allocations conserve each language's UniMax budget") {
+    val x104alloc = unimax.map(u => u._1 -> u._4).toMap
+    hier.groupBy(_._1).foreach { case (lang, cells) =>
+      val s = cells.map(_._4).sum
+      assert(math.abs(s - x104alloc(lang)) <= cells.size * 5e-5 + 1e-6,
+        s"$lang: cells sum to $s, language budget ${x104alloc(lang)}")
+    }
+    // and the cells cover every (lang, source) with tokens
+    assert(hier.length > 50, s"only ${hier.length} cells")
+  }
+
   // --- x125 negative sampling -------------------------------------------
 
   private lazy val negTable =
