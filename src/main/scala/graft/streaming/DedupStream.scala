@@ -589,6 +589,43 @@ object DedupStream {
     * text is never rescanned (each batch sketched itself once, in its
     * own loop).
     */
+  /** Per-batch distribution DRIFT report — x128's KL measure composed
+    * into the ingest loop and answered entirely from the maintained
+    * lexical artifacts (never a re-tokenize): for each accepted batch,
+    * KL(p_batch ‖ p_corpus) over unigram token frequencies plus the
+    * batch's top-divergence token for explainability. This is the
+    * always-on data-quality alarm a production ingest watches: a
+    * source switching language, template, or degrading to garbage
+    * shows as a KL spike in its arrival batch with the guilty token
+    * named. Requires the lexIndex channel (the one that makes accepted
+    * text's token counts an artifact). Shapes: a per-(batch, token)
+    * agg over the posting slices with broadcast corpus marginals — the
+    * report costs one artifact scan, independent of corpus text size.
+    */
+  def driftReport(spark: SparkSession, storeRoot: String): DataFrame = {
+    val post = readOrEmpty(spark, s"$storeRoot/lexpost",
+      lexpostSchema.add(StructField("batch", LongType)))
+      // partition-value inference types small batch ids as INT; pin long
+      .withColumn("batch", col("batch").cast("long"))
+    val bt = post.groupBy("batch", "token").agg(sum(col("tf")).as("c_bt"))
+    val bTot = bt.groupBy("batch").agg(sum(col("c_bt")).as("n_b"))
+    val ct = bt.groupBy("token").agg(sum(col("c_bt")).as("c_t"))
+    val tot = ct.agg(sum(col("c_t")).cast("double").as("n"))
+    val w = Window.partitionBy("batch")
+      .orderBy(col("kl_term").desc, col("token"))
+    bt.join(bTot, Seq("batch")).join(broadcast(ct), Seq("token"))
+      .crossJoin(broadcast(tot))
+      .withColumn("ps", col("c_bt").cast("double") / col("n_b"))
+      .withColumn("pc", col("c_t").cast("double") / col("n"))
+      .withColumn("kl_term", col("ps") * log(col("ps") / col("pc")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("batch").agg(
+        max(col("n_b")).as("n_tokens"),
+        (floor(sum(col("kl_term")) * 1e6 + 0.5) / 1e6).as("kl"),
+        max(when(col("rn") === 1, col("token"))).as("top_token"))
+      .orderBy("batch")
+  }
+
   def corpusStats(spark: SparkSession, storeRoot: String): DataFrame =
     graft.sources.SketchStore.merge(
       Seq(readOrEmpty(spark, s"$storeRoot/stats", statsSchema)

@@ -730,4 +730,58 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
       .map(_.getName).filter(_.startsWith("v=")).toSeq
     assert(live === Seq(s"v=$v4"), s"retention left extra versions: $live")
   }
+
+  test("drift report: a shifted batch spikes KL with the guilty token named") {
+    val work = Files.createTempDirectory("driftrep")
+    val docsDir = Files.createDirectory(work.resolve("docs"))
+    val store = work.resolve("store").toString
+    val ckpt = work.resolve("ckpt").toString
+    val wordvecs = graft.queries.ReferenceQueries.wordvecsByLang(spark, sf)
+
+    // batch 0: a normal corpus half
+    stage(docsDir, work, "a", col("doc_id") < 250)
+    DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
+      lexIndex = true).awaitTermination(180000)
+    // batch 1: the planted drifted source — a token nobody else uses
+    // (distinct texts so dedup keeps them all; the drift must come
+    // from the DISTRIBUTION, not from dup-dropping artifacts)
+    val drifted = spark.range(9000, 9010).selectExpr("id AS doc_id",
+      "concat(repeat('zzzdrift ', 20), 'doc', id) AS text",
+      "'en' AS lang", "'srcdrift' AS source", "200L AS n_chars")
+    val tmp = work.resolve("stage_drift")
+    drifted.coalesce(1).write.parquet(tmp.toString)
+    val part = Files.list(tmp).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.copy(Paths.get(part), docsDir.resolve("b.parquet"))
+    DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
+      lexIndex = true).awaitTermination(180000)
+
+    val rep = DedupStream.driftReport(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(rep.length == 2, s"expected 2 batches, got ${rep.toSeq}")
+    val spike = rep.maxBy(_._3)
+    assert(spike._4 == "zzzdrift",
+      s"top divergence token should name the drift: ${rep.toSeq}")
+    assert(spike._3 > 5 * rep.minBy(_._3)._3,
+      s"drifted batch KL should dominate: ${rep.toSeq}")
+
+    // the report replays exactly from the artifact slices
+    val post = spark.read.parquet(s"$store/lexpost")
+      .select(col("batch").cast("long"), col("token"), col("tf")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bt = post.groupBy(p => (p._1, p._2)).map { case (k, v) =>
+      k -> v.map(_._3).sum }
+    val nb = bt.groupBy(_._1._1).map { case (b, m) => b -> m.values.sum }
+    val ctm = bt.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+    val n = ctm.values.sum.toDouble
+    val expect = nb.keys.toSeq.sorted.map { b =>
+      val terms = bt.filter(_._1._1 == b).map { case ((_, t), c) =>
+        val ps = c.toDouble / nb(b)
+        ps * math.log(ps / (ctm(t).toDouble / n))
+      }
+      (b, math.floor(terms.sum * 1e6 + 0.5) / 1e6)
+    }
+    assert(rep.map(r => (r._1, r._3)).toSeq.sortBy(_._1) == expect,
+      s"report diverges from the slice replay: ${rep.toSeq} vs $expect")
+  }
 }
