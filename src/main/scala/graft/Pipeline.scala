@@ -72,12 +72,17 @@ object Pipeline {
       piiMaskedDocs: Long, vectorized: Long, sequences: Long,
       packedTokens: Long)
 
-  /** The pre-gate corpus projection: PII-masked text with lang and the
-    * per-doc PII count, the frame steps 3-9 all derive from.
+  /** The pre-gate corpus projection: PII-masked text with lang,
+    * source, and the per-doc PII count — the frame steps 3-9 all
+    * derive from. `source` rides to the published documents table so
+    * the snapshot's source-level artifacts (mix_plan, source_kl) are
+    * REPLAYABLE from the release alone — the same completeness
+    * argument as ccnet_cuts.
     */
   private def maskedOf(docs: DataFrame): DataFrame =
-    AnalyticsQueries.piiMaskOf(docs, keep = Seq("lang"))
-      .select(col("doc_id"), col("lang"), col("masked").as("text"),
+    AnalyticsQueries.piiMaskOf(docs, keep = Seq("lang", "source"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("masked").as("text"),
         (col("n_emails") + col("n_urls") + col("n_longnums")).as("n_pii"))
 
   /** Verdict-kept train slice of the masked corpus (doc_id%100==0 is
@@ -466,6 +471,27 @@ object Pipeline {
           .groupBy("lang").agg(sum(col("n_tok")).as("n_tokens")))
       val curriculumCuts = ExtensionQueries.curriculumCuts(
         ExtensionQueries.qualityStatsOf(corpus, persistShared = false))
+      // 8f. the SOURCE-LEVEL plan + drift fingerprint, same contract:
+      // mix_plan is x133's hierarchical allocation (UniMax across
+      // languages, proportional across sources within one) over the
+      // published text under the snapshot's tokenizer rule — the
+      // loader-facing refinement of budget_plan; source_kl is x128's
+      // per-source unigram divergence from the release's own corpus
+      // distribution, the drift fingerprint a FUTURE release diffs
+      // against (a source whose KL moved between releases changed its
+      // text, not just its size — releaseDiff's vocab channel at
+      // source granularity). Both ride the same per-(lang, source)
+      // tokenize census; source_kl's posting is one more explode of
+      // the same projection.
+      val langSrcTok = corpus.select(col("lang"), col("source"),
+        graft.functions.Tokenize.tokensByLang(col("text"), col("lang"))
+          .as("toks"))
+      val mixPlan = ExtensionQueries.hierAllocOf(
+        langSrcTok.select(col("lang"), col("source"),
+          size(col("toks")).cast("long").as("n_tok"))
+          .groupBy("lang", "source").agg(sum(col("n_tok")).as("n_tokens")))
+      val sourceKl = ExtensionQueries.sourceKlOf(
+        langSrcTok.select(col("source"), explode(col("toks")).as("token")))
 
       // 9. one atomic multi-table snapshot: the masked text a model
       // trains on + vectors + packing + stats, versioned together. The
@@ -498,7 +524,9 @@ object Pipeline {
           "lexical_df" -> lexIx.df,
           "lexical_consts" -> lexIx.consts,
           "budget_plan" -> budgetPlan,
-          "curriculum_cuts" -> curriculumCuts) ++ qualityTable,
+          "curriculum_cuts" -> curriculumCuts,
+          "mix_plan" -> mixPlan,
+          "source_kl" -> sourceKl) ++ qualityTable,
         storeRoot)
       // the lexical posting's persist was scoped to the publish window
       lexIx.posting.unpersist(false)

@@ -3682,10 +3682,18 @@ object ExtensionQueries {
   // posting joined to two broadcast dimensions (vocab counts, 1-row
   // total); the argmax is a window over vocab-sized source partitions.
   // Corpus-linear once, never pairwise.
-  def x128_source_kl(spark: SparkSession, sfDir: String): DataFrame = {
-    val tok = docTok(Tables.documents(spark, sfDir))
+  def x128_source_kl(spark: SparkSession, sfDir: String): DataFrame =
+    sourceKlOf(docTok(Tables.documents(spark, sfDir))
       .join(Tables.documents(spark, sfDir).select("doc_id", "source"),
         Seq("doc_id"))
+      .select("source", "token"))
+
+  /** x128's divergence report over ANY (source, token) instance frame
+    * — private[graft] so the Pipeline can ship the released corpus's
+    * drift fingerprint in the snapshot and the stream monitor shares
+    * the measure's one definition.
+    */
+  private[graft] def sourceKlOf(tok: DataFrame): DataFrame = {
     val st = tok.groupBy("source", "token").agg(count(lit(1)).as("c_st"))
     val srcTot = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
     val ct = st.groupBy("token").agg(sum(col("c_st")).as("c_t"))
@@ -3763,11 +3771,18 @@ object ExtensionQueries {
   // broadcast join back to the ≤langs×sources cell dimension.
   // Allocation math runs on the ROUNDED lang allocation in both
   // engines so the split inherits x104's cross-engine determinism.
-  def x133_mix_hier(spark: SparkSession, sfDir: String): DataFrame = {
-    val cell = Tables.documents(spark, sfDir)
+  def x133_mix_hier(spark: SparkSession, sfDir: String): DataFrame =
+    hierAllocOf(Tables.documents(spark, sfDir)
       .select(col("lang"), col("source"),
         size(Tokenize.tokens(col("text"))).cast("long").as("n_tok"))
-      .groupBy("lang", "source").agg(sum(col("n_tok")).as("n_tokens"))
+      .groupBy("lang", "source").agg(sum(col("n_tok")).as("n_tokens")))
+
+  /** x133's allocator over ANY (lang, source, n_tokens) cell census —
+    * private[graft] so the Pipeline's training-plan step can ship the
+    * hierarchical plan of the PUBLISHED corpus under the snapshot's
+    * own per-language tokenizer (the budget_plan precedent).
+    */
+  private[graft] def hierAllocOf(cell: DataFrame): DataFrame = {
     val perLang = cell.groupBy("lang").agg(sum(col("n_tokens")).as("n_tokens"))
     val alloc = unimaxAlloc(perLang)
       .select(col("lang"), col("n_tokens").as("lang_tokens"),

@@ -549,6 +549,56 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "the published release should populate all three phases")
   }
 
+  test("snapshot ships mix_plan and source_kl; both replay from the published text") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_pipe_mix").toString + "/store"
+    val r = Pipeline.run(spark, sf, store)
+    val docs = VersionedStore.readTable(spark, store, r.version, "documents")
+    val langSrcTok = docs.select(col("lang"), col("source"),
+      graft.functions.Tokenize.tokensByLang(col("text"), col("lang"))
+        .as("toks"))
+
+    // the hierarchical plan replays verbatim and preserves the
+    // within-language uniform-epochs invariant
+    val mix = VersionedStore.readTable(spark, store, r.version, "mix_plan")
+      .collect().map(p => (p.getString(0), p.getString(1), p.getLong(2),
+        p.getDouble(3), p.getDouble(4)))
+    assert(mix.nonEmpty)
+    mix.groupBy(_._1).foreach { case (l, cells) =>
+      assert(cells.map(_._5).distinct.length === 1,
+        s"$l: published plan has non-uniform within-language epochs")
+    }
+    val remix = graft.queries.ExtensionQueries.hierAllocOf(
+      langSrcTok.select(col("lang"), col("source"),
+        size(col("toks")).cast("long").as("n_tok"))
+        .groupBy("lang", "source").agg(sum(col("n_tok")).as("n_tokens")))
+      .collect().map(p => (p.getString(0), p.getString(1)) ->
+        (p.getLong(2), p.getDouble(3), p.getDouble(4))).toMap
+    mix.foreach { case (l, s, n, alloc, epochs) =>
+      val (rn, ra, re) = remix((l, s))
+      assert(rn === n && math.abs(ra - alloc) < 1e-6 &&
+        math.abs(re - epochs) < 1e-9, s"mix plan drifts for ($l, $s)")
+    }
+
+    // the drift fingerprint covers every published source and replays
+    val kl = VersionedStore.readTable(spark, store, r.version, "source_kl")
+      .collect().map(p => (p.getString(0), p.getLong(1), p.getDouble(2),
+        p.getString(3)))
+    val sources = docs.select("source").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(kl.map(_._1).toSet === sources)
+    kl.foreach { case (s, _, k, _) => assert(k >= 0, s"$s: negative KL $k") }
+    val rekl = graft.queries.ExtensionQueries.sourceKlOf(
+      langSrcTok.select(col("source"), explode(col("toks")).as("token")))
+      .collect().map(p => p.getString(0) ->
+        (p.getLong(1), p.getDouble(2), p.getString(3))).toMap
+    kl.foreach { case (s, n, k, top) =>
+      val (rn, rk, rtop) = rekl(s)
+      assert(rn === n && math.abs(rk - k) < 1e-6 && rtop === top,
+        s"source_kl drifts for $s")
+    }
+  }
+
   test("semantic dedup stage: the jittered twin is pruned, quantizer built once") {
     import spark.implicits._
     // 24 docs that pass every text gate (distinct 120-token bodies),
