@@ -3829,6 +3829,107 @@ object ExtensionQueries {
        |FROM cell c JOIN a USING (lang) ORDER BY c.lang, c.source""".stripMargin
 
   // ======================================================================
+  // x134: Dirichlet-smoothed QUERY-LIKELIHOOD retrieval — the other
+  // classical lexical ranker beside BM25 (the language-modeling
+  // approach: score = Σ_w∈q ln((tf + μ·p_c(w)) / (dl + μ)), μ = 2000),
+  // kept beside x91 because the two disagree exactly where their
+  // theories differ (QL's smoothing rewards docs matching MORE query
+  // terms; BM25's saturation rewards rare-term concentration) — an
+  // evaluation harness wants both. Candidates = docs holding ≥ 1 query
+  // term (the standard top-k implementation); absent terms contribute
+  // their background mass via tf = 0, which is why the ≤|q|-row term
+  // dimension crosses the candidate frame rather than inner-joining
+  // it. Shapes: posting filter prunes to query-term rows before any
+  // shuffle, p_c and dl are broadcast dimensions, top-k is a
+  // TakeOrdered on the rounded score (the x105 convention).
+  def x134_ql_retrieval(spark: SparkSession, sfDir: String): DataFrame = {
+    val mu = 2000.0
+    val tok = docTok(Tables.documents(spark, sfDir))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tot = tok.agg(count(lit(1)).cast("double").as("n"))
+    val pc = tok.filter(col("token").isin(Bm25Query: _*))
+      .groupBy("token").agg(count(lit(1)).as("c_t"))
+      .crossJoin(broadcast(tot))
+      .select(col("token"), (col("c_t").cast("double") / col("n")).as("pc"))
+    val tf = tok.filter(col("token").isin(Bm25Query: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val cand = tf.select("doc_id").distinct().join(dl, Seq("doc_id"))
+    cand.crossJoin(broadcast(pc))
+      .join(tf, Seq("doc_id", "token"), "left")
+      .withColumn("term_ll",
+        log((coalesce(col("tf"), lit(0L)) + lit(mu) * col("pc")) /
+          (col("dl") + lit(mu))))
+      .groupBy("doc_id").agg(
+        round(sum(col("term_ll")), 6).as("score"),
+        sum(when(col("tf").isNotNull, 1L).otherwise(0L)).as("n_matched"))
+      .orderBy(col("score").desc, col("doc_id")).limit(Bm25TopK)
+  }
+
+  val x134Sql: String = {
+    val qList = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+       |tot AS (SELECT count(*)::DOUBLE AS n FROM tok),
+       |pc AS (SELECT token, count(*)::DOUBLE / (SELECT n FROM tot) AS pc
+       |  FROM tok WHERE token IN ($qList) GROUP BY token),
+       |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok
+       |  WHERE token IN ($qList) GROUP BY doc_id, token),
+       |cand AS (SELECT DISTINCT doc_id FROM tf),
+       |s AS (SELECT c.doc_id,
+       |    round(sum(ln((coalesce(t.tf, 0) + 2000.0 * p.pc) /
+       |      (d.dl + 2000.0))), 6) AS score,
+       |    sum(CASE WHEN t.tf IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_matched
+       |  FROM cand c JOIN dl d USING (doc_id) CROSS JOIN pc p
+       |  LEFT JOIN tf t ON t.doc_id = c.doc_id AND t.token = p.token
+       |  GROUP BY c.doc_id)
+       |SELECT doc_id, score, n_matched FROM s
+       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
+  // ======================================================================
+  // x135: vocabulary COVERAGE audit — per language, how much of the
+  // true token distribution the corpus has NOT seen yet: the simple
+  // Good-Turing unseen-probability estimate (hapax share N1/N — the
+  // probability the next token is novel) and the bias-corrected Chao1
+  // richness estimate (V + N1(N1−1)/(2(N2+1)) — how big the true
+  // vocabulary likely is). The corpus-sufficiency question ("is more
+  // data from this language still buying vocabulary?") answered as a
+  // languages-sized table. All arithmetic is exact integer counting +
+  // one division — bit-identical across engines by construction.
+  def x135_vocab_coverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(Tokenize.tokens(col("text"))).as("token"))
+    val cnt = tok.groupBy("lang", "token").agg(count(lit(1)).as("c"))
+    cnt.groupBy("lang").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("lang"), col("n_tokens"), col("vocab"), col("n1"),
+        round(col("n1").cast("double") / col("n_tokens"), 6)
+          .as("unseen_mass"),
+        round(col("vocab") +
+          col("n1").cast("double") * (col("n1") - 1) /
+            (lit(2.0) * (col("n2") + 1)), 4).as("chao1"))
+      .orderBy("lang")
+  }
+
+  val x135Sql: String =
+    s"""WITH tok AS (SELECT lang, unnest($SqlTok) AS token FROM documents),
+       |cnt AS (SELECT lang, token, count(*)::BIGINT AS c FROM tok
+       |        GROUP BY lang, token)
+       |SELECT lang, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+       |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+       |  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+       |        / sum(c), 6) AS unseen_mass,
+       |  round(count(*) +
+       |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE *
+       |      (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1) /
+       |      (2.0 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)), 4) AS chao1
+       |FROM cnt GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ======================================================================
   // x131: n-gram NOVELTY audit — per doc, the share of its 8-grams
   // that appear in no other document: the memorization-potential
   // signal the dedup literature reads before dedup even runs (a doc
@@ -5928,6 +6029,8 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x131_novelty" -> (x131_novelty _),
     "x132_z_fusion" -> (x132_z_fusion _),
     "x133_mix_hier" -> (x133_mix_hier _),
+    "x134_ql_retrieval" -> (x134_ql_retrieval _),
+    "x135_vocab_coverage" -> (x135_vocab_coverage _),
     // rows-only (LBFGS not SQL-expressible): accuracy contract is
     // QualityModelSpec's seed-separation + planted-garbage ranking
     "x82_quality_model" ->
@@ -6039,6 +6142,8 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x131_novelty" -> x131Sql,
     "x132_z_fusion" -> x132Sql,
     "x133_mix_hier" -> x133Sql,
+    "x134_ql_retrieval" -> x134Sql,
+    "x135_vocab_coverage" -> x135Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

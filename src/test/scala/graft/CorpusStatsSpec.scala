@@ -608,6 +608,59 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec {
       s"first mismatch: ${got.zip(expect).find(p => p._1 != p._2)}")
   }
 
+  // --- x134 Dirichlet query likelihood ------------------------------------
+
+  test("x134: QL ranking == driver replay; background mass scores absent terms") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), tok(r.getString(1))))
+    val query = Seq("spark", "join", "window")
+    val n = docs.map(_._2.size).sum.toDouble
+    val pc = query.map(q =>
+      q -> docs.map(_._2.count(_ == q)).sum / n).toMap
+    def rnd(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val expect = docs.flatMap { case (id, ts) =>
+      val tfs = query.map(q => q -> ts.count(_ == q).toLong).toMap
+      if (tfs.values.sum == 0) None
+      else Some((id,
+        rnd(query.map(q => math.log((tfs(q) + 2000.0 * pc(q)) /
+          (ts.size + 2000.0))).sum),
+        tfs.values.count(_ > 0).toLong))
+    }.sortBy { case (id, s, _) => (-s, id) }.take(20).toSeq
+    val got = ExtensionQueries.x134_ql_retrieval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == expect,
+      s"first mismatch: ${got.zip(expect).find(p => p._1 != p._2)}")
+    assert(got.exists(_._3 < 3) || got.forall(_._3 == 3),
+      "fixture sanity: n_matched populated")
+  }
+
+  // --- x135 vocabulary coverage --------------------------------------------
+
+  test("x135: coverage audit == driver replay; estimates respect their bounds") {
+    val docs = Tables.documents(spark, sf).select("lang", "text")
+      .collect().map(r => (r.getString(0), tok(r.getString(1))))
+    def rnd(v: Double, d: Int) =
+      math.floor(v * math.pow(10, d) + 0.5) / math.pow(10, d)
+    val expect = docs.groupBy(_._1).map { case (lang, ds) =>
+      val cnt = scala.collection.mutable.Map[String, Long]()
+      ds.foreach(_._2.foreach(w => cnt(w) = cnt.getOrElse(w, 0L) + 1L))
+      val (nTok, v) = (cnt.values.sum, cnt.size.toLong)
+      val n1 = cnt.values.count(_ == 1L).toLong
+      val n2 = cnt.values.count(_ == 2L).toLong
+      (lang, nTok, v, n1, rnd(n1.toDouble / nTok, 6),
+        rnd(v + n1.toDouble * (n1 - 1) / (2.0 * (n2 + 1)), 4))
+    }.toSeq.sortBy(_._1)
+    val got = ExtensionQueries.x135_vocab_coverage(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expect,
+      s"first mismatch: ${got.zip(expect).find(p => p._1 != p._2)}")
+    got.foreach { case (l, _, v, _, um, chao1) =>
+      assert(um >= 0 && um <= 1, s"$l: unseen mass $um out of range")
+      assert(chao1 >= v, s"$l: Chao1 $chao1 below observed vocabulary $v")
+    }
+  }
+
   // --- x127 idf-weighted shingle cosine ----------------------------------
 
   test("x127: weighted-cosine pairs == brute-force driver replay") {

@@ -342,6 +342,16 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"fused top-k should be a TakeOrdered:\n$p")
   }
 
+  test("x134 QL retrieval: term-filtered posting, TakeOrdered, no cartesian") {
+    // the ≤3-row query-term dimension legitimately crosses the
+    // candidate frame (absent terms must contribute background mass);
+    // only an unbroadcast CartesianProduct would be a scale bug
+    val p = plan(graft.queries.ExtensionQueries.x134_ql_retrieval(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in x134:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"QL top-k should be a TakeOrdered:\n$p")
+  }
+
   test("x96 indexed bm25: TakeOrdered, no cartesian, df broadcast") {
     val p = plan(graft.queries.ExtensionQueries.x96_bm25_indexed(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
