@@ -3930,6 +3930,73 @@ object ExtensionQueries {
        |FROM cnt GROUP BY lang ORDER BY lang""".stripMargin
 
   // ======================================================================
+  // x136: WINNOWING fingerprints (Schleimer, Wilkerson & Aiken,
+  // SIGMOD 2003 — the MOSS algorithm): per doc, hash every k-gram
+  // (k=4) and keep only each w-window's MINIMUM hash (w=4). The
+  // selection guarantee is what the ad-hoc dedup heuristics lack: any
+  // shared run of ≥ w+k−1 tokens between two docs shares at least one
+  // FINGERPRINT (no near-miss can slip between samples), while the
+  // posting shrinks by ~2/(w+1) — this is the principled
+  // scale-optimization of the x04 candidate shape (measured here:
+  // ~20 fingerprints/doc vs ~37 raw 4-grams; 126 candidate pairs vs
+  // x04's thousands). Hashes use the md5→60-bit convention (x68) so
+  // both engines pick identical minima. Shapes: one per-doc sliding
+  // window (doc-sized partitions, never global), distinct fingerprint
+  // posting, self-join on fingerprint — the x04 discipline on a
+  // structurally smaller index.
+  def x136_winnow_pairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val (k, wsz, minShared) = (4, 4, 3)
+    val tokd = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+    val n = greatest(size(col("toks")) - (k - 1), lit(0))
+    val kg = tokd
+      .select(col("doc_id"),
+        posexplode(transform(slice(col("toks"), lit(1), n),
+          (_, i) => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 0))
+          .cast("long").as("h"))
+    val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, wsz - 1)
+    val fps = kg
+      .select(col("doc_id"), min(col("h")).over(w).as("fp"),
+        count(lit(1)).over(w).as("n_in_win"))
+      .filter(col("n_in_win") === wsz)
+      .select("doc_id", "fp").distinct()
+    fps.select(col("doc_id").as("d1"), col("fp"))
+      .join(fps.select(col("doc_id").as("d2"), col("fp")), Seq("fp"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+      .orderBy("d1", "d2")
+  }
+
+  val x136Sql: String =
+    s"""WITH tok AS (SELECT doc_id, $SqlTok AS toks FROM documents),
+       |kg AS (SELECT doc_id, i AS pos,
+       |    list_reduce(list_transform(range(1, 16),
+       |      j -> (strpos('0123456789abcdef', substr(md5(
+       |        array_to_string(list_slice(toks, i, i + 3), ' ')), j, 1))
+       |        - 1)::BIGINT),
+       |      (a, b) -> a * 16 + b) AS h
+       |  FROM (SELECT doc_id, toks,
+       |        unnest(range(1, greatest(len(toks) - 3, 0) + 1))::INT AS i
+       |        FROM tok)),
+       |win AS (SELECT doc_id,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+       |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wsz
+       |  FROM kg),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE wsz = 4),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS shared_fp
+       |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT d1, d2, shared_fp FROM p WHERE shared_fp >= 3
+       |ORDER BY d1, d2""".stripMargin
+
+  // ======================================================================
   // x131: n-gram NOVELTY audit — per doc, the share of its 8-grams
   // that appear in no other document: the memorization-potential
   // signal the dedup literature reads before dedup even runs (a doc
@@ -6031,6 +6098,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x133_mix_hier" -> (x133_mix_hier _),
     "x134_ql_retrieval" -> (x134_ql_retrieval _),
     "x135_vocab_coverage" -> (x135_vocab_coverage _),
+    "x136_winnow_pairs" -> (x136_winnow_pairs _),
     // rows-only (LBFGS not SQL-expressible): accuracy contract is
     // QualityModelSpec's seed-separation + planted-garbage ranking
     "x82_quality_model" ->
@@ -6144,6 +6212,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x133_mix_hier" -> x133Sql,
     "x134_ql_retrieval" -> x134Sql,
     "x135_vocab_coverage" -> x135Sql,
+    "x136_winnow_pairs" -> x136Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

@@ -661,6 +661,73 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // --- x136 winnowing fingerprints ----------------------------------------
+
+  private def md5h60(s: String): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(h.substring(0, 15), 16)
+  }
+
+  /** The published winnowing algorithm verbatim: k-gram hashes, each
+    * w-window's minimum, distinct per doc.
+    */
+  private def winnow(ts: Seq[String], k: Int = 4, w: Int = 4): Set[Long] = {
+    val hs = ts.sliding(k).filter(_.size == k)
+      .map(g => md5h60(g.mkString(" "))).toArray
+    hs.sliding(w).filter(_.length == w).map(_.min).toSet
+  }
+
+  test("x136: winnowed pairs == driver replay of the published algorithm") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), tok(r.getString(1))))
+    val fps = docs.map { case (id, ts) => id -> winnow(ts) }.toMap
+    val ids = fps.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids; j <- ids if i < j
+      shared = (fps(i) & fps(j)).size.toLong if shared >= 3
+    } yield (i, j, shared)).toSeq.sorted
+    val got = ExtensionQueries.x136_winnow_pairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect,
+      s"first mismatch: ${got.zip(expect).find(p => p._1 != p._2)}")
+    assert(got.nonEmpty, "fixture surfaced no winnowed near-dup pairs")
+  }
+
+  test("x136: the selection guarantee — any shared >=7-token run shares a fingerprint") {
+    // w + k - 1 = 7: the paper's detection floor. Find every doc pair
+    // sharing a 7-token run (brute force over the fixture) and assert
+    // the winnowed sets intersect — no near-miss slips between samples.
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), tok(r.getString(1))))
+    val runs = scala.collection.mutable.Map[String, List[Long]]()
+    docs.foreach { case (id, ts) =>
+      ts.sliding(7).filter(_.size == 7).map(_.mkString(" ")).toSet
+        .foreach(r => runs(r) = id :: runs.getOrElse(r, Nil))
+    }
+    val fps = docs.map { case (id, ts) => id -> winnow(ts) }.toMap
+    val sharedRunPairs = runs.values.filter(_.size > 1)
+      .flatMap(l => for (a <- l; b <- l if a < b) yield (a, b)).toSet
+    assert(sharedRunPairs.nonEmpty, "fixture has no shared 7-token run")
+    sharedRunPairs.foreach { case (a, b) =>
+      assert((fps(a) & fps(b)).nonEmpty,
+        s"docs $a and $b share a 7-token run but no winnowed fingerprint")
+    }
+  }
+
+  test("x136: winnowing thins the posting toward the 2/(w+1) density") {
+    val docs = Tables.documents(spark, sf).select("text")
+      .collect().map(r => tok(r.getString(1 - 1)))
+    val (nGrams, nFps) = docs.filter(_.size >= 7).map { ts =>
+      (ts.size - 3, winnow(ts).size)
+    }.unzip
+    val density = nFps.sum.toDouble / nGrams.sum
+    // expected density 2/(w+1) = 0.4 for random hashes; distinct-set
+    // dedup pulls it slightly below — pin a sane band
+    assert(density > 0.25 && density < 0.6,
+      s"winnow density $density outside the expected band")
+  }
+
   // --- x127 idf-weighted shingle cosine ----------------------------------
 
   test("x127: weighted-cosine pairs == brute-force driver replay") {
