@@ -3997,6 +3997,94 @@ object ExtensionQueries {
        |ORDER BY d1, d2""".stripMargin
 
   // ======================================================================
+  // x137: language-ID CONFUSION audit — the x07 heuristic evaluated
+  // against the table's labels: the (true, predicted) matrix with
+  // per-true-language recall. Every classifier a pipeline gates on
+  // needs its confusion published next to it (x07 feeds x85's CCNet
+  // buckets and the per-language tokenize dispatch — a silent recall
+  // cliff in one language would mis-bucket a whole subcorpus).
+  // Composition: x07's marker argmax joined to the labels, one
+  // (lang, pred)-keyed agg + a languages-sized total join.
+  def x137_langid_eval(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val cell = x07_lang_id(spark, sfDir).select("doc_id", "pred_lang")
+      .join(truth, Seq("doc_id"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+    val tot = cell.groupBy("lang").agg(sum(col("n_docs")).as("n_lang"))
+    cell.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_lang"), 6).as("share"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  // lazy: langMarkers is declared further down the file (the x107Sql
+  // init-order rule)
+  lazy val x137Sql: String = {
+    val values = langMarkers.map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
+    s"""WITH markers(plang, word) AS (VALUES $values),
+       |tok AS (SELECT doc_id, unnest($SqlTok) AS token FROM documents),
+       |scores AS (SELECT doc_id, plang, count(*) AS score FROM tok
+       |           JOIN markers ON token = word GROUP BY doc_id, plang),
+       |best AS (SELECT doc_id, plang, score,
+       |  row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, plang) AS rn FROM scores),
+       |pred AS (SELECT d.doc_id, d.lang, coalesce(b.plang, 'und') AS pred_lang
+       |  FROM documents d LEFT JOIN (SELECT doc_id, plang FROM best
+       |    WHERE rn = 1) b USING (doc_id)),
+       |cell AS (SELECT lang, pred_lang, count(*)::BIGINT AS n_docs
+       |  FROM pred GROUP BY lang, pred_lang),
+       |tot AS (SELECT lang, sum(n_docs)::BIGINT AS n_lang FROM cell GROUP BY lang)
+       |SELECT c.lang, c.pred_lang, c.n_docs,
+       |  round(c.n_docs::DOUBLE / t.n_lang, 6) AS share
+       |FROM cell c JOIN tot t USING (lang)
+       |ORDER BY c.lang, c.pred_lang""".stripMargin
+  }
+
+  // ======================================================================
+  // x138: split BALANCE audit — x110's split rule × x128's divergence
+  // measure: each train/val/test split's unigram KL against the whole
+  // corpus. A sound hash split should read ≈ 0 for every split (the
+  // splits are exchangeable samples); a skewed KL means the eval set
+  // is measuring a different distribution than training sees — the
+  // complement of x110's leakage audit (x110 catches splits too
+  // SIMILAR at the document level, this catches splits too DIFFERENT
+  // at the distribution level). Pure composition: splitOf as the
+  // grouping key into the shared sourceKlOf core.
+  def x138_split_balance(spark: SparkSession, sfDir: String): DataFrame =
+    sourceKlOf(docTok(Tables.documents(spark, sfDir))
+      .select(splitOf(col("doc_id")).as("source"), col("token")))
+      .select(col("source").as("split"), col("n_tokens"), col("kl"),
+        col("top_token"))
+      .orderBy("split")
+
+  val x138Sql: String = {
+    val hashmod =
+      """list_reduce(list_transform(range(1, 8),
+        |      i -> (strpos('0123456789abcdef',
+        |            substr(md5('split|' || doc_id::VARCHAR), i, 1)) - 1)::BIGINT),
+        |      (a, b) -> a * 16 + b) % 10""".stripMargin
+    s"""WITH tok AS (SELECT CASE $hashmod WHEN 0 THEN 'val' WHEN 1 THEN 'test'
+       |    ELSE 'train' END AS source, unnest($SqlTok) AS token
+       |  FROM documents),
+       |st AS (SELECT source, token, count(*)::BIGINT AS c_st FROM tok GROUP BY 1, 2),
+       |s AS (SELECT source, sum(c_st)::BIGINT AS n_s FROM st GROUP BY source),
+       |ct AS (SELECT token, sum(c_st)::BIGINT AS c_t FROM st GROUP BY token),
+       |tot AS (SELECT sum(c_t)::DOUBLE AS n FROM ct),
+       |contrib AS (SELECT st.source, st.token, s.n_s,
+       |    (st.c_st::DOUBLE / s.n_s) *
+       |    ln((st.c_st::DOUBLE / s.n_s) /
+       |       (ct.c_t::DOUBLE / (SELECT n FROM tot))) AS kl_term
+       |  FROM st JOIN s USING (source) JOIN ct USING (token)),
+       |r AS (SELECT source, token, n_s, kl_term,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY kl_term DESC, token) AS rn FROM contrib)
+       |SELECT source AS split, max(n_s)::BIGINT AS n_tokens,
+       |  round(sum(kl_term), 6) AS kl,
+       |  max(CASE WHEN rn = 1 THEN token END) AS top_token
+       |FROM r GROUP BY source ORDER BY split""".stripMargin
+  }
+
+  // ======================================================================
   // x131: n-gram NOVELTY audit — per doc, the share of its 8-grams
   // that appear in no other document: the memorization-potential
   // signal the dedup literature reads before dedup even runs (a doc
@@ -6099,6 +6187,8 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x134_ql_retrieval" -> (x134_ql_retrieval _),
     "x135_vocab_coverage" -> (x135_vocab_coverage _),
     "x136_winnow_pairs" -> (x136_winnow_pairs _),
+    "x137_langid_eval" -> (x137_langid_eval _),
+    "x138_split_balance" -> (x138_split_balance _),
     // rows-only (LBFGS not SQL-expressible): accuracy contract is
     // QualityModelSpec's seed-separation + planted-garbage ranking
     "x82_quality_model" ->
@@ -6213,6 +6303,8 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x134_ql_retrieval" -> x134Sql,
     "x135_vocab_coverage" -> x135Sql,
     "x136_winnow_pairs" -> x136Sql,
+    "x137_langid_eval" -> x137Sql,
+    "x138_split_balance" -> x138Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

@@ -661,6 +661,43 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // --- x137 lang-id confusion ----------------------------------------------
+
+  test("x137: confusion rows partition the corpus and expose the label/text gap") {
+    val rows = ExtensionQueries.x137_langid_eval(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._3).sum == Tables.documents(spark, sf).count())
+    rows.groupBy(_._1).foreach { case (l, cells) =>
+      val s = cells.map(_._4).sum
+      assert(math.abs(s - 1.0) <= cells.length * 5e-7 + 1e-9,
+        s"$l: shares sum to $s")
+    }
+    // the honest finding this audit exists to surface: the synthetic
+    // labels are metadata, the TEXT is drawn from one shared
+    // vocabulary — so the marker heuristic reads ~everything as en.
+    // A fixture where labels matched text would show a diagonal.
+    val enShare = rows.filter(_._2 == "en").map(_._3).sum.toDouble /
+      rows.map(_._3).sum
+    assert(enShare > 0.9,
+      s"expected the label/text mismatch signature, got en share $enShare")
+  }
+
+  // --- x138 split balance ----------------------------------------------------
+
+  test("x138: hash splits are distribution-balanced (KL ≈ 0 for every split)") {
+    val rows = ExtensionQueries.x138_split_balance(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSet == Set("train", "val", "test"))
+    rows.foreach { case (s, _, kl) =>
+      assert(kl >= 0 && kl < 0.02,
+        s"split $s diverges from the corpus: KL $kl — the 80/10/10 " +
+          "hash split should be an exchangeable sample")
+    }
+    val byTok = rows.map(r => r._1 -> r._2).toMap
+    assert(byTok("train") > byTok("val") && byTok("train") > byTok("test"),
+      s"train should hold ~80% of tokens: $byTok")
+  }
+
   // --- x136 winnowing fingerprints ----------------------------------------
 
   private def md5h60(s: String): Long = {
