@@ -4085,6 +4085,92 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x139: EPOCH MANIFEST — x133's fractional epochs made executable:
+  // "epochs = 1.2" becomes every doc once plus a PINNED 20% subset
+  // once more, with the subset chosen by the hash-stable md5-uniform
+  // rule (x25/x68/x94's convention) so re-runs, corpus growth, and
+  // resumption never re-deal a decided doc between the full and
+  // fractional passes. Per (lang, source) cell: doc counts, the
+  // plan's epochs split into full passes + the materialized
+  // fractional membership, and the scheduled token total the loader
+  // actually delivers (= full·n_tokens + the fractional subset's real
+  // token sum — the manifest's delivered budget is auditable against
+  // the plan's allocation). Shapes: one corpus-linear projection
+  // (tokenize + hash) joined to the broadcast cell plan, then a
+  // cells-sized agg.
+  def x139_epoch_manifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val plan = x133_mix_hier(spark, sfDir)
+      .select(col("lang"), col("source"), col("epochs"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(Tokenize.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("h", md5(concat_ws("|", lit("epoch"), col("doc_id"))))
+      .withColumn("u",
+        (conv(substring(col("h"), 1, 15), 16, 10)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 0)) + lit(1))
+          .cast("double") / lit(1.152921504606846976e18))
+    docs.join(broadcast(plan), Seq("lang", "source"))
+      .withColumn("full_epochs", floor(col("epochs")).cast("long"))
+      .withColumn("in_frac",
+        col("u") <= col("epochs") - floor(col("epochs")))
+      .groupBy("lang", "source", "epochs", "full_epochs").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("in_frac"), 1L).otherwise(0L)).as("n_frac_docs"),
+        (max(col("full_epochs")) * sum(col("n_tok")) +
+          sum(when(col("in_frac"), col("n_tok")).otherwise(0L)))
+          .as("sched_tokens"))
+      .select(col("lang"), col("source"), col("n_docs"), col("epochs"),
+        col("full_epochs"), col("n_frac_docs"), col("sched_tokens"))
+      .orderBy("lang", "source")
+  }
+
+  val x139Sql: String =
+    s"""WITH cell AS (SELECT lang, source, sum(len($SqlTok))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY lang, source),
+       |per AS (SELECT lang, sum(n_tokens)::BIGINT AS n_tokens
+       |  FROM cell GROUP BY lang),
+       |tot AS (SELECT sum(n_tokens)::DOUBLE AS budget,
+       |        count(*)::BIGINT AS n_langs FROM per),
+       |r AS (SELECT lang, n_tokens, budget, n_langs,
+       |    row_number() OVER (ORDER BY n_tokens, lang) AS rn,
+       |    n_tokens::DOUBLE * $UniMaxCap AS cap_tok
+       |  FROM per, tot),
+       |c AS (SELECT *, coalesce(sum(cap_tok) OVER (ORDER BY rn
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+       |    AS prefix_prev FROM r),
+       |d AS (SELECT *, CASE WHEN cap_tok <
+       |    (budget - prefix_prev) / (n_langs - rn + 1)
+       |    THEN 1 ELSE 0 END AS cond FROM c),
+       |e AS (SELECT *, min(cond) OVER (ORDER BY rn
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped FROM d),
+       |f AS (SELECT *,
+       |    sum(CASE WHEN capped = 1 THEN cap_tok ELSE 0.0 END) OVER () AS capped_total,
+       |    sum(capped) OVER () AS n_capped FROM e),
+       |a AS (SELECT lang, n_tokens AS lang_tokens,
+       |    round(CASE WHEN capped = 1 THEN cap_tok
+       |      ELSE (budget - capped_total) / (n_langs - n_capped) END, 4)
+       |      AS lang_alloc FROM f),
+       |plan AS (SELECT c.lang, c.source,
+       |    round(a.lang_alloc / a.lang_tokens, 6) AS epochs
+       |  FROM cell c JOIN a USING (lang)),
+       |docs AS (SELECT doc_id, lang, source, len($SqlTok)::BIGINT AS n_tok,
+       |    (list_reduce(list_transform(range(1, 16),
+       |       i -> (strpos('0123456789abcdef',
+       |         substr(md5('epoch|' || doc_id::VARCHAR), i, 1)) - 1)::BIGINT),
+       |       (a, b) -> a * 16 + b) + 1) / 1152921504606846976.0 AS u
+       |  FROM documents),
+       |j AS (SELECT d.lang, d.source, p.epochs,
+       |    floor(p.epochs)::BIGINT AS full_epochs, d.n_tok,
+       |    (d.u <= p.epochs - floor(p.epochs)) AS in_frac
+       |  FROM docs d JOIN plan p USING (lang, source))
+       |SELECT lang, source, count(*)::BIGINT AS n_docs, epochs, full_epochs,
+       |  sum(CASE WHEN in_frac THEN 1 ELSE 0 END)::BIGINT AS n_frac_docs,
+       |  (max(full_epochs) * sum(n_tok) +
+       |   sum(CASE WHEN in_frac THEN n_tok ELSE 0 END))::BIGINT AS sched_tokens
+       |FROM j GROUP BY lang, source, epochs, full_epochs
+       |ORDER BY lang, source""".stripMargin
+
+  // ======================================================================
   // x131: n-gram NOVELTY audit — per doc, the share of its 8-grams
   // that appear in no other document: the memorization-potential
   // signal the dedup literature reads before dedup even runs (a doc
@@ -6189,6 +6275,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x136_winnow_pairs" -> (x136_winnow_pairs _),
     "x137_langid_eval" -> (x137_langid_eval _),
     "x138_split_balance" -> (x138_split_balance _),
+    "x139_epoch_manifest" -> (x139_epoch_manifest _),
     // rows-only (LBFGS not SQL-expressible): accuracy contract is
     // QualityModelSpec's seed-separation + planted-garbage ranking
     "x82_quality_model" ->
@@ -6305,6 +6392,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x136_winnow_pairs" -> x136Sql,
     "x137_langid_eval" -> x137Sql,
     "x138_split_balance" -> x138Sql,
+    "x139_epoch_manifest" -> x139Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

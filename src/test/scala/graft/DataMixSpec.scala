@@ -248,6 +248,46 @@ class DataMixSpec extends AnyFunSuite with SparkSpec {
     assert(hier.length > 50, s"only ${hier.length} cells")
   }
 
+  // --- x139 epoch manifest --------------------------------------------------
+
+  test("x139: manifest == driver materialization of x133's fractional epochs") {
+    val plan = ExtensionQueries.x133_mix_hier(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        tok(r.getString(3)).size.toLong))
+    def u(id: Long) = {
+      val h = md5hex(s"epoch|$id")
+      (java.lang.Long.parseLong(h.substring(0, 15), 16) + 1).toDouble /
+        1.152921504606846976e18
+    }
+    val expect = docs.groupBy(d => (d._2, d._3)).toSeq.map { case ((l, s), ds) =>
+      val e = plan((l, s))
+      val full = math.floor(e).toLong
+      val frac = e - math.floor(e)
+      val inFrac = ds.filter(d => u(d._1) <= frac)
+      (l, s, ds.length.toLong, e, full, inFrac.length.toLong,
+        full * ds.map(_._4).sum + inFrac.map(_._4).sum)
+    }.sortBy(t => (t._1, t._2))
+    val got = ExtensionQueries.x139_epoch_manifest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expect,
+      s"first mismatch: ${got.zip(expect).find(p => p._1 != p._2)}")
+  }
+
+  test("x139: delivered budget tracks the plan's allocation corpus-wide") {
+    val planAlloc = ExtensionQueries.x133_mix_hier(spark, sf).collect()
+      .map(_.getDouble(3)).sum
+    val sched = ExtensionQueries.x139_epoch_manifest(spark, sf).collect()
+      .map(_.getLong(6)).sum.toDouble
+    // the fractional passes are hash-Bernoulli samples of their cells,
+    // so the delivered total concentrates on the planned total
+    assert(math.abs(sched - planAlloc) / planAlloc < 0.05,
+      s"manifest delivers $sched tokens vs planned $planAlloc")
+  }
+
   // --- x125 negative sampling -------------------------------------------
 
   private lazy val negTable =
