@@ -201,7 +201,7 @@ object Bench {
     */
   private[graft] val coldProbes: Seq[String] =
     Seq("x04_ngram_jaccard", "x79_bpe_train", "x96_bm25_indexed",
-      "x97_hybrid_indexed", "x124_passage_indexed")
+      "x97_hybrid_indexed", "x124_passage_indexed", "x129_whiten")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -248,7 +248,7 @@ object Bench {
     // regression; (b) a throwing probe publishes NEGATIVE seconds
     // (the warm pass's failed convention), never a plausible-looking
     // time for a query that didn't run.
-    Seq("bm25", "ivfpq", "bm25p").foreach { kind =>
+    Seq("bm25", "ivfpq", "bm25p", "whiten").foreach { kind =>
       val p = new org.apache.hadoop.fs.Path(
         graft.ml.Bm25Index.artifactRoot(kind, sfDir))
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)

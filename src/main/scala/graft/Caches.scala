@@ -78,6 +78,7 @@ object Caches {
     graft.ml.IvfIndex.clear(sfDir)
     graft.ml.IvfPq.clear(sfDir)
     graft.ml.Bm25Index.clear(sfDir)
+    graft.ml.Whiten.clear(sfDir)
     graft.queries.ExtensionQueries.clearBpe(sfDir)
     hit.size
   }
@@ -90,6 +91,7 @@ object Caches {
     graft.ml.IvfIndex.clear()
     graft.ml.IvfPq.clear()
     graft.ml.Bm25Index.clear()
+    graft.ml.Whiten.clear(null)
     graft.queries.ExtensionQueries.clearBpe(null)
     n
   }

@@ -57,6 +57,73 @@ object Whiten {
       ExpressionEncoder[Seq[Double]]()
   }
 
+  private val published =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String),
+      (Array[Double], Array[Array[Double]])]()
+
+  /** Fit-or-load the (μ, W) transform as a VERSIONED on-disk artifact
+    * — the IvfIndex/Bm25Index contract applied to the whitening
+    * matrix: a deployment must apply the SAME transform to queries at
+    * serving time that it applied to the corpus at index time, so the
+    * transform has to outlive the fitting session. One memo + one
+    * atomic two-table snapshot (mu, w as (idx, vec) rows) per
+    * (session, dataset); freshness is the source table's filesystem
+    * fingerprint, so a regenerated embeddings table republishes
+    * instead of serving a stale rotation.
+    */
+  def loadOrPublish(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): (Array[Double], Array[Array[Double]]) =
+    published.computeIfAbsent(
+      (System.identityHashCode(spark), sfDir), _ => {
+        import spark.implicits._
+        val root = Bm25Index.artifactRoot("whiten", sfDir)
+        val want = graft.Tables.fileFingerprint(spark, sfDir, "embeddings")
+        val fresh =
+          try graft.sources.VersionedStore.latestVersion(root).exists { v =>
+            graft.sources.VersionedStore.readTable(spark, root, v, "meta")
+              .collect().headOption.exists(_.getString(0) == want)
+          } catch { case _: Exception => false }
+        if (!fresh) {
+          val emb = graft.Tables.embeddings(spark, sfDir)
+          val dim = emb.select(org.apache.spark.sql.functions
+            .size(col("embedding"))).head.getInt(0)
+          val (mu, w) = fit(emb, dim)
+          graft.sources.VersionedStore.publishAll(
+            Map(
+              "mu" -> Seq((0L, mu.toSeq)).toDF("idx", "vec"),
+              "w" -> w.zipWithIndex
+                .map { case (r, i) => (i.toLong, r.toSeq) }.toSeq
+                .toDF("idx", "vec"),
+              "meta" -> Seq(want).toDF("fingerprint")),
+            root)
+          ()
+        }
+        load(spark, root)
+      })
+
+  /** Read the latest published (μ, W) — row order restored by idx. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      root: String): (Array[Double], Array[Array[Double]]) = {
+    val v = graft.sources.VersionedStore.latestVersion(root)
+      .getOrElse(sys.error(s"no published whitening under $root"))
+    val mu = graft.sources.VersionedStore.readTable(spark, root, v, "mu")
+      .collect().head.getSeq[Double](1).toArray
+    val w = graft.sources.VersionedStore.readTable(spark, root, v, "w")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    (mu, w)
+  }
+
+  /** Drop the per-dataset memo (Caches.clear wiring — a dataset
+    * eviction must not leave a transform memo alive).
+    */
+  def clear(sfDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (sfDir == null) published.clear()
+    else published.keySet().asScala.filter(_._2 == sfDir).toList
+      .foreach(published.remove)
+  }
+
   /** Fit (μ, W) over `embeddings.embedding`. Eigenvalues are floored
     * at eps·λmax before the inverse square root so a (near-)degenerate
     * direction scales by a huge-but-finite factor instead of

@@ -3746,8 +3746,11 @@ object ExtensionQueries {
   // algebraic properties, checked to float tolerance.
   def x129_whiten(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
-    val (mu, w) = graft.ml.Whiten.fit(emb, dim)
+    // the transform is a published versioned artifact (fit once,
+    // served across sessions — the IvfIndex contract; a deployment
+    // must whiten queries with the index-time μ/W)
+    val (mu, w) = graft.ml.Whiten.loadOrPublish(spark, sfDir)
+    val dim = mu.length
     emb.select(col("vec_id"),
         zip_with(VecMath.asDouble(col("embedding")), typedlit(mu.toSeq),
           (a, b) => a - b).as("xc"))

@@ -87,6 +87,25 @@ class EmbedQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("x129: artifact round-trip — the loaded transform serves identical output") {
+    val first = ExtensionQueries.x129_whiten(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    // drop the session memo; the on-disk artifact must carry the
+    // transform alone (the deployment contract: queries are whitened
+    // with the index-time μ/W in a fresh session)
+    graft.ml.Whiten.clear(sf)
+    val second = ExtensionQueries.x129_whiten(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    assert(first == second,
+      "artifact-served whitening diverges from the fitting session's")
+    val root = graft.ml.Bm25Index.artifactRoot("whiten", sf)
+    val v = graft.sources.VersionedStore.latestVersion(root)
+    assert(v.nonEmpty, s"no published whitening under $root")
+    for (t <- Seq("mu", "w", "meta"))
+      assert(graft.sources.VersionedStore.readTable(spark, root, v.get, t)
+        .count() > 0, s"artifact table $t is empty")
+  }
+
   test("x129: whitening is invertible on this corpus (no collapsed direction)") {
     // every whitened dim must actually vary — a degenerate eigenvalue
     // would surface as a (clamped) near-constant output dimension
