@@ -483,9 +483,14 @@ object Pipeline {
       // source granularity). Both ride the same per-(lang, source)
       // tokenize census; source_kl's posting is one more explode of
       // the same projection.
+      // persisted for the publish window (the lexIx.posting pattern):
+      // mixPlan and sourceKl both read it at publish time, and without
+      // the persist the corpus tokenize+projection would run twice
+      // (round-11 advice)
       val langSrcTok = corpus.select(col("lang"), col("source"),
         graft.functions.Tokenize.tokensByLang(col("text"), col("lang"))
           .as("toks"))
+        .persist()
       val mixPlan = ExtensionQueries.hierAllocOf(
         langSrcTok.select(col("lang"), col("source"),
           size(col("toks")).cast("long").as("n_tok"))
@@ -528,8 +533,10 @@ object Pipeline {
           "mix_plan" -> mixPlan,
           "source_kl" -> sourceKl) ++ qualityTable,
         storeRoot)
-      // the lexical posting's persist was scoped to the publish window
+      // the lexical posting's and tokenize census's persists were
+      // scoped to the publish window
       lexIx.posting.unpersist(false)
+      langSrcTok.unpersist(false)
       // The snapshot is PUBLISHED by this point; the funnel stats ride
       // the async listener bus, which Spark drops events from under
       // load (bounded AsyncEventQueue, warn-only). A missing metric

@@ -18,25 +18,32 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Cheap source-identity fingerprint of one table — total byte size
-    * + latest modification time from filesystem METADATA (no data
-    * scan). Published inside derived artifacts (Bm25Index / IvfPq
-    * loadOrPublish) so a snapshot built from an older copy of the
-    * table is detected and republished instead of silently served
-    * (round-11 review: a path-keyed artifact over regenerated testdata
-    * would answer from the old corpus).
+  /** Cheap source-identity fingerprint of one table from filesystem
+    * METADATA (no data scan): an MD5 digest over the RECURSIVE,
+    * path-sorted (relative-path, length, mtime) tuples of every file
+    * under the table root. Published inside derived artifacts
+    * (Bm25Index / IvfPq / Whiten loadOrPublish) so a snapshot built
+    * from an older copy of the table is detected and republished
+    * instead of silently served. Per-file tuples, not a size sum +
+    * max-mtime of immediate children (round-11 advice): a regenerated
+    * table with an identical TOTAL byte size, or a change inside a
+    * nested partition subdirectory, must still read as a new identity.
     */
   def fileFingerprint(spark: SparkSession, sfDir: String,
       name: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    if (st.isDirectory) {
-      val kids = fs.listStatus(p)
-      val size = kids.map(_.getLen).sum
-      val mtime = (st.getModificationTime +: kids.map(_.getModificationTime)).max
-      s"$size:$mtime"
-    } else s"${st.getLen}:${st.getModificationTime}"
+    val base = fs.makeQualified(p).toString
+    val tuples = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true) // recursive: nested partition dirs count
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.stripPrefix(base)
+      tuples += s"$rel:${st.getLen}:${st.getModificationTime}"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    tuples.sorted.foreach(t => md.update(t.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
   }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =

@@ -166,7 +166,9 @@ object Bm25Index {
           graft.sources.VersionedStore.readTable(spark, root, v, "meta")
             .collect().headOption.exists(_.getString(0) == want)
         } catch { case _: Exception => false }
-      if (!fresh) save(spark, sfDir, root)
+      if (!fresh)
+        graft.sources.VersionedStore.publishOrAdopt(root)(
+          save(spark, sfDir, root))
       load(spark, root)
     })
 
@@ -193,15 +195,17 @@ object Bm25Index {
               .collect().headOption.exists(_.getString(0) == want)
           } catch { case _: Exception => false }
         if (!fresh) {
-          val ix = buildOf(docs)
-          graft.sources.VersionedStore.publishAll(
-            Map(
-              "posting" -> ix.posting.repartition(col("token"))
-                .sortWithinPartitions("token"),
-              "df" -> ix.df,
-              "consts" -> ix.consts,
-              "meta" -> Seq(want).toDF("fingerprint")),
-            root)
+          graft.sources.VersionedStore.publishOrAdopt(root) {
+            val ix = buildOf(docs)
+            graft.sources.VersionedStore.publishAll(
+              Map(
+                "posting" -> ix.posting.repartition(col("token"))
+                  .sortWithinPartitions("token"),
+                "df" -> ix.df,
+                "consts" -> ix.consts,
+                "meta" -> Seq(want).toDF("fingerprint")),
+              root)
+          }
           ()
         }
         load(spark, root)

@@ -189,7 +189,9 @@ object IvfPq {
           graft.sources.VersionedStore.readTable(spark, root, v, "meta")
             .collect().headOption.exists(_.getString(0) == want)
         } catch { case _: Exception => false }
-      if (!fresh) save(spark, sfDir, root)
+      if (!fresh)
+        graft.sources.VersionedStore.publishOrAdopt(root)(
+          save(spark, sfDir, root))
       load(spark, root)
     })
 

@@ -84,18 +84,20 @@ object Whiten {
               .collect().headOption.exists(_.getString(0) == want)
           } catch { case _: Exception => false }
         if (!fresh) {
-          val emb = graft.Tables.embeddings(spark, sfDir)
-          val dim = emb.select(org.apache.spark.sql.functions
-            .size(col("embedding"))).head.getInt(0)
-          val (mu, w) = fit(emb, dim)
-          graft.sources.VersionedStore.publishAll(
-            Map(
-              "mu" -> Seq((0L, mu.toSeq)).toDF("idx", "vec"),
-              "w" -> w.zipWithIndex
-                .map { case (r, i) => (i.toLong, r.toSeq) }.toSeq
-                .toDF("idx", "vec"),
-              "meta" -> Seq(want).toDF("fingerprint")),
-            root)
+          graft.sources.VersionedStore.publishOrAdopt(root) {
+            val emb = graft.Tables.embeddings(spark, sfDir)
+            val dim = emb.select(org.apache.spark.sql.functions
+              .size(col("embedding"))).head.getInt(0)
+            val (mu, w) = fit(emb, dim)
+            graft.sources.VersionedStore.publishAll(
+              Map(
+                "mu" -> Seq((0L, mu.toSeq)).toDF("idx", "vec"),
+                "w" -> w.zipWithIndex
+                  .map { case (r, i) => (i.toLong, r.toSeq) }.toSeq
+                  .toDF("idx", "vec"),
+                "meta" -> Seq(want).toDF("fingerprint")),
+              root)
+          }
           ()
         }
         load(spark, root)

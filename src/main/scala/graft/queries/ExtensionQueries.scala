@@ -3744,7 +3744,26 @@ object ExtensionQueries {
   // contract is EmbedQualitySpec: the whitened frame's sample
   // covariance IS the identity and its mean IS zero — the defining
   // algebraic properties, checked to float tolerance.
-  def x129_whiten(spark: SparkSession, sfDir: String): DataFrame = {
+  def x129_whiten(spark: SparkSession, sfDir: String): DataFrame =
+    // driver-facing projection: per-vector SCALAR summaries of the
+    // whitened frame (l2 norm, coordinate sum, first coordinate),
+    // the docVectorScalars convention — the round-11 driver crashed
+    // sorting the raw array<double> column in pandas, so rows-only
+    // queries keep their outputs scalar-sortable. The full-array
+    // covariance≡I / mean≡0 algebra stays pinned by EmbedQualitySpec
+    // over [[whitenedOf]].
+    whitenedOf(spark, sfDir).select(col("vec_id"),
+        round(VecMath.l2norm(col("whitened")), 6).as("l2"),
+        round(VecMath.vsum(col("whitened")), 6).as("vsum"),
+        round(element_at(col("whitened"), 1), 6).as("d0"))
+      .orderBy("vec_id")
+
+  /** The whitened frame itself — (vec_id, whitened array<double>),
+    * each coordinate rounded to 6 dp. Spec-facing (EmbedQualitySpec's
+    * algebra checks) and the dense leg of the whitened-index serving
+    * composition (x140).
+    */
+  private[graft] def whitenedOf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     // the transform is a published versioned artifact (fit once,
     // served across sessions — the IvfIndex contract; a deployment
@@ -3758,7 +3777,6 @@ object ExtensionQueries {
         array((0 until dim).map(k =>
           round(VecMath.dot(typedlit(w(k).toSeq), col("xc")), 6)): _*)
           .as("whitened"))
-      .orderBy("vec_id")
   }
 
   // ======================================================================

@@ -521,14 +521,18 @@ object MultiModal {
               walk(data, boxEnd)
               if (sawVide && !sawBefore) { mdTs = curMdTs; mdDur = curMdDur }
             case c if containers(c) => walk(data, boxEnd)
+            // version-1 boxes carry a u64 duration at d+24, so the
+            // branch needs len >= 32 (not 28 — round-11 advice: a
+            // truncated v1 box must not read timing bytes from the
+            // adjacent box or run off the end of the buffer)
             case "mvhd" if len >= 8 =>
               val v = b(d) & 0xff
-              if (v == 1 && len >= 28) { mvTs = u32be(b, d + 20); mvDur = u64be(b, d + 24) }
-              else if (len >= 20) { mvTs = u32be(b, d + 12); mvDur = u32be(b, d + 16) }
+              if (v == 1 && len >= 32) { mvTs = u32be(b, d + 20); mvDur = u64be(b, d + 24) }
+              else if (v == 0 && len >= 20) { mvTs = u32be(b, d + 12); mvDur = u32be(b, d + 16) }
             case "mdhd" if len >= 8 =>
               val v = b(d) & 0xff
-              if (v == 1 && len >= 28) { curMdTs = u32be(b, d + 20); curMdDur = u64be(b, d + 24) }
-              else if (len >= 20) { curMdTs = u32be(b, d + 12); curMdDur = u32be(b, d + 16) }
+              if (v == 1 && len >= 32) { curMdTs = u32be(b, d + 20); curMdDur = u64be(b, d + 24) }
+              else if (v == 0 && len >= 20) { curMdTs = u32be(b, d + 12); curMdDur = u32be(b, d + 16) }
             case "hdlr" if len >= 12 =>
               inVide = fourcc(b, d + 8) == "vide" && !sawVide
             case "stsd" if inVide && len >= 16 =>

@@ -99,6 +99,33 @@ object VersionedStore {
     next
   }
 
+  /** Run a publish tolerating a concurrent publisher's `v=N` race
+    * (round-11 advice: two JVM sessions on the same dataset share the
+    * tmp-dir artifact root, and `errorifexists` makes the loser THROW
+    * even though the winner's snapshot is exactly what it wanted to
+    * serve). If `publish` fails but the store's latest version ADVANCED
+    * past `before`, a concurrent publisher won — adopt its version.
+    * The winner may still be between data-write and marker-rename when
+    * the loser's write collides, so the check polls briefly; a publish
+    * that fails with no rival version ever appearing rethrows the
+    * original failure (a genuine error, not a race).
+    */
+  def publishOrAdopt(root: String)(publish: => Long): Long = {
+    val before = latestVersion(root)
+    try publish
+    catch {
+      case e: Exception =>
+        var tries = 20
+        while (tries > 0) {
+          latestVersion(root) match {
+            case Some(v) if !before.contains(v) => return v
+            case _ => Thread.sleep(250); tries -= 1
+          }
+        }
+        throw e
+    }
+  }
+
   /** Read one named table of a pinned multi-table snapshot. */
   def readTable(spark: SparkSession, root: String, version: Long,
       name: String): DataFrame =

@@ -67,7 +67,7 @@ class EmbedQualitySpec extends AnyFunSuite with SparkSpec {
   }
 
   test("x129: whitened embeddings have identity covariance and zero mean") {
-    val rows = ExtensionQueries.x129_whiten(spark, sf).collect()
+    val rows = ExtensionQueries.whitenedOf(spark, sf).collect()
       .map(r => r.getSeq[Double](1).toArray)
     val n = rows.length
     assert(n > 100, s"only $n whitened vectors")
@@ -88,13 +88,13 @@ class EmbedQualitySpec extends AnyFunSuite with SparkSpec {
   }
 
   test("x129: artifact round-trip — the loaded transform serves identical output") {
-    val first = ExtensionQueries.x129_whiten(spark, sf).collect()
+    val first = ExtensionQueries.whitenedOf(spark, sf).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     // drop the session memo; the on-disk artifact must carry the
     // transform alone (the deployment contract: queries are whitened
     // with the index-time μ/W in a fresh session)
     graft.ml.Whiten.clear(sf)
-    val second = ExtensionQueries.x129_whiten(spark, sf).collect()
+    val second = ExtensionQueries.whitenedOf(spark, sf).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     assert(first == second,
       "artifact-served whitening diverges from the fitting session's")
@@ -109,12 +109,30 @@ class EmbedQualitySpec extends AnyFunSuite with SparkSpec {
   test("x129: whitening is invertible on this corpus (no collapsed direction)") {
     // every whitened dim must actually vary — a degenerate eigenvalue
     // would surface as a (clamped) near-constant output dimension
-    val rows = ExtensionQueries.x129_whiten(spark, sf).collect()
+    val rows = ExtensionQueries.whitenedOf(spark, sf).collect()
       .map(r => r.getSeq[Double](1).toArray)
     val d = rows.head.length
     for (i <- 0 until d) {
       val col = rows.map(_(i))
       assert(col.max - col.min > 1e-3, s"whitened dim $i is ~constant")
+    }
+  }
+
+  test("x129: driver-facing output is scalar-sortable and consistent with the frame") {
+    // the correctness driver sorts every output column in pandas — the
+    // round-11 failure was a raw array column; pin that the query now
+    // ships only (vec_id, l2, vsum, d0) scalars that agree with the
+    // whitened frame's own algebra
+    val out = ExtensionQueries.x129_whiten(spark, sf)
+    assert(out.schema.fields.map(_.dataType.typeName).forall(t =>
+      t == "long" || t == "double"), s"non-scalar column in ${out.schema}")
+    val byId = ExtensionQueries.whitenedOf(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    out.collect().foreach { r =>
+      val v = byId(r.getLong(0))
+      assert(math.abs(r.getDouble(1) - math.sqrt(v.map(x => x * x).sum)) < 1e-4)
+      assert(math.abs(r.getDouble(2) - v.sum) < 1e-4)
+      assert(math.abs(r.getDouble(3) - v(0)) < 1e-6)
     }
   }
 }

@@ -60,6 +60,45 @@ class VersionedStoreSpec extends AnyFunSuite with SparkSpec {
     assert(VersionedStore.vacuum(root, keepLast = 2) === Seq.empty)
   }
 
+  test("publishOrAdopt: a lost publish race adopts the rival's version") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vstore5").toString
+    VersionedStore.publish(Seq((1L, "a")).toDF("id", "v"), root) // v=0
+    // simulate losing the race: our publish throws AFTER a rival
+    // already advanced the marker past what we saw at entry
+    val adopted = VersionedStore.publishOrAdopt(root) {
+      VersionedStore.publish(Seq((2L, "rival")).toDF("id", "v"), root)
+      throw new RuntimeException("errorifexists: v collision")
+    }
+    assert(adopted === 1L)
+    assert(VersionedStore.readLatest(spark, root)
+      .as[(Long, String)].collect().toSeq === Seq((2L, "rival")))
+    // with NO rival publish, a genuine failure still surfaces
+    val boom = intercept[RuntimeException](
+      VersionedStore.publishOrAdopt(root)(
+        throw new RuntimeException("genuine failure")))
+    assert(boom.getMessage === "genuine failure")
+  }
+
+  test("fileFingerprint: nested-subdirectory changes alter the identity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp").toString
+    // a partitioned table shape: files inside nested subdirectories
+    Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "p")
+      .write.partitionBy("p").parquet(s"$dir/t.parquet")
+    val fp0 = Tables.fileFingerprint(spark, dir, "t")
+    assert(fp0.matches("[0-9a-f]{32}"), s"not a digest: $fp0")
+    assert(Tables.fileFingerprint(spark, dir, "t") === fp0, "not deterministic")
+    // touch ONE nested leaf file's mtime (size unchanged): the old
+    // sum-sizes + top-level-mtime scheme missed exactly this
+    val leaf = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/t.parquet"))
+      .filter(p => p.toString.endsWith(".parquet") && p.toFile.isFile)
+      .findFirst().get()
+    java.nio.file.Files.setLastModifiedTime(leaf,
+      java.nio.file.attribute.FileTime.fromMillis(
+        leaf.toFile.lastModified() + 60000))
+    assert(Tables.fileFingerprint(spark, dir, "t") !== fp0,
+      "nested mtime change not detected")
+  }
+
   test("a merge publishes as a new version, never rewriting the old one") {
     val root = java.nio.file.Files.createTempDirectory("graft_vstore2").toString
     val base = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "score")
