@@ -7,34 +7,24 @@ import graft.queries.ExtensionQueries
 /** Round-10 verdict ask #2: the hybrid fusion must be runnable off
   * the published artifacts — lexical leg from the Bm25Index snapshot,
   * dense leg through IvfPq.searchWith — with no corpus tokenize in
-  * the plan, and its ranking must agree with the exact-leg x92 up to
-  * the dense leg's pinned ANN recall (P=8 probes → recall 1.0 on this
-  * fixture per IvfIndex's measured ladder, so agreement here is
-  * near-total; the floor is set at the IVF probe bound to stay
-  * honest on re-partitioning).
+  * the plan. Round-11 verdict ask #2 tightened the contract: x97 now
+  * runs the dense leg in the EXHAUSTIVE-ADC exact-serving config
+  * (probe all lists, shortlist 256, exact re-rank), oracles against
+  * x92's scan SQL, and must agree with x92 ROW-IDENTICALLY — at every
+  * shipped SF, since ADC shortlist pruning is data-dependent.
   */
 class HybridIndexSpec extends AnyFunSuite with SparkSpec {
 
-  test("index-backed hybrid agrees with the exact-leg x92 (top-k overlap floor)") {
-    val exact = ExtensionQueries.x92_hybrid_rrf(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    val indexed = ExtensionQueries.x97_hybrid_indexed(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    assert(exact.length === 20 && indexed.length === 20)
-
-    // the lexical legs are IDENTICAL (Bm25IndexSpec pins that), so all
-    // disagreement comes from the dense leg's ANN approximation: pin
-    // the doc-set overlap at the IVF probe recall bound
-    val overlap = exact.map(_._1).toSet
-      .intersect(indexed.map(_._1).toSet).size
-    info(s"top-20 overlap exact vs indexed: $overlap/20")
-    assert(overlap >= 16, s"hybrid rank agreement below floor: $overlap/20")
-
-    // lexical ranks must carry over verbatim for every shared doc
-    val exLex = exact.map(t => t._1 -> t._2).toMap
-    indexed.foreach { case (doc, rl, _, _) =>
-      exLex.get(doc).foreach(e => assert(e === rl,
-        s"lexical rank diverged for doc $doc"))
+  test("index-backed hybrid equals the exact-leg x92 row-identically at all SFs") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val exact = ExtensionQueries.x92_hybrid_rrf(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val indexed = ExtensionQueries.x97_hybrid_indexed(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(exact.length === 20 && indexed.length === 20)
+      assert(exact.toSeq === indexed.toSeq,
+        s"index-served hybrid diverged from the exact scan at $dir")
     }
   }
 
