@@ -38,17 +38,23 @@ object Tokenize {
     "en" -> "a-z0-9",
     "es" -> "a-z0-9áéíóúüñ",
     "de" -> "a-z0-9äöüß",
-    "fr" -> "a-z0-9àâæçéèêëîïôœùûüÿ")
+    "fr" -> "a-z0-9àâæçéèêëîïôœùûüÿ",
+    // Cyrillic (round-11 verdict ask #7): lowercase а-я plus ё, which
+    // sits OUTSIDE the contiguous range (U+0451 vs а-я U+0430-044F) —
+    // the classic Cyrillic char-class bug, called out so it stays
+    "ru" -> "a-z0-9а-яё")
 
   /** The letter class for `lang` (ASCII fallback for unknown langs). */
   def letterClass(lang: String): String =
     langLetters.collectFirst { case (`lang`, cls) => cls }.getOrElse("a-z0-9")
 
   /** tokens(text, lang): the lang-specific rule, statically chosen
-    * (`zh` routes to [[cjkTokens]], same as the column dispatch).
+    * (`zh` routes to [[cjkTokens]], `ja` to [[jaTokens]], same as the
+    * column dispatch).
     */
   def tokens(c: Column, lang: String): Column =
     if (lang == "zh") cjkTokens(c)
+    else if (lang == "ja") jaTokens(c)
     else filter(split(lower(c), s"[^${letterClass(lang)}]+"), t => t =!= lit(""))
 
   /** CJK Unified Ideographs, as a character-class BODY of literal chars
@@ -56,6 +62,12 @@ object Tokenize {
     * range identically; the x48 escaping lesson).
     */
   val CjkRange = "一-鿿"
+
+  /** Japanese script-run class: Han + hiragana (U+3041-3096) +
+    * katakana (U+30A1-30FA) + the prolonged-sound mark ー (U+30FC),
+    * which is part of katakana words (データ) and must not split them.
+    */
+  val JaRange = s"${CjkRange}ぁ-ゖァ-ヺー"
 
   /** Dictionary-less CJK segmentation: character BIGRAMS over ideograph
     * runs — the standard IR fallback when no segmentation dictionary is
@@ -65,15 +77,27 @@ object Tokenize {
     * into maximal runs of alnum OR ideographs; an alnum run is one
     * token (the ASCII rule), an ideograph run of length L emits its
     * L-1 consecutive bigrams (a lone ideograph emits itself).
-    *
-    * Pure codegen'd HOFs — extract runs once, then per-run either
-    * wrap or slide a 2-char window; no UDF, stays in whole-stage
-    * codegen at scan scale.
     */
-  def cjkTokens(c: Column): Column = {
-    val segs = regexp_extract_all(lower(c), lit(s"[a-z0-9]+|[$CjkRange]+"), lit(0))
+  def cjkTokens(c: Column): Column = scriptBigrams(c, CjkRange)
+
+  /** Japanese tokens: the same model-free character-bigram rule, with
+    * the run class widened to Han + kana ([[JaRange]]) — the standard
+    * dictionary-less ja fallback (MeCab-less IR setups index exactly
+    * these script-run n-grams). Round-11 verdict ask #7.
+    */
+  def jaTokens(c: Column): Column = scriptBigrams(c, JaRange)
+
+  /** The shared run-bigram core: split into maximal runs of alnum OR
+    * `range` chars; an alnum run is one token (the ASCII rule), a
+    * script run of length L emits its L-1 consecutive bigrams (a lone
+    * char emits itself). Pure codegen'd HOFs — extract runs once, then
+    * per-run either wrap or slide a 2-char window; no UDF, stays in
+    * whole-stage codegen at scan scale.
+    */
+  private def scriptBigrams(c: Column, range: String): Column = {
+    val segs = regexp_extract_all(lower(c), lit(s"[a-z0-9]+|[$range]+"), lit(0))
     flatten(transform(segs, s =>
-      when(s.rlike(s"^[$CjkRange]") && length(s) >= 2,
+      when(s.rlike(s"^[$range]") && length(s) >= 2,
         // sequence(a,b) counts DOWN when a > b — the length>=2 guard
         // above keeps the bound ascending.
         transform(sequence(lit(1), length(s) - 1), i => s.substr(i, lit(2))))
@@ -82,15 +106,17 @@ object Tokenize {
 
   /** tokens dispatched on a lang COLUMN — a codegen'd CASE over the
     * rule table (no UDF, one pass; each branch is a plain regex split).
-    * `zh` is checked first and routes to [[cjkTokens]]; the DuckDB
-    * mirror (ReferenceQueries.SqlTokByLang) builds the same chain in
-    * the same order.
+    * `zh` then `ja` are checked first and route to the script-bigram
+    * rules; the DuckDB mirror (ReferenceQueries.SqlTokByLang) builds
+    * the same chain in the same order.
     */
   def tokensByLang(c: Column, lang: Column): Column = {
     val alpha = langLetters.foldRight(tokens(c)) { case ((l, _), acc) =>
       when(lang === lit(l), tokens(c, l)).otherwise(acc)
     }
-    when(lang === lit("zh"), cjkTokens(c)).otherwise(alpha)
+    when(lang === lit("zh"), cjkTokens(c))
+      .when(lang === lit("ja"), jaTokens(c))
+      .otherwise(alpha)
   }
 
   /** JVM reference implementation of the per-language rule — the SQL
@@ -107,13 +133,15 @@ object Tokenize {
   def tokensLangRef(s: String, lang: String): Array[String] = {
     if (s == null) return Array.empty[String]
     val lower = s.toLowerCase(java.util.Locale.ROOT)
-    if (lang == "zh") {
+    if (lang == "zh" || lang == "ja") {
+      val range = if (lang == "zh") CjkRange else JaRange
       val m = java.util.regex.Pattern
-        .compile(s"[a-z0-9]+|[$CjkRange]+").matcher(lower)
+        .compile(s"[a-z0-9]+|[$range]+").matcher(lower)
+      val alnum = java.util.regex.Pattern.compile("[a-z0-9]")
       val out = Array.newBuilder[String]
       while (m.find()) {
         val seg = m.group()
-        if (seg.charAt(0) >= '一' && seg.charAt(0) <= '鿿' && seg.length >= 2) {
+        if (!alnum.matcher(seg.substring(0, 1)).matches() && seg.length >= 2) {
           var i = 0
           while (i < seg.length - 1) { out += seg.substring(i, i + 2); i += 1 }
         } else out += seg

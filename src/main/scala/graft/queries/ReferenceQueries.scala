@@ -37,30 +37,38 @@ object ReferenceQueries {
   /** DuckDB fragment: tokenize `text` exactly like [[Tokenize.tokens]]. */
   val SqlTok = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
-  /** DuckDB fragment mirroring [[Tokenize.cjkTokens]] applied to
-    * `expr`: extract alnum/ideograph runs, slide a 2-char window over
-    * ideograph runs (range(1, L) = the same ascending 1..L-1 the Spark
+  /** DuckDB fragment mirroring the shared script-bigram core
+    * ([[Tokenize.cjkTokens]] / [[Tokenize.jaTokens]]) applied to
+    * `expr`: extract alnum/script runs, slide a 2-char window over
+    * script runs (range(1, L) = the same ascending 1..L-1 the Spark
     * side's guarded sequence produces), pass alnum runs through.
     */
-  def sqlCjkTok(expr: String): String = {
-    val r = Tokenize.CjkRange
+  def sqlScriptTok(expr: String, r: String): String =
     s"flatten(list_transform(regexp_extract_all(lower($expr), '[a-z0-9]+|[$r]+'), " +
       s"s -> CASE WHEN regexp_matches(s, '^[$r]') AND length(s) >= 2 " +
       s"THEN list_transform(range(1, length(s)), i -> substring(s, i::INT, 2)) " +
       s"ELSE [s] END))"
-  }
+
+  def sqlCjkTok(expr: String): String = sqlScriptTok(expr, Tokenize.CjkRange)
+  def sqlJaTok(expr: String): String = sqlScriptTok(expr, Tokenize.JaRange)
 
   /** DuckDB fragment mirroring [[Tokenize.tokensByLang]]: the same
     * per-language rule table, as a CASE over `lang` (branch order is
-    * the table's order — zh first, then the letter classes — so both
-    * engines build the identical chain).
+    * the table's order — zh then ja first, then the letter classes —
+    * so both engines build the identical chain). `textCol`/`langCol`
+    * default to the documents columns; q33's remapped projection
+    * passes its own.
     */
-  val SqlTokByLang: String = {
+  def sqlTokByLangOf(textCol: String, langCol: String): String = {
     val branches = Tokenize.langLetters.map { case (l, cls) =>
-      s"WHEN lang = '$l' THEN list_filter(string_split_regex(lower(text), '[^$cls]+'), t -> t <> '')"
+      s"WHEN $langCol = '$l' THEN list_filter(string_split_regex(lower($textCol), '[^$cls]+'), t -> t <> '')"
     }.mkString(" ")
-    s"(CASE WHEN lang = 'zh' THEN ${sqlCjkTok("text")} $branches ELSE $SqlTok END)"
+    s"(CASE WHEN $langCol = 'zh' THEN ${sqlCjkTok(textCol)} " +
+      s"WHEN $langCol = 'ja' THEN ${sqlJaTok(textCol)} " +
+      s"$branches ELSE ${SqlTok.replace("lower(text)", s"lower($textCol)")} END)"
   }
+
+  val SqlTokByLang: String = sqlTokByLangOf("text", "lang")
 
   /** The (doc_id, token) posting table — the shared working set of every
     * text query (tf, idf, vocab scan, simhash, lang-id, token stats…).
@@ -564,6 +572,61 @@ object ReferenceQueries {
        |  array_to_string(toks, ' ') AS token_stream
        |FROM tok ORDER BY doc_id""".stripMargin
 
+  // Extended-language dispatch (round-11 verdict ask #7): the rule
+  // table now carries ru (Cyrillic char class, ё outside а-я included)
+  // and ja (Han+kana script bigrams). The testdata corpus ships no
+  // ru/ja rows, so — the q31 convention — the langs are exercised by
+  // REMAPPING lang deterministically over the extended set and
+  // suffixing a per-language literal phrase, identical in both
+  // engines; the full token stream hashes, so every branch of the
+  // extended CASE chain (including the unknown-lang ASCII fallback)
+  // contributes oracle-checked rows. Phrase traps: Ё/ё casing, the
+  // katakana prolonged mark ー inside データベース, kana dropped by the
+  // zh rule, diacritics dropped by the ASCII fallback.
+  private val ExtLangs = Seq("ru", "ja", "zh", "es", "xx")
+  private val ExtPhrase: Map[String, String] = Map(
+    "ru" -> "Привет МИР — обработка данных: Ёлка, ёж и яблоко 2026",
+    "ja" -> "日本語の分かち書きテスト データベース処理 2026 spark",
+    "zh" -> "大数据处理引擎 テスト混入 2026",
+    "es" -> "Canción de AÑO jalapeño über 2026",
+    "xx" -> "Fallback-Regel čšž ÄÖÜ no-match 123")
+
+  def q33_lang_tokens_ext(spark: SparkSession, sfDir: String): DataFrame = {
+    val lang2 = element_at(typedlit(ExtLangs),
+      (col("doc_id") % ExtLangs.size).cast("int") + 1)
+    val phrase = ExtLangs.foldRight(lit("")) { case (l, acc) =>
+      when(col("lang") === lit(l), lit(" " + ExtPhrase(l))).otherwise(acc)
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lang2.as("lang"), col("text"))
+      .select(col("doc_id"), col("lang"),
+        Tokenize.tokensByLang(
+          concat(substring(col("text"), 1, 40), phrase), col("lang")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        concat_ws(" ", col("toks")).as("token_stream"))
+      .orderBy("doc_id")
+  }
+
+  val q33Sql: String = {
+    val list = ExtLangs.map(l => s"'$l'").mkString(", ")
+    val cases = ExtLangs
+      .map(l => s"WHEN lang = '$l' THEN ' ${ExtPhrase(l)}'").mkString(" ")
+    s"""WITH m0 AS (SELECT doc_id,
+       |    ([$list])[(doc_id % ${ExtLangs.size})::INT + 1] AS lang, text
+       |  FROM documents),
+       |m AS (SELECT doc_id, lang,
+       |    substring(text, 1, 40) || (CASE $cases ELSE '' END) AS text
+       |  FROM m0),
+       |t AS (SELECT doc_id, lang, ${sqlTokByLangOf("text", "lang")} AS toks
+       |  FROM m)
+       |SELECT doc_id, lang, len(toks)::INT AS n_tokens,
+       |  len(list_distinct(toks))::INT AS n_distinct,
+       |  array_to_string(toks, ' ') AS token_stream
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   // Reference-fidelity output shape (`worker.py:90`, SURVEY §1.2): the
   // flagship writes `doc_vectors: map<lang, binary>` — the worker for
   // language L upserts {L: doc_vector.tobytes()} with a NULL entry when
@@ -1060,6 +1123,7 @@ object ReferenceQueries {
     "q29_lang_tokens" -> (q29_lang_tokens _),
     "q30_doc_vector_map" -> (q30_doc_vector_map _),
     "q31_cjk_tokens" -> (q31_cjk_tokens _),
+    "q33_lang_tokens_ext" -> (q33_lang_tokens_ext _),
     "x52_incremental_idf" -> (x52_incremental_idf _))
 
   val oracleSql: Map[String, String] = Map(
@@ -1094,6 +1158,7 @@ object ReferenceQueries {
     "q29_lang_tokens" -> q29Sql,
     "q30_doc_vector_map" -> q30Sql,
     "q31_cjk_tokens" -> q31Sql,
+    "q33_lang_tokens_ext" -> q33Sql,
     // deliberately q11's FULL-recompute SQL: incremental == direct
     "x52_incremental_idf" -> q11Sql)
 }

@@ -81,6 +81,71 @@ class TokenizeSpec extends AnyFunSuite with SparkSpec {
     assert(byCol(1) === Seq.empty) // en rule: ideographs are separators
   }
 
+  test("ru: Cyrillic letters are token characters, ё included, case folds") {
+    def tokL(s: String, lang: String): Seq[String] =
+      Seq(s).toDF("text").select(Tokenize.tokens(col("text"), lang).as("t"))
+        .as[Seq[String]].head()
+    assert(tokL("Привет МИР, обработка данных 42", "ru")
+      === Seq("привет", "мир", "обработка", "данных", "42"))
+    // ё sits OUTSIDE the contiguous а-я range (U+0451 vs U+0430-044F):
+    // a class without it would split ёж and ёлка mid-word
+    assert(tokL("Ёлка и ёж", "ru") === Seq("ёлка", "и", "ёж"))
+    // mixed latin/cyrillic stays one run under the ru class
+    assert(tokL("spark-движок v2", "ru") === Seq("spark", "движок", "v2"))
+    // the ASCII rule treats Cyrillic as separators
+    assert(tok("Привет x42 мир") === Seq("x42"))
+  }
+
+  test("ja: script bigrams over Han+kana runs, prolonged mark stays in-word") {
+    def ja(s: String): Seq[String] =
+      Seq(s).toDF("text").select(Tokenize.jaTokens(col("text")).as("t"))
+        .as[Seq[String]].head()
+    // katakana word with the prolonged-sound mark ー: one run, bigrams
+    assert(ja("データ") === Seq("デー", "ータ"))
+    // kanji + hiragana form ONE script run (the ja class spans both)
+    assert(ja("日本語のx") === Seq("日本", "本語", "語の", "x"))
+    assert(ja("あ") === Seq("あ"))    // lone kana: itself
+    assert(ja("Spark処理2026") === Seq("spark", "処理", "2026"))
+    // the zh rule does NOT know kana — katakana is a separator there
+    def tokL(s: String, lang: String): Seq[String] =
+      Seq(s).toDF("text").select(Tokenize.tokens(col("text"), lang).as("t"))
+        .as[Seq[String]].head()
+    assert(tokL("データ処理", "zh") === Seq("処理"))
+    assert(tokL("データ処理", "ja") === Seq("デー", "ータ", "タ処", "処理"))
+    // column dispatch routes ja rows to the ja rule
+    val byCol = Seq(("データ", "ja"), ("データ", "zh"), ("データ", "en"))
+      .toDF("text", "lang")
+      .select(Tokenize.tokensByLang(col("text"), col("lang")).as("t"))
+      .as[Seq[String]].collect()
+    assert(byCol(0) === Seq("デー", "ータ"))
+    assert(byCol(1) === Seq.empty)
+    assert(byCol(2) === Seq.empty)
+  }
+
+  test("property: ru and ja Column rules equal the JVM reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val genRu = Gen.listOf(Gen.frequency(
+      4 -> Gen.oneOf('п', 'р', 'и', 'в', 'е', 'т', 'ё', 'Я', 'Ж'),
+      3 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', ',', '.', '!', '\n'))).map(_.mkString)
+    val genJa = Gen.listOf(Gen.frequency(
+      4 -> Gen.oneOf('日', '本', '語', 'の', 'あ', 'デ', 'ー', 'タ', '処', '理'),
+      3 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '、', '。', '!', '\n'))).map(_.mkString)
+    for ((gen, lang) <- Seq((genRu, "ru"), (genJa, "ja"))) {
+      val prop = forAll(gen) { s =>
+        val viaCol = Seq(s).toDF("text")
+          .select(Tokenize.tokens(col("text"), lang).as("t"))
+          .as[Seq[String]].head()
+        viaCol == Tokenize.tokensLangRef(s, lang).toSeq
+      }
+      val result = org.scalacheck.Test.check(
+        org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
+      assert(result.passed, s"$lang: ${result.status}")
+    }
+  }
+
   test("tokensByLang dispatches on the lang column") {
     val df = Seq(("ñoño", "es"), ("ñoño", "en")).toDF("text", "lang")
       .select(Tokenize.tokensByLang(col("text"), col("lang")).as("t"))
