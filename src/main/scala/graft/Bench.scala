@@ -194,14 +194,18 @@ object Bench {
     * x79 builds the corpus BPE memo (x87 reuses); x96 publishes+loads
     * the BM25 artifact (x97's lexical leg reuses); x97 additionally
     * publishes+loads the IVF-PQ artifact; x124 publishes+loads the
-    * passage-level BM25 artifact. Probes run in declared order; each
-    * adds exactly ONE cold family on top of the previous probes' warm
-    * state (x97 after x96 isolates the dense artifact's cold cost
-    * from the lexical one it reuses).
+    * passage-level BM25 artifact; x129 fits+publishes the whitening
+    * transform; x140 additionally builds+publishes the whitened
+    * IVF-PQ index (after x129 its probe isolates the index-build cost
+    * from the already-published transform). Probes run in declared
+    * order; each adds exactly ONE cold family on top of the previous
+    * probes' warm state (x97 after x96 isolates the dense artifact's
+    * cold cost from the lexical one it reuses).
     */
   private[graft] val coldProbes: Seq[String] =
     Seq("x04_ngram_jaccard", "x79_bpe_train", "x96_bm25_indexed",
-      "x97_hybrid_indexed", "x124_passage_indexed", "x129_whiten")
+      "x97_hybrid_indexed", "x124_passage_indexed", "x129_whiten",
+      "x140_whiten_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -248,7 +252,7 @@ object Bench {
     // regression; (b) a throwing probe publishes NEGATIVE seconds
     // (the warm pass's failed convention), never a plausible-looking
     // time for a query that didn't run.
-    Seq("bm25", "ivfpq", "bm25p", "whiten").foreach { kind =>
+    Seq("bm25", "ivfpq", "bm25p", "whiten", "whivf").foreach { kind =>
       val p = new org.apache.hadoop.fs.Path(
         graft.ml.Bm25Index.artifactRoot(kind, sfDir))
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)

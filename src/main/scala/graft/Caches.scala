@@ -79,6 +79,7 @@ object Caches {
     graft.ml.IvfPq.clear(sfDir)
     graft.ml.Bm25Index.clear(sfDir)
     graft.ml.Whiten.clear(sfDir)
+    graft.ml.WhitenedIvf.clear(sfDir)
     graft.queries.ExtensionQueries.clearBpe(sfDir)
     hit.size
   }
@@ -92,6 +93,7 @@ object Caches {
     graft.ml.IvfPq.clear()
     graft.ml.Bm25Index.clear()
     graft.ml.Whiten.clear(null)
+    graft.ml.WhitenedIvf.clear(null)
     graft.queries.ExtensionQueries.clearBpe(null)
     n
   }

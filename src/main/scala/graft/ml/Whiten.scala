@@ -103,6 +103,31 @@ object Whiten {
         load(spark, root)
       })
 
+  /** The whitened embedding frame — (vec_id, v: array<double>), each
+    * coordinate rounded to 6 dp, computed with the PUBLISHED (μ, W)
+    * via [[loadOrPublish]]. One broadcast closed-form pass: per output
+    * dim a native codegen dot against a literal W row. Shared by the
+    * x129 driver projection (ExtensionQueries.whitenedOf) and the
+    * whitened-index composition ([[WhitenedIvf]]) — both sides of the
+    * serving contract transform with the SAME index-time (μ, W).
+    */
+  def whitenedFrame(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (mu, w) = loadOrPublish(spark, sfDir)
+    val dim = mu.length
+    graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        zip_with(graft.functions.VecMath.asDouble(col("embedding")),
+          typedlit(mu.toSeq), (a, b) => a - b).as("xc"))
+      .select(col("vec_id"),
+        // the shared cross-engine rounding form (floor(x·10^6 + .5)/10^6
+        // — the queries objects' round shadow), NOT functions.round
+        array((0 until dim).map(k =>
+          floor(graft.functions.VecMath.dot(typedlit(w(k).toSeq), col("xc")) *
+            1e6 + lit(0.5)) / 1e6): _*).as("v"))
+  }
+
   /** Read the latest published (μ, W) — row order restored by idx. */
   def load(spark: org.apache.spark.sql.SparkSession,
       root: String): (Array[Double], Array[Array[Double]]) = {
