@@ -762,6 +762,66 @@ object DedupStream {
     v
   }
 
+  /** Whitening-transform maintenance for the ingest path (round-11
+    * verdict ask #6): [[maintainAnnIndex]] keeps the VECTORS current
+    * (FAISS add() — immutable quantizers), but the whitening (μ, W)
+    * is a DISTRIBUTION-level fit, so corpus growth silently drifts it
+    * with no mechanism noticing. This is that mechanism: called on
+    * the ingest/serving path, it either certifies the published
+    * transform fresh for the store's CURRENT content or refits and
+    * republishes — a caller can never serve a silently stale
+    * rotation.
+    *
+    * Certification is exact, not heuristic: the artifact carries a
+    * `fitted_ids` table (8 bytes/vector — the same order as the coded
+    * frame an IVF-PQ artifact already ships), and the published
+    * transform is fresh iff (a) every fitted vector is still in the
+    * store (one bounded anti-join — deletions and content churn force
+    * a refit) and (b) growth since the fit is within `maxGrowth`
+    * (new vectors appended under an old μ/W are served correctly by
+    * the transform's own contract UNTIL their mass shifts the
+    * distribution; the budget is the explicit drift tolerance, the
+    * IvfPq.append "retraining is a deliberate drift event" rule given
+    * a trigger). Returns (servedVersion, refitted).
+    */
+  def maintainWhitening(spark: SparkSession, storeRoot: String,
+      whitenRoot: String, maxGrowth: Double = 0.2): (Long, Boolean) = {
+    import spark.implicits._
+    val vecs = storeVectors(spark, storeRoot)
+    val n = vecs.count()
+    require(n > 1, s"whitening needs more than one stored vector, got $n")
+
+    val latest = graft.sources.VersionedStore.latestVersion(whitenRoot)
+    val certified = latest.exists { v =>
+      try {
+        val meta = graft.sources.VersionedStore
+          .readTable(spark, whitenRoot, v, "meta").collect().head
+        val fitN = meta.getLong(0)
+        val fittedGone = graft.sources.VersionedStore
+          .readTable(spark, whitenRoot, v, "fitted_ids")
+          .join(vecs.select("vec_id"), Seq("vec_id"), "left_anti").count()
+        fittedGone == 0L && n >= fitN &&
+          n.toDouble <= fitN * (1.0 + maxGrowth)
+      } catch { case _: Exception => false }
+    }
+    if (certified) (latest.get, false)
+    else {
+      val dim = vecs.select(size(col("v"))).head.getInt(0)
+      val (mu, w) = graft.ml.Whiten.fit(
+        vecs.select(col("v").as("embedding")), dim)
+      val v = graft.sources.VersionedStore.publishAll(
+        Map(
+          "mu" -> Seq((0L, mu.toSeq)).toDF("idx", "vec"),
+          "w" -> w.zipWithIndex
+            .map { case (r, i) => (i.toLong, r.toSeq) }.toSeq
+            .toDF("idx", "vec"),
+          "fitted_ids" -> vecs.select("vec_id"),
+          "meta" -> Seq(n).toDF("fit_n")),
+        whitenRoot)
+      (v, true)
+    }
+  }
+
   /** Maintenance compaction of a QUIESCED store: N per-batch slice
     * directories per artifact become one consolidated `batch=-1`
     * slice each, so history reads stop paying a directory listing +

@@ -731,6 +731,58 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     assert(live === Seq(s"v=$v4"), s"retention left extra versions: $live")
   }
 
+  test("whitening maintenance: certified-fresh reuse or refit, never silently stale") {
+    // round-11 verdict ask #6: maintainAnnIndex keeps the VECTORS
+    // current, but the (μ, W) fit drifts silently as the store grows —
+    // the ingest path must either certify the published transform
+    // fresh for the store's CURRENT content or refit, never serve a
+    // stale rotation without a decision.
+    val work = Files.createTempDirectory("graft_whstream")
+    val docsDir = Files.createDirectory(work.resolve("docs"))
+    val store = work.resolve("store").toString
+    val ckpt = work.resolve("ckpt").toString
+    val whRoot = work.resolve("whiten").toString
+    val wordvecs = graft.queries.ReferenceQueries.wordvecsByLang(spark, sf)
+
+    // ---- batch 1 → first maintenance fits and publishes
+    stage(docsDir, work, "a", col("doc_id") < 250)
+    DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt)
+      .awaitTermination(180000)
+    val (v1, refit1) = DedupStream.maintainWhitening(spark, store, whRoot)
+    assert(refit1, "an empty root must fit, not certify")
+    val (mu1, w1) = graft.ml.Whiten.load(spark, whRoot)
+
+    // ---- no growth → certified fresh: same version, no refit
+    val (v2, refit2) = DedupStream.maintainWhitening(spark, store, whRoot)
+    assert(v2 === v1 && !refit2,
+      "an unchanged store must reuse the certified transform")
+
+    // ---- batch 2 doubles the store (way past the 20% budget) →
+    // the maintenance must refit: new version, drifted transform
+    stage(docsDir, work, "b", col("doc_id") >= 250)
+    DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt)
+      .awaitTermination(180000)
+    val grown = DedupStream.storeVectors(spark, store).count()
+    assert(grown.toDouble > 1.2 * graft.sources.VersionedStore
+      .readTable(spark, whRoot, v1, "meta").head.getLong(0),
+      "fixture must grow the store past the drift budget")
+    val (v3, refit3) = DedupStream.maintainWhitening(spark, store, whRoot)
+    assert(v3 > v1 && refit3, "post-growth serving must refit, not reuse")
+    val (mu3, w3) = graft.ml.Whiten.load(spark, whRoot)
+    assert(!(mu1.toSeq == mu3.toSeq && w1.map(_.toSeq).toSeq == w3.map(_.toSeq).toSeq),
+      "refit over a doubled store produced an identical transform")
+    // and the refit transform IS the direct fit over the grown store
+    val (muD, wD) = graft.ml.Whiten.fit(
+      DedupStream.storeVectors(spark, store).select(col("v").as("embedding")), 8)
+    assert(mu3.toSeq === muD.toSeq &&
+      w3.map(_.toSeq).toSeq === wD.map(_.toSeq).toSeq,
+      "maintained transform diverges from a direct fit of the grown store")
+
+    // ---- refit is then certified: an immediate re-run reuses v3
+    val (v4, refit4) = DedupStream.maintainWhitening(spark, store, whRoot)
+    assert(v4 === v3 && !refit4)
+  }
+
   test("drift report: a shifted batch spikes KL with the guilty token named") {
     val work = Files.createTempDirectory("driftrep")
     val docsDir = Files.createDirectory(work.resolve("docs"))
