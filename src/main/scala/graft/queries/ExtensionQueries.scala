@@ -3808,6 +3808,108 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x141: GOPHER quality-rule battery — the published heuristic
+  // filter set (Rae et al. 2021 §A1.1) large-scale curation pipelines
+  // apply verbatim: word-count bounds, mean-word-length bounds,
+  // symbol-to-word ratio (# / ellipsis), bullet-line and
+  // ellipsis-line caps, alphabetic-word floor, and the required-stop-
+  // word floor — each flagged per document, with the conjunction as
+  // the filter verdict. Note the WHITESPACE word definition: the
+  // rules are specified over whitespace-split words, not the engine's
+  // alnum tokenizer (a doc of "### ###" has 2 words and 0 tokens) —
+  // so this battery deliberately does NOT ride the shared (doc_id,
+  // token) posting. Shapes: one scan, per-row HOFs (split/filter/
+  // aggregate/transform — all codegen'd), no shuffle before the
+  // orderBy; at 100 TB this is a pure map stage. Fully
+  // SQL-expressible → hash-checked oracle over every flag and ratio.
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def x141_gopher_rules(spark: SparkSession, sfDir: String): DataFrame =
+    gopherRulesOf(Tables.documents(spark, sfDir)).orderBy("doc_id")
+
+  /** The rule battery over ANY (doc_id, text) frame — private[graft]
+    * so GopherRulesSpec can pin the rule semantics on hand-built
+    * fixture docs (a passing doc, a bullet wall, a symbol wall…) in
+    * addition to the corpus-wide oracle hash.
+    */
+  private[graft] def gopherRulesOf(docs: DataFrame): DataFrame = {
+    val words = filter(split(col("text"), "\\s+"), w => w =!= lit(""))
+    val lines = filter(split(col("text"), "\n"), l => l =!= lit(""))
+    val nW = size(col("words")).cast("long")
+    val nL = size(col("lines")).cast("long")
+    def ratio(n: Column, d: Column): Column =
+      when(d > 0, n.cast("double") / d).otherwise(lit(0.0))
+    docs
+      .select(col("doc_id"), words.as("words"), lines.as("lines"))
+      .select(col("doc_id"), nW.as("n_words"),
+        ratio(aggregate(col("words"), lit(0L),
+          (acc, w) => acc + length(w).cast("long")), nW).as("mwl"),
+        ratio(size(filter(col("words"),
+          w => w.contains("#") || w.contains("..."))).cast("long"), nW)
+          .as("sym"),
+        ratio(size(filter(col("lines"),
+          l => l.rlike("^[-*•]"))).cast("long"), nL).as("bul"),
+        ratio(size(filter(col("lines"),
+          l => l.rlike("\\.\\.\\.$"))).cast("long"), nL).as("ell"),
+        ratio(size(filter(col("words"),
+          w => w.rlike("[a-zA-Z]"))).cast("long"), nW).as("alpha"),
+        size(array_distinct(array_intersect(
+          transform(col("words"), lower(_)),
+          typedlit(GopherStops)))).cast("long").as("n_req_stop"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("mwl"), 6).as("mean_word_len"),
+        round(col("sym"), 6).as("symbol_ratio"),
+        round(col("bul"), 6).as("bullet_line_ratio"),
+        round(col("ell"), 6).as("ellipsis_line_ratio"),
+        round(col("alpha"), 6).as("alpha_word_ratio"),
+        col("n_req_stop"),
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mwl") >= 3.0 && col("mwl") <= 10.0 &&
+          col("sym") < 0.1 && col("bul") < 0.9 && col("ell") < 0.3 &&
+          col("alpha") > 0.8 && col("n_req_stop") >= 2).as("gopher_pass"))
+  }
+
+  val x141Sql: String = {
+    val stops = GopherStops.map(s => s"'$s'").mkString(", ")
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+       |    list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |    len(words)::BIGINT AS n_words,
+       |    CASE WHEN len(words) > 0 THEN
+       |      list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words)
+       |      ELSE 0.0 END AS mwl,
+       |    CASE WHEN len(words) > 0 THEN
+       |      len(list_filter(words, x -> contains(x, '#') OR contains(x, '...')))::DOUBLE / len(words)
+       |      ELSE 0.0 END AS sym,
+       |    CASE WHEN len(lines) > 0 THEN
+       |      len(list_filter(lines, x -> regexp_matches(x, '^[-*•]')))::DOUBLE / len(lines)
+       |      ELSE 0.0 END AS bul,
+       |    CASE WHEN len(lines) > 0 THEN
+       |      len(list_filter(lines, x -> regexp_matches(x, '\\.\\.\\.$$')))::DOUBLE / len(lines)
+       |      ELSE 0.0 END AS ell,
+       |    CASE WHEN len(words) > 0 THEN
+       |      len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(words)
+       |      ELSE 0.0 END AS alpha,
+       |    len(list_distinct(list_intersect(
+       |      list_transform(words, x -> lower(x)), [$stops])))::BIGINT AS n_req_stop
+       |  FROM w)
+       |SELECT doc_id, n_words,
+       |  round(mwl, 6) AS mean_word_len,
+       |  round(sym, 6) AS symbol_ratio,
+       |  round(bul, 6) AS bullet_line_ratio,
+       |  round(ell, 6) AS ellipsis_line_ratio,
+       |  round(alpha, 6) AS alpha_word_ratio,
+       |  n_req_stop,
+       |  (n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+       |   AND sym < 0.1 AND bul < 0.9 AND ell < 0.3 AND alpha > 0.8
+       |   AND n_req_stop >= 2) AS gopher_pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ======================================================================
   // x133: HIERARCHICAL mixture plan — the two-level sampling recipe
   // multilingual corpora actually train with: UniMax waterfilling
   // across LANGUAGES (the fairness axis, x104's allocator verbatim),
@@ -6314,6 +6416,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     // contract is EmbedQualitySpec's identity-covariance check
     "x129_whiten" -> (x129_whiten _),
     "x140_whiten_ivf" -> (x140_whiten_ivf _),
+    "x141_gopher_rules" -> (x141_gopher_rules _),
     // rows-only (BPE encode not SQL-expressible — the x87 convention):
     // accuracy contract is BpeSpec's regroup-of-x87 replay
     "x130_bpe_fertility" -> (x130_bpe_fertility _),
@@ -6447,6 +6550,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x137_langid_eval" -> x137Sql,
     "x138_split_balance" -> x138Sql,
     "x139_epoch_manifest" -> x139Sql,
+    "x141_gopher_rules" -> x141Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,
