@@ -3870,6 +3870,79 @@ object ExtensionQueries {
           col("alpha") > 0.8 && col("n_req_stop") >= 2).as("gopher_pass"))
   }
 
+  // ======================================================================
+  // x142: C4 line-level cleaning rules (Raffel et al. 2020 §2.2) —
+  // the line-granular companion to x141's doc-level Gopher battery,
+  // and the other filter set large-scale curation actually ships:
+  // keep a line iff it ends in terminal punctuation, has ≥ 5 words,
+  // and mentions none of '{' / 'javascript' / 'lorem ipsum'; keep a
+  // PAGE iff ≥ 3 lines survive. The synthetic corpus has no line
+  // structure or punctuation (single-line, unpunctuated token
+  // streams), so — the q31/q33 fixture convention — lines are
+  // synthesized DETERMINISTICALLY in both engines: 6-word groups,
+  // group i suffixed by CASE i%5 (terminal '.', nothing, '?', a '{',
+  // a 'javascript.' mention), which exercises every rule on every
+  // document. Shapes: one scan, per-row HOFs, no shuffle before the
+  // orderBy — a pure map stage at 100 TB. The cleaned text ships as
+  // an md5 so the WHOLE kept-line transform hashes without a
+  // corpus-width string column in the output.
+  def x142_c4_line_rules(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = filter(split(col("text"), "\\s+"), w => w =!= lit(""))
+    val suffix = (i: Column) =>
+      when(i % 5 === 0, lit("."))
+        .when(i % 5 === 1, lit(""))
+        .when(i % 5 === 2, lit("?"))
+        .when(i % 5 === 3, lit(" {"))
+        .otherwise(lit(" javascript."))
+    val nLines = ceil(size(col("words")) / lit(6.0)).cast("int")
+    val lines = transform(sequence(lit(0), nLines - 1), i =>
+      concat(concat_ws(" ", slice(col("words"), i * 6 + 1, lit(6))), suffix(i)))
+    val keep = (l: Column) =>
+      l.rlike("[.!?]$") &&
+        size(filter(split(l, "\\s+"), w => w =!= lit(""))) >= 5 &&
+        !l.contains("{") && !lower(l).contains("javascript") &&
+        !lower(l).contains("lorem ipsum")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), words.as("words"))
+      .filter(size(col("words")) > 0)
+      .select(col("doc_id"), lines.as("lines"))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        filter(col("lines"), keep).as("kept"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        round(size(col("kept")) / col("n_lines").cast("double"), 6)
+          .as("keep_ratio"),
+        length(concat_ws("\n", col("kept"))).cast("long").as("n_chars_clean"),
+        md5(concat_ws("\n", col("kept"))).as("clean_md5"),
+        (size(col("kept")) >= 3).as("page_kept"))
+      .orderBy("doc_id")
+  }
+
+  val x142Sql: String =
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+       |  FROM documents),
+       |l AS (SELECT doc_id,
+       |    list_transform(range(0, ceil(len(words) / 6.0)::INT), i ->
+       |      array_to_string(words[(i*6+1):(i*6+6)], ' ') ||
+       |      (CASE WHEN i % 5 = 0 THEN '.' WHEN i % 5 = 1 THEN ''
+       |            WHEN i % 5 = 2 THEN '?' WHEN i % 5 = 3 THEN ' {'
+       |            ELSE ' javascript.' END)) AS lines
+       |  FROM w WHERE len(words) > 0),
+       |k AS (SELECT doc_id, len(lines)::BIGINT AS n_lines,
+       |    list_filter(lines, x -> regexp_matches(x, '[.!?]$$')
+       |      AND len(list_filter(string_split_regex(x, '\\s+'), y -> y <> '')) >= 5
+       |      AND NOT contains(x, '{') AND NOT contains(lower(x), 'javascript')
+       |      AND NOT contains(lower(x), 'lorem ipsum')) AS kept
+       |  FROM l)
+       |SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept,
+       |  round(len(kept) / n_lines::DOUBLE, 6) AS keep_ratio,
+       |  length(array_to_string(kept, chr(10)))::BIGINT AS n_chars_clean,
+       |  md5(array_to_string(kept, chr(10))) AS clean_md5,
+       |  (len(kept) >= 3) AS page_kept
+       |FROM k ORDER BY doc_id""".stripMargin
+
   val x141Sql: String = {
     val stops = GopherStops.map(s => s"'$s'").mkString(", ")
     s"""WITH w AS (SELECT doc_id,
@@ -6417,6 +6490,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x129_whiten" -> (x129_whiten _),
     "x140_whiten_ivf" -> (x140_whiten_ivf _),
     "x141_gopher_rules" -> (x141_gopher_rules _),
+    "x142_c4_line_rules" -> (x142_c4_line_rules _),
     // rows-only (BPE encode not SQL-expressible — the x87 convention):
     // accuracy contract is BpeSpec's regroup-of-x87 replay
     "x130_bpe_fertility" -> (x130_bpe_fertility _),
@@ -6551,6 +6625,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x138_split_balance" -> x138Sql,
     "x139_epoch_manifest" -> x139Sql,
     "x141_gopher_rules" -> x141Sql,
+    "x142_c4_line_rules" -> x142Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,
