@@ -79,6 +79,32 @@ class VersionedStoreSpec extends AnyFunSuite with SparkSpec {
     assert(boom.getMessage === "genuine failure")
   }
 
+  test("publishOrAdopt: two real racing publishers both end up serving a version") {
+    // the round-11 advice scenario live: two sessions hit an empty
+    // root at once; both allocate v=0, one loses errorifexists — the
+    // loser must adopt, and whatever each returns must be readable
+    val root = java.nio.file.Files.createTempDirectory("graft_vstore6").toString
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def contender(tag: String): Future[Long] = Future {
+      VersionedStore.publishOrAdopt(root) {
+        barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        VersionedStore.publish(Seq((1L, tag)).toDF("id", "v"), root)
+      }
+    }
+    val (a, b) = (contender("a"), contender("b"))
+    val va = Await.result(a, 120.seconds)
+    val vb = Await.result(b, 120.seconds)
+    // both contenders hold a live version; the marker names one of
+    // them; every returned version is a complete readable snapshot
+    val latest = VersionedStore.latestVersion(root)
+    assert(latest.nonEmpty && Seq(va, vb).contains(latest.get))
+    for (v <- Seq(va, vb).distinct)
+      assert(VersionedStore.readVersion(spark, root, v).count() === 1)
+  }
+
   test("fileFingerprint: nested-subdirectory changes alter the identity") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fp").toString
     // a partitioned table shape: files inside nested subdirectories
