@@ -92,6 +92,22 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"UDF in q31 plan:\n$p")
   }
 
+  test("x141/x142 rule batteries are pure map stages (no UDF, one sort Exchange)") {
+    // the quality-rule batteries must stay shuffle-free scans: per-row
+    // HOFs only, with exactly the one Exchange their final orderBy
+    // needs — the 100 TB posture is "a pure map stage" (COVERAGE.md)
+    for (df <- Seq(
+        graft.queries.ExtensionQueries.x141_gopher_rules(spark, sf),
+        graft.queries.ExtensionQueries.x142_c4_line_rules(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+        s"UDF in rule-battery plan:\n$p")
+      assert("Exchange".r.findAllIn(p).size <= 1, s"unexpected shuffles:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+        s"rule battery grew a join:\n$p")
+    }
+  }
+
   test("x60 incremental dedup joins candidates by hash, never all-pairs") {
     val p = plan(graft.queries.ExtensionQueries.x60_incremental_dedup(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
