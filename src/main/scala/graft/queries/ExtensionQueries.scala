@@ -3871,6 +3871,80 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x143: MATRYOSHKA truncation audit — the dimension-budget question
+  // every embedding-serving deployment asks (Kusupati et al. 2022):
+  // how much top-k quality survives if the index stores only the
+  // first d coordinates? For each d in {8,16,32,64}, the exact top-3
+  // by cosine over the d-prefix is compared against the full-dim
+  // top-3 (the d=64 row doubles as a recall=1.0 sanity check), one
+  // recall row per dimension budget. Shapes: ONE broadcast
+  // crossJoin against the 5-query bank (x05's truth-leg shape), the
+  // dims axis as a 4-way per-row explode, per-(dim, query) bounded
+  // windows — no corpus² stage; at scale this is the offline audit
+  // run once per embedding release to pick the serving dimension.
+  // Fully SQL-expressible (list slicing + cosine) → hash-checked.
+  // Expected reading on THIS corpus: near-zero truncated recall
+  // (0.13/0.00/0.07 at d=8/16/32) — the synthetic embeddings are
+  // isotropic, so prefixes carry no privileged information; a
+  // Matryoshka-trained model front-loads it, and THAT difference is
+  // exactly what the audit exists to surface before a deployment
+  // truncates its index.
+  private val MatryoshkaDims = Seq(8, 16, 32, 64)
+
+  def x143_matryoshka_recall(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), VecMath.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("dim", "query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val top = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dim", explode(typedlit(MatryoshkaDims)))
+      .withColumn("cos", VecMath.cosine(
+        slice(col("qv"), lit(1), col("dim")),
+        slice(col("v"), lit(1), col("dim"))))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("dim", "query_id", "vec_id")
+    val full = top.filter(col("dim") === MatryoshkaDims.max)
+      .select("query_id", "vec_id")
+    val denom = 5.0 * 3
+    val hits = top.join(full, Seq("query_id", "vec_id"))
+      .groupBy("dim").agg(count(lit(1)).as("h"))
+    // left join from the dims axis: a dimension budget whose top-3
+    // shares NOTHING with the full-dim truth must still report its
+    // zero (an inner join would silently drop the most damning row)
+    spark.range(1).select(explode(typedlit(MatryoshkaDims)).as("dim"))
+      .join(hits, Seq("dim"), "left")
+      .select(col("dim"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        round(coalesce(col("h"), lit(0L)) / lit(denom), 6).as("recall"))
+      .orderBy("dim")
+  }
+
+  val x143Sql: String = {
+    val vals = MatryoshkaDims.map(d => s"($d)").mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id < 5),
+       |dims(dim) AS (VALUES $vals),
+       |scored AS (SELECT d.dim, q.query_id, e.vec_id,
+       |  list_cosine_similarity(q.qv[1:d.dim],
+       |    (e.embedding::DOUBLE[])[1:d.dim]) AS cos
+       |  FROM embeddings e, q, dims d WHERE e.vec_id <> q.query_id),
+       |ranked AS (SELECT dim, query_id, vec_id,
+       |  row_number() OVER (PARTITION BY dim, query_id
+       |    ORDER BY cos DESC, vec_id) AS rn FROM scored),
+       |top AS (SELECT dim, query_id, vec_id FROM ranked WHERE rn <= 3),
+       |f AS (SELECT query_id, vec_id FROM top
+       |  WHERE dim = ${MatryoshkaDims.max}),
+       |h AS (SELECT t.dim, count(*)::BIGINT AS n_hits
+       |  FROM top t JOIN f USING (query_id, vec_id) GROUP BY t.dim)
+       |SELECT d.dim, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       |  round(coalesce(h.n_hits, 0) / 15.0, 6) AS recall
+       |FROM dims d LEFT JOIN h ON h.dim = d.dim ORDER BY d.dim""".stripMargin
+  }
+
+  // ======================================================================
   // x142: C4 line-level cleaning rules (Raffel et al. 2020 §2.2) —
   // the line-granular companion to x141's doc-level Gopher battery,
   // and the other filter set large-scale curation actually ships:
@@ -6491,6 +6565,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x140_whiten_ivf" -> (x140_whiten_ivf _),
     "x141_gopher_rules" -> (x141_gopher_rules _),
     "x142_c4_line_rules" -> (x142_c4_line_rules _),
+    "x143_matryoshka_recall" -> (x143_matryoshka_recall _),
     // rows-only (BPE encode not SQL-expressible — the x87 convention):
     // accuracy contract is BpeSpec's regroup-of-x87 replay
     "x130_bpe_fertility" -> (x130_bpe_fertility _),
@@ -6626,6 +6701,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x139_epoch_manifest" -> x139Sql,
     "x141_gopher_rules" -> x141Sql,
     "x142_c4_line_rules" -> x142Sql,
+    "x143_matryoshka_recall" -> x143Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,
