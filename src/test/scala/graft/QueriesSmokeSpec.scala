@@ -29,4 +29,18 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+
+  test("every rows-only query carries a written COVERAGE.md justification") {
+    // the round-11 verdict's standing rule: a query declared without
+    // oracleSql downgrades the driver's check to rows-only, so each
+    // one must name itself in COVERAGE.md next to its justification
+    // and spec — a new rows-only query that skips the paperwork fails
+    // here instead of shipping as silent weak coverage
+    val coverage = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("COVERAGE.md")), "UTF-8")
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val undocumented = rowsOnly.filterNot(coverage.contains)
+    assert(undocumented.isEmpty,
+      s"rows-only queries missing a COVERAGE.md entry: $undocumented")
+  }
 }
