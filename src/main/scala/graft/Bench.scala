@@ -207,6 +207,54 @@ object Bench {
       "x97_hybrid_indexed", "x124_passage_indexed", "x129_whiten",
       "x140_whiten_ivf")
 
+  /** Sentinels for the in-run bracket protocol. This host has a
+    * recurring, steal-BLIND memory-subsystem epoch that inflates the
+    * BM25 posting-scan family a uniform 1.5-3x while loadavg and steal
+    * read clean (BASELINE.md r11/r12 provenance notes); adjudicating it
+    * has cost three rounds of MANUAL interleaved bracket runs at a
+    * prior commit. These three queries are (a) inside the affected
+    * family, so the epoch moves them when it is live, (b) pinned at
+    * 0.39-1.81 s — large enough to carry evidence past the noise
+    * floor, and (c) code that predates the watch entries they
+    * adjudicate, so their own regression risk is the ledger's problem,
+    * not the bracket's.
+    */
+  private[graft] val epochSentinels: Seq[String] =
+    Seq("x102_prf_expansion", "x132_z_fusion", "x91_bm25")
+
+  /** Adjudicate a non-empty watch list from an INTERLEAVED re-measure
+    * of the watch set against the epoch sentinels (each map is
+    * re-measured-seconds / ledger-pin per query). Returns
+    * "host" | "code" | "unresolved":
+    *
+    *  - every watch query re-measures at trend (<= 1.5x pin) → the
+    *    original number was a transient burst under identical code →
+    *    "host";
+    *  - watch stays inflated AND the sentinels — whose code did not
+    *    change — are inflated alongside (median > 1.5x) → the epoch is
+    *    live and uniform → "host";
+    *  - watch stays inflated while the sentinels reproduce their pins
+    *    (median <= 1.25x) → a clean in-run bracket contradicts the
+    *    number → "code";
+    *  - anything between (sentinel median in (1.25, 1.5], or no
+    *    overlap to measure) → "unresolved" — the protocol's answer is
+    *    re-run, never guess.
+    *
+    * Pure so BenchGateSpec can pin all four outcomes.
+    */
+  private[graft] def epochVerdict(watchRatios: Map[String, Double],
+      sentinelRatios: Map[String, Double]): String = {
+    if (watchRatios.isEmpty) return "none"
+    val watchClean = watchRatios.values.forall(_ <= 1.5)
+    if (watchClean) return "host"
+    val sents = sentinelRatios.values.toSeq.sorted
+    if (sents.isEmpty) return "unresolved"
+    val sentMedian = sents(sents.size / 2)
+    if (sentMedian > 1.5) "host"
+    else if (sentMedian <= 1.25) "code"
+    else "unresolved"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the target environment is local[32] (see build docs); honor an
@@ -286,9 +334,48 @@ object Bench {
     // reverse-engineer which numbers to distrust.
     val times0 = firstPass.toMap
     val retried = suspects(times0, ledger)
-    val timedMap = times0 ++ retried.map { q =>
+    val timedMap0 = times0 ++ retried.map { q =>
       q -> best(sample(q, SparkEntry.queries(q), 2).:+((times0(q) > 0, math.abs(times0(q)))))
     }.toMap
+    // In-run bracket protocol (round-12 verdict ask #2): a non-empty
+    // watch list used to mean a MANUAL interleaved bracket run at a
+    // prior commit before the artifact could be trusted — three rounds
+    // of hand work against the steal-blind host epoch. Now the run
+    // adjudicates itself: each watch query is re-measured interleaved
+    // with the epoch sentinels (alternating s,w,s,w order so a live
+    // epoch hits both alike; two passes, min per query), the ratios
+    // feed epochVerdict, and the watch re-measures fold into min-of-N
+    // so a transient-burst entry clears itself from the final lists.
+    val watch0 = watchlist(timedMap0, ledger)
+    val (timedMap, epochVerdictStr, bracketJson) =
+      if (watch0.isEmpty) (timedMap0, "none", "{}")
+      else {
+        // a sentinel can itself sit on the watch list during a live
+        // epoch — it still adjudicates (inflated sentinel ⇒ host), so
+        // no exclusion; it is just measured under both roles.
+        val sentinels = epochSentinels.filter(s =>
+          SparkEntry.queries.contains(s) && ledger.getOrElse(s, 0.0) > 0)
+        val order = watch0.zipWithIndex.flatMap { case (w, i) =>
+          (if (sentinels.nonEmpty) Seq(sentinels(i % sentinels.size)) else Nil) :+ w
+        }
+        val meas = scala.collection.mutable.Map.empty[String, Double]
+        (1 to 2).foreach { _ =>
+          order.foreach { q =>
+            val (ok, t) = sample(q, SparkEntry.queries(q), 1).head
+            if (ok) meas(q) = math.min(meas.getOrElse(q, Double.MaxValue), t)
+          }
+        }
+        val wr = watch0.flatMap(q => meas.get(q).map(t => q -> t / ledger(q))).toMap
+        val sr = sentinels.flatMap(q => meas.get(q).map(t => q -> t / ledger(q))).toMap
+        val verdict = epochVerdict(wr, sr)
+        val folded = timedMap0 ++ watch0.flatMap { q =>
+          meas.get(q).collect { case t if timedMap0(q) > 0 && t < timedMap0(q) => q -> t }
+        }
+        def ratios(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+          .mkString("{", ",", "}")
+        (folded, verdict, s"""{"sentinels":${ratios(sr)},"watch":${ratios(wr)}}""")
+      }
     val stillSuspect = suspects(timedMap, ledger)
     val timed = timedMap.toSeq.sortBy(_._1)
     val loadEnd = loadavg1
@@ -323,7 +410,7 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val coldJson = cold.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_pct":${math.rint(stealPct * 100) / 100},"ledger_queries":${ledger.size},"median_ledger_ratio":${math.rint(medianRatio * 1000) / 1000},"p90_ledger_ratio":${math.rint(p90Ratio * 1000) / 1000},"retried":$retriedJson,"suspect":$suspectJson,"watch":$watchJson,"cold":$coldJson,"contended":$contended}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_pct":${math.rint(stealPct * 100) / 100},"ledger_queries":${ledger.size},"median_ledger_ratio":${math.rint(medianRatio * 1000) / 1000},"p90_ledger_ratio":${math.rint(p90Ratio * 1000) / 1000},"retried":$retriedJson,"suspect":$suspectJson,"watch":$watchJson,"epoch_verdict":"$epochVerdictStr","bracket":$bracketJson,"cold":$coldJson,"contended":$contended}""")
     spark.stop()
   }
 }

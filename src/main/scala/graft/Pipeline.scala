@@ -70,7 +70,9 @@ object Pipeline {
       prunedNearDup: Long, strippedSegTokens: Long, emptiedBySegClean: Long,
       droppedContaminated: Long, prunedSemantic: Long,
       piiMaskedDocs: Long, vectorized: Long, sequences: Long,
-      packedTokens: Long)
+      packedTokens: Long,
+      droppedGopher: Long = 0L, droppedC4Pages: Long = 0L,
+      c4LinesDropped: Long = 0L)
 
   /** The pre-gate corpus projection: PII-masked text with lang,
     * source, and the per-doc PII count — the frame steps 3-9 all
@@ -153,6 +155,19 @@ object Pipeline {
     *   the always-on stream keeps min-id (a centrality pick is not
     *   stable under incremental arrival: a later, better-connected
     *   copy would retroactively unseat a shipped canonical).
+    * @param ruleBatteries when true, the shipped rule batteries run
+    *   INSIDE the funnel (round-12 verdict ask #4). x141's Gopher
+    *   conjunction folds into step 1's keep set — doc-level quality
+    *   judged on the raw text, like the x57 verdict it intersects —
+    *   and x142's C4 line cleaning rewrites the masked corpus BEFORE
+    *   any tokenize-dependent stage (kept-line rewrite plus the
+    *   ≥3-surviving-lines page rule; applied pre-split, the x48 mask
+    *   precedent, so train text and eval grams stay byte-identical).
+    *   Off by default: the synthetic corpus has no line structure or
+    *   terminal punctuation, so the batteries' published operating
+    *   points are a per-corpus decision the caller makes consciously
+    *   (the semanticDedup precedent). When on, the snapshot ships a
+    *   `rule_drops` card table with per-rule drop counts.
     * @param maxBroadcastEvalGrams contamination-gate envelope switch:
     *   up to this many distinct eval grams the gate broadcasts the
     *   gram set (x51's single-pass shape); above it the distributed
@@ -167,7 +182,8 @@ object Pipeline {
       semanticK: Int = 16,
       maxBroadcastEvalGrams: Long = 50L * 1000 * 1000,
       qualityGate: Boolean = false, qualityMin: Double = 0.5,
-      centralityCanonical: Boolean = false): Result = {
+      centralityCanonical: Boolean = false,
+      ruleBatteries: Boolean = false): Result = {
     val docs = Tables.documents(spark, sfDir)
 
     // Funnel accounting beyond the four materializing counts rides the
@@ -186,6 +202,8 @@ object Pipeline {
     val packingObs = s"graft_pipe_packing_$runTag"
     val segObs = s"graft_pipe_segclean_$runTag"
     var keepIds: DataFrame = null
+    var gopherMetrics: DataFrame = null
+    var c4Clean: DataFrame = null
     var trainCorpus: DataFrame = null
     var qualCorpus: DataFrame = null
     var dedupSurv: DataFrame = null
@@ -202,19 +220,78 @@ object Pipeline {
       // re-runs the whole verdict lineage)
       keepIds = ExtensionQueries.x57_filter_verdict(spark, sfDir)
         .filter(col("keep")).select("doc_id").persist()
-      val kept = keepIds.count()
+
+      // 1b. OPTIONAL Gopher battery (x141's conjunction) folded into
+      // the keep set: doc-level quality judged on the RAW text, then
+      // intersected with the heuristic verdict. Per-rule failure
+      // counts (among verdict-kept docs — the marginal drops this
+      // stage causes) feed the snapshot's rule_drops card; a doc can
+      // violate several rules, so the per-rule column sums can exceed
+      // the total. The conditions mirror gopher_pass's bounds over
+      // the battery's own (rounded-to-6) output columns.
+      val (kept, droppedGopher, gopherDropRow) =
+        if (!ruleBatteries) (keepIds.count(), 0L,
+          Option.empty[org.apache.spark.sql.Row])
+        else {
+          val verdictKept = keepIds.count()
+          gopherMetrics = ExtensionQueries.gopherRulesOf(docs).persist()
+          val failedKept = gopherMetrics.filter(!col("gopher_pass"))
+            .join(keepIds, Seq("doc_id"), "left_semi")
+          val dropRow = failedKept.agg(
+            count(when(col("n_words") < 50 || col("n_words") > 100000, 1))
+              .as("word_count"),
+            count(when(col("mean_word_len") < 3.0 ||
+              col("mean_word_len") > 10.0, 1)).as("mean_word_len"),
+            count(when(col("symbol_ratio") >= 0.1, 1)).as("symbol_ratio"),
+            count(when(col("bullet_line_ratio") >= 0.9, 1)).as("bullet_lines"),
+            count(when(col("ellipsis_line_ratio") >= 0.3, 1))
+              .as("ellipsis_lines"),
+            count(when(col("alpha_word_ratio") <= 0.8, 1)).as("alpha_words"),
+            count(when(col("n_req_stop") < 2, 1)).as("required_stops")).head
+          val gated = keepIds.join(
+            gopherMetrics.filter(col("gopher_pass")).select("doc_id"),
+            Seq("doc_id"), "left_semi").persist()
+          val g = gated.count()
+          keepIds.unpersist()
+          keepIds = gated
+          (g, verdictKept - g, Some(dropRow))
+        }
 
       // 2. mask the whole corpus once (one codegen'd projection — doing
       // it pre-split keeps train text and eval grams byte-identical);
       // lang rides through to the per-language vectorizer in step 6
-      val masked = maskedOf(docs)
+      val masked0 = maskedOf(docs)
+
+      // 2b. OPTIONAL C4 line cleaning (x142's keep rule over REAL
+      // line structure, c4LineRulesOf) — the kept-line REWRITE before
+      // any tokenize-dependent stage, applied pre-split like the PII
+      // mask so train text and eval grams stay byte-identical. Pages
+      // under 3 surviving lines leave the corpus. Funnel counters are
+      // restricted to verdict-kept TRAIN docs so the step-3 arithmetic
+      // (kept = heldOut + droppedC4Pages + |trainCorpus|) reconciles.
+      val (masked, droppedC4Pages, c4LinesDropped) =
+        if (!ruleBatteries) (masked0, 0L, 0L)
+        else {
+          c4Clean = ExtensionQueries.c4LineRulesOf(masked0).persist()
+          val trainKept = c4Clean
+            .join(keepIds, Seq("doc_id"), "left_semi")
+            .filter(pmod(col("doc_id"), lit(100)) =!= 0)
+          val r = trainKept.agg(
+            count(when(!col("page_kept"), 1)).as("pages"),
+            coalesce(sum(when(col("page_kept"),
+              col("n_lines") - col("n_kept"))), lit(0L)).as("lines")).head
+          val rewritten = c4Clean.filter(col("page_kept"))
+            .withColumn("text", col("clean_text"))
+            .drop("n_lines", "n_kept", "clean_text", "page_kept")
+          (rewritten, r.getLong(0), r.getLong(1))
+        }
 
       // 3. hold out the eval slice, then pin the masked train corpus:
       // dedup banding, the contamination totals, vectors and packing
       // all scan it
       trainCorpus = trainSliceOf(masked, keepIds).persist()
       val rawTrainCount = trainCorpus.count()
-      val heldOut = kept - rawTrainCount
+      val heldOut = kept - rawTrainCount - droppedC4Pages
 
       // 3b. OPTIONAL model-based quality gate (x82's classifier): the
       // x57 verdict above is the heuristic floor, and a doc can sail
@@ -520,6 +597,26 @@ object Pipeline {
       val qualityTable = qualityModel.toSeq.flatMap(m => Seq(
         "quality_model" -> graft.ml.QualityModel.toTable(spark, m),
         "quality_lm" -> graft.ml.QualityModel.unigramLm(trainCorpus)))
+      // 9c. rule-battery card (only when the batteries ran): per-rule
+      // drop counts as (battery, rule, dropped) rows — the dataset
+      // card's gating section, riding the same atomic version so "what
+      // did each rule cost this release" is answerable from the
+      // snapshot alone. Gopher rows count rule FAILURES among
+      // verdict-kept docs (a doc can fail several); c4 rows are the
+      // train-funnel page and line drops.
+      val ruleDropsTable =
+        if (!ruleBatteries) Seq.empty
+        else {
+          import spark.implicits._
+          val g = gopherDropRow.get
+          val rows = g.schema.fieldNames.zipWithIndex.map { case (rule, i) =>
+            ("gopher", rule, g.getLong(i))
+          }.toSeq ++ Seq(
+            ("gopher", "total_docs_dropped", droppedGopher),
+            ("c4", "pages_dropped", droppedC4Pages),
+            ("c4", "lines_dropped", c4LinesDropped))
+          Seq("rule_drops" -> rows.toDF("battery", "rule", "dropped"))
+        }
       val version = VersionedStore.publishAll(
         Map("documents" -> corpus, "vectors" -> vecs, "packing" -> packed,
           "stats" -> stats, "tokenizer" -> tokenizer,
@@ -531,7 +628,7 @@ object Pipeline {
           "budget_plan" -> budgetPlan,
           "curriculum_cuts" -> curriculumCuts,
           "mix_plan" -> mixPlan,
-          "source_kl" -> sourceKl) ++ qualityTable,
+          "source_kl" -> sourceKl) ++ qualityTable ++ ruleDropsTable,
         storeRoot)
       // the lexical posting's and tokenize census's persists were
       // scoped to the publish window
@@ -555,10 +652,12 @@ object Pipeline {
       Result(version, kept, heldOut, droppedLowQuality, prunedNearDup,
         strippedSegTokens,
         emptiedBySegClean, droppedContaminated,
-        prunedSemantic, piiMaskedDocs, vectorized, sequences, packedTokens)
+        prunedSemantic, piiMaskedDocs, vectorized, sequences, packedTokens,
+        droppedGopher, droppedC4Pages, c4LinesDropped)
     } finally {
       Observe.release(spark, cap)
-      Seq(keepIds, trainCorpus, qualCorpus, dedupSurv, afterDedup, corpus, sh3,
+      Seq(keepIds, gopherMetrics, c4Clean, trainCorpus, qualCorpus, dedupSurv,
+        afterDedup, corpus, sh3,
         evalCache, contamSurv)
         .filter(_ != null).foreach(_.unpersist(false))
       if (evalBloom != null) evalBloom.destroy()
@@ -569,7 +668,9 @@ object Pipeline {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val semantic = args.contains("--semantic")
     val quality = args.contains("--quality")
-    val store = args.filterNot(a => a == "--semantic" || a == "--quality")
+    val batteries = args.contains("--rule-batteries")
+    val store = args.filterNot(a =>
+      a == "--semantic" || a == "--quality" || a == "--rule-batteries")
       .headOption.getOrElse(
         java.nio.file.Files.createTempDirectory("graft_pipeline").toString + "/store")
     val spark = SparkSession.builder().master("local[32]")
@@ -580,9 +681,12 @@ object Pipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val r = run(spark, sfDir, store, semanticDedup = semantic,
-      qualityGate = quality)
+      qualityGate = quality, ruleBatteries = batteries)
     println(s"""{"version":${r.version},"kept":${r.kept},""" +
       s""""held_out_eval":${r.heldOutEval},""" +
+      s""""dropped_gopher":${r.droppedGopher},""" +
+      s""""dropped_c4_pages":${r.droppedC4Pages},""" +
+      s""""c4_lines_dropped":${r.c4LinesDropped},""" +
       s""""dropped_low_quality":${r.droppedLowQuality},""" +
       s""""pruned_near_dup":${r.prunedNearDup},""" +
       s""""stripped_seg_tokens":${r.strippedSegTokens},""" +

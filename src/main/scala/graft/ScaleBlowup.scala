@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-posture certification harness (round-12 verdict ask #7).
+  *
+  * BASELINE.md's superlinearity argument used to rest on the 100×
+  * sf0.001→sf0.1 span of tiny driver-shipped data; this main MEASURES
+  * the scaling instead: it generates a deterministic N× blowup of the
+  * documents + embeddings tables (seeded by construction — no RNG, no
+  * clock), runs the artifact-served families (x96/x97/x124/x129/x140)
+  * and the dedup banding family (x04/x02/x136) once COLD (artifact
+  * roots deleted first, the Bench cold-probe convention) and once
+  * WARM, at 1× and N×, and prints one JSON line per scale. The
+  * measured exponents land in SCALE.md §"measured blowup".
+  *
+  * Blowup semantics — "N× more data of the same shape", not "N exact
+  * copies":
+  *   - documents: replica k > 0 suffixes every alnum token with `xk`,
+  *     so each replica's vocabulary and shingle space are DISJOINT
+  *     from every other replica's — the corpus's internal dup/overlap
+  *     structure repeats at N× size instead of collapsing into
+  *     N-way exact-dup groups that would quadratically inflate the
+  *     verified-pair count and measure dup-rate, not scale.
+  *   - embeddings: replica k circular-shifts each vector by k mod dim
+  *     coordinates (negated once the shift wraps), preserving norms
+  *     and the pairwise-angle DISTRIBUTION while keeping replicas
+  *     directionally distinct.
+  *   - every other table is copied verbatim (these families never
+  *     read them, but Tables.load must find them).
+  *
+  * Usage: `runMain graft.ScaleBlowup <srcSfDir> <workDir> <factor>`
+  * (defaults: /root/testdata/sf0.1 /tmp/graft_blowup 10).
+  */
+object ScaleBlowup {
+
+  /** The measured families, in cold-dependency order (x04 builds the
+    * shared shingle posting x02 reuses; x96's lexical artifact feeds
+    * x97's hybrid; x129's (μ,W) feeds x140 — same order Bench probes).
+    */
+  private[graft] val families: Seq[String] = Seq(
+    "x04_ngram_jaccard", "x02_dedup_minhash", "x136_winnow_pairs",
+    "x96_bm25_indexed", "x97_hybrid_indexed", "x124_passage_indexed",
+    "x129_whiten", "x140_whiten_ivf")
+
+  private[graft] def blowup(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet")))
+      return // deterministic: same inputs -> same blowup; reuse
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docsB = (0 until factor).map { k =>
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1x" + k).as("text"),
+        col("lang"), col("source"),
+        length(regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1x" + k))
+          .cast("long").as("n_chars"))
+    }.reduce(_ unionByName _)
+    docsB.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val embs = spark.read.parquet(s"$src/embeddings.parquet")
+    val embsB = (0 until factor).map { k =>
+      if (k == 0) embs
+      else {
+        val d = size(col("embedding"))
+        val s = lit(k) % d
+        val shifted = concat(
+          slice(col("embedding"), s + 1, d - s),
+          slice(col("embedding"), lit(1), s))
+        val v = when(lit(k) >= d, transform(shifted, x => -x))
+          .otherwise(shifted)
+        embs.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          v.as("embedding"), col("label"))
+      }
+    }.reduce(_ unionByName _)
+    embsB.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // verbatim copies so Tables.load finds every table
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    fs.listStatus(srcPath).filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName)
+      .filterNot(n => n == "documents.parquet" || n == "embeddings.parquet")
+      .foreach { n =>
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(s"$src/$n"), fs,
+          new org.apache.hadoop.fs.Path(s"$out/$n"), false, true,
+          spark.sparkContext.hadoopConfiguration)
+      }
+  }
+
+  private def timed(spark: SparkSession, dir: String, q: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(q)(spark, dir).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Cold+warm pass over [[families]] at `dir`: artifact roots deleted
+    * first (cold = build+publish+load; the Bench convention), then the
+    * same queries again (warm = memo/artifact-served).
+    */
+  private[graft] def measure(spark: SparkSession,
+      dir: String): (Seq[(String, Double)], Seq[(String, Double)]) = {
+    Seq("bm25", "ivfpq", "bm25p", "whiten", "whivf").foreach { kind =>
+      val p = new org.apache.hadoop.fs.Path(
+        graft.ml.Bm25Index.artifactRoot(kind, dir))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+    Tables.names.foreach { t =>
+      try Tables.load(spark, dir, t).count() catch { case _: Throwable => () }
+    }
+    val cold = families.map(q => q -> timed(spark, dir, q))
+    val warm = families.map(q => q -> timed(spark, dir, q))
+    (cold, warm)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val work = args.lift(1).getOrElse("/tmp/graft_blowup")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val big = s"$work/x$factor"
+    blowup(spark, src, big, factor)
+    // JIT warmup at the smallest SF so the 1× pass doesn't pay
+    // first-compilation costs the N× pass then skips
+    try measure(spark, src.replace("sf0.1", "sf0.001"))
+    catch { case _: Throwable => () }
+    def json(pairs: Seq[(String, Double)]): String = pairs
+      .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      .mkString("{", ",", "}")
+    Seq(("1x", src, 1), (s"${factor}x", big, factor)).foreach {
+      case (tag, dir, f) =>
+        val (cold, warm) = measure(spark, dir)
+        println(s"""{"scale":"$tag","factor":$f,"dir":"$dir","cold":${json(cold)},"warm":${json(warm)}}""")
+    }
+    spark.stop()
+  }
+}

@@ -55,6 +55,8 @@ object Tokenize {
   def tokens(c: Column, lang: String): Column =
     if (lang == "zh") cjkTokens(c)
     else if (lang == "ja") jaTokens(c)
+    else if (lang == "ko") koTokens(c)
+    else if (lang == "ar") arTokens(c)
     else filter(split(lower(c), s"[^${letterClass(lang)}]+"), t => t =!= lit(""))
 
   /** CJK Unified Ideographs, as a character-class BODY of literal chars
@@ -87,6 +89,47 @@ object Tokenize {
     */
   def jaTokens(c: Column): Column = scriptBigrams(c, JaRange)
 
+  /** Hangul script-run class (round-12 verdict ask #6): precomposed
+    * syllables (U+AC00-D7A3) plus the compatibility jamo consonant and
+    * vowel blocks (U+3131-314E, U+314F-3163), which carry real text
+    * (ㅋㅋㅋ laughter, ㅇㅇ agreement) and must not be dropped.
+    */
+  val KoRange = "가-힣ㄱ-ㅎㅏ-ㅣ"
+
+  /** Korean tokens: the same model-free script-run bigram rule.
+    * Korean SPACES separate eojeol — phrase units with particles
+    * attached, not words — so whitespace alone under-segments;
+    * character bigrams within each run are the standard
+    * dictionary-less ko fallback (the same trade the zh/ja rules
+    * make; a morphological analyzer is the spaCy-model analogue the
+    * oracle can't replicate).
+    */
+  def koTokens(c: Column): Column = scriptBigrams(c, KoRange)
+
+  /** Arabic tashkeel diacritics (U+064B-0652) plus the tatweel
+    * elongation mark (U+0640): pronunciation/typography marks written
+    * ON letters — the same word appears with and without them, so
+    * they are STRIPPED before tokenization (every Arabic analyzer's
+    * normalization step), never treated as separators, which would
+    * split the host word in two.
+    */
+  val ArDiacritics = "ً-ْـ"
+
+  /** Arabic letter class: U+0621-064A — hamza, all alef/hamza-carrier
+    * forms, ba..ya. (Arabic has no case; lower() is a no-op kept for
+    * the mixed-script ASCII part.)
+    */
+  val ArLetters = "ء-ي"
+
+  /** Arabic tokens (round-12 verdict ask #6): strip diacritics +
+    * tatweel, then maximal runs of Arabic letters or ASCII alnum —
+    * so مُعَالَجَة and معالجة are the SAME token, and an elongated
+    * بـــيانات equals بيانات. Pure codegen'd regexp functions.
+    */
+  def arTokens(c: Column): Column =
+    filter(split(regexp_replace(lower(c), s"[$ArDiacritics]", ""),
+      s"[^a-z0-9$ArLetters]+"), t => t =!= lit(""))
+
   /** The shared run-bigram core: split into maximal runs of alnum OR
     * `range` chars; an alnum run is one token (the ASCII rule), a
     * script run of length L emits its L-1 consecutive bigrams (a lone
@@ -116,6 +159,8 @@ object Tokenize {
     }
     when(lang === lit("zh"), cjkTokens(c))
       .when(lang === lit("ja"), jaTokens(c))
+      .when(lang === lit("ko"), koTokens(c))
+      .when(lang === lit("ar"), arTokens(c))
       .otherwise(alpha)
   }
 
@@ -133,8 +178,13 @@ object Tokenize {
   def tokensLangRef(s: String, lang: String): Array[String] = {
     if (s == null) return Array.empty[String]
     val lower = s.toLowerCase(java.util.Locale.ROOT)
-    if (lang == "zh" || lang == "ja") {
-      val range = if (lang == "zh") CjkRange else JaRange
+    if (lang == "ar") {
+      val stripped = lower.replaceAll(s"[$ArDiacritics]", "")
+      return stripped.split(s"[^a-z0-9$ArLetters]+").filter(_.nonEmpty)
+    }
+    if (lang == "zh" || lang == "ja" || lang == "ko") {
+      val range =
+        if (lang == "zh") CjkRange else if (lang == "ja") JaRange else KoRange
       val m = java.util.regex.Pattern
         .compile(s"[a-z0-9]+|[$range]+").matcher(lower)
       val alnum = java.util.regex.Pattern.compile("[a-z0-9]")

@@ -162,12 +162,15 @@ object Bm25Index {
       val root = artifactRoot("bm25", sfDir)
       val want = graft.Tables.fileFingerprint(spark, sfDir, "documents")
       val fresh =
-        try graft.sources.VersionedStore.latestVersion(root).exists { v =>
-          graft.sources.VersionedStore.readTable(spark, root, v, "meta")
-            .collect().headOption.exists(_.getString(0) == want)
-        } catch { case _: Exception => false }
+        try graft.sources.VersionedStore.latestVersion(root).exists(
+          graft.sources.VersionedStore.metaMatches(spark, root, _, want))
+        catch { case _: Exception => false }
       if (!fresh)
-        graft.sources.VersionedStore.publishOrAdopt(root)(
+        // adoption re-verifies the rival snapshot against OUR source
+        // fingerprint — a rival built from different source state is
+        // never silently served (round-12 advice)
+        graft.sources.VersionedStore.publishOrAdopt(root,
+          graft.sources.VersionedStore.metaMatches(spark, root, _, want))(
           save(spark, sfDir, root))
       load(spark, root)
     })
@@ -190,12 +193,12 @@ object Bm25Index {
         val root = artifactRoot(kind, sfDir)
         val want = graft.Tables.fileFingerprint(spark, sfDir, "documents")
         val fresh =
-          try graft.sources.VersionedStore.latestVersion(root).exists { v =>
-            graft.sources.VersionedStore.readTable(spark, root, v, "meta")
-              .collect().headOption.exists(_.getString(0) == want)
-          } catch { case _: Exception => false }
+          try graft.sources.VersionedStore.latestVersion(root).exists(
+            graft.sources.VersionedStore.metaMatches(spark, root, _, want))
+          catch { case _: Exception => false }
         if (!fresh) {
-          graft.sources.VersionedStore.publishOrAdopt(root) {
+          graft.sources.VersionedStore.publishOrAdopt(root,
+            graft.sources.VersionedStore.metaMatches(spark, root, _, want)) {
             val ix = buildOf(docs)
             graft.sources.VersionedStore.publishAll(
               Map(

@@ -168,9 +168,19 @@ object IvfPq {
     * → new-version-out without rebuilding anything).
     */
   def saveIndex(spark: SparkSession, ix: Index, root: String): Long =
+    saveIndexWith(spark, ix, Map.empty, root)
+
+  /** [[saveIndex]] plus caller-supplied side tables in the SAME atomic
+    * snapshot — the quantizer-maintenance path ships its fit
+    * provenance (`fitted_ids`, `quant_meta`) with the triple so a
+    * reader can never pair version N's coded rows with version N−1's
+    * certification basis.
+    */
+  def saveIndexWith(spark: SparkSession, ix: Index,
+      extras: Map[String, DataFrame], root: String): Long =
     graft.sources.VersionedStore.publishAll(
       Map("coded" -> ix.coded, "centroids" -> ix.centroids,
-        "codebooks" -> PqIndex.codebooksTable(spark, ix.codebooks)),
+        "codebooks" -> PqIndex.codebooksTable(spark, ix.codebooks)) ++ extras,
       root)
 
   private val published = new ConcurrentHashMap[(Int, String), Index]()
@@ -185,12 +195,13 @@ object IvfPq {
       val root = Bm25Index.artifactRoot("ivfpq", sfDir)
       val want = graft.Tables.fileFingerprint(spark, sfDir, "embeddings")
       val fresh =
-        try graft.sources.VersionedStore.latestVersion(root).exists { v =>
-          graft.sources.VersionedStore.readTable(spark, root, v, "meta")
-            .collect().headOption.exists(_.getString(0) == want)
-        } catch { case _: Exception => false }
+        try graft.sources.VersionedStore.latestVersion(root).exists(
+          graft.sources.VersionedStore.metaMatches(spark, root, _, want))
+        catch { case _: Exception => false }
       if (!fresh)
-        graft.sources.VersionedStore.publishOrAdopt(root)(
+        // adoption re-verifies the rival's meta fingerprint (r12 advice)
+        graft.sources.VersionedStore.publishOrAdopt(root,
+          graft.sources.VersionedStore.metaMatches(spark, root, _, want))(
           save(spark, sfDir, root))
       load(spark, root)
     })

@@ -79,12 +79,12 @@ object Whiten {
         val root = Bm25Index.artifactRoot("whiten", sfDir)
         val want = graft.Tables.fileFingerprint(spark, sfDir, "embeddings")
         val fresh =
-          try graft.sources.VersionedStore.latestVersion(root).exists { v =>
-            graft.sources.VersionedStore.readTable(spark, root, v, "meta")
-              .collect().headOption.exists(_.getString(0) == want)
-          } catch { case _: Exception => false }
+          try graft.sources.VersionedStore.latestVersion(root).exists(
+            graft.sources.VersionedStore.metaMatches(spark, root, _, want))
+          catch { case _: Exception => false }
         if (!fresh) {
-          graft.sources.VersionedStore.publishOrAdopt(root) {
+          graft.sources.VersionedStore.publishOrAdopt(root,
+            graft.sources.VersionedStore.metaMatches(spark, root, _, want)) {
             val emb = graft.Tables.embeddings(spark, sfDir)
             val dim = emb.select(org.apache.spark.sql.functions
               .size(col("embedding"))).head.getInt(0)

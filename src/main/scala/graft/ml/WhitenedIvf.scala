@@ -42,21 +42,24 @@ object WhitenedIvf {
       val root = Bm25Index.artifactRoot("whivf", sfDir)
       val want = graft.Tables.fileFingerprint(spark, sfDir, "embeddings")
       val fresh =
-        try graft.sources.VersionedStore.latestVersion(root).exists { v =>
-          graft.sources.VersionedStore.readTable(spark, root, v, "meta")
-            .collect().headOption.exists(_.getString(0) == want)
-        } catch { case _: Exception => false }
+        try graft.sources.VersionedStore.latestVersion(root).exists(
+          graft.sources.VersionedStore.metaMatches(spark, root, _, want))
+        catch { case _: Exception => false }
       if (!fresh) {
-        graft.sources.VersionedStore.publishOrAdopt(root) {
+        graft.sources.VersionedStore.publishOrAdopt(root,
+          graft.sources.VersionedStore.metaMatches(spark, root, _, want)) {
           val ix = IvfPq.buildFrom(spark,
             Whiten.whitenedFrame(spark, sfDir), nLists = 16)
-          val v = graft.sources.VersionedStore.publishAll(
+          // unpersist in finally (round-12 advice): on a LOST publish
+          // race publishAll throws and the adopted version is served —
+          // exactly the path that would otherwise leak the built coded
+          // frame in the cache for the rest of the session
+          try graft.sources.VersionedStore.publishAll(
             Map("coded" -> ix.coded, "centroids" -> ix.centroids,
               "codebooks" -> PqIndex.codebooksTable(spark, ix.codebooks),
               "meta" -> Seq(want).toDF("fingerprint")),
             root)
-          ix.coded.unpersist(true)
-          v
+          finally ix.coded.unpersist(true)
         }
         ()
       }

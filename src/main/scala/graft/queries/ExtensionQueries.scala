@@ -1874,9 +1874,17 @@ object ExtensionQueries {
       .select(col("vec_id"), VecMath.asDouble(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // "exhaustive ADC" must mean ALL lists whatever nLists the
+    // published index was built with (round-12 advice: a literal 16
+    // silently turns partial if the artifact is ever republished with
+    // a different list count, and the x92-scan-SQL oracle equality
+    // breaks with no local signal) — derive the probe count from the
+    // loaded index itself
+    val ivf = graft.ml.IvfPq.loadOrPublish(spark, sfDir)
+    val nLists = ivf.centroids.count().toInt
     val dense = graft.ml.IvfPq.searchWith(spark,
-        graft.ml.IvfPq.loadOrPublish(spark, sfDir), e, q,
-        nProbe = 16, shortlist = 256, topK = RrfTopK)
+        ivf, e, q,
+        nProbe = nLists, shortlist = 256, topK = RrfTopK)
       .select(col("vec_id").as("doc_id"),
         col("rn").cast("int").as("rank_dense"))
     lex.join(dense, Seq("doc_id"), "full")
@@ -3971,11 +3979,7 @@ object ExtensionQueries {
     val nLines = ceil(size(col("words")) / lit(6.0)).cast("int")
     val lines = transform(sequence(lit(0), nLines - 1), i =>
       concat(concat_ws(" ", slice(col("words"), i * 6 + 1, lit(6))), suffix(i)))
-    val keep = (l: Column) =>
-      l.rlike("[.!?]$") &&
-        size(filter(split(l, "\\s+"), w => w =!= lit(""))) >= 5 &&
-        !l.contains("{") && !lower(l).contains("javascript") &&
-        !lower(l).contains("lorem ipsum")
+    val keep = c4Keep
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), words.as("words"))
       .filter(size(col("words")) > 0)
@@ -3991,6 +3995,47 @@ object ExtensionQueries {
         md5(concat_ws("\n", col("kept"))).as("clean_md5"),
         (size(col("kept")) >= 3).as("page_kept"))
       .orderBy("doc_id")
+  }
+
+  /** The C4 per-line keep rule (Raffel et al. 2020 §2.2), shared by
+    * x142's synthesized-line oracle form and [[c4LineRulesOf]]'s
+    * real-line form so the two can never drift: keep a line iff it
+    * ends in terminal punctuation, has ≥ 5 words, and mentions none
+    * of '{' / 'javascript' / 'lorem ipsum'.
+    */
+  private[graft] val c4Keep: Column => Column = l =>
+    l.rlike("[.!?]$") &&
+      size(filter(split(l, "\\s+"), w => w =!= lit(""))) >= 5 &&
+      !l.contains("{") && !lower(l).contains("javascript") &&
+      !lower(l).contains("lorem ipsum")
+
+  /** C4 line cleaning over REAL '\n' line structure — x142's keep
+    * rule applied to a (doc_id, text, …) frame's actual lines (x142
+    * itself synthesizes lines because the synthetic corpus has none;
+    * C4RulesSpec pins the rule semantics on hand-built multi-line
+    * fixtures through this form, and the Pipeline rule-battery stage
+    * rewrites ingest docs with it). Lines are trimmed before the rule
+    * so trailing whitespace can't hide terminal punctuation; blank
+    * lines never count toward n_lines. The cleaned TEXT itself ships
+    * (not just a hash) because the pipeline re-tokenizes downstream
+    * of the rewrite; page_kept is the ≥ 3-surviving-lines page rule.
+    * Same scale shape as x142: per-row HOFs, a pure map stage.
+    */
+  private[graft] def c4LineRulesOf(docs: DataFrame): DataFrame = {
+    // regex trim, not trim(): Spark's trim strips SPACES only, and a
+    // trailing tab would hide terminal punctuation from the keep rule
+    val lines = filter(
+      transform(split(col("text"), "\n"),
+        l => regexp_replace(l, "^\\s+|\\s+$", "")),
+      l => l =!= lit(""))
+    docs
+      .withColumn("lines", lines)
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("kept", filter(col("lines"), c4Keep))
+      .withColumn("n_kept", size(col("kept")).cast("long"))
+      .withColumn("clean_text", concat_ws("\n", col("kept")))
+      .withColumn("page_kept", col("n_kept") >= 3)
+      .drop("lines", "kept")
   }
 
   val x142Sql: String =

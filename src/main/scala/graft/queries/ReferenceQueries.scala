@@ -51,6 +51,15 @@ object ReferenceQueries {
 
   def sqlCjkTok(expr: String): String = sqlScriptTok(expr, Tokenize.CjkRange)
   def sqlJaTok(expr: String): String = sqlScriptTok(expr, Tokenize.JaRange)
+  def sqlKoTok(expr: String): String = sqlScriptTok(expr, Tokenize.KoRange)
+
+  /** DuckDB mirror of [[Tokenize.arTokens]]: strip tashkeel + tatweel
+    * globally, then split on non-(Arabic letter | ASCII alnum).
+    */
+  def sqlArTok(expr: String): String =
+    s"list_filter(string_split_regex(regexp_replace(lower($expr), " +
+      s"'[${Tokenize.ArDiacritics}]', '', 'g'), " +
+      s"'[^a-z0-9${Tokenize.ArLetters}]+'), t -> t <> '')"
 
   /** DuckDB fragment mirroring [[Tokenize.tokensByLang]]: the same
     * per-language rule table, as a CASE over `lang` (branch order is
@@ -65,6 +74,8 @@ object ReferenceQueries {
     }.mkString(" ")
     s"(CASE WHEN $langCol = 'zh' THEN ${sqlCjkTok(textCol)} " +
       s"WHEN $langCol = 'ja' THEN ${sqlJaTok(textCol)} " +
+      s"WHEN $langCol = 'ko' THEN ${sqlKoTok(textCol)} " +
+      s"WHEN $langCol = 'ar' THEN ${sqlArTok(textCol)} " +
       s"$branches ELSE ${SqlTok.replace("lower(text)", s"lower($textCol)")} END)"
   }
 
@@ -627,6 +638,58 @@ object ReferenceQueries {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  // q34 (round-12 verdict ask #6): ko/ar tokenizer dispatch, the q33
+  // convention extended — the corpus has no Korean or Arabic text, so
+  // lang is remapped per doc_id and a per-language phrase TRAP is
+  // appended, exercising exactly the rules that distinguish these
+  // scripts: Hangul eojeol bigrams + compatibility-jamo runs (ㅋㅋㅋ),
+  // Arabic tashkeel stripping (مُعَالَجَة ≡ معالجة appears twice,
+  // once diacritized — must collapse to ONE distinct token) and
+  // tatweel elongation (بـــيانات ≡ بيانات), plus an en row proving
+  // the ASCII rule untouched. Same scale shape as q33: a pure map
+  // stage, no shuffle before the orderBy.
+  private val KoArLangs = Seq("ko", "ar", "en")
+  private val KoArPhrase: Map[String, String] = Map(
+    "ko" -> "한국어 형태소 분석 테스트 데이터 처리 2026 spark ㅋㅋㅋ",
+    "ar" -> "مُعَالَجَةُ معالجة البَيَانَاتِ الضخمة بـــيانات بيانات 2026",
+    "en" -> "Plain ASCII fallback-words stay untouched 2026")
+
+  def q34_lang_tokens_koar(spark: SparkSession, sfDir: String): DataFrame = {
+    val lang2 = element_at(typedlit(KoArLangs),
+      (col("doc_id") % KoArLangs.size).cast("int") + 1)
+    val phrase = KoArLangs.foldRight(lit("")) { case (l, acc) =>
+      when(col("lang") === lit(l), lit(" " + KoArPhrase(l))).otherwise(acc)
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lang2.as("lang"), col("text"))
+      .select(col("doc_id"), col("lang"),
+        Tokenize.tokensByLang(
+          concat(substring(col("text"), 1, 40), phrase), col("lang")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        concat_ws(" ", col("toks")).as("token_stream"))
+      .orderBy("doc_id")
+  }
+
+  val q34Sql: String = {
+    val list = KoArLangs.map(l => s"'$l'").mkString(", ")
+    val cases = KoArLangs
+      .map(l => s"WHEN lang = '$l' THEN ' ${KoArPhrase(l)}'").mkString(" ")
+    s"""WITH m0 AS (SELECT doc_id,
+       |    ([$list])[(doc_id % ${KoArLangs.size})::INT + 1] AS lang, text
+       |  FROM documents),
+       |m AS (SELECT doc_id, lang,
+       |    substring(text, 1, 40) || (CASE $cases ELSE '' END) AS text
+       |  FROM m0),
+       |t AS (SELECT doc_id, lang, ${sqlTokByLangOf("text", "lang")} AS toks
+       |  FROM m)
+       |SELECT doc_id, lang, len(toks)::INT AS n_tokens,
+       |  len(list_distinct(toks))::INT AS n_distinct,
+       |  array_to_string(toks, ' ') AS token_stream
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   // Reference-fidelity output shape (`worker.py:90`, SURVEY §1.2): the
   // flagship writes `doc_vectors: map<lang, binary>` — the worker for
   // language L upserts {L: doc_vector.tobytes()} with a NULL entry when
@@ -1124,6 +1187,7 @@ object ReferenceQueries {
     "q30_doc_vector_map" -> (q30_doc_vector_map _),
     "q31_cjk_tokens" -> (q31_cjk_tokens _),
     "q33_lang_tokens_ext" -> (q33_lang_tokens_ext _),
+    "q34_lang_tokens_koar" -> (q34_lang_tokens_koar _),
     "x52_incremental_idf" -> (x52_incremental_idf _))
 
   val oracleSql: Map[String, String] = Map(
@@ -1159,6 +1223,7 @@ object ReferenceQueries {
     "q30_doc_vector_map" -> q30Sql,
     "q31_cjk_tokens" -> q31Sql,
     "q33_lang_tokens_ext" -> q33Sql,
+    "q34_lang_tokens_koar" -> q34Sql,
     // deliberately q11's FULL-recompute SQL: incremental == direct
     "x52_incremental_idf" -> q11Sql)
 }

@@ -99,30 +99,70 @@ object VersionedStore {
     next
   }
 
+  /** Whether a pinned snapshot's `meta` table records exactly the
+    * fingerprint the caller wants — the freshness predicate every
+    * loadOrPublish-style caller already applies to the LATEST version,
+    * factored out so [[publishOrAdopt]] adoption can re-apply it to the
+    * version it is about to serve (round-12 advice: adopting ANY newer
+    * version can hand the caller a rival artifact built from a
+    * DIFFERENT source state). Any read failure is "doesn't match".
+    */
+  def metaMatches(spark: SparkSession, root: String, v: Long,
+      want: String): Boolean =
+    try readTable(spark, root, v, "meta")
+      .collect().headOption.exists(_.getString(0) == want)
+    catch { case _: Exception => false }
+
   /** Run a publish tolerating a concurrent publisher's `v=N` race
     * (round-11 advice: two JVM sessions on the same dataset share the
     * tmp-dir artifact root, and `errorifexists` makes the loser THROW
     * even though the winner's snapshot is exactly what it wanted to
     * serve). If `publish` fails but the store's latest version ADVANCED
-    * past `before`, a concurrent publisher won — adopt its version.
-    * The winner may still be between data-write and marker-rename when
-    * the loser's write collides, so the check polls briefly; a publish
-    * that fails with no rival version ever appearing rethrows the
-    * original failure (a genuine error, not a race).
+    * past `before` — and the adopted snapshot passes the caller's
+    * `verify` predicate (round-12 advice: an unverified adoption can
+    * serve a rival artifact built from different source state; pass the
+    * same freshness check the caller used to decide to publish, e.g.
+    * [[metaMatches]] with its `want` fingerprint) — a concurrent
+    * publisher won: adopt its version.
+    *
+    * The winner may still be mid-publish when the loser's write
+    * collides, and a multi-table artifact (IVF coded frames) can take
+    * far longer than any fixed grace to land, so the poll window is
+    * EVIDENCE-BASED rather than hardcoded (round-12 advice: the old
+    * flat 20x250 ms rethrew genuinely-won races): while a rival `v=N`
+    * data directory above `before` is visible on disk, the poll keeps
+    * waiting for its marker up to `maxWaitMs`; with no rival directory
+    * ever appearing it gives up after the short `quickWaitMs` — a
+    * genuine error, not a race, and the original failure rethrows
+    * promptly. An adopted-but-unverifiable version keeps polling (an
+    * even newer rival may land) and rethrows at the deadline rather
+    * than serve wrong data.
     */
-  def publishOrAdopt(root: String)(publish: => Long): Long = {
+  def publishOrAdopt(root: String, verify: Long => Boolean = _ => true,
+      quickWaitMs: Long = 5000, maxWaitMs: Long = 60000)
+      (publish: => Long): Long = {
     val before = latestVersion(root)
     try publish
     catch {
       case e: Exception =>
-        var tries = 20
-        while (tries > 0) {
+        val t0 = System.nanoTime()
+        def elapsedMs = (System.nanoTime() - t0) / 1000000L
+        while (true) {
           latestVersion(root) match {
-            case Some(v) if !before.contains(v) => return v
-            case _ => Thread.sleep(250); tries -= 1
+            case Some(v) if !before.contains(v) && verify(v) => return v
+            case _ => ()
           }
+          // our own failed multi-table publish can leave a partial
+          // v=N orphan, which also reads as "rival in flight" — the
+          // wait is then pointless but bounded by maxWaitMs, and
+          // correctness never depends on telling the two apart.
+          val rivalInFlight =
+            versionDirs(root).exists(_ > before.getOrElse(-1L))
+          if (elapsedMs >= (if (rivalInFlight) maxWaitMs else quickWaitMs))
+            throw e
+          Thread.sleep(250)
         }
-        throw e
+        throw e // unreachable; while(true) above always returns/throws
     }
   }
 

@@ -173,6 +173,42 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.suspects(times, led) === Seq("c"))
   }
 
+  test("epoch verdict adjudicates a watch list from the bracket ratios") {
+    // round-12 ask #2: the steal-blind host memory epoch cost three
+    // rounds of MANUAL interleaved bracket runs; Bench now adjudicates
+    // in-run. The four outcomes, pinned:
+    // (1) watch re-measures at trend -> transient burst, host
+    assert(Bench.epochVerdict(
+      Map("x72" -> 0.98, "x61" -> 1.1),
+      Map("x102_prf_expansion" -> 1.0)) === "host")
+    // (2) watch stays inflated but the sentinels — unchanged code —
+    //     inflate alongside: the epoch is live and uniform -> host
+    assert(Bench.epochVerdict(
+      Map("x72" -> 2.4),
+      Map("x102_prf_expansion" -> 2.1, "x132_z_fusion" -> 1.9,
+        "x91_bm25" -> 2.6)) === "host")
+    // (3) watch stays inflated while the sentinels reproduce their
+    //     pins: a clean in-run bracket contradicts the number -> code
+    assert(Bench.epochVerdict(
+      Map("x72" -> 2.4),
+      Map("x102_prf_expansion" -> 1.02, "x132_z_fusion" -> 0.95,
+        "x91_bm25" -> 1.1)) === "code")
+    // (4) sentinel median in the grey band (1.25, 1.5], or nothing to
+    //     bracket against -> unresolved: re-run, never guess
+    assert(Bench.epochVerdict(
+      Map("x72" -> 2.4),
+      Map("x102_prf_expansion" -> 1.4, "x132_z_fusion" -> 1.35,
+        "x91_bm25" -> 1.3)) === "unresolved")
+    assert(Bench.epochVerdict(Map("x72" -> 2.4), Map.empty) === "unresolved")
+    // an empty watch needs no adjudication
+    assert(Bench.epochVerdict(Map.empty, Map.empty) === "none")
+    // the sentinel set itself must stay inside the documented
+    // epoch-affected posting-scan family and name real pinned queries
+    assert(Bench.epochSentinels.nonEmpty)
+    Bench.epochSentinels.foreach(s =>
+      assert(SparkEntry.queries.contains(s), s"sentinel $s is not a query"))
+  }
+
   test("cold probes cover the memoized families and are real queries") {
     // round-10 ask #8: the artifact must carry first-touch timings for
     // the session-memoized entries whose pins are warm-path-only. The

@@ -31,8 +31,8 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
 
   test("published-artifact search is row-identical to the session-built index at all three SFs") {
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-        "/root/testdata/sf0.1")) {
+    for (dir <- Seq(sfDir("0.001"), sfDir("0.01"),
+        sfDir("0.1"))) {
       val built = rows(ExtensionQueries.x91_bm25(spark, dir))
       val indexed = rows(ExtensionQueries.x96_bm25_indexed(spark, dir))
       assert(indexed === built,
@@ -42,8 +42,8 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("passage-artifact MaxP is row-identical to the scan-based x123 at all three SFs") {
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-        "/root/testdata/sf0.1")) {
+    for (dir <- Seq(sfDir("0.001"), sfDir("0.01"),
+        sfDir("0.1"))) {
       val scan = ExtensionQueries.x123_passage_bm25(spark, dir).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       val indexed = ExtensionQueries.x124_passage_indexed(spark, dir).collect()

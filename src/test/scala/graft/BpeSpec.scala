@@ -164,7 +164,7 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("x130 fertility report == driver regroup of x87's per-doc frame") {
-    val sfDir = "/root/testdata/sf0.001"
+    val sfDir = sf
     val perDoc = graft.queries.ExtensionQueries.x87_bpe_tokenize(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val meta = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")

@@ -36,7 +36,7 @@ class CachesSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("clear(sfDir) leaves other datasets' caches alone") {
-    val other = "/root/testdata/sf0.01"
+    val other = sfDir("0.01")
     ExtensionQueries.x04_ngram_jaccard(spark, sf).count()
     ExtensionQueries.x04_ngram_jaccard(spark, other).count()
     assert(Caches.registered(sf).nonEmpty && Caches.registered(other).nonEmpty)

@@ -783,6 +783,107 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     assert(v4 === v3 && !refit4)
   }
 
+  test("quantizer maintenance: certify-or-refit with recall re-gated after refit") {
+    // round-12 verdict ask #3: IvfPq.append adds vectors under FROZEN
+    // centroids/codebooks with no drift trigger — at 100 TB ingest the
+    // quantizers degrade recall silently. maintainAnnQuantizers gives
+    // the index the whitening template: fitted_ids + content signature
+    // + maxGrowth budget; past tolerance, serving refits instead of
+    // appending forever.
+    val work = Files.createTempDirectory("graft_quantmaint")
+    val docsDir = Files.createDirectory(work.resolve("docs"))
+    val store = work.resolve("store").toString
+    val ckpt = work.resolve("ckpt").toString
+    val ixRoot = work.resolve("annindex").toString
+    val wordvecs = graft.queries.ReferenceQueries.wordvecsByLang(spark, sf)
+
+    // ---- batch 1 → a LEGACY index published without fit provenance
+    stage(docsDir, work, "a", col("doc_id") < 250)
+    DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt)
+      .awaitTermination(180000)
+    val legacyVecs = DedupStream.storeVectors(spark, store)
+      .localCheckpoint(true)
+    val legacy = graft.ml.IvfPq.buildFrom(spark, legacyVecs,
+      nLists = 4, m = 4, ksub = 4)
+    val v0 = graft.ml.IvfPq.saveIndex(spark, legacy, ixRoot)
+
+    // a provenance-free artifact cannot certify: the first maintenance
+    // refits ONCE and starts carrying fitted_ids/quant_meta
+    val (v1, refit1) = DedupStream.maintainAnnQuantizers(
+      spark, store, ixRoot, nLists = 4, m = 4, ksub = 4)
+    assert(v1 > v0 && refit1, "legacy artifact must refit, not certify")
+    val fitN1 = graft.sources.VersionedStore
+      .readTable(spark, ixRoot, v1, "quant_meta").head.getLong(0)
+
+    // ---- no growth, nothing to append → certified fresh: same version
+    val (v2, refit2) = DedupStream.maintainAnnQuantizers(
+      spark, store, ixRoot, nLists = 4, m = 4, ksub = 4)
+    assert(v2 === v1 && !refit2, "unchanged store must certify, not refit")
+
+    // ---- batch 2 doubles the store (past the 20% budget) and plants
+    // a distinctive arrival (single repeated vocab token — see the
+    // maintainAnnIndex fixture for why the tf-idf crowd can't prove
+    // specific serving but a one-direction vector can)
+    stage(docsDir, work, "b", col("doc_id") >= 250)
+    val tok = wordvecs.filter(col("lang") === "en")
+      .select("token").orderBy("token").limit(1)
+      .as[String].collect().head
+    val plantedText = Seq.fill(5)(tok).mkString(" ")
+    Seq((900101L, plantedText, "en", "fixture", plantedText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(work.resolve("stage_plant").toString)
+    Files.copy(
+      Files.list(work.resolve("stage_plant")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).map(Paths.get(_)).head,
+      docsDir.resolve("c.parquet"))
+    DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt)
+      .awaitTermination(180000)
+    val grown = DedupStream.storeVectors(spark, store).count()
+    assert(grown.toDouble > 1.2 * fitN1,
+      "fixture must grow the store past the drift budget")
+    val (v3, refit3) = DedupStream.maintainAnnQuantizers(
+      spark, store, ixRoot, nLists = 4, m = 4, ksub = 4)
+    assert(v3 > v1 && refit3,
+      "post-growth serving must refit, not append under drifted quantizers")
+    assert(graft.sources.VersionedStore
+      .readTable(spark, ixRoot, v3, "quant_meta").head.getLong(0) === grown,
+      "refit provenance must cover the grown store")
+
+    // recall re-gate (the round-12 done-criterion): the planted
+    // arrival is served at rank 1 through the REPUBLISHED index — the
+    // refit quantizers were trained on the grown distribution, so the
+    // arrival is in-distribution, not an append outlier
+    val loaded = graft.ml.IvfPq.load(spark, ixRoot)
+    val probe = DedupStream.storeVectors(spark, store)
+      .filter(col("vec_id") === 900101L).collect().head
+    val q = Seq((-1L, probe.getSeq[Double](1))).toDF("query_id", "qv")
+    val res = graft.ml.IvfPq.searchWith(spark, loaded,
+      DedupStream.storeVectors(spark, store), q,
+      nProbe = 4, shortlist = 4096, topK = 3).collect()
+    assert(res.head.getInt(1) === 1 && res.head.getLong(2) === 900101L,
+      s"planted arrival not served at rank 1 after refit: ${res.toSeq}")
+
+    // ---- the refit then certifies: an immediate re-run reuses v3
+    val (v4, refit4) = DedupStream.maintainAnnQuantizers(
+      spark, store, ixRoot, nLists = 4, m = 4, ksub = 4)
+    assert(v4 === v3 && !refit4)
+
+    // ---- CONTENT churn under stable vec_ids (round-12 advice: an
+    // id-presence gate alone would keep serving): scale one stored
+    // vector in place — ids identical, growth zero — and the content
+    // signature must force a refit
+    val vecsDir = s"$store/vectors"
+    val cur = spark.read.parquet(vecsDir).localCheckpoint(true)
+    cur.withColumn("vec",
+        when(col("doc_id") === 900101L,
+          transform(col("vec"), x => x * 2.0)).otherwise(col("vec")))
+      .write.mode("overwrite").parquet(vecsDir)
+    val (v5, refit5) = DedupStream.maintainAnnQuantizers(
+      spark, store, ixRoot, nLists = 4, m = 4, ksub = 4)
+    assert(v5 > v4 && refit5,
+      "content churn under stable vec_ids must fail certification")
+  }
+
   test("drift report: a shifted batch spikes KL with the guilty token named") {
     val work = Files.createTempDirectory("driftrep")
     val docsDir = Files.createDirectory(work.resolve("docs"))

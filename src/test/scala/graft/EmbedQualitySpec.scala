@@ -22,7 +22,7 @@ import graft.queries.ExtensionQueries
 class EmbedQualitySpec extends AnyFunSuite with SparkSpec {
 
   test("embeddings are unit-norm, deterministic, and order dups above background") {
-    val sfDir = "/root/testdata/sf0.01" // smallest SF with planted pairs
+    val sfDir = this.sfDir("0.01") // smallest SF with planted pairs
 
     val stats = ExtensionQueries.x15_mllib_embed(spark, sfDir).collect()
     assert(stats.nonEmpty)

@@ -16,8 +16,7 @@ import graft.queries.ExtensionQueries
 class HybridIndexSpec extends AnyFunSuite with SparkSpec {
 
   test("index-backed hybrid equals the exact-leg x92 row-identically at all SFs") {
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-        "/root/testdata/sf0.1")) {
+    for (dir <- Seq(sf, sfDir("0.01"), sfDir("0.1"))) {
       val exact = ExtensionQueries.x92_hybrid_rrf(spark, dir).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       val indexed = ExtensionQueries.x97_hybrid_indexed(spark, dir).collect()

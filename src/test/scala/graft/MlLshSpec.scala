@@ -13,7 +13,7 @@ import graft.queries.ExtensionQueries
 class MlLshSpec extends AnyFunSuite with SparkSpec {
 
   test("approxSimilarityJoin recovers the exact x04 near-dup pairs") {
-    val sfDir = "/root/testdata/sf0.01"
+    val sfDir = this.sfDir("0.01")
     val exact = ExtensionQueries.x04_ngram_jaccard(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "expected planted near-dup pairs at sf0.01")

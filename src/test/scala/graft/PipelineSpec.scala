@@ -750,4 +750,99 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       || v._1.contains("4111222233334444")))
     assert(pub(1L)._2 === 1 && pub(4L)._2 === 0)
   }
+
+  test("rule batteries: gopher folds into the keep set, C4 rewrites lines, card reconciles") {
+    import spark.implicits._
+    // Round-12 verdict ask #4. A fixture corpus with REAL line
+    // structure (the synthetic tables have none, which is why the
+    // batteries are opt-in):
+    //  - docs 1-20: pass everything — 17 lines x 5 words, terminal
+    //    '.', two required stops per line, doc-unique words (no dup
+    //    edges, no shared shingles)
+    //  - doc 31: x57-passing all-hapax gibberish with NO required
+    //    stops -> the GOPHER battery's marginal drop
+    //  - doc 32: gopher-passing text where only 2 of 17 lines carry
+    //    terminal punctuation -> C4's page rule (< 3 survivors) drops
+    //    the page
+    //  - doc 33: gopher-passing text with 3 'javascript' lines -> the
+    //    page survives REWRITTEN (14 lines), the battery's line drops
+    // word lengths stay well under Gopher's mean-word-len 10 cap
+    // (seed + w + j + suffix ≈ 8-10 chars; 'the'/'with' pull the mean
+    // down to ~7)
+    def goodLine(seed: String, j: Int) =
+      s"the ${seed}w${j}a with ${seed}w${j}b ${seed}w${j}c."
+    def goodDoc(seed: String) =
+      (0 until 17).map(goodLine(seed, _)).mkString("\n")
+    val gibberish = (0 until 17).map(j =>
+      (0 until 5).map(k => f"qzx$j%02d$k%01dvw").mkString(" ") + ".")
+      .mkString("\n")
+    val fewTerminals = (0 until 17).map { j =>
+      val l = s"the c32w${j}a with c32w${j}b c32w${j}c"
+      if (j < 2) l + "." else l
+    }.mkString("\n")
+    val jsLines = (0 until 17).map { j =>
+      if (j % 5 == 4) // lines 4, 9, 14 -> exactly 3 of 17
+        s"the c33w${j}a with javascript c33w${j}c."
+      else goodLine("c33", j)
+    }.mkString("\n")
+    val rows = ((1L to 20L).map(i => (i, goodDoc(s"doc$i"))) ++
+      Seq((31L, gibberish), (32L, fewTerminals), (33L, jsLines)))
+      .map { case (id, t) => (id, t, "en", "fixture", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rules").toString
+    rows.write.parquet(s"$dir/documents.parquet")
+
+    // sanity: all 23 docs pass the heuristic verdict — the batteries'
+    // drops below are MARGINAL, not rediscoveries
+    assert(graft.queries.ExtensionQueries.x57_filter_verdict(spark, dir)
+      .filter(col("keep")).count() === 23L)
+
+    // batteries off: everything ships
+    val off = Pipeline.run(spark, dir, s"$dir/store_off")
+    assert(off.kept === 23L && off.droppedGopher === 0L &&
+      off.droppedC4Pages === 0L && off.c4LinesDropped === 0L)
+    assert(VersionedStore.readTable(spark, s"$dir/store_off", off.version,
+      "documents").count() === 23L)
+
+    // batteries on: the funnel reconciles doc by doc
+    val on = Pipeline.run(spark, dir, s"$dir/store_on", ruleBatteries = true)
+    assert(on.droppedGopher === 1L, s"gopher must drop exactly doc 31: $on")
+    assert(on.kept === 22L, "kept counts AFTER the gopher fold")
+    assert(on.droppedC4Pages === 1L, s"C4 must page-drop exactly doc 32: $on")
+    assert(on.c4LinesDropped === 3L,
+      s"C4 must strip exactly doc 33's three javascript lines: $on")
+    assert(on.heldOutEval === 0L, "no fixture id is ≡ 0 mod 100")
+    // funnel arithmetic: kept = heldOut + C4 page drops + what ships
+    // (no dedup/contam/segclean losses on this fixture)
+    assert(on.kept - on.heldOutEval - on.droppedC4Pages === 21L)
+    val snap = VersionedStore.readTable(spark, s"$dir/store_on", on.version,
+      "documents")
+    val ids = snap.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.size === 21 && !ids.contains(31L) && !ids.contains(32L) &&
+      ids.contains(33L), s"snapshot ids wrong: $ids")
+    // doc 33 ships REWRITTEN: javascript lines gone, 14 lines remain
+    val t33 = snap.filter(col("doc_id") === 33L)
+      .select("text").head.getString(0)
+    assert(!t33.toLowerCase.contains("javascript"))
+    assert(t33.split("\n").length === 14)
+    // untouched docs ship byte-identical (the rewrite must not launder
+    // formatting through the cleaner for pages it doesn't touch)
+    val t1 = snap.filter(col("doc_id") === 1L).select("text").head.getString(0)
+    assert(t1 === goodDoc("doc1"))
+
+    // the card: per-rule drop counts ride the snapshot
+    val card = VersionedStore.readTable(spark, s"$dir/store_on", on.version,
+      "rule_drops").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(card(("gopher", "required_stops")) === 1L,
+      s"doc 31's violation must be named: $card")
+    assert(card(("gopher", "total_docs_dropped")) === 1L)
+    assert(card(("c4", "pages_dropped")) === 1L)
+    assert(card(("c4", "lines_dropped")) === 3L)
+    assert(card(("gopher", "word_count")) === 0L,
+      "rules nobody violated report zero")
+    // and the off-run snapshot has NO card — the stage didn't run
+    assertThrows[Exception](VersionedStore.readTable(spark,
+      s"$dir/store_off", off.version, "rule_drops").collect())
+  }
 }

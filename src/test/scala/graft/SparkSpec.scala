@@ -24,5 +24,11 @@ object SparkSpec {
 
 trait SparkSpec {
   lazy val spark: SparkSession = SparkSpec.session
-  val sf = "/root/testdata/sf0.001"
+  /** Fixture root, overridable per-host (round-12 advice: suites must
+    * not hardcode this machine's layout when they widen to other SFs).
+    */
+  val testdataRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
+  def sfDir(scale: String): String = s"$testdataRoot/sf$scale"
+  val sf: String = sfDir("0.001")
 }

@@ -122,6 +122,74 @@ class TokenizeSpec extends AnyFunSuite with SparkSpec {
     assert(byCol(2) === Seq.empty)
   }
 
+  test("ko: Hangul script bigrams, compatibility jamo runs survive") {
+    def ko(s: String): Seq[String] =
+      Seq(s).toDF("text").select(Tokenize.koTokens(col("text")).as("t"))
+        .as[Seq[String]].head()
+    // an eojeol is one script run → sliding bigrams
+    assert(ko("한국어") === Seq("한국", "국어"))
+    // spaces separate eojeol: runs bigram independently
+    assert(ko("형태소 분석") === Seq("형태", "태소", "분석"))
+    assert(ko("한") === Seq("한"))        // lone syllable: itself
+    // compatibility jamo (ㅋㅋㅋ laughter) is real text, same rule
+    assert(ko("ㅋㅋㅋ") === Seq("ㅋㅋ", "ㅋㅋ"))
+    // mixed script: ASCII runs pass through as single tokens
+    assert(ko("Spark처리 2026") === Seq("spark", "처리", "2026"))
+    // the zh/ja rules do NOT know Hangul — it is a separator there
+    def tokL(s: String, lang: String): Seq[String] =
+      Seq(s).toDF("text").select(Tokenize.tokens(col("text"), lang).as("t"))
+        .as[Seq[String]].head()
+    assert(tokL("한국어処理", "zh") === Seq("処理"))
+    assert(tokL("한국어処理", "ko") === Seq("한국", "국어"))
+  }
+
+  test("ar: diacritics and tatweel are stripped, never separators") {
+    def ar(s: String): Seq[String] =
+      Seq(s).toDF("text").select(Tokenize.arTokens(col("text")).as("t"))
+        .as[Seq[String]].head()
+    // the diacritized and bare forms are the SAME token — stripping
+    // tashkeel must not split the host word
+    assert(ar("مُعَالَجَةُ") === ar("معالجة"))
+    assert(ar("مُعَالَجَةُ").length === 1)
+    // tatweel elongation normalizes away inside the word
+    assert(ar("بـــيانات") === Seq("بيانات"))
+    // mixed script + digits: ASCII rule coexists
+    assert(ar("Spark معالجة 2026") === Seq("spark", "معالجة", "2026"))
+    // shadda/sukun (U+0651/U+0652, the range's far end) also strip
+    assert(ar("الضَّخْمَة") === Seq("الضخمة"))
+    // under the en rule Arabic letters are separators — dispatch matters
+    def tokL(s: String, lang: String): Seq[String] =
+      Seq(s).toDF("text").select(Tokenize.tokens(col("text"), lang).as("t"))
+        .as[Seq[String]].head()
+    assert(tokL("معالجة 42", "en") === Seq("42"))
+    assert(tokL("معالجة 42", "ar") === Seq("معالجة", "42"))
+  }
+
+  test("property: ko and ar Column rules equal the JVM reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val genKo = Gen.listOf(Gen.frequency(
+      4 -> Gen.oneOf('한', '국', '어', '형', '태', '소', 'ㅋ', '분', '석'),
+      3 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', ',', '.', '!', '\n'))).map(_.mkString)
+    val genAr = Gen.listOf(Gen.frequency(
+      4 -> Gen.oneOf('م', 'ع', 'ا', 'ل', 'ج', 'ة', 'ب', 'ي', 'ن', 'ت'),
+      2 -> Gen.oneOf('ً', 'ِ', 'ّ', 'ْ', 'ـ'),
+      3 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', ',', '.', '!', '\n'))).map(_.mkString)
+    for ((gen, lang) <- Seq((genKo, "ko"), (genAr, "ar"))) {
+      val prop = forAll(gen) { s =>
+        val viaCol = Seq(s).toDF("text")
+          .select(Tokenize.tokens(col("text"), lang).as("t"))
+          .as[Seq[String]].head()
+        viaCol == Tokenize.tokensLangRef(s, lang).toSeq
+      }
+      val result = org.scalacheck.Test.check(
+        org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
+      assert(result.passed, s"$lang: ${result.status}")
+    }
+  }
+
   test("property: ru and ja Column rules equal the JVM reference") {
     import org.scalacheck.Gen
     import org.scalacheck.Prop.forAll
