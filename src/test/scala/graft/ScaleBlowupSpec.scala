@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Tokenize
+
+/** The 10× blowup generator's invariants (round-12 verdict ask #7):
+  * SCALE.md's measured exponents are only meaningful if the blowup is
+  * "N× more data of the same shape" — deterministic, replica
+  * vocabularies disjoint (so dup structure repeats instead of
+  * collapsing into exact-dup groups), embedding norms preserved.
+  */
+class ScaleBlowupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("blowup: N× counts, disjoint replica vocabularies, norm-preserving embeddings, deterministic") {
+    val work = java.nio.file.Files.createTempDirectory("graft_blow").toString
+    val out = s"$work/x3"
+    ScaleBlowup.blowup(spark, sf, out, 3)
+
+    val docs0 = spark.read.parquet(s"$sf/documents.parquet")
+    val docsB = spark.read.parquet(s"$out/documents.parquet")
+    assert(docsB.count() === 3 * docs0.count())
+    assert(docsB.select("doc_id").distinct().count() === docsB.count(),
+      "replica ids must not collide")
+    // replica k=0 is the original corpus byte-for-byte
+    assert(docsB.filter(col("doc_id") < 10000000L)
+      .exceptAll(docs0).count() === 0L)
+    // replica VOCABULARIES are pairwise disjoint — the property that
+    // keeps the banding family's measured growth about corpus SIZE,
+    // not about an exploding cross-replica dup rate
+    val shared = docsB
+      .select((col("doc_id") / 10000000L).cast("int").as("k"),
+        explode(Tokenize.tokens(col("text"))).as("t"))
+      .distinct()
+      .groupBy("t").agg(countDistinct(col("k")).as("nk"))
+      .filter(col("nk") > 1).count()
+    assert(shared === 0L, s"$shared tokens shared across replicas")
+
+    val e0 = spark.read.parquet(s"$sf/embeddings.parquet")
+    val eB = spark.read.parquet(s"$out/embeddings.parquet")
+    assert(eB.count() === 3 * e0.count())
+    // a circular shift preserves the norm exactly (same floats, new
+    // order); join each replica back to its source and compare
+    val norms = eB
+      .select((pmod(col("vec_id"), lit(10000000L))).as("vec_id"),
+        graft.functions.VecMath.l2norm(graft.functions.VecMath.asDouble(col("embedding"))).as("nb"))
+      .join(e0.select(col("vec_id"),
+        graft.functions.VecMath.l2norm(graft.functions.VecMath.asDouble(col("embedding"))).as("n0")),
+        Seq("vec_id"))
+    assert(norms.filter(abs(col("nb") - col("n0")) > 1e-4).count() === 0L)
+    // replicas are directionally DISTINCT from their source (the shift
+    // moved coordinates) for the overwhelming majority of vectors
+    val sameDir = eB.filter(col("vec_id") >= 10000000L)
+      .select((pmod(col("vec_id"), lit(10000000L))).as("vec_id"),
+        col("embedding").as("eb"))
+      .join(e0.select(col("vec_id"), col("embedding").as("e0")), Seq("vec_id"))
+      .filter(col("eb") === col("e0")).count()
+    assert(sameDir < e0.count() / 10,
+      s"$sameDir replicas identical to their source vector")
+
+    // deterministic: a second generation into a fresh dir is
+    // row-identical (no RNG, no clock anywhere in the generator)
+    val out2 = s"$work/x3b"
+    ScaleBlowup.blowup(spark, sf, out2, 3)
+    val docsB2 = spark.read.parquet(s"$out2/documents.parquet")
+    assert(docsB.exceptAll(docsB2).count() === 0L &&
+      docsB2.exceptAll(docsB).count() === 0L)
+  }
+
+  test("measured families are declared queries in cold-dependency order") {
+    ScaleBlowup.families.foreach(q =>
+      assert(SparkEntry.queries.contains(q), s"$q is not a declared query"))
+    // x04 must precede x02 (shared shingle posting), x96 precede x97
+    // (lexical artifact feeds the hybrid), x129 precede x140 (the
+    // (μ,W) feeds the whitened index)
+    val ix = ScaleBlowup.families.zipWithIndex.toMap
+    assert(ix("x04_ngram_jaccard") < ix("x02_dedup_minhash"))
+    assert(ix("x96_bm25_indexed") < ix("x97_hybrid_indexed"))
+    assert(ix("x129_whiten") < ix("x140_whiten_ivf"))
+  }
+}
