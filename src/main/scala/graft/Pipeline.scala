@@ -29,7 +29,7 @@ import graft.streaming.Observe
   *      (sharedCountsOf — pair counts don't depend on the rest of the
   *      corpus, so the restricted posting yields exactly the full
   *      run's pairs among those docs once the verdict + hold-out
-  *      gates have dropped most rows), clustered by min-label
+  *      gates have dropped most rows), clustered by the star
   *      propagation; each dup component keeps its min-doc_id
   *      canonical
   *   4b. boilerplate strip (x74's segment-dedup core): cross-doc
@@ -326,7 +326,7 @@ object Pipeline {
       // 4. near-dup pruning over ONLY the train survivors, on the
       // CROSS-MEASURE closure (the x72 shape): Jaccard ∪ containment
       // edges from one cached pair frame, connected components via
-      // min-label propagation, and every component keeps exactly its
+      // the star closure, and every component keeps exactly its
       // min-doc_id canonical (anti-join — no collect; a dropped doc
       // always leaves its component's canonical behind). Pairwise
       // d2-drops (the pre-r9 policy) under-prune: a doc whose only

@@ -1250,7 +1250,7 @@ object ExtensionQueries {
        |ORDER BY d1, d2""".stripMargin
 
   // x29: near-dup CLUSTERS — connected components over the x04 pair
-  // graph via iterative min-label propagation (converges in diameter
+  // graph via the large-star/small-star closure (O(log² n) rounds
   // rounds; each round is one join + one groupBy — the scalable
   // alternative to driver-side union-find). Oracle: recursive-CTE
   // transitive closure.
@@ -1264,14 +1264,14 @@ object ExtensionQueries {
   // {A,B,C} requires the transitive closure ACROSS measures, which
   // per-measure clustering can't see. Both edge sets are projections
   // of the same cached sharedShingleCounts frame, so the union costs
-  // arithmetic; the closure is the same min-label propagation as x29.
+  // arithmetic; the closure is the same star closure as x29.
   def x72_dup_clusters_all(spark: SparkSession, sfDir: String): DataFrame =
     clustersOf(
       x04_ngram_jaccard(spark, sfDir).select("d1", "d2")
         .unionByName(x70_containment(spark, sfDir).select("d1", "d2"))
         .distinct(), "x72")
 
-  /** Connected components by iterative min-label propagation over an
+  /** Connected components by the star closure over an
     * undirected (d1, d2) pair frame — converges in diameter rounds;
     * each round is one join + one groupBy (the scalable alternative
     * to driver-side union-find). Shared by x29 (Jaccard edges) and
@@ -1290,7 +1290,7 @@ object ExtensionQueries {
   /** The docs a one-representative-per-component drop policy removes:
     * every member of a dup cluster except its min-doc_id canonical
     * (labels ARE the component minima — initial label = own id,
-    * min-propagation). The Pipeline's step-4 consumer of the x72
+    * star closure). The Pipeline's step-4 consumer of the x72
     * closure.
     */
   private[graft] def clusterLosersOf(pairs: DataFrame, what: String): DataFrame =
@@ -1301,18 +1301,41 @@ object ExtensionQueries {
     * min. Converges in diameter rounds; each round is one join + one
     * groupBy (the scalable alternative to driver-side union-find).
     */
+  /** Connected components as (n, lbl = component min) — the closure
+    * every dup-cluster query rides (x29/x72/x88/x94/x119, the Pipeline
+    * and stream drop policies). TWO paths behind one contract:
+    *
+    *   - FAST PATH: iterative min-label propagation — one join +
+    *     groupBy per round, converging in O(component diameter)
+    *     rounds. Dup clusters are BLOCKY (near-copies of one
+    *     document), so real corpora converge in < 5 rounds; this is
+    *     the cheapest shape per round and serves every measured pin.
+    *   - DIAMETER FALLBACK: if the fast path hasn't converged within
+    *     [[FastClosureRounds]] rounds the component diameter is
+    *     chain-shaped (doc A ~ its scrape ~ the scrape's scrape …,
+    *     diameters in the thousands at 100 TB) and the closure
+    *     switches to [[starClosure]] — the large-star/small-star
+    *     alternation, O(log² n) rounds regardless of diameter —
+    *     instead of the old loud FAILURE past a 50-round cap
+    *     (round-12 verdict: "audit the closure for an iteration-count
+    *     bound (large-star/small-star alternation)").
+    *
+    * Output contract: one row per node appearing in `pairs`,
+    * lbl = min doc_id of its component — exactly the recursive-CTE
+    * closure the x29/x72 oracles compute, whichever path ran.
+    * localCheckpoint per round keeps the iterative lineage flat
+    * (cluster deployments swap in reliable checkpointing).
+    */
+  private[graft] val FastClosureRounds = 10
+
   private[graft] def propagateLabels(pairs: DataFrame, what: String): DataFrame = {
-    // localCheckpoint per round: iterative plans otherwise re-execute
-    // the whole growing lineage every round (42 s -> seconds at sf0.1;
-    // on a cluster this is reliable checkpointing to the cluster FS).
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
       .toDF("a", "b").localCheckpoint()
     var labels = edges.select(col("a").as("n")).distinct()
       .withColumn("lbl", col("n")).localCheckpoint()
     var converged = false
     var iter = 0
-    val maxIters = 50
-    while (!converged && iter < maxIters) {
+    while (!converged && iter < FastClosureRounds) {
       // The convergence test rides the SAME checkpointed plan as the
       // propagation (old label joined back in, inequality as a flag
       // column): one distributed action per round instead of a separate
@@ -1331,13 +1354,83 @@ object ExtensionQueries {
       converged = changed == 0
       iter += 1
     }
-    // Silently returning unconverged labels would mis-cluster components
-    // of diameter > maxIters (possible at production scale even though
-    // tested SFs converge in <5 rounds) — fail loudly instead.
+    if (converged) labels
+    else starClosure(edges, what)
+  }
+
+  /** The large-star/small-star alternation (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014): each
+    * round attaches every node's neighborhood to the neighborhood
+    * minimum — large-star the strictly-larger neighbors, small-star
+    * the rest — which HALVES tree heights per alternation instead of
+    * walking them, so convergence is O(log² n) rounds regardless of
+    * component DIAMETER. Costs ~2 groupBy+join rounds plus a
+    * set-equality action per alternation — more per round than the
+    * fast path, which is why it is the diameter FALLBACK, not the
+    * default. `edgesAB` is the symmetrized (a, b) edge frame
+    * (self-loops tolerated; a self-loop-only node labels itself).
+    */
+  private[graft] def starClosure(edgesAB: DataFrame, what: String): DataFrame = {
+    val nodes = edgesAB.select(col("a").as("n")).distinct().localCheckpoint()
+    val sym = edgesAB.select(col("a").as("u"), col("b").as("v"))
+      .filter(col("u") =!= col("v"))
+
+    // large-star: attach each node's STRICTLY-LARGER neighbors to the
+    // min of (neighborhood ∪ self). Output edges are always
+    // (child > parent), so the small-star step can treat the first
+    // column as the high endpoint.
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = s.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      s.filter(col("v") > col("u"))
+        .join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star: on (high, low)-oriented edges, attach each node's
+    // low neighbors — and the node itself — to their minimum.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var edges = largeStar(sym).localCheckpoint()
+    var converged = false
+    var iter = 0
+    val maxIters = 35 // log²-round algorithm: 35 covers any real graph
+    while (!converged && iter < maxIters) {
+      val next = largeStar(smallStar(edges)).localCheckpoint()
+      // set equality via one symmetric-difference action (both frames
+      // are checkpointed, distinct (child, parent) sets)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      iter += 1
+    }
     if (!converged)
       throw new IllegalStateException(
-        s"$what label propagation did not converge within $maxIters rounds")
-    labels
+        s"$what star closure did not converge within $maxIters rounds")
+    // Belt and braces: the label derivation below assumes a FLAT star
+    // forest (every child points directly at its component root). The
+    // fixed point detected above is of the composed round; a residual
+    // chain would mislabel silently, so assert no parent is also a
+    // child — one cheap action on the converged frame.
+    val chained = edges.select(col("v").as("n"))
+      .intersect(edges.select(col("u").as("n"))).count()
+    if (chained != 0)
+      throw new IllegalStateException(
+        s"$what star closure converged to a non-flat forest ($chained chained)")
+    // converged star forest: every child points at its component ROOT
+    // (the min); roots have no outgoing edge -> label self
+    nodes.join(edges.select(col("u").as("n"), col("v").as("lbl")),
+        Seq("n"), "left")
+      .select(col("n"), coalesce(col("lbl"), col("n")).as("lbl"))
   }
 
   /** The recursive transitive-closure tail x29Sql/x72Sql share; the
@@ -1383,7 +1476,7 @@ object ExtensionQueries {
   // weights) needs. Singletons get weight 1 and their own id as
   // cluster_id, making the frame total (every corpus doc has a row)
   // and the effective corpus size = sum(weight). Shapes: the closure
-  // is x72's min-label propagation (banded pair frame, never
+  // is x72's star closure (banded pair frame, never
   // all-pairs); the weight is arithmetic on its cluster_size; the
   // totalization is one left join against the corpus spine. Nothing
   // new shuffles at 100 TB beyond what x72 already does.
@@ -3136,7 +3229,7 @@ object ExtensionQueries {
   // Keeper = argmax (x08 quality, tie → min doc_id) per x72
   // cross-measure cluster, selected on the ROUNDED score so both
   // engines cut identically. Shapes: the closure is x72's banded
-  // min-label propagation, quality is the shared-posting aggregate,
+  // the star closure, quality is the shared-posting aggregate,
   // and the keeper is one first_value window over cluster-sized
   // partitions — nothing new shuffles beyond what x72+x08 already
   // pay.

@@ -693,7 +693,7 @@ object DedupStream {
 
   /** Soft-dedup weights view over a softDedup store's maintained
     * artifacts: the accumulated verified dup edges close into
-    * components (x72's min-label propagation) and every accepted doc
+    * components (x72's star closure) and every accepted doc
     * gets x88's 1/cluster_size sampling weight (singletons 1), so a
     * mixture sampler reads the stream's corpus epoch-equivalently
     * without anything having been deleted. O(edges) per call — the

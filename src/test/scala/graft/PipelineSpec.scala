@@ -296,9 +296,9 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
 
     // Round-7 ADVICE #4 / round-8 verdict #6: pin that run() itself
     // wires the dup-edge pair frame to the survivor cache. The edge
-    // frame materializes through the propagation's first
-    // localCheckpoint (output (a, b)), so its FULL lineage is visible
-    // in that execution: no file scan at the edge level (an
+    // frame materializes through the closure's first localCheckpoint
+    // (the fast path's symmetrized (a, b) frame), so its FULL lineage
+    // is visible in that execution: no file scan at the edge level (an
     // unpersisted full-corpus rescan), and the run-private shingle
     // posting cache it reads must itself root at an in-memory frame —
     // wiring the SHARED docShingles cache (or re-banding the raw
