@@ -183,6 +183,17 @@ object DedupStream {
     * given, eval-contaminated docs), then vectorize survivors — every
     * language, against the (lang, token)-keyed dimension table — into
     * `storeRoot/vectors`.
+    *
+    * `ruleBatteries` runs the Pipeline's rule-battery stage in its
+    * STREAMING shape, FIRST in the loop (the cheapest gate goes
+    * before any pairwise work): x141's Gopher conjunction drops
+    * failing docs, then x142's C4 line cleaning rewrites survivors'
+    * text (kept lines only; pages under 3 surviving lines drop), so
+    * everything downstream — banding, containment, the stored docs
+    * artifact, vectors — sees exactly the cleaned text a batch run
+    * would publish. Both batteries are DOC-INTRINSIC pure maps, so
+    * verdicts are independent of arrival slicing and replay-stable by
+    * construction (the QualityGate determinism argument, for free).
     */
   def start(spark: SparkSession, docsDir: String, wordvecsLang: DataFrame,
       dim: Int, storeRoot: String, checkpoint: String,
@@ -190,7 +201,8 @@ object DedupStream {
       quality: Option[QualityGate] = None,
       softDedup: Boolean = false,
       lexIndex: Boolean = false,
-      evalGuard: Boolean = false): StreamingQuery = {
+      evalGuard: Boolean = false,
+      ruleBatteries: Boolean = false): StreamingQuery = {
     val docs = spark.readStream.schema(VectorizeStream.docSchema).parquet(docsDir)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -198,13 +210,14 @@ object DedupStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch.select("doc_id", "text", "lang"), batchId,
           wordvecsLang, dim, storeRoot, gate, quality, softDedup, lexIndex,
-          evalGuard)
+          evalGuard, ruleBatteries)
       }
       .start()
   }
 
-  /** One micro-batch: dedup against history, persist the survivors'
-    * artifacts idempotently, vectorize survivors.
+  /** One micro-batch: rule batteries (when on), dedup against
+    * history, persist the survivors' artifacts idempotently,
+    * vectorize survivors.
     */
   private[streaming] def processBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, wordvecsLang: DataFrame, dim: Int,
@@ -212,8 +225,25 @@ object DedupStream {
       quality: Option[QualityGate] = None,
       softDedup: Boolean = false,
       lexIndex: Boolean = false,
-      evalGuard: Boolean = false): Unit = {
-    val batchDocs = batch.persist()
+      evalGuard: Boolean = false,
+      ruleBatteries: Boolean = false): Unit = {
+    // rule batteries FIRST (see start()): doc-intrinsic gate + rewrite
+    // before any pairwise or history work spends time on the doc. The
+    // Gopher verdict reads the RAW text (the Pipeline's step-1b
+    // convention); the C4 rewrite feeds everything downstream.
+    val gated =
+      if (!ruleBatteries) batch
+      else {
+        val pass = ExtensionQueries
+          .gopherRulesOf(batch.select("doc_id", "text"))
+          .filter(col("gopher_pass")).select("doc_id")
+        ExtensionQueries
+          .c4LineRulesOf(batch.join(pass, Seq("doc_id"), "left_semi"))
+          .filter(col("page_kept"))
+          .withColumn("text", col("clean_text"))
+          .select("doc_id", "text", "lang")
+      }
+    val batchDocs = gated.persist()
     try {
       val batchIds = batchDocs.select("doc_id")
       // replay safety: a re-run batch subtracts itself from history

@@ -783,6 +783,78 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     assert(v4 === v3 && !refit4)
   }
 
+  test("rule batteries in the ingest loop: gopher drops, C4 rewrites, stream ≡ the rules") {
+    import java.nio.file.Files
+    // the PipelineSpec rule-battery fixture, arriving THROUGH the
+    // always-on stream: doc-intrinsic batteries must gate identically
+    // per micro-batch (verdicts independent of arrival slicing)
+    def goodLine(seed: String, j: Int) =
+      s"the ${seed}w${j}a with ${seed}w${j}b ${seed}w${j}c."
+    def goodDoc(seed: String) =
+      (0 until 17).map(goodLine(seed, _)).mkString("\n")
+    val gibberish = (0 until 17).map(j =>
+      (0 until 5).map(k => f"qzx$j%02d$k%01dvw").mkString(" ") + ".")
+      .mkString("\n") // no required stops -> gopher drop
+    val fewTerminals = (0 until 17).map { j =>
+      val l = s"the c32w${j}a with c32w${j}b c32w${j}c"
+      if (j < 2) l + "." else l
+    }.mkString("\n") // 2 surviving lines -> C4 page drop
+    val jsLines = (0 until 17).map { j =>
+      if (j % 5 == 4) s"the c33w${j}a with javascript c33w${j}c."
+      else goodLine("c33", j)
+    }.mkString("\n") // 3 javascript lines stripped, page survives
+    val rows = ((1L to 6L).map(i => (i, goodDoc(s"doc$i"))) ++
+      Seq((31L, gibberish), (32L, fewTerminals), (33L, jsLines)))
+      .map { case (id, t) => (id, t, "en", "fixture", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val work = Files.createTempDirectory("graft_rulestream")
+    val docsDir = Files.createDirectory(work.resolve("docs"))
+    val store = work.resolve("store").toString
+    val ckpt = work.resolve("ckpt").toString
+    // two arrival slices so the batteries run on more than one batch
+    rows.filter(col("doc_id") <= 3L).coalesce(1)
+      .write.parquet(work.resolve("s1").toString)
+    rows.filter(col("doc_id") > 3L).coalesce(1)
+      .write.parquet(work.resolve("s2").toString)
+    def shipped(name: String, src: String): Unit = Files.copy(
+      Files.list(work.resolve(src)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).map(Paths.get(_)).head,
+      docsDir.resolve(s"$name.parquet"))
+    val wordvecs = graft.queries.ReferenceQueries.wordvecsByLang(spark, sf)
+    shipped("a", "s1")
+    DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
+      ruleBatteries = true).awaitTermination(180000)
+    shipped("b", "s2")
+    DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
+      ruleBatteries = true).awaitTermination(180000)
+
+    val kept = spark.read.parquet(s"$store/docs")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept.keySet === ((1L to 6L).toSet + 33L),
+      s"store must hold the good docs + the rewritten one: ${kept.keySet}")
+    // doc 33 stored REWRITTEN (14 lines, javascript gone); good docs
+    // stored byte-identical
+    assert(!kept(33L).toLowerCase.contains("javascript"))
+    assert(kept(33L).split("\n").length === 14)
+    assert(kept(1L) === goodDoc("doc1"))
+    // the stream's verdicts equal the batteries applied in batch form
+    val expect = graft.queries.ExtensionQueries.c4LineRulesOf(
+      rows.join(graft.queries.ExtensionQueries
+          .gopherRulesOf(rows.select("doc_id", "text"))
+          .filter(col("gopher_pass")).select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+      .filter(col("page_kept"))
+      .select(col("doc_id"), col("clean_text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept === expect, "stream gating diverged from the batch rules")
+    // survivors were vectorized; casualties were not
+    val vecIds = spark.read.parquet(s"$store/vectors")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(vecIds === kept.keySet)
+  }
+
   test("quantizer maintenance: certify-or-refit with recall re-gated after refit") {
     // round-12 verdict ask #3: IvfPq.append adds vectors under FROZEN
     // centroids/codebooks with no drift trigger — at 100 TB ingest the
