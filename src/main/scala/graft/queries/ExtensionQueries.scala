@@ -4046,6 +4046,94 @@ object ExtensionQueries {
   }
 
   // ======================================================================
+  // x144: BITEXT MINING (margin-based, Artetxe & Schwenk 2019) — the
+  // multilingual-pretraining op the dedup/retrieval stack doesn't
+  // cover: mine cross-lingual translation-pair candidates by
+  // embedding similarity. Raw cosine fails at this (hub vectors close
+  // to everything win every pair), so each candidate pair scores by
+  // the RATIO margin — cos(x, y) normalized by the mean of the two
+  // sides' average top-k neighborhood similarity — which cancels
+  // hubness. Output: each English-pool doc's best other-language
+  // match with its cos and margin.
+  //
+  // Shard shape (how CCMatrix-scale mining actually runs): ONE shard
+  // pair per job — the en shard rides as a broadcast dimension
+  // against the streamed other-language side, the normalizers are
+  // shard-local top-k averages (two bounded windows over the pair
+  // frame), output is one row per query doc. At 100 TB the in-shard
+  // all-pairs cos is replaced by each side's IVF-served k-NN
+  // candidate lists (x140's serving path feeds the same margin
+  // arithmetic); the exact form here is the oracle-checkable truth
+  // leg, the x05 precedent. Ranking is on the unrounded margin with
+  // vec_id tiebreak (the x05 convention both engines share).
+  private val MarginK = 4
+
+  def x144_bitext_mining(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val e = Tables.embeddings(spark, sfDir)
+      .join(docs, Seq("vec_id"))
+      .select(col("vec_id"), col("lang"),
+        VecMath.asDouble(col("embedding")).as("v"))
+    val pe = e.filter(col("lang") === "en")
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val px = e.filter(col("lang") =!= "en")
+      .select(col("vec_id").as("cid"), col("lang").as("clang"),
+        col("v").as("cv"))
+    val scored = px.crossJoin(broadcast(pe))
+      .select(col("qid"), col("cid"), col("clang"),
+        VecMath.cosine(col("qv"), col("cv")).as("cos"))
+    val wq = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    val wc = Window.partitionBy("cid").orderBy(col("cos").desc, col("qid"))
+    val ranked = scored
+      .withColumn("rq", row_number().over(wq))
+      .withColumn("rc", row_number().over(wc))
+    val ax = ranked.filter(col("rq") <= MarginK)
+      .groupBy("qid").agg(avg(col("cos")).as("ax"))
+    val ay = ranked.filter(col("rc") <= MarginK)
+      .groupBy("cid").agg(avg(col("cos")).as("ay"))
+    ranked.select("qid", "cid", "clang", "cos")
+      .join(broadcast(ax), Seq("qid"))
+      .join(broadcast(ay), Seq("cid"))
+      .withColumn("margin",
+        when(col("ax") + col("ay") > 0,
+          col("cos") / ((col("ax") + col("ay")) / 2)).otherwise(lit(0.0)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("margin").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("qid").as("query_id"), col("cid").as("match_id"),
+        col("clang").as("match_lang"),
+        round(col("cos"), 6).as("cos"),
+        round(col("margin"), 6).as("margin"))
+      .orderBy("query_id")
+  }
+
+  val x144Sql: String =
+    s"""WITH d AS (SELECT doc_id AS vec_id, lang FROM documents),
+       |e AS (SELECT em.vec_id, d.lang, em.embedding::DOUBLE[] AS v
+       |  FROM embeddings em JOIN d USING (vec_id)),
+       |pe AS (SELECT vec_id AS qid, v AS qv FROM e WHERE lang = 'en'),
+       |px AS (SELECT vec_id AS cid, lang AS clang, v AS cv
+       |  FROM e WHERE lang <> 'en'),
+       |s AS (SELECT qid, cid, clang,
+       |  list_cosine_similarity(qv, cv) AS cos FROM pe, px),
+       |r AS (SELECT *,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rq,
+       |  row_number() OVER (PARTITION BY cid ORDER BY cos DESC, qid) AS rc
+       |  FROM s),
+       |ax AS (SELECT qid, avg(cos) AS ax FROM r WHERE rq <= $MarginK GROUP BY qid),
+       |ay AS (SELECT cid, avg(cos) AS ay FROM r WHERE rc <= $MarginK GROUP BY cid),
+       |m AS (SELECT r.qid, r.cid, r.clang, r.cos,
+       |  CASE WHEN ax.ax + ay.ay > 0
+       |    THEN r.cos / ((ax.ax + ay.ay) / 2) ELSE 0.0 END AS margin
+       |  FROM r JOIN ax USING (qid) JOIN ay USING (cid)),
+       |b AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |  ORDER BY margin DESC, cid) AS rn FROM m)
+       |SELECT qid AS query_id, cid AS match_id, clang AS match_lang,
+       |  round(cos, 6) AS cos, round(margin, 6) AS margin
+       |FROM b WHERE rn = 1 ORDER BY query_id""".stripMargin
+
+  // ======================================================================
   // x142: C4 line-level cleaning rules (Raffel et al. 2020 §2.2) —
   // the line-granular companion to x141's doc-level Gopher battery,
   // and the other filter set large-scale curation actually ships:
@@ -6704,6 +6792,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x141_gopher_rules" -> (x141_gopher_rules _),
     "x142_c4_line_rules" -> (x142_c4_line_rules _),
     "x143_matryoshka_recall" -> (x143_matryoshka_recall _),
+    "x144_bitext_mining" -> (x144_bitext_mining _),
     // rows-only (BPE encode not SQL-expressible — the x87 convention):
     // accuracy contract is BpeSpec's regroup-of-x87 replay
     "x130_bpe_fertility" -> (x130_bpe_fertility _),
@@ -6840,6 +6929,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x141_gopher_rules" -> x141Sql,
     "x142_c4_line_rules" -> x142Sql,
     "x143_matryoshka_recall" -> x143Sql,
+    "x144_bitext_mining" -> x144Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.ExtensionQueries
+
+/** x144's margin scoring must do the one thing raw cosine can't:
+  * demote HUB vectors. The fixture plants an English query whose
+  * highest-cosine cross-lingual neighbor is a hub (a vector close to
+  * every English doc) while its true translation pair sits at a lower
+  * raw cosine but points somewhere the English pool doesn't — the
+  * ratio margin divides the hub by its own fat neighborhood average
+  * and picks the truth. (Corpus-level value equality is the
+  * x144 DuckDB oracle; this pins the SEMANTICS on a constructed
+  * geometry.)
+  */
+class BitextSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("margin picks the true pair where raw cosine picks the hub") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bitext").toString
+    val docs = Seq(
+      (1L, "en"), (2L, "en"), (3L, "en"), (4L, "en"),
+      (11L, "de"), (12L, "de"), (13L, "de"), (14L, "de"))
+      .map { case (id, l) => (id, s"doc $id", l, "fixture", 6L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+    // dim 5. en pool = 4 axes; de pool: three "translations" that mix
+    // 0.6 of an en axis with 0.8 of axis 5 (INVISIBLE to the en pool,
+    // so their own neighborhood average stays lean), plus the HUB —
+    // tilted toward en1 so its raw cosine with en1 (0.748) BEATS the
+    // true pair's (0.6), while its cosine with every other en doc
+    // (0.35-0.40) fattens its neighborhood average.
+    val embs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f, 0f)),
+      (4L, Array(0f, 0f, 0f, 1f, 0f)),
+      (11L, Array(0.6f, 0f, 0f, 0f, 0.8f)),
+      (12L, Array(0f, 0.6f, 0f, 0f, 0.8f)),
+      (13L, Array(0f, 0f, 0.6f, 0f, 0.8f)),
+      (14L, Array(0.75f, 0.4f, 0.4f, 0.35f, 0f))) // the hub
+      .map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    embs.write.parquet(s"$dir/embeddings.parquet")
+
+    // raw cosine would hand query 1 to the hub — the failure mode
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.functions.VecMath.asDouble(col("embedding")).as("v"))
+    val q1 = e.filter(col("vec_id") === 1L).select(col("v").as("qv"))
+    val rawBest = e.filter(col("vec_id") >= 11L).crossJoin(broadcast(q1))
+      .select(col("vec_id"),
+        graft.functions.VecMath.cosine(col("qv"), col("v")).as("cos"))
+      .orderBy(col("cos").desc).head.getLong(0)
+    assert(rawBest === 14L, "fixture must make raw cosine prefer the hub")
+
+    val mined = ExtensionQueries.x144_bitext_mining(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getDouble(4)))).toMap
+    assert(mined(1L)._1 === 11L,
+      s"margin must pick the true pair over the hub: ${mined(1L)}")
+    // the other planted translations mine cleanly too
+    assert(mined(2L)._1 === 12L && mined(3L)._1 === 13L)
+    // and the truth margin clears the global-threshold bar
+    // CCMatrix-style mining filters on (~1.85 is the hub's margin on
+    // this geometry; the truth pair sits comfortably above it)
+    assert(mined(1L)._3 > 2.0,
+      s"truth-pair margin unexpectedly low: ${mined(1L)._3}")
+  }
+}
