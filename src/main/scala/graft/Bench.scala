@@ -355,9 +355,14 @@ object Bench {
         // no exclusion; it is just measured under both roles.
         val sentinels = epochSentinels.filter(s =>
           SparkEntry.queries.contains(s) && ledger.getOrElse(s, 0.0) > 0)
-        val order = watch0.zipWithIndex.flatMap { case (w, i) =>
+        val inter = watch0.zipWithIndex.flatMap { case (w, i) =>
           (if (sentinels.nonEmpty) Seq(sentinels(i % sentinels.size)) else Nil) :+ w
         }
+        // a short watch list cycles through only the first sentinel(s);
+        // every sentinel must measure at least once or the verdict's
+        // median rests on a single query (observed: a 1-entry watch
+        // list adjudicated off x102 alone)
+        val order = inter ++ sentinels.filterNot(inter.contains)
         val meas = scala.collection.mutable.Map.empty[String, Double]
         (1 to 2).foreach { _ =>
           order.foreach { q =>

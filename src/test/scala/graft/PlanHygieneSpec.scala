@@ -108,6 +108,35 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("x144 bitext: en shard broadcast, text column never read, no scalar UDF") {
+    val p = plan(graft.queries.ExtensionQueries.x144_bitext_mining(spark, sf))
+    // the shard-pair product is the DECLARED shape (one broadcast
+    // nested-loop per shard pair, CCMatrix's sharding) — what must
+    // never appear is an unbroadcast cartesian or a corpus tokenize
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"en shard is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast product:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf") && !p.contains("BatchEvalPython"),
+      s"UDF in x144 plan:\n$p")
+    // column pruning: the documents scan supplies ONLY (doc_id, lang)
+    // — mining never reads text, so the corpus-width column stays on
+    // disk (the ReadSchema check the brief calls out)
+    val docScans = "ReadSchema: [^\\n]*".r.findAllIn(p)
+      .filter(_.contains("lang")).toSeq
+    assert(docScans.nonEmpty, s"no documents scan found:\n$p")
+    docScans.foreach(s => assert(!s.contains("text"),
+      s"x144 reads the text column it never uses: $s"))
+  }
+
+  test("q34 ko/ar tokenizer dispatch is a pure projection (no UDF, no pre-sort shuffle)") {
+    val p = plan(ReferenceQueries.q34_lang_tokens_koar(spark, sf))
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      s"UDF in q34 plan:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"unexpected shuffles before the orderBy:\n$p")
+    assert(!p.contains("Join"), s"q34 grew a join:\n$p")
+  }
+
   test("x60 incremental dedup joins candidates by hash, never all-pairs") {
     val p = plan(graft.queries.ExtensionQueries.x60_incremental_dedup(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
