@@ -4092,19 +4092,23 @@ object ExtensionQueries {
       .groupBy("qid").agg(avg(col("cos")).as("ax"))
     val ay = ranked.filter(col("rc") <= MarginK)
       .groupBy("cid").agg(avg(col("cos")).as("ay"))
+    // per-query argmax as ONE hash agg (max_by on the lexicographic
+    // (margin, -cid) struct ≡ row_number over (margin desc, cid asc)
+    // = 1) instead of a third full sort of the pair frame
     ranked.select("qid", "cid", "clang", "cos")
       .join(broadcast(ax), Seq("qid"))
       .join(broadcast(ay), Seq("cid"))
       .withColumn("margin",
         when(col("ax") + col("ay") > 0,
           col("cos") / ((col("ax") + col("ay")) / 2)).otherwise(lit(0.0)))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("margin").desc, col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("qid").as("query_id"), col("cid").as("match_id"),
-        col("clang").as("match_lang"),
-        round(col("cos"), 6).as("cos"),
-        round(col("margin"), 6).as("margin"))
+      .groupBy("qid")
+      .agg(max_by(
+        struct(col("cid"), col("clang"), col("cos"), col("margin")),
+        struct(col("margin"), (-col("cid")).as("tb"))).as("best"))
+      .select(col("qid").as("query_id"), col("best.cid").as("match_id"),
+        col("best.clang").as("match_lang"),
+        round(col("best.cos"), 6).as("cos"),
+        round(col("best.margin"), 6).as("margin"))
       .orderBy("query_id")
   }
 
