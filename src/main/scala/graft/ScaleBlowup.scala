@@ -41,8 +41,15 @@ object ScaleBlowup {
     */
   private[graft] val families: Seq[String] = Seq(
     "x04_ngram_jaccard", "x02_dedup_minhash", "x136_winnow_pairs",
+    // the cross-measure closure (hybrid min-label + star fallback,
+    // round 13) measured over the posting x04 already warmed
+    "x72_dup_clusters_all",
     "x96_bm25_indexed", "x97_hybrid_indexed", "x124_passage_indexed",
-    "x129_whiten", "x140_whiten_ivf")
+    "x129_whiten", "x140_whiten_ivf",
+    // bitext mining: the shard-pair product grows ~quadratically in
+    // SHARD size by design — the blowup measures one 10x-by-10x shard
+    // pair, i.e. the cost ceiling a shard-size knob would cap
+    "x144_bitext_mining")
 
   private[graft] def blowup(spark: SparkSession, src: String, out: String,
       factor: Int): Unit = {
