@@ -205,7 +205,10 @@ object Bench {
   private[graft] val coldProbes: Seq[String] =
     Seq("x04_ngram_jaccard", "x79_bpe_train", "x96_bm25_indexed",
       "x97_hybrid_indexed", "x124_passage_indexed", "x129_whiten",
-      "x140_whiten_ivf")
+      "x140_whiten_ivf",
+      // x145 publishes+loads the two-sided bitext ANN artifact (its
+      // own root — nothing upstream warms it)
+      "x145_bitext_mining_ann")
 
   /** Sentinels for the in-run bracket protocol. This host has a
     * recurring, steal-BLIND memory-subsystem epoch that inflates the
@@ -300,7 +303,7 @@ object Bench {
     // regression; (b) a throwing probe publishes NEGATIVE seconds
     // (the warm pass's failed convention), never a plausible-looking
     // time for a query that didn't run.
-    Seq("bm25", "ivfpq", "bm25p", "whiten", "whivf").foreach { kind =>
+    Seq("bm25", "ivfpq", "bm25p", "whiten", "whivf", "bitext").foreach { kind =>
       val p = new org.apache.hadoop.fs.Path(
         graft.ml.Bm25Index.artifactRoot(kind, sfDir))
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)

@@ -80,6 +80,7 @@ object Caches {
     graft.ml.Bm25Index.clear(sfDir)
     graft.ml.Whiten.clear(sfDir)
     graft.ml.WhitenedIvf.clear(sfDir)
+    graft.ml.BitextAnn.clear(sfDir)
     graft.queries.ExtensionQueries.clearBpe(sfDir)
     hit.size
   }
@@ -94,6 +95,7 @@ object Caches {
     graft.ml.Bm25Index.clear()
     graft.ml.Whiten.clear(null)
     graft.ml.WhitenedIvf.clear(null)
+    graft.ml.BitextAnn.clear(null)
     graft.queries.ExtensionQueries.clearBpe(null)
     n
   }

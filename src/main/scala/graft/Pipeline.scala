@@ -100,12 +100,36 @@ object Pipeline {
     * PRECISELY the frame the run gated and reproduce its keep/drop
     * verdicts bit-for-bit (the scoring expression is closed-form, and
     * doubles survive the parquet roundtrip exactly).
+    *
+    * `ruleBatteries` MUST match the run being replayed (the snapshot
+    * records it in `run_config`): with the batteries on, the run
+    * gates the C4-rewritten corpus under the gopher-folded keep set,
+    * so a batteries-off reconstruction would score a different frame
+    * and the replay would silently diverge (round-13 advice). The
+    * battery fold here mirrors run() steps 1b/2b exactly:
+    * gopher_pass intersects the verdict keep set, and the page-kept
+    * C4 rewrite replaces the masked text before the train slice.
     */
-  def gateInput(spark: SparkSession, sfDir: String): DataFrame =
-    trainSliceOf(
-      maskedOf(Tables.documents(spark, sfDir)),
-      ExtensionQueries.x57_filter_verdict(spark, sfDir)
-        .filter(col("keep")).select("doc_id"))
+  def gateInput(spark: SparkSession, sfDir: String,
+      ruleBatteries: Boolean = false): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val verdictKeep = ExtensionQueries.x57_filter_verdict(spark, sfDir)
+      .filter(col("keep")).select("doc_id")
+    val keep =
+      if (!ruleBatteries) verdictKeep
+      else verdictKeep.join(
+        ExtensionQueries.gopherFlagsOf(docs)
+          .filter(col("gopher_pass")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val masked0 = maskedOf(docs)
+    val masked =
+      if (!ruleBatteries) masked0
+      else ExtensionQueries.c4LineRulesOf(masked0)
+        .filter(col("page_kept"))
+        .withColumn("text", col("clean_text"))
+        .drop("n_lines", "n_kept", "clean_text", "page_kept")
+    trainSliceOf(masked, keep)
+  }
 
   /** The cross-measure dup edge generator over a run-private corpus
     * frame — x04's Jaccard edges ∪ x70's containment edges, BOTH
@@ -227,27 +251,28 @@ object Pipeline {
       // counts (among verdict-kept docs — the marginal drops this
       // stage causes) feed the snapshot's rule_drops card; a doc can
       // violate several rules, so the per-rule column sums can exceed
-      // the total. The conditions mirror gopher_pass's bounds over
-      // the battery's own (rounded-to-6) output columns.
+      // the total. Counts read the battery's per-rule flags
+      // (gopherFlagsOf — judged on the UNROUNDED metrics gopher_pass
+      // itself conjoins), so a doc failing a bound by < 5e-7 can
+      // never land in total_docs_dropped with zero per-rule
+      // attribution (round-13 advice).
       val (kept, droppedGopher, gopherDropRow) =
         if (!ruleBatteries) (keepIds.count(), 0L,
           Option.empty[org.apache.spark.sql.Row])
         else {
           val verdictKept = keepIds.count()
-          gopherMetrics = ExtensionQueries.gopherRulesOf(docs).persist()
+          gopherMetrics = ExtensionQueries.gopherFlagsOf(docs).persist()
           val failedKept = gopherMetrics.filter(!col("gopher_pass"))
             .join(keepIds, Seq("doc_id"), "left_semi")
           val dropRow = failedKept.agg(
-            count(when(col("n_words") < 50 || col("n_words") > 100000, 1))
-              .as("word_count"),
-            count(when(col("mean_word_len") < 3.0 ||
-              col("mean_word_len") > 10.0, 1)).as("mean_word_len"),
-            count(when(col("symbol_ratio") >= 0.1, 1)).as("symbol_ratio"),
-            count(when(col("bullet_line_ratio") >= 0.9, 1)).as("bullet_lines"),
-            count(when(col("ellipsis_line_ratio") >= 0.3, 1))
-              .as("ellipsis_lines"),
-            count(when(col("alpha_word_ratio") <= 0.8, 1)).as("alpha_words"),
-            count(when(col("n_req_stop") < 2, 1)).as("required_stops")).head
+            count(when(!col("pass_word_count"), 1)).as("word_count"),
+            count(when(!col("pass_mean_word_len"), 1)).as("mean_word_len"),
+            count(when(!col("pass_symbol_ratio"), 1)).as("symbol_ratio"),
+            count(when(!col("pass_bullet_lines"), 1)).as("bullet_lines"),
+            count(when(!col("pass_ellipsis_lines"), 1)).as("ellipsis_lines"),
+            count(when(!col("pass_alpha_words"), 1)).as("alpha_words"),
+            count(when(!col("pass_required_stops"), 1)).as("required_stops"))
+            .head
           val gated = keepIds.join(
             gopherMetrics.filter(col("gopher_pass")).select("doc_id"),
             Seq("doc_id"), "left_semi").persist()
@@ -617,8 +642,19 @@ object Pipeline {
             ("c4", "lines_dropped", c4LinesDropped))
           Seq("rule_drops" -> rows.toDF("battery", "rule", "dropped"))
         }
+      // 9d. the run's stage switches as a 1-row dimension: a replay
+      // consumer must reconstruct the SAME gate input the run scored
+      // (gateInput's ruleBatteries contract), and "which stages ran"
+      // must be answerable from the snapshot alone, not from job logs
+      val runConfig = {
+        import spark.implicits._
+        Seq((ruleBatteries, qualityGate, semanticDedup, centralityCanonical))
+          .toDF("rule_batteries", "quality_gate", "semantic_dedup",
+            "centrality_canonical")
+      }
       val version = VersionedStore.publishAll(
         Map("documents" -> corpus, "vectors" -> vecs, "packing" -> packed,
+          "run_config" -> runConfig,
           "stats" -> stats, "tokenizer" -> tokenizer,
           "ccnet_lm" -> ccnetLm, "ccnet_cuts" -> ccnetCuts,
           "lexical_posting" -> lexIx.posting.repartition(col("token"))

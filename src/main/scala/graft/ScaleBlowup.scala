@@ -44,12 +44,21 @@ object ScaleBlowup {
     // the cross-measure closure (hybrid min-label + star fallback,
     // round 13) measured over the posting x04 already warmed
     "x72_dup_clusters_all",
-    "x96_bm25_indexed", "x97_hybrid_indexed", "x124_passage_indexed",
+    // the BM25 scan/artifact retrieval family (round-13 ask #5: the
+    // family the host epoch keeps hitting had no measured exponent,
+    // so the bracket sentinels were hand-picked): x91 = session-built
+    // scan shape, x96 = publish+load, x102 = PRF over the published
+    // forward projection
+    "x91_bm25",
+    "x96_bm25_indexed", "x102_prf_expansion",
+    "x97_hybrid_indexed", "x124_passage_indexed",
     "x129_whiten", "x140_whiten_ivf",
-    // bitext mining: the shard-pair product grows ~quadratically in
-    // SHARD size by design — the blowup measures one 10x-by-10x shard
-    // pair, i.e. the cost ceiling a shard-size knob would cap
-    "x144_bitext_mining")
+    // bitext mining, both legs: x144's exact shard-pair product grows
+    // ~quadratically in SHARD size by design (the cost ceiling a
+    // shard-size knob would cap); x145 is the ANN-served fix — a
+    // fixed query batch against the published two-sided index, which
+    // must land in the artifact-served band (round-13 ask #1)
+    "x144_bitext_mining", "x145_bitext_mining_ann")
 
   private[graft] def blowup(spark: SparkSession, src: String, out: String,
       factor: Int): Unit = {
@@ -58,17 +67,33 @@ object ScaleBlowup {
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet")))
       return // deterministic: same inputs -> same blowup; reuse
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    val embs = spark.read.parquet(s"$src/embeddings.parquet")
+    // Replica-id offset derived from the OBSERVED max id, never a
+    // fixed constant (round-13 advice: source ids >= 1e7 would
+    // silently collide across replicas). doc_id and vec_id share ONE
+    // offset because the tables join on id (x144's docs⋈embeddings);
+    // per-table offsets would misalign every replica's lang metadata.
+    val maxId = math.max(
+      docs.agg(max(col("doc_id"))).head.getLong(0),
+      embs.agg(max(col("vec_id"))).head.getLong(0))
+    val off = math.max(10000000L, maxId + 1)
+    // replica k circular-shifts by k mod dim with ONE negation past
+    // the wrap, so k >= 2*dim would repeat replica k-2*dim exactly —
+    // duplicate vectors measure dup-rate, not scale
+    val dim0 = embs.select(size(col("embedding"))).head.getInt(0)
+    require(factor <= 2 * dim0,
+      s"blowup factor $factor exceeds the 2*dim=${2 * dim0} distinct-replica " +
+        "ceiling of the circular-shift scheme")
     val docsB = (0 until factor).map { k =>
       if (k == 0) docs
       else docs.select(
-        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        (col("doc_id") + lit(k * off)).as("doc_id"),
         regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1x" + k).as("text"),
         col("lang"), col("source"),
         length(regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1x" + k))
           .cast("long").as("n_chars"))
     }.reduce(_ unionByName _)
     docsB.write.mode("overwrite").parquet(s"$out/documents.parquet")
-    val embs = spark.read.parquet(s"$src/embeddings.parquet")
     val embsB = (0 until factor).map { k =>
       if (k == 0) embs
       else {
@@ -79,7 +104,7 @@ object ScaleBlowup {
           slice(col("embedding"), lit(1), s))
         val v = when(lit(k) >= d, transform(shifted, x => -x))
           .otherwise(shifted)
-        embs.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        embs.select((col("vec_id") + lit(k * off)).as("vec_id"),
           v.as("embedding"), col("label"))
       }
     }.reduce(_ unionByName _)
@@ -109,7 +134,7 @@ object ScaleBlowup {
     */
   private[graft] def measure(spark: SparkSession,
       dir: String): (Seq[(String, Double)], Seq[(String, Double)]) = {
-    Seq("bm25", "ivfpq", "bm25p", "whiten", "whivf").foreach { kind =>
+    Seq("bm25", "ivfpq", "bm25p", "whiten", "whivf", "bitext").foreach { kind =>
       val p = new org.apache.hadoop.fs.Path(
         graft.ml.Bm25Index.artifactRoot(kind, dir))
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
@@ -123,10 +148,49 @@ object ScaleBlowup {
     (cold, warm)
   }
 
+  /** The 10× funnel certification (round-13 verdict ask #6): run the
+    * FULL snapshot pipeline at the blown-up corpus — once with the
+    * rule batteries off (the corpus-shaped exercise of verdict → mask
+    * → closure → contamination → vectors → pack → BPE → snapshot) and
+    * once with them on (the battery stages scan the full N× corpus
+    * too; on THIS punctuation-free synthetic corpus their published
+    * operating points then gate out most docs, which is exactly the
+    * opt-in note on Pipeline.run — the counters still must reconcile).
+    * Reconciliation is asserted here, not eyeballed: the published
+    * documents count must equal the funnel arithmetic.
+    */
+  private def pipelineLeg(spark: SparkSession, dir: String,
+      batteries: Boolean): String = {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_blowup_pipe").toString + "/store"
+    val t0 = System.nanoTime()
+    val r = Pipeline.run(spark, dir, store, ruleBatteries = batteries)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val published = graft.sources.VersionedStore
+      .readTable(spark, store, r.version, "documents").count()
+    val expected = r.kept - r.heldOutEval - r.droppedC4Pages -
+      r.droppedLowQuality - r.prunedNearDup - r.emptiedBySegClean -
+      r.droppedContaminated - r.prunedSemantic
+    require(published == expected,
+      s"funnel does not reconcile: published=$published expected=$expected $r")
+    s"""{"pipeline":"${if (batteries) "batteries" else "base"}",""" +
+      s""""dir":"$dir","secs":${math.rint(secs * 10) / 10},""" +
+      s""""kept":${r.kept},"held_out":${r.heldOutEval},""" +
+      s""""dropped_gopher":${r.droppedGopher},""" +
+      s""""dropped_c4_pages":${r.droppedC4Pages},""" +
+      s""""pruned_near_dup":${r.prunedNearDup},""" +
+      s""""emptied_seg":${r.emptiedBySegClean},""" +
+      s""""dropped_contaminated":${r.droppedContaminated},""" +
+      s""""published":$published,"sequences":${r.sequences},""" +
+      s""""packed_tokens":${r.packedTokens},"reconciles":true}"""
+  }
+
   def main(args: Array[String]): Unit = {
-    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val work = args.lift(1).getOrElse("/tmp/graft_blowup")
-    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val flags = args.filter(_.startsWith("--")).toSet
+    val pos = args.filterNot(_.startsWith("--"))
+    val src = pos.lift(0).getOrElse("/root/testdata/sf0.1")
+    val work = pos.lift(1).getOrElse("/tmp/graft_blowup")
+    val factor = pos.lift(2).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -139,6 +203,13 @@ object ScaleBlowup {
     spark.sparkContext.setLogLevel("WARN")
     val big = s"$work/x$factor"
     blowup(spark, src, big, factor)
+    if (flags("--pipeline")) {
+      // funnel-at-scale mode: the two pipeline legs, nothing else
+      println(pipelineLeg(spark, big, batteries = false))
+      println(pipelineLeg(spark, big, batteries = true))
+      spark.stop()
+      return
+    }
     // JIT warmup at the smallest SF so the 1× pass doesn't pay
     // first-compilation costs the N× pass then skips
     try measure(spark, src.replace("sf0.1", "sf0.001"))

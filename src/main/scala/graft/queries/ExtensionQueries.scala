@@ -2153,22 +2153,24 @@ object ExtensionQueries {
   // index df dimension; round 2's posting prune is a broadcast
   // equi-join on the 8-term frame (a runtime filter at scale — the
   // expanded set is a query result, so no static pushdown exists).
-  // Honest cost note: candidate generation reads the posting BY DOC
-  // (the 10 feedback ids), which the token-clustered layout can't
-  // prune — one linear pass over the session-persisted posting here;
-  // at 100 TB the artifact additionally ships a doc_id-clustered
-  // FORWARD projection of the same rows and this becomes a 10-doc
-  // point fetch (same rows, second sort order — the standard
-  // forward-index companion every PRF deployment carries).
+  // Candidate generation reads the published artifact's
+  // doc_id-clustered FORWARD projection (round-13 verdict ask #2 —
+  // the standard forward-index companion every PRF deployment
+  // carries): the 10 feedback ids collect to the driver (bounded —
+  // the x93 top-20 precedent) and push down as a static In(doc_id)
+  // filter into the doc-clustered parquet scan, a 10-doc point fetch
+  // instead of the linear token-clustered posting pass the old path
+  // paid on every PRF query. A legacy artifact without the forward
+  // table falls back to the posting scan (Index.byDoc).
   private val PrfFeedbackK = 10
   private val PrfExpandK = 5
 
   def x102_prf_expansion(spark: SparkSession, sfDir: String): DataFrame = {
-    val ix = graft.ml.Bm25Index.build(spark, sfDir)
+    val ix = graft.ml.Bm25Index.loadOrPublish(spark, sfDir)
     import spark.implicits._
-    val fb = graft.ml.Bm25Index.searchWith(ix, Bm25Query, PrfFeedbackK)
-      .select("doc_id")
-    val cand = ix.posting.join(broadcast(fb), Seq("doc_id"))
+    val fbIds = graft.ml.Bm25Index.searchWith(ix, Bm25Query, PrfFeedbackK)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val cand = ix.byDoc.filter(col("doc_id").isin(fbIds: _*))
       .filter(!col("token").isin(Bm25Query: _*))
       .groupBy("token").agg(sum(col("tf")).as("fb_tf"))
     val exps = cand.join(ix.df, Seq("token"))
@@ -3934,7 +3936,27 @@ object ExtensionQueries {
     * fixture docs (a passing doc, a bullet wall, a symbol wall…) in
     * addition to the corpus-wide oracle hash.
     */
-  private[graft] def gopherRulesOf(docs: DataFrame): DataFrame = {
+  private[graft] def gopherRulesOf(docs: DataFrame): DataFrame =
+    gopherFlagsOf(docs).drop(GopherRuleFlags: _*)
+
+  /** The per-rule PASS flag columns [[gopherFlagsOf]] adds on top of
+    * x141's public schema, in rule order. `gopher_pass` is their
+    * conjunction by construction.
+    */
+  private[graft] val GopherRuleFlags: Seq[String] = Seq(
+    "pass_word_count", "pass_mean_word_len", "pass_symbol_ratio",
+    "pass_bullet_lines", "pass_ellipsis_lines", "pass_alpha_words",
+    "pass_required_stops")
+
+  /** [[gopherRulesOf]] plus one boolean PASS column per rule
+    * ([[GopherRuleFlags]]), each judged on the UNROUNDED metric — the
+    * same values `gopher_pass` conjoins. The Pipeline's rule_drops
+    * card counts failures on these flags; counting on the
+    * rounded-to-6 display columns instead mis-attributes a doc that
+    * fails a bound by < 5e-7 (mwl = 2.9999996 rounds to 3.0: dropped,
+    * but no rule owns the drop — round-13 advice).
+    */
+  private[graft] def gopherFlagsOf(docs: DataFrame): DataFrame = {
     val words = filter(split(col("text"), "\\s+"), w => w =!= lit(""))
     val lines = filter(split(col("text"), "\n"), l => l =!= lit(""))
     val nW = size(col("words")).cast("long")
@@ -3965,10 +3987,16 @@ object ExtensionQueries {
         round(col("ell"), 6).as("ellipsis_line_ratio"),
         round(col("alpha"), 6).as("alpha_word_ratio"),
         col("n_req_stop"),
-        (col("n_words") >= 50 && col("n_words") <= 100000 &&
-          col("mwl") >= 3.0 && col("mwl") <= 10.0 &&
-          col("sym") < 0.1 && col("bul") < 0.9 && col("ell") < 0.3 &&
-          col("alpha") > 0.8 && col("n_req_stop") >= 2).as("gopher_pass"))
+        (col("n_words") >= 50 && col("n_words") <= 100000)
+          .as("pass_word_count"),
+        (col("mwl") >= 3.0 && col("mwl") <= 10.0).as("pass_mean_word_len"),
+        (col("sym") < 0.1).as("pass_symbol_ratio"),
+        (col("bul") < 0.9).as("pass_bullet_lines"),
+        (col("ell") < 0.3).as("pass_ellipsis_lines"),
+        (col("alpha") > 0.8).as("pass_alpha_words"),
+        (col("n_req_stop") >= 2).as("pass_required_stops"))
+      .withColumn("gopher_pass", GopherRuleFlags.map(col)
+        .reduce(_ && _))
   }
 
   // ======================================================================
@@ -4138,12 +4166,102 @@ object ExtensionQueries {
        |FROM b WHERE rn = 1 ORDER BY query_id""".stripMargin
 
   // ======================================================================
+  // x145: ANN-SERVED bitext mining — x144's margin arithmetic fed by
+  // IVF k-NN candidate lists instead of the in-shard all-pairs
+  // product (round-13 verdict ask #1: the all-pairs form was the
+  // repo's only measured ≈linear-in-corpus blowup entry; this is the
+  // serving shape every other family already has). The published
+  // two-sided artifact (ml/BitextAnn: one IVF index per language
+  // side + the non-en lang dimension, k ≈ √N lists per side) serves:
+  //
+  //   forward  en→x  k-NN  → candidate (qid, cid, cos) lists + the
+  //                          query-side normalizer ax (top-MarginK avg)
+  //   reverse  x→en  k-NN  → the candidate-side normalizer ay — only
+  //                          the candidates' own lists, a bounded set
+  //
+  // and the margin = cos / ((ax+ay)/2) ranks each query's candidates;
+  // argmax via the same max_by struct as x144. This IS how CCMatrix
+  // mines at scale: per-side FAISS k-NN feeding the ratio margin,
+  // swept over bounded query batches — each batch's cost is
+  // independent of corpus size (probe touches ~nProbe·√N rows), so
+  // the registered query serves a FIXED deterministic query batch
+  // (the x21/x96 serving convention; the full sweep is this query
+  // over successive batches, embarrassingly parallel). Rows-only for
+  // the driver (k-means); BitextSpec gates match recall ≥ 0.9 vs
+  // x144's exact answers on a planted-pair fixture where raw cosine
+  // fails, and hub demotion is re-asserted through the ANN path.
+  private val BitextAnnQueries = 32
+  private val BitextCandK = 8
+
+  def x145_bitext_mining_ann(spark: SparkSession, sfDir: String): DataFrame = {
+    val sides = graft.ml.BitextAnn.loadOrPublish(spark, sfDir)
+    // the query batch comes from the loaded artifact itself (first
+    // BitextAnnQueries en ids — one bounded TakeOrdered on the
+    // persisted assigned frame), never a fresh corpus scan
+    val queries = sides.en.assigned
+      .select(col("vec_id"), col("v")).orderBy("vec_id")
+      .limit(BitextAnnQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    bitextMineAnn(sides, queries)
+  }
+
+  /** The ANN-served margin-mining core over an explicit query batch —
+    * split out so BitextSpec can run the FULL en pool of its planted
+    * fixture through the exact code path x145 serves.
+    */
+  private[graft] def bitextMineAnn(sides: graft.ml.BitextAnn.Sides,
+      queries: DataFrame, nProbe: Int = 4): DataFrame = {
+    val fwd = graft.ml.IvfIndex.search(sides.x, queries,
+        nProbe = nProbe, topK = BitextCandK)
+      .select(col("query_id").as("qid"), col("vec_id").as("cid"),
+        col("rn"), col("cos"))
+    // query-side normalizer: avg of the top-MarginK forward neighbors
+    val ax = fwd.filter(col("rn") <= MarginK)
+      .groupBy("qid").agg(avg(col("cos")).as("ax"))
+    // candidate-side normalizer: ONLY the candidates' reverse lists —
+    // a bounded set (≤ queries × BitextCandK ids), point-fetched from
+    // the persisted x-side assigned frame
+    val revQ = sides.x.assigned
+      .join(fwd.select(col("cid").as("vec_id")).distinct(), Seq("vec_id"),
+        "left_semi")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val ay = graft.ml.IvfIndex.search(sides.en, revQ,
+        nProbe = nProbe, topK = MarginK)
+      .groupBy(col("query_id").as("cid")).agg(avg(col("cos")).as("ay"))
+    val best = fwd.select("qid", "cid", "cos")
+      .join(broadcast(ax), Seq("qid"))
+      .join(broadcast(ay), Seq("cid"))
+      .withColumn("margin",
+        when(col("ax") + col("ay") > 0,
+          col("cos") / ((col("ax") + col("ay")) / 2)).otherwise(lit(0.0)))
+      .groupBy("qid")
+      .agg(max_by(struct(col("cid"), col("cos"), col("margin")),
+        struct(col("margin"), (-col("cid")).as("tb"))).as("best"))
+    // the lang dimension is corpus-sized — broadcast the BOUNDED
+    // result side (one row per query), stream the dimension
+    broadcast(best)
+      .join(sides.xLang.select(col("vec_id"), col("lang").as("match_lang")),
+        col("best.cid") === col("vec_id"))
+      .select(col("qid").as("query_id"), col("best.cid").as("match_id"),
+        col("match_lang"),
+        round(col("best.cos"), 6).as("cos"),
+        round(col("best.margin"), 6).as("margin"))
+      .orderBy("query_id")
+  }
+
+  // ======================================================================
   // x142: C4 line-level cleaning rules (Raffel et al. 2020 §2.2) —
   // the line-granular companion to x141's doc-level Gopher battery,
   // and the other filter set large-scale curation actually ships:
   // keep a line iff it ends in terminal punctuation, has ≥ 5 words,
   // and mentions none of '{' / 'javascript' / 'lorem ipsum'; keep a
-  // PAGE iff ≥ 3 lines survive. The synthetic corpus has no line
+  // PAGE iff ≥ 3 lines survive. DELIBERATE deviation in this oracle
+  // form: the paper's page-level '{' / 'lorem ipsum' discards live in
+  // c4LineRulesOf (the real-ingest form the Pipeline ships); here the
+  // synthesized-line convention plants a '{' in every 5th line of
+  // EVERY document precisely to exercise the line rule, so the
+  // page-level rule would degenerate to "drop everything" and hash
+  // nothing. The synthetic corpus has no line
   // structure or punctuation (single-line, unpunctuated token
   // streams), so — the q31/q33 fixture convention — lines are
   // synthesized DETERMINISTICALLY in both engines: 6-word groups,
@@ -4203,8 +4321,16 @@ object ExtensionQueries {
     * so trailing whitespace can't hide terminal punctuation; blank
     * lines never count toward n_lines. The cleaned TEXT itself ships
     * (not just a hash) because the pipeline re-tokenizes downstream
-    * of the rewrite; page_kept is the ≥ 3-surviving-lines page rule.
-    * Same scale shape as x142: per-row HOFs, a pure map stage.
+    * of the rewrite.
+    *
+    * page_kept conjoins the paper's PAGE-level rules (Raffel et al.
+    * 2020 §2.2 discards the WHOLE page, not the line): ≥ 3 surviving
+    * lines, no '{' anywhere in the raw text (brace = probably code),
+    * and no 'lorem ipsum' mention anywhere — round-13 advice: the
+    * line-level c4Keep alone shipped a softer operating point than
+    * the paper this battery cites. The page checks read the raw text
+    * column directly (two contains over bytes already in the row),
+    * so the shape stays a pure map stage: per-row HOFs, no shuffle.
     */
   private[graft] def c4LineRulesOf(docs: DataFrame): DataFrame = {
     // regex trim, not trim(): Spark's trim strips SPACES only, and a
@@ -4219,7 +4345,9 @@ object ExtensionQueries {
       .withColumn("kept", filter(col("lines"), c4Keep))
       .withColumn("n_kept", size(col("kept")).cast("long"))
       .withColumn("clean_text", concat_ws("\n", col("kept")))
-      .withColumn("page_kept", col("n_kept") >= 3)
+      .withColumn("page_kept", col("n_kept") >= 3 &&
+        !col("text").contains("{") &&
+        !lower(col("text")).contains("lorem ipsum"))
       .drop("lines", "kept")
   }
 
@@ -6797,6 +6925,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x142_c4_line_rules" -> (x142_c4_line_rules _),
     "x143_matryoshka_recall" -> (x143_matryoshka_recall _),
     "x144_bitext_mining" -> (x144_bitext_mining _),
+    "x145_bitext_mining_ann" -> (x145_bitext_mining_ann _),
     // rows-only (BPE encode not SQL-expressible — the x87 convention):
     // accuracy contract is BpeSpec's regroup-of-x87 replay
     "x130_bpe_fertility" -> (x130_bpe_fertility _),

@@ -904,9 +904,12 @@ object DedupStream {
     * Certification is exact, not heuristic: the artifact carries a
     * `fitted_ids` table (8 bytes/vector — the same order as the coded
     * frame an IVF-PQ artifact already ships) plus a CONTENT signature
-    * (the sum of a 64-bit hash over each fitted (vec_id, v) row —
-    * round-12 advice: id-presence alone let a vector whose CONTENT
-    * changed under a stable vec_id keep serving the stale rotation),
+    * (the XOR of a 64-bit hash over each fitted (vec_id, v) row —
+    * see [[vecContentSig]]; XOR means an EVEN number of identical
+    * row-hash changes cancels, a caveat the 64-bit birthday bound on
+    * per-row hashes keeps theoretical — round-12 advice: id-presence
+    * alone let a vector whose CONTENT changed under a stable vec_id
+    * keep serving the stale rotation),
     * and the published transform is fresh iff (a) every fitted vector
     * is still in the store (one bounded anti-join), (b) the fitted
     * rows' recomputed content signature equals the one recorded at

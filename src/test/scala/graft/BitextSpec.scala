@@ -68,5 +68,75 @@ class BitextSpec extends AnyFunSuite with SparkSpec {
     // this geometry; the truth pair sits comfortably above it)
     assert(mined(1L)._3 > 2.0,
       s"truth-pair margin unexpectedly low: ${mined(1L)._3}")
+
+    // the ANN-served leg (x145's path) on the same tiny geometry:
+    // 4 lists per side, nProbe=4 probes them all — the candidate
+    // lists are exhaustive here, so hub demotion must reproduce
+    // exactly through the artifact-served margin arithmetic
+    val sides = graft.ml.BitextAnn.loadOrPublish(spark, dir)
+    val annTiny = ExtensionQueries.bitextMineAnn(sides,
+      sides.en.assigned.select(col("vec_id").as("query_id"),
+        col("v").as("qv")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(annTiny(1L) === 11L && annTiny(2L) === 12L && annTiny(3L) === 13L,
+      s"ANN-served margin must also demote the hub: $annTiny")
+  }
+
+  test("ANN-served mining recalls >= 0.9 of the exact leg's matches") {
+    // round-13 verdict ask #1's done-criterion. A 40+40 planted-pair
+    // fixture where the ANN path is genuinely approximate: √40 → 7
+    // lists per side, nProbe=4 probes 4/7 — candidate lists are
+    // partial, unlike the exhaustive tiny fixture above. Deterministic
+    // throughout (sin-seeded vectors, hash-sampled Lloyd's).
+    val dim = 16
+    val nPairs = 40
+    // splitmix-style integer hash → [-1, 1]: sin-seeded components
+    // have near-periods (97·16 ≈ 247·2π collides seeds 16 apart)
+    def mix(seed: Int, d: Int): Double = {
+      var x = seed.toLong * 1000003L + d.toLong * 7919L + 12345L
+      x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL; x ^= (x >>> 33)
+      ((x & 0xffffffL).toDouble / 0xffffffL.toDouble) * 2 - 1
+    }
+    def unit(seed: Int): Array[Float] = {
+      val v = Array.tabulate(dim)(d => mix(seed, d))
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val enVecs = (0 until nPairs).map(i => i.toLong -> unit(i))
+    val deVecs = (0 until nPairs).map { j =>
+      val e = enVecs(j)._2
+      val noise = unit(1000 + j)
+      val mixed = e.zip(noise).map { case (a, b) => 0.75f * a + 0.25f * b }
+      val n = math.sqrt(mixed.map(x => x * x).sum.toDouble).toFloat
+      (100L + j) -> mixed.map(_ / n)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_bitext_ann")
+      .toString
+    (enVecs.map { case (id, _) => (id, "en") } ++
+      deVecs.map { case (id, _) => (id, "de") })
+      .map { case (id, l) => (id, s"doc $id", l, "fixture", 6L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    (enVecs ++ deVecs).map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+
+    val exact = ExtensionQueries.x144_bitext_mining(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sanity: the planted geometry mines cleanly in the exact leg
+    assert((0 until nPairs).count(i => exact(i.toLong) == 100L + i)
+      >= (nPairs * 9) / 10, s"planted pairs don't dominate: $exact")
+
+    val sides = graft.ml.BitextAnn.loadOrPublish(spark, dir)
+    assert(sides.x.centroids.count() === 7L,
+      "fixture must exercise a genuinely partial probe (7 lists)")
+    val ann = ExtensionQueries.bitextMineAnn(sides,
+      sides.en.assigned.select(col("vec_id").as("query_id"),
+        col("v").as("qv")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ann.size === nPairs, s"every en query must mine a match: $ann")
+    val agree = exact.keys.count(q => ann.get(q).contains(exact(q)))
+    assert(agree.toDouble / exact.size >= 0.9,
+      s"ANN leg recalled only $agree/${exact.size} of the exact matches")
   }
 }

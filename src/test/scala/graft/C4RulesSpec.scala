@@ -42,8 +42,9 @@ class C4RulesSpec extends AnyFunSuite with SparkSpec {
     assert(clean === Seq(goodLine, goodLine + " again?",
       goodLine + " once more!"),
       "kept lines must survive verbatim, in order")
-    assert(r.getAs[Boolean]("page_kept"),
-      "three survivors are exactly the page floor")
+    assert(!r.getAs[Boolean]("page_kept"),
+      "the lorem-ipsum and brace lines kill the PAGE even though " +
+        "three lines survive (Raffel §2.2's page-level discards)")
   }
 
   test("page rule: exactly 2 survivors drops the page, exactly 3 keeps it") {
@@ -67,6 +68,29 @@ class C4RulesSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Long]("n_lines") === 3L,
       "blank lines must not inflate n_lines")
     assert(r.getAs[Long]("n_kept") === 3L && r.getAs[Boolean]("page_kept"))
+  }
+
+  test("page rules: lorem ipsum or a brace anywhere drops the whole page") {
+    // Raffel et al. 2020 §2.2 discards the PAGE containing 'lorem
+    // ipsum' or '{' — not just the line (round-13 advice: the
+    // line-level c4Keep alone shipped a softer operating point). A
+    // page with three healthy survivors still dies when a DROPPED
+    // line carried the marker.
+    val threeGood = Seq(goodLine, goodLine + " twice.", goodLine + " thrice.")
+    val withLorem = (threeGood :+ "Lorem Ipsum dolor sit amet today.")
+      .mkString("\n")
+    val withBrace = (threeGood :+ "a config block opens { here now")
+      .mkString("\n")
+    val clean = threeGood.mkString("\n")
+    val r = rules(Seq((1L, withLorem), (2L, withBrace), (3L, clean)))
+    assert(r(1L).getAs[Long]("n_kept") === 3L &&
+      !r(1L).getAs[Boolean]("page_kept"),
+      "a lorem-ipsum mention anywhere must drop the page (case-blind)")
+    assert(r(2L).getAs[Long]("n_kept") === 3L &&
+      !r(2L).getAs[Boolean]("page_kept"),
+      "a brace anywhere must drop the page")
+    assert(r(3L).getAs[Boolean]("page_kept"),
+      "the marker-free twin of the same page must survive")
   }
 
   test("trailing whitespace cannot hide terminal punctuation") {

@@ -67,4 +67,32 @@ class GopherRulesSpec extends AnyFunSuite with SparkSpec {
       assert(!r(id).getAs[Boolean]("gopher_pass"))
     }
   }
+
+  test("per-rule flags: every failing doc carries at least one failing flag") {
+    // round-13 advice: the Pipeline card used to count failures on the
+    // ROUNDED display columns while gopher_pass conjoins the unrounded
+    // values, so a doc failing a bound by < 5e-7 could drop with zero
+    // per-rule attribution. gopherFlagsOf ties attribution to the
+    // verdict structurally: gopher_pass IS the conjunction of the
+    // flags, so a failing doc always names its rule(s).
+    val bulletWall = (1 to 60).map(i => s"- bullet item $i").mkString("\n")
+    val noStops = (1 to 60).map(i => s"plain word$i filler").mkString(" ")
+    val flagged = ExtensionQueries.gopherFlagsOf(
+      Seq((1L, goodText), (2L, bulletWall), (3L, noStops), (4L, ""))
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(ExtensionQueries.GopherRuleFlags.forall(
+      f => flagged(1L).schema.fieldNames.contains(f)))
+    flagged.values.foreach { r =>
+      val flags = ExtensionQueries.GopherRuleFlags.map(r.getAs[Boolean])
+      assert(r.getAs[Boolean]("gopher_pass") === flags.forall(identity),
+        s"gopher_pass must be exactly the flag conjunction: $r")
+    }
+    assert(!flagged(2L).getAs[Boolean]("pass_bullet_lines"))
+    assert(!flagged(3L).getAs[Boolean]("pass_required_stops"))
+    // and the public x141 surface is unchanged: no flag columns leak
+    val pub = ExtensionQueries.gopherRulesOf(
+      Seq((1L, goodText)).toDF("doc_id", "text")).schema.fieldNames.toSet
+    assert(ExtensionQueries.GopherRuleFlags.forall(f => !pub.contains(f)))
+  }
 }

@@ -830,6 +830,33 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val t1 = snap.filter(col("doc_id") === 1L).select("text").head.getString(0)
     assert(t1 === goodDoc("doc1"))
 
+    // gateInput(ruleBatteries = true) reconstructs EXACTLY the frame a
+    // battery run gated (round-13 advice: the batteries-off
+    // reconstruction silently scored a different frame — docs 31/32
+    // present, doc 33 unrewritten). On this fixture the run loses
+    // nothing after the gate, so the published corpus IS the gated
+    // frame: same ids, same (rewritten) bytes.
+    val gi = Pipeline.gateInput(spark, dir, ruleBatteries = true)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gi.keySet === ids, s"replay frame ids diverge: ${gi.keySet}")
+    assert(gi(33L) === t33, "replay frame must carry the C4-rewritten text")
+    val gi0 = Pipeline.gateInput(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gi0.contains(31L) && gi0.contains(32L) && gi0(33L) != gi(33L),
+      "batteries-off reconstruction must visibly differ on this fixture")
+
+    // the snapshot records which stages ran — the replay consumer
+    // reads ruleBatteries from here, not from job logs
+    val cfgOn = VersionedStore.readTable(spark, s"$dir/store_on", on.version,
+      "run_config").head
+    assert(cfgOn.getAs[Boolean]("rule_batteries") &&
+      !cfgOn.getAs[Boolean]("quality_gate"))
+    val cfgOff = VersionedStore.readTable(spark, s"$dir/store_off",
+      off.version, "run_config").head
+    assert(!cfgOff.getAs[Boolean]("rule_batteries"))
+
     // the card: per-rule drop counts ride the snapshot
     val card = VersionedStore.readTable(spark, s"$dir/store_on", on.version,
       "rule_drops").collect()

@@ -108,6 +108,18 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("x102 PRF feedback fetch is a pushed point read of the forward projection") {
+    // round-13 verdict ask #2: candidate generation must read the
+    // artifact's doc_id-clustered forward projection with the 10
+    // feedback ids pushed into the parquet scan — not a linear pass
+    // over the token-clustered posting. executedPlan (not sparkPlan):
+    // PushedFilters render at the scan layer.
+    val p = graft.queries.ExtensionQueries.x102_prf_expansion(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*In\\(doc_id".r.findFirstIn(p).nonEmpty,
+      s"feedback doc ids not pushed into the forward scan:\n$p")
+  }
+
   test("x144 bitext: en shard broadcast, text column never read, no scalar UDF") {
     val p = plan(graft.queries.ExtensionQueries.x144_bitext_mining(spark, sf))
     // the shard-pair product is the DECLARED shape (one broadcast
