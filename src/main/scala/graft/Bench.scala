@@ -216,11 +216,16 @@ object Bench {
     * read clean (BASELINE.md r11/r12 provenance notes); adjudicating it
     * has cost three rounds of MANUAL interleaved bracket runs at a
     * prior commit. These three queries are (a) inside the affected
-    * family, so the epoch moves them when it is live, (b) pinned at
-    * 0.39-1.81 s — large enough to carry evidence past the noise
-    * floor, and (c) code that predates the watch entries they
-    * adjudicate, so their own regression risk is the ledger's problem,
-    * not the bracket's.
+    * family, so the epoch moves them when it is live, (b) pinned
+    * large enough to carry evidence past the noise floor, and
+    * (c) code that predates the watch entries they adjudicate, so
+    * their own regression risk is the ledger's problem, not the
+    * bracket's. Since round 14 the trio also has a MEASURED basis
+    * (SCALE.md round-14 addendum, ask #5): the family's blowup rows
+    * put their warm exponents at 0.11-0.35 — corpus-coupled enough
+    * that a live memory epoch moves them, bounded enough that their
+    * pins stay comparable across rounds (x102's post-forward-index
+    * pin is the one deliberate re-pin; the serving shape changed).
     */
   private[graft] val epochSentinels: Seq[String] =
     Seq("x102_prf_expansion", "x132_z_fusion", "x91_bm25")
