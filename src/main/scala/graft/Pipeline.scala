@@ -659,6 +659,11 @@ object Pipeline {
           "ccnet_lm" -> ccnetLm, "ccnet_cuts" -> ccnetCuts,
           "lexical_posting" -> lexIx.posting.repartition(col("token"))
             .sortWithinPartitions("token"),
+          // the doc_id-clustered forward projection of the same rows,
+          // so release-time PRF point-fetches feedback docs instead of
+          // scanning the token-clustered posting (the saveIndex twin)
+          "lexical_forward" -> lexIx.posting.repartition(col("doc_id"))
+            .sortWithinPartitions("doc_id"),
           "lexical_df" -> lexIx.df,
           "lexical_consts" -> lexIx.consts,
           "budget_plan" -> budgetPlan,

@@ -353,7 +353,11 @@ object Bm25Index {
     Index(
       graft.sources.VersionedStore.readTable(spark, root, v, "lexical_posting"),
       graft.sources.VersionedStore.readTable(spark, root, v, "lexical_df"),
-      graft.sources.VersionedStore.readTable(spark, root, v, "lexical_consts"))
+      graft.sources.VersionedStore.readTable(spark, root, v, "lexical_consts"),
+      // releases published before the forward companion existed still
+      // load; by-doc readers fall back to the posting scan
+      scala.util.Try(graft.sources.VersionedStore
+        .readTable(spark, root, v, "lexical_forward")).toOption)
   }
 
   /** Assemble an Index from a DedupStream store's maintained lexical

@@ -434,6 +434,12 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val cs = fromSnap.consts.collect().head
     assert(cs.getDouble(0) === pub.count().toDouble,
       "lexical_consts n must be the published doc count")
+    // the release carries the forward companion (release-time PRF
+    // point-fetches by doc id) with exactly the posting's rows
+    assert(fromSnap.forward.nonEmpty,
+      "snapshot must ship the doc_id-clustered lexical_forward")
+    assert(fromSnap.byDoc.count() === fromSnap.posting.count(),
+      "forward projection must carry exactly the posting's rows")
   }
 
   test("snapshot ships its CCNet operating point; the bucket rule replays") {
