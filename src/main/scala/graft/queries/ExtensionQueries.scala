@@ -4096,7 +4096,14 @@ object ExtensionQueries {
   // vec_id tiebreak (the x05 convention both engines share).
   private val MarginK = 4
 
-  def x144_bitext_mining(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shard-pair margin frame x144/x146 share: every (qid, cid)
+    * cross-lingual pair with its cosine and ratio margin — the
+    * all-pairs truth-leg arithmetic, factored out so the argmax
+    * (x144) and extraction (x146) policies provably score the same
+    * frame. Columns: qid, cid, clang, cos, margin.
+    */
+  private[graft] def bitextMarginFrame(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("vec_id"), col("lang"))
     val e = Tables.embeddings(spark, sfDir)
@@ -4120,15 +4127,19 @@ object ExtensionQueries {
       .groupBy("qid").agg(avg(col("cos")).as("ax"))
     val ay = ranked.filter(col("rc") <= MarginK)
       .groupBy("cid").agg(avg(col("cos")).as("ay"))
-    // per-query argmax as ONE hash agg (max_by on the lexicographic
-    // (margin, -cid) struct ≡ row_number over (margin desc, cid asc)
-    // = 1) instead of a third full sort of the pair frame
     ranked.select("qid", "cid", "clang", "cos")
       .join(broadcast(ax), Seq("qid"))
       .join(broadcast(ay), Seq("cid"))
       .withColumn("margin",
         when(col("ax") + col("ay") > 0,
           col("cos") / ((col("ax") + col("ay")) / 2)).otherwise(lit(0.0)))
+  }
+
+  def x144_bitext_mining(spark: SparkSession, sfDir: String): DataFrame =
+    // per-query argmax as ONE hash agg (max_by on the lexicographic
+    // (margin, -cid) struct ≡ row_number over (margin desc, cid asc)
+    // = 1) instead of a third full sort of the pair frame
+    bitextMarginFrame(spark, sfDir)
       .groupBy("qid")
       .agg(max_by(
         struct(col("cid"), col("clang"), col("cos"), col("margin")),
@@ -4138,7 +4149,6 @@ object ExtensionQueries {
         round(col("best.cos"), 6).as("cos"),
         round(col("best.margin"), 6).as("margin"))
       .orderBy("query_id")
-  }
 
   val x144Sql: String =
     s"""WITH d AS (SELECT doc_id AS vec_id, lang FROM documents),
@@ -4248,6 +4258,79 @@ object ExtensionQueries {
         round(col("best.margin"), 6).as("margin"))
       .orderBy("query_id")
   }
+
+  // ======================================================================
+  // x146: BITEXT PAIR EXTRACTION — the mining OUTPUT policy the x144
+  // argmax alone doesn't give: a parallel-corpus builder keeps a pair
+  // only when (a) it is MUTUAL-best — the candidate is its query's
+  // margin argmax AND the query is that candidate's margin argmax
+  // (Artetxe & Schwenk 2019's "intersection" strategy: forward-only
+  // extraction lets one hub candidate win many queries, shipping the
+  // same target sentence in thousands of pairs) — and (b) its margin
+  // clears the global extraction threshold (1.06, the operating
+  // point the paper reports and CCMatrix-scale pipelines ship). The
+  // threshold compares the ROUNDED margin (the x127 convention:
+  // cross-engine ulp noise at the boundary must not flip inclusion);
+  // ranking stays on the unrounded margin with vec_id tiebreaks
+  // (x144's convention). Shapes: the shared margin frame + two
+  // max_by hash aggs (one per direction) + one bounded equi-join of
+  // the two argmax dimensions — no third sort of the pair frame.
+  // Fully SQL-expressible → hash-checked oracle.
+  private val BitextThreshold = 1.06
+
+  def x146_bitext_extract(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = bitextMarginFrame(spark, sfDir)
+    val fwd = m.groupBy("qid")
+      .agg(max_by(
+        struct(col("cid"), col("clang"), col("cos"), col("margin")),
+        struct(col("margin"), (-col("cid")).as("tb"))).as("best"))
+      .select(col("qid"), col("best.cid").as("cid"),
+        col("best.clang").as("clang"), col("best.cos").as("cos"),
+        col("best.margin").as("margin"))
+    val rev = m.groupBy("cid")
+      .agg(max_by(col("qid"),
+        struct(col("margin"), (-col("qid")).as("tb"))).as("best_qid"))
+    fwd.join(rev, Seq("cid"))
+      .filter(col("qid") === col("best_qid") &&
+        round(col("margin"), 6) >= BitextThreshold)
+      .select(col("qid").as("query_id"), col("cid").as("match_id"),
+        col("clang").as("match_lang"),
+        round(col("cos"), 6).as("cos"),
+        round(col("margin"), 6).as("margin"))
+      .orderBy("query_id")
+  }
+
+  val x146Sql: String =
+    s"""WITH d AS (SELECT doc_id AS vec_id, lang FROM documents),
+       |e AS (SELECT em.vec_id, d.lang, em.embedding::DOUBLE[] AS v
+       |  FROM embeddings em JOIN d USING (vec_id)),
+       |pe AS (SELECT vec_id AS qid, v AS qv FROM e WHERE lang = 'en'),
+       |px AS (SELECT vec_id AS cid, lang AS clang, v AS cv
+       |  FROM e WHERE lang <> 'en'),
+       |s AS (SELECT qid, cid, clang,
+       |  list_cosine_similarity(qv, cv) AS cos FROM pe, px),
+       |r AS (SELECT *,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rq,
+       |  row_number() OVER (PARTITION BY cid ORDER BY cos DESC, qid) AS rc
+       |  FROM s),
+       |ax AS (SELECT qid, avg(cos) AS ax FROM r WHERE rq <= $MarginK GROUP BY qid),
+       |ay AS (SELECT cid, avg(cos) AS ay FROM r WHERE rc <= $MarginK GROUP BY cid),
+       |m AS (SELECT r.qid, r.cid, r.clang, r.cos,
+       |  CASE WHEN ax.ax + ay.ay > 0
+       |    THEN r.cos / ((ax.ax + ay.ay) / 2) ELSE 0.0 END AS margin
+       |  FROM r JOIN ax USING (qid) JOIN ay USING (cid)),
+       |fb AS (SELECT qid, cid, clang, cos, margin FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY qid
+       |     ORDER BY margin DESC, cid) AS rf FROM m) WHERE rf = 1),
+       |rb AS (SELECT qid, cid FROM
+       |  (SELECT qid, cid, row_number() OVER (PARTITION BY cid
+       |     ORDER BY margin DESC, qid) AS rr FROM m) WHERE rr = 1)
+       |SELECT fb.qid AS query_id, fb.cid AS match_id,
+       |  fb.clang AS match_lang, round(fb.cos, 6) AS cos,
+       |  round(fb.margin, 6) AS margin
+       |FROM fb JOIN rb ON fb.qid = rb.qid AND fb.cid = rb.cid
+       |WHERE round(fb.margin, 6) >= $BitextThreshold
+       |ORDER BY query_id""".stripMargin
 
   // ======================================================================
   // x142: C4 line-level cleaning rules (Raffel et al. 2020 §2.2) —
@@ -6926,6 +7009,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x143_matryoshka_recall" -> (x143_matryoshka_recall _),
     "x144_bitext_mining" -> (x144_bitext_mining _),
     "x145_bitext_mining_ann" -> (x145_bitext_mining_ann _),
+    "x146_bitext_extract" -> (x146_bitext_extract _),
     // rows-only (BPE encode not SQL-expressible — the x87 convention):
     // accuracy contract is BpeSpec's regroup-of-x87 replay
     "x130_bpe_fertility" -> (x130_bpe_fertility _),
@@ -7063,6 +7147,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x142_c4_line_rules" -> x142Sql,
     "x143_matryoshka_recall" -> x143Sql,
     "x144_bitext_mining" -> x144Sql,
+    "x146_bitext_extract" -> x146Sql,
     "x94_soft_sample" -> x94Sql,
     "x78_fuzzy_pairs" -> x78Sql,
     "x80_mixture_weights" -> x80Sql,

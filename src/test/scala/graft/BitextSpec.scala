@@ -82,6 +82,43 @@ class BitextSpec extends AnyFunSuite with SparkSpec {
       s"ANN-served margin must also demote the hub: $annTiny")
   }
 
+  test("pair extraction: mutuality excludes the hub even above threshold") {
+    // x146's two gates pull different weight on this geometry: the
+    // hub's margin (~1.85) CLEARS the 1.06 extraction threshold, so
+    // only the mutual-best rule can keep it out of the corpus — the
+    // hub is some query's runner-up everywhere but nobody's mutual
+    // argmax (its own best query's best match is that query's true
+    // translation). The three planted pairs extract; the hub ships in
+    // NO pair. Same fixture as the margin test above.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bitext_x146")
+      .toString
+    val docs = Seq(
+      (1L, "en"), (2L, "en"), (3L, "en"), (4L, "en"),
+      (11L, "de"), (12L, "de"), (13L, "de"), (14L, "de"))
+      .map { case (id, l) => (id, s"doc $id", l, "fixture", 6L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val embs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f, 0f)),
+      (4L, Array(0f, 0f, 0f, 1f, 0f)),
+      (11L, Array(0.6f, 0f, 0f, 0f, 0.8f)),
+      (12L, Array(0f, 0.6f, 0f, 0f, 0.8f)),
+      (13L, Array(0f, 0f, 0.6f, 0f, 0.8f)),
+      (14L, Array(0.75f, 0.4f, 0.4f, 0.35f, 0f))) // the hub
+      .map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    embs.write.parquet(s"$dir/embeddings.parquet")
+
+    val pairs = ExtensionQueries.x146_bitext_extract(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs === Map(1L -> 11L, 2L -> 12L, 3L -> 13L),
+      s"extraction must keep exactly the mutual planted pairs: $pairs")
+    assert(!pairs.values.exists(_ == 14L),
+      "the hub must never ship in an extracted pair")
+  }
+
   test("ANN-served mining recalls >= 0.9 of the exact leg's matches") {
     // round-13 verdict ask #1's done-criterion. A 40+40 planted-pair
     // fixture where the ANN path is genuinely approximate: √40 → 7

@@ -120,7 +120,16 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
       s"feedback doc ids not pushed into the forward scan:\n$p")
   }
 
-  test("x144 bitext: en shard broadcast, text column never read, no scalar UDF") {
+  test("x144/x146 bitext: en shard broadcast, text column never read, no scalar UDF") {
+    for (df <- Seq(
+        graft.queries.ExtensionQueries.x144_bitext_mining(spark, sf),
+        graft.queries.ExtensionQueries.x146_bitext_extract(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct") &&
+        !p.toLowerCase.contains("scalaudf"),
+        s"bitext shard-pair shape broken:\n$p")
+    }
     val p = plan(graft.queries.ExtensionQueries.x144_bitext_mining(spark, sf))
     // the shard-pair product is the DECLARED shape (one broadcast
     // nested-loop per shard pair, CCMatrix's sharding) — what must
