@@ -175,5 +175,24 @@ class BitextSpec extends AnyFunSuite with SparkSpec {
     val agree = exact.keys.count(q => ann.get(q).contains(exact(q)))
     assert(agree.toDouble / exact.size >= 0.9,
       s"ANN leg recalled only $agree/${exact.size} of the exact matches")
+
+    // artifact freshness (the WhitenedIvf contract): a regenerated
+    // embeddings table must republish the pair, never serve the stale
+    // quantizers — memo cleared to simulate a fresh session
+    val root = graft.ml.Bm25Index.artifactRoot("bitext", dir)
+    val v1 = graft.sources.VersionedStore.latestVersion(root).get
+    graft.ml.BitextAnn.clear(dir)
+    val same = graft.ml.BitextAnn.loadOrPublish(spark, dir)
+    assert(graft.sources.VersionedStore.latestVersion(root).get === v1,
+      "unchanged source must serve the published version, not rebuild")
+    assert(same.x.centroids.count() === 7L)
+    graft.ml.BitextAnn.clear(dir)
+    (enVecs ++ deVecs).map { case (id, v) => (id, v.map(_ * 2.0f), 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    graft.Caches.clear(dir)
+    graft.ml.BitextAnn.loadOrPublish(spark, dir)
+    assert(graft.sources.VersionedStore.latestVersion(root).get > v1,
+      "regenerated embeddings must republish the two-sided artifact")
   }
 }
