@@ -308,7 +308,7 @@ object Bench {
     // regression; (b) a throwing probe publishes NEGATIVE seconds
     // (the warm pass's failed convention), never a plausible-looking
     // time for a query that didn't run.
-    Seq("bm25", "ivfpq", "bm25p", "whiten", "whivf", "bitext").foreach { kind =>
+    graft.ml.Bm25Index.artifactKinds.foreach { kind =>
       val p = new org.apache.hadoop.fs.Path(
         graft.ml.Bm25Index.artifactRoot(kind, sfDir))
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)

@@ -662,8 +662,7 @@ object Pipeline {
           // the doc_id-clustered forward projection of the same rows,
           // so release-time PRF point-fetches feedback docs instead of
           // scanning the token-clustered posting (the saveIndex twin)
-          "lexical_forward" -> lexIx.posting.repartition(col("doc_id"))
-            .sortWithinPartitions("doc_id"),
+          "lexical_forward" -> graft.ml.Bm25Index.forwardOf(lexIx.posting),
           "lexical_df" -> lexIx.df,
           "lexical_consts" -> lexIx.consts,
           "budget_plan" -> budgetPlan,

@@ -60,12 +60,17 @@ object ScaleBlowup {
     // must land in the artifact-served band (round-13 ask #1)
     "x144_bitext_mining", "x145_bitext_mining_ann")
 
+  /** Bumped whenever the replica scheme changes semantics — a reused
+    * directory generated under a DIFFERENT scheme must regenerate, not
+    * silently serve (round-14 review: the bare existence check would
+    * have kept a pre-offset-fix directory with colliding replica ids).
+    */
+  private val SchemeVersion = 2
+
   private[graft] def blowup(spark: SparkSession, src: String, out: String,
       factor: Int): Unit = {
     val outPath = new org.apache.hadoop.fs.Path(out)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet")))
-      return // deterministic: same inputs -> same blowup; reuse
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val embs = spark.read.parquet(s"$src/embeddings.parquet")
     // Replica-id offset derived from the OBSERVED max id, never a
@@ -77,6 +82,21 @@ object ScaleBlowup {
       docs.agg(max(col("doc_id"))).head.getLong(0),
       embs.agg(max(col("vec_id"))).head.getLong(0))
     val off = math.max(10000000L, maxId + 1)
+    // reuse ONLY a directory whose marker proves the same scheme,
+    // factor, and derived offset produced it; anything else (including
+    // a pre-marker directory) regenerates from scratch
+    val marker = new org.apache.hadoop.fs.Path(s"$out/_BLOWUP_SCHEME")
+    val want = s"v$SchemeVersion factor=$factor off=$off"
+    val fresh =
+      try {
+        val in = fs.open(marker)
+        val got = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        got == want &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
+      } catch { case _: Exception => false }
+    if (fresh) return // deterministic: same inputs -> same blowup
+    fs.delete(outPath, true)
     // replica k circular-shifts by k mod dim with ONE negation past
     // the wrap, so k >= 2*dim would repeat replica k-2*dim exactly —
     // duplicate vectors measure dup-rate, not scale
@@ -120,6 +140,10 @@ object ScaleBlowup {
           new org.apache.hadoop.fs.Path(s"$out/$n"), false, true,
           spark.sparkContext.hadoopConfiguration)
       }
+    // marker LAST: a crashed generation leaves no marker and the next
+    // run regenerates instead of serving a half-written directory
+    val outMark = fs.create(marker, true)
+    try outMark.write(want.getBytes("UTF-8")) finally outMark.close()
   }
 
   private def timed(spark: SparkSession, dir: String, q: String): Double = {
@@ -134,7 +158,7 @@ object ScaleBlowup {
     */
   private[graft] def measure(spark: SparkSession,
       dir: String): (Seq[(String, Double)], Seq[(String, Double)]) = {
-    Seq("bm25", "ivfpq", "bm25p", "whiten", "whivf", "bitext").foreach { kind =>
+    graft.ml.Bm25Index.artifactKinds.foreach { kind =>
       val p = new org.apache.hadoop.fs.Path(
         graft.ml.Bm25Index.artifactRoot(kind, dir))
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)

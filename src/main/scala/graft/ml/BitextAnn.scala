@@ -47,11 +47,14 @@ object BitextAnn {
   /** Side-sized list count: k ≈ √N (the IvfIndex 100 TB contract),
     * floored so tiny fixtures still quantize, capped so the bounded
     * k·256 training sample and the driver-side Lloyd's stay O(MB).
+    * All arithmetic in Long — the final min against n must happen
+    * BEFORE narrowing, or a side past Int.MaxValue vectors would wrap
+    * to a negative k (the result is ≤ 64, so the toInt is safe).
     */
-  private[ml] def listsFor(n: Long): Int =
-    math.min(64L, math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong))
-      .toInt
-      .min(if (n > 0) n.toInt else 1)
+  private[ml] def listsFor(n: Long): Int = {
+    val cap = math.min(64L, math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong))
+    math.max(1L, math.min(cap, n)).toInt
+  }
 
   /** Publish-or-load the two-sided index for a dataset — the
     * WhitenedIvf.loadOrPublish twin. The fingerprint covers BOTH

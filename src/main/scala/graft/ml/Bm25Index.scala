@@ -133,8 +133,7 @@ object Bm25Index {
       Map(
         "posting" -> ix.posting.repartition(col("token"))
           .sortWithinPartitions("token"),
-        "forward" -> ix.posting.repartition(col("doc_id"))
-          .sortWithinPartitions("doc_id"),
+        "forward" -> forwardOf(ix.posting),
         "df" -> ix.df,
         "consts" -> ix.consts),
       root)
@@ -149,8 +148,7 @@ object Bm25Index {
       Map(
         "posting" -> ix.posting.repartition(col("token"))
           .sortWithinPartitions("token"),
-        "forward" -> ix.posting.repartition(col("doc_id"))
-          .sortWithinPartitions("doc_id"),
+        "forward" -> forwardOf(ix.posting),
         "df" -> ix.df,
         "consts" -> ix.consts,
         "meta" -> Seq(graft.Tables.fileFingerprint(spark, sfDir, "documents"))
@@ -244,6 +242,22 @@ object Bm25Index {
         }
         load(spark, root)
       })
+
+  /** Every per-dataset artifact kind the harnesses must delete for a
+    * deterministic cold probe (Bench and ScaleBlowup share this ONE
+    * list — a kind added to only one harness would measure a warm
+    * artifact as cold in the other).
+    */
+  private[graft] val artifactKinds: Seq[String] =
+    Seq("bm25", "ivfpq", "bm25p", "whiten", "whivf", "bitext")
+
+  /** The doc_id-clustered forward projection of a posting frame — ONE
+    * definition for every publisher (saveIndex / save /
+    * loadOrPublishOf / the Pipeline snapshot), so the forward layout
+    * can never drift between artifacts by publisher.
+    */
+  private[graft] def forwardOf(posting: DataFrame): DataFrame =
+    posting.repartition(col("doc_id")).sortWithinPartitions("doc_id")
 
   /** Canonical per-dataset artifact root under the JVM temp dir. */
   private[graft] def artifactRoot(kind: String, sfDir: String): String = {

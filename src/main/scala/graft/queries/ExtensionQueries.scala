@@ -4238,9 +4238,16 @@ object ExtensionQueries {
     val ay = graft.ml.IvfIndex.search(sides.en, revQ,
         nProbe = nProbe, topK = MarginK)
       .groupBy(col("query_id").as("cid")).agg(avg(col("cos")).as("ay"))
+    // ax covers every qid in fwd by construction (it aggregates fwd's
+    // own rows), but ay comes from a SEPARATE probe: a candidate whose
+    // nProbe en lists are all empty yields no reverse rows, and an
+    // inner join would silently drop its pairs. Left join + fall back
+    // to the query-side normalizer (margin ≈ cos/ax) so the candidate
+    // stays rankable instead of vanishing.
     val best = fwd.select("qid", "cid", "cos")
       .join(broadcast(ax), Seq("qid"))
-      .join(broadcast(ay), Seq("cid"))
+      .join(broadcast(ay), Seq("cid"), "left")
+      .withColumn("ay", coalesce(col("ay"), col("ax")))
       .withColumn("margin",
         when(col("ax") + col("ay") > 0,
           col("cos") / ((col("ax") + col("ay")) / 2)).otherwise(lit(0.0)))

@@ -114,6 +114,12 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     // feedback ids pushed into the parquet scan — not a linear pass
     // over the token-clustered posting. executedPlan (not sparkPlan):
     // PushedFilters render at the scan layer.
+    // the artifact must actually SHIP the forward projection — the
+    // pushed filter alone also matches a posting-fallback scan
+    // (In(doc_id) pushes into whichever parquet byDoc resolves to,
+    // it just can't prune the token-clustered layout)
+    assert(graft.ml.Bm25Index.loadOrPublish(spark, sf).forward.nonEmpty,
+      "published bm25 artifact is missing its forward table")
     val p = graft.queries.ExtensionQueries.x102_prf_expansion(spark, sf)
       .queryExecution.executedPlan.toString
     assert("PushedFilters: \\[[^\\]]*In\\(doc_id".r.findFirstIn(p).nonEmpty,
@@ -121,32 +127,27 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("x144/x146 bitext: en shard broadcast, text column never read, no scalar UDF") {
+    // the shard-pair product is the DECLARED shape (one broadcast
+    // nested-loop per shard pair, CCMatrix's sharding) — what must
+    // never appear is an unbroadcast cartesian, a UDF, or a corpus
+    // tokenize; and the documents scan supplies ONLY (doc_id, lang) —
+    // mining never reads text, so the corpus-width column stays on
+    // disk (the ReadSchema check the brief calls out)
     for (df <- Seq(
         graft.queries.ExtensionQueries.x144_bitext_mining(spark, sf),
         graft.queries.ExtensionQueries.x146_bitext_extract(spark, sf))) {
       val p = plan(df)
-      assert(p.contains("BroadcastNestedLoopJoin") &&
-        !p.contains("CartesianProduct") &&
-        !p.toLowerCase.contains("scalaudf"),
-        s"bitext shard-pair shape broken:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"en shard is not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"unbroadcast product:\n$p")
+      assert(!p.toLowerCase.contains("scalaudf") &&
+        !p.contains("BatchEvalPython"), s"UDF in bitext plan:\n$p")
+      val docScans = "ReadSchema: [^\\n]*".r.findAllIn(p)
+        .filter(_.contains("lang")).toSeq
+      assert(docScans.nonEmpty, s"no documents scan found:\n$p")
+      docScans.foreach(s => assert(!s.contains("text"),
+        s"bitext plan reads the text column it never uses: $s"))
     }
-    val p = plan(graft.queries.ExtensionQueries.x144_bitext_mining(spark, sf))
-    // the shard-pair product is the DECLARED shape (one broadcast
-    // nested-loop per shard pair, CCMatrix's sharding) — what must
-    // never appear is an unbroadcast cartesian or a corpus tokenize
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"en shard is not broadcast:\n$p")
-    assert(!p.contains("CartesianProduct"), s"unbroadcast product:\n$p")
-    assert(!p.toLowerCase.contains("scalaudf") && !p.contains("BatchEvalPython"),
-      s"UDF in x144 plan:\n$p")
-    // column pruning: the documents scan supplies ONLY (doc_id, lang)
-    // — mining never reads text, so the corpus-width column stays on
-    // disk (the ReadSchema check the brief calls out)
-    val docScans = "ReadSchema: [^\\n]*".r.findAllIn(p)
-      .filter(_.contains("lang")).toSeq
-    assert(docScans.nonEmpty, s"no documents scan found:\n$p")
-    docScans.foreach(s => assert(!s.contains("text"),
-      s"x144 reads the text column it never uses: $s"))
   }
 
   test("q34 ko/ar tokenizer dispatch is a pure projection (no UDF, no pre-sort shuffle)") {

@@ -67,6 +67,24 @@ class ScaleBlowupSpec extends AnyFunSuite with SparkSpec {
     val docsB2 = spark.read.parquet(s"$out2/documents.parquet")
     assert(docsB.exceptAll(docsB2).count() === 0L &&
       docsB2.exceptAll(docsB).count() === 0L)
+
+    // reuse is marker-gated (round-14 review: a bare existence check
+    // would serve a directory generated under an OLD replica scheme):
+    // a matching marker short-circuits; a mismatched one regenerates
+    val markerPath = java.nio.file.Paths.get(out2, "_BLOWUP_SCHEME")
+    val goodMarker = java.nio.file.Files.readAllBytes(markerPath)
+    ScaleBlowup.blowup(spark, sf, out2, 3) // matching marker → reuse
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(markerPath), goodMarker))
+    java.nio.file.Files.write(markerPath,
+      "v0 factor=3 off=1".getBytes("UTF-8"))
+    ScaleBlowup.blowup(spark, sf, out2, 3) // stale scheme → regenerate
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(markerPath), goodMarker),
+      "regeneration must restore the current scheme marker")
+    val docsB3 = spark.read.parquet(s"$out2/documents.parquet")
+    assert(docsB.exceptAll(docsB3).count() === 0L &&
+      docsB3.exceptAll(docsB).count() === 0L)
   }
 
   test("measured families are declared queries in cold-dependency order") {
