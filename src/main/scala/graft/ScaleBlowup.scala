@@ -57,36 +57,37 @@ object ScaleBlowup {
     // ~quadratically in SHARD size by design (the cost ceiling a
     // shard-size knob would cap); x145 is the ANN-served fix — a
     // fixed query batch against the published two-sided index, which
-    // must land in the artifact-served band (round-13 ask #1)
-    "x144_bitext_mining", "x145_bitext_mining_ann")
+    // must land in the artifact-served band (round-13 ask #1).
+    // x146 is the exact extraction truth leg (x144's pair-frame shape
+    // — its exponent documents the cost ceiling, round-14 ask #2);
+    // x147 is its ANN-served fix riding the artifact x145 warms
+    "x144_bitext_mining", "x145_bitext_mining_ann",
+    "x146_bitext_extract", "x147_bitext_extract_ann")
 
   /** Bumped whenever the replica scheme changes semantics — a reused
     * directory generated under a DIFFERENT scheme must regenerate, not
     * silently serve (round-14 review: the bare existence check would
     * have kept a pre-offset-fix directory with colliding replica ids).
+    * v3: the marker pins the SOURCE fingerprints instead of the derived
+    * id offset (round-14 advice: a regenerated source whose max id
+    * happened to be unchanged would silently serve the stale blowup;
+    * the fingerprint is the repo's artifact-freshness convention and —
+    * being metadata-only — lets the fresh fast path skip every scan).
     */
-  private val SchemeVersion = 2
+  private val SchemeVersion = 3
 
   private[graft] def blowup(spark: SparkSession, src: String, out: String,
       factor: Int): Unit = {
     val outPath = new org.apache.hadoop.fs.Path(out)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val docs = spark.read.parquet(s"$src/documents.parquet")
-    val embs = spark.read.parquet(s"$src/embeddings.parquet")
-    // Replica-id offset derived from the OBSERVED max id, never a
-    // fixed constant (round-13 advice: source ids >= 1e7 would
-    // silently collide across replicas). doc_id and vec_id share ONE
-    // offset because the tables join on id (x144's docs⋈embeddings);
-    // per-table offsets would misalign every replica's lang metadata.
-    val maxId = math.max(
-      docs.agg(max(col("doc_id"))).head.getLong(0),
-      embs.agg(max(col("vec_id"))).head.getLong(0))
-    val off = math.max(10000000L, maxId + 1)
     // reuse ONLY a directory whose marker proves the same scheme,
-    // factor, and derived offset produced it; anything else (including
-    // a pre-marker directory) regenerates from scratch
+    // factor, and SOURCE CONTENT (Tables.fileFingerprint — metadata
+    // only, so the fast path touches no table data) produced it;
+    // anything else (including a pre-marker directory) regenerates
     val marker = new org.apache.hadoop.fs.Path(s"$out/_BLOWUP_SCHEME")
-    val want = s"v$SchemeVersion factor=$factor off=$off"
+    val srcFp = graft.Tables.fileFingerprint(spark, src, "documents") +
+      ":" + graft.Tables.fileFingerprint(spark, src, "embeddings")
+    val want = s"v$SchemeVersion factor=$factor src=$srcFp"
     val fresh =
       try {
         val in = fs.open(marker)
@@ -97,6 +98,19 @@ object ScaleBlowup {
       } catch { case _: Exception => false }
     if (fresh) return // deterministic: same inputs -> same blowup
     fs.delete(outPath, true)
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val embs = spark.read.parquet(s"$src/embeddings.parquet")
+    // Replica-id offset derived from the OBSERVED max id, never a
+    // fixed constant (round-13 advice: source ids >= 1e7 would
+    // silently collide across replicas). doc_id and vec_id share ONE
+    // offset because the tables join on id (x144's docs⋈embeddings);
+    // per-table offsets would misalign every replica's lang metadata.
+    // Not part of the marker: the fingerprint already pins the source
+    // content the offset is a pure function of.
+    val maxId = math.max(
+      docs.agg(max(col("doc_id"))).head.getLong(0),
+      embs.agg(max(col("vec_id"))).head.getLong(0))
+    val off = math.max(10000000L, maxId + 1)
     // replica k circular-shifts by k mod dim with ONE negation past
     // the wrap, so k >= 2*dim would repeat replica k-2*dim exactly —
     // duplicate vectors measure dup-rate, not scale
@@ -184,7 +198,7 @@ object ScaleBlowup {
     * documents count must equal the funnel arithmetic.
     */
   private def pipelineLeg(spark: SparkSession, dir: String,
-      batteries: Boolean): String = {
+      batteries: Boolean, requirePublished: Boolean = false): String = {
     val store = java.nio.file.Files
       .createTempDirectory("graft_blowup_pipe").toString + "/store"
     val t0 = System.nanoTime()
@@ -197,6 +211,11 @@ object ScaleBlowup {
       r.droppedContaminated - r.prunedSemantic
     require(published == expected,
       s"funnel does not reconcile: published=$published expected=$expected $r")
+    // the battery-variant leg must prove a battery-gated publish WORKS
+    // at scale, not merely that the empty-edge arithmetic reconciles
+    // (round-14 ask #4: the all-synthetic corpus published zero)
+    require(!requirePublished || published > 0,
+      s"battery leg published an empty corpus: $r")
     s"""{"pipeline":"${if (batteries) "batteries" else "base"}",""" +
       s""""dir":"$dir","secs":${math.rint(secs * 10) / 10},""" +
       s""""kept":${r.kept},"held_out":${r.heldOutEval},""" +
@@ -207,6 +226,121 @@ object ScaleBlowup {
       s""""dropped_contaminated":${r.droppedContaminated},""" +
       s""""published":$published,"sequences":${r.sequences},""" +
       s""""packed_tokens":${r.packedTokens},"reconciles":true}"""
+  }
+
+  /** A blown-up corpus VARIANT whose battery funnel is non-degenerate
+    * (round-14 verdict ask #4): the synthetic blowup text never clears
+    * Gopher's 50-word floor, so the ruleBatteries pipeline leg used to
+    * publish an EMPTY corpus at 10× — proving the scan runs and the
+    * empty-edge arithmetic reconciles, not that a battery-gated
+    * publish works at scale. This plants a deterministic COMPLIANT
+    * stratum on top of the blown corpus: docs engineered to clear
+    * every published operating point (≥50 words across 6
+    * terminal-punctuated 11-word lines, ≥2 distinct Gopher stopwords,
+    * mean word length in [3,10], all-alphabetic words, no
+    * braces/ellipses/bullets/lorem), each line carrying a per-doc
+    * unique token so near-dup banding keeps the stratum distinct, and
+    * matching hash-seeded embeddings so the vector/pack stages see
+    * them. Deterministic by construction — no RNG, no clock.
+    */
+  private[graft] def batteryVariant(spark: SparkSession, bigDir: String,
+      out: String, nPlanted: Int = 200): Unit = {
+    import spark.implicits._
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(outPath, true)
+    val docs = spark.read.parquet(s"$bigDir/documents.parquet")
+    val embs = spark.read.parquet(s"$bigDir/embeddings.parquet")
+    val base = math.max(
+      docs.agg(max(col("doc_id"))).head.getLong(0),
+      embs.agg(max(col("vec_id"))).head.getLong(0)) + 1
+    // 5 of these are Gopher required-stopwords (the/and/that/have/with)
+    val bank = Seq(
+      "the", "and", "that", "have", "with", "this", "from", "they",
+      "mountain", "river", "forest", "valley", "garden", "window",
+      "journey", "evening", "morning", "harvest", "lantern", "meadow",
+      "quiet", "steady", "bright", "gentle")
+    def plantedText(i: Int): String =
+      (0 until 6).map { line =>
+        val words = (0 until 10)
+          .map(j => bank((i * 7 + line * 5 + j) % bank.size))
+        (words :+ s"tag${i}line$line").mkString(" ") + "."
+      }.mkString("\n")
+    val planted = (0 until nPlanted).map { i =>
+      val t = plantedText(i)
+      (base + i, t, "en", "planted", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+    val dim = embs.select(size(col("embedding"))).head.getInt(0)
+    // splitmix-style hash → [-1, 1] floats (the BitextSpec fixture
+    // convention): deterministic, directionally distinct per doc
+    def mix(seed: Long, d: Int): Float = {
+      var x = seed * 1000003L + d.toLong * 7919L + 12345L
+      x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL; x ^= (x >>> 33)
+      (((x & 0xffffffL).toDouble / 0xffffffL.toDouble) * 2 - 1).toFloat
+    }
+    val plantedEmb = (0 until nPlanted).map { i =>
+      (base + i, Array.tabulate(dim)(d => mix(base + i, d)), 0)
+    }.toDF("vec_id", "embedding", "label")
+    embs.unionByName(plantedEmb).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+    val srcPath = new org.apache.hadoop.fs.Path(bigDir)
+    fs.listStatus(srcPath).filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName)
+      .filterNot(n => n == "documents.parquet" || n == "embeddings.parquet")
+      .foreach { n =>
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(s"$bigDir/$n"), fs,
+          new org.apache.hadoop.fs.Path(s"$out/$n"), false, true,
+          spark.sparkContext.hadoopConfiguration)
+      }
+  }
+
+  /** Full-sweep mining reconciliation at 1× (round-14 verdict ask #3):
+    * the x145 comment claims full-corpus mining is "this query over
+    * successive batches, embarrassingly parallel" — this leg MEASURES
+    * it. Every en doc is swept through the ANN serving path in
+    * x145-sized batches against the published two-sided artifact, the
+    * union of per-batch argmaxes is compared against x144's full
+    * exact answer (match recall), and the sweep's wall clock is
+    * compared against batches × a single batch's warm cost (the
+    * embarrassingly-parallel claim: no super-batch term). One JSON
+    * line; the numbers land in SCALE.md.
+    */
+  private def sweepLeg(spark: SparkSession, dir: String,
+      batchSize: Int = 32): String = {
+    val sides = graft.ml.BitextAnn.loadOrPublish(spark, dir)
+    // warm the serving path once (JIT + artifact load), then time one
+    // representative batch
+    SparkEntry.queries("x145_bitext_mining_ann")(spark, dir).count()
+    val perBatch = timed(spark, dir, "x145_bitext_mining_ann")
+    val enIds = sides.en.assigned.select("vec_id").orderBy("vec_id")
+      .collect().map(_.getLong(0))
+    val t0 = System.nanoTime()
+    val mined = enIds.grouped(batchSize).flatMap { batch =>
+      val q = sides.en.assigned.filter(col("vec_id").isin(batch: _*))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      graft.queries.ExtensionQueries.bitextMineAnn(sides, q)
+        .select("query_id", "match_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+    }.toMap
+    val sweepSecs = (System.nanoTime() - t0) / 1e9
+    val exact = SparkEntry.queries("x144_bitext_mining")(spark, dir)
+      .select("query_id", "match_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(mined.keySet == exact.keySet,
+      s"sweep lost queries: mined=${mined.size} exact=${exact.size}")
+    val agree = exact.count { case (q, m) => mined.get(q).contains(m) }
+    val recall = agree.toDouble / exact.size
+    val batches = (enIds.length + batchSize - 1) / batchSize
+    s"""{"sweep":"bitext","dir":"$dir","queries":${enIds.length},""" +
+      s""""batches":$batches,"batch_size":$batchSize,""" +
+      s""""per_batch_warm":${math.rint(perBatch * 1000) / 1000},""" +
+      s""""sweep_secs":${math.rint(sweepSecs * 10) / 10},""" +
+      s""""cost_vs_linear":${
+        math.rint(sweepSecs / (batches * perBatch) * 100) / 100},""" +
+      s""""recall_vs_exact":${math.rint(recall * 1000) / 1000}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -228,9 +362,22 @@ object ScaleBlowup {
     val big = s"$work/x$factor"
     blowup(spark, src, big, factor)
     if (flags("--pipeline")) {
-      // funnel-at-scale mode: the two pipeline legs, nothing else
+      // funnel-at-scale mode: the base leg on the blown corpus, the
+      // battery leg on its planted-compliant variant (round-14 ask #4:
+      // on the all-synthetic corpus the battery leg published zero —
+      // a degenerate proof; the variant's stratum must survive the
+      // batteries, so published > 0 is REQUIRED there)
       println(pipelineLeg(spark, big, batteries = false))
-      println(pipelineLeg(spark, big, batteries = true))
+      val variant = s"$work/x${factor}_battery"
+      batteryVariant(spark, big, variant)
+      println(pipelineLeg(spark, variant, batteries = true,
+        requirePublished = true))
+      spark.stop()
+      return
+    }
+    if (flags("--sweep")) {
+      // full-sweep mining reconciliation at 1× (see sweepLeg)
+      println(sweepLeg(spark, src))
       spark.stop()
       return
     }

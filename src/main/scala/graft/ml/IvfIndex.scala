@@ -229,9 +229,13 @@ object IvfIndex {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", VecMath.cosine(col("qv"), col("v")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    // cos is UNROUNDED here (round-14 advice): downstream margin
+    // arithmetic (bitextMineAnn) must run on the same basis as the
+    // exact truth leg; serving queries round at their own output
+    // projection (the x144 convention — see searchTopK).
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
       .select(col("query_id"), col("rn"), col("vec_id"), col("list_id"),
-        round(col("cos"), 6).as("cos"))
+        col("cos"))
       .orderBy("query_id", "rn")
   }
 
@@ -240,6 +244,9 @@ object IvfIndex {
     val index = build(spark, sfDir, k)
     val queries = index.assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // the SERVING projection rounds (x21's output contract); search
+    // itself stays unrounded for margin arithmetic downstream
     search(index, queries, nProbe, topK)
+      .withColumn("cos", round(col("cos"), 6))
   }
 }

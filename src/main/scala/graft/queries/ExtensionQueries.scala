@@ -4215,38 +4215,61 @@ object ExtensionQueries {
     bitextMineAnn(sides, queries)
   }
 
-  /** The ANN-served margin-mining core over an explicit query batch —
-    * split out so BitextSpec can run the FULL en pool of its planted
-    * fixture through the exact code path x145 serves.
+  /** The shared ANN-served frames BOTH bitext policies score — the
+    * serving-path twin of [[bitextMarginFrame]]'s "one frame, two
+    * policies" factoring: forward en→x candidate lists (`fwd`), the
+    * query-side normalizer (`ax`), the candidates' reverse x→en lists
+    * (`rev`), and the candidate-side normalizer (`ay`) — all from
+    * bounded probes of the published two-sided artifact, never a pair
+    * product. `rev` runs at full candidate depth so the reverse ARGMAX
+    * (x147's mutuality check) and the reverse top-MarginK average
+    * (x145's ay) come from ONE probe. Every cos here is UNROUNDED
+    * (IvfIndex.search's round-14 contract), the same basis as the
+    * exact truth legs.
     */
-  private[graft] def bitextMineAnn(sides: graft.ml.BitextAnn.Sides,
-      queries: DataFrame, nProbe: Int = 4): DataFrame = {
+  private final case class BitextAnnFrames(fwd: DataFrame, ax: DataFrame,
+      rev: DataFrame, ay: DataFrame)
+
+  private def bitextAnnFrames(sides: graft.ml.BitextAnn.Sides,
+      queries: DataFrame, nProbe: Int, candK: Int): BitextAnnFrames = {
     val fwd = graft.ml.IvfIndex.search(sides.x, queries,
-        nProbe = nProbe, topK = BitextCandK)
+        nProbe = nProbe, topK = candK)
       .select(col("query_id").as("qid"), col("vec_id").as("cid"),
         col("rn"), col("cos"))
     // query-side normalizer: avg of the top-MarginK forward neighbors
     val ax = fwd.filter(col("rn") <= MarginK)
       .groupBy("qid").agg(avg(col("cos")).as("ax"))
-    // candidate-side normalizer: ONLY the candidates' reverse lists —
-    // a bounded set (≤ queries × BitextCandK ids), point-fetched from
-    // the persisted x-side assigned frame
+    // the candidates' reverse lists — a bounded set (≤ queries × candK
+    // ids), point-fetched from the persisted x-side assigned frame
     val revQ = sides.x.assigned
       .join(fwd.select(col("cid").as("vec_id")).distinct(), Seq("vec_id"),
         "left_semi")
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val ay = graft.ml.IvfIndex.search(sides.en, revQ,
-        nProbe = nProbe, topK = MarginK)
-      .groupBy(col("query_id").as("cid")).agg(avg(col("cos")).as("ay"))
-    // ax covers every qid in fwd by construction (it aggregates fwd's
-    // own rows), but ay comes from a SEPARATE probe: a candidate whose
-    // nProbe en lists are all empty yields no reverse rows, and an
-    // inner join would silently drop its pairs. Left join + fall back
-    // to the query-side normalizer (margin ≈ cos/ax) so the candidate
-    // stays rankable instead of vanishing.
-    val best = fwd.select("qid", "cid", "cos")
-      .join(broadcast(ax), Seq("qid"))
-      .join(broadcast(ay), Seq("cid"), "left")
+    val rev = graft.ml.IvfIndex.search(sides.en, revQ,
+        nProbe = nProbe, topK = candK)
+      .select(col("query_id").as("cid"), col("vec_id").as("eid"),
+        col("rn"), col("cos"))
+    val ay = rev.filter(col("rn") <= MarginK)
+      .groupBy("cid").agg(avg(col("cos")).as("ay"))
+    BitextAnnFrames(fwd, ax, rev, ay)
+  }
+
+  /** Per-query forward margin argmax over the ANN frames — x145's
+    * policy, and the forward half of x147's mutuality check. Returns
+    * one (qid, best{cid, cos, margin}) row per query, margins
+    * UNROUNDED (rounding is the serving projection's job).
+    *
+    * ax covers every qid in fwd by construction (it aggregates fwd's
+    * own rows), but ay comes from a SEPARATE probe: a candidate whose
+    * nProbe en lists are all empty yields no reverse rows, and an
+    * inner join would silently drop its pairs. Left join + fall back
+    * to the query-side normalizer (margin ≈ cos/ax) so the candidate
+    * stays rankable instead of vanishing.
+    */
+  private def bitextForwardBest(f: BitextAnnFrames): DataFrame =
+    f.fwd.select("qid", "cid", "cos")
+      .join(broadcast(f.ax), Seq("qid"))
+      .join(broadcast(f.ay), Seq("cid"), "left")
       .withColumn("ay", coalesce(col("ay"), col("ax")))
       .withColumn("margin",
         when(col("ax") + col("ay") > 0,
@@ -4254,6 +4277,16 @@ object ExtensionQueries {
       .groupBy("qid")
       .agg(max_by(struct(col("cid"), col("cos"), col("margin")),
         struct(col("margin"), (-col("cid")).as("tb"))).as("best"))
+
+  /** The ANN-served margin-mining core over an explicit query batch —
+    * split out so BitextSpec can run the FULL en pool of its planted
+    * fixture through the exact code path x145 serves.
+    */
+  private[graft] def bitextMineAnn(sides: graft.ml.BitextAnn.Sides,
+      queries: DataFrame, nProbe: Int = 4,
+      candK: Int = BitextCandK): DataFrame = {
+    val best = bitextForwardBest(
+      bitextAnnFrames(sides, queries, nProbe, candK))
     // the lang dimension is corpus-sized — broadcast the BOUNDED
     // result side (one row per query), stream the dimension
     broadcast(best)
@@ -4338,6 +4371,94 @@ object ExtensionQueries {
        |FROM fb JOIN rb ON fb.qid = rb.qid AND fb.cid = rb.cid
        |WHERE round(fb.margin, 6) >= $BitextThreshold
        |ORDER BY query_id""".stripMargin
+
+  // ======================================================================
+  // x147: ANN-SERVED bitext pair extraction — x146's policy (mutual
+  // margin argmax + the 1.06 rounded-margin threshold) composed over
+  // the two-sided artifact x145 already probes, instead of the exact
+  // all-pairs margin frame (round-14 verdict ask #1: x146 was the
+  // suite's last unbounded pair-product consumer — correct, but the
+  // very shape x145 was built to escape). x146 stays the oracle truth
+  // leg, exactly as x144 does for x145.
+  //
+  // Composition (three bounded probes, no pair product anywhere):
+  //   forward en→x lists  → candidates + ax + the forward margin
+  //                          argmax (shared with x145 via
+  //                          bitextForwardBest)
+  //   reverse x→en lists  → ay AND the reverse argmax domain: for each
+  //                          candidate, which en doc is its best match
+  //   third probe en→x    → ax for every en id ON a reverse list (a
+  //                          bounded set, ≤ candidates × BitextCandK):
+  //                          the reverse ranking cos/((ax_e+ay_c)/2)
+  //                          varies per en id through ax_e, so a plain
+  //                          cos-argmax would NOT be x146's policy
+  // A pair ships iff the forward best's query is also the candidate's
+  // reverse best (mutuality — the hub killer) and its ROUNDED margin
+  // clears the threshold (the x127 boundary convention). A candidate
+  // with NO reverse rows is vacuously mutual (the x145 ay-fallback
+  // philosophy: absence of probe evidence must not veto a pair the
+  // exact leg would keep); BitextSpec gates pair recall vs x146 and
+  // re-asserts hub exclusion through this path.
+  def x147_bitext_extract_ann(spark: SparkSession, sfDir: String): DataFrame = {
+    val sides = graft.ml.BitextAnn.loadOrPublish(spark, sfDir)
+    val queries = sides.en.assigned
+      .select(col("vec_id"), col("v")).orderBy("vec_id")
+      .limit(BitextAnnQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    bitextExtractAnn(sides, queries)
+  }
+
+  /** The ANN-served extraction core over an explicit query batch —
+    * split out (the bitextMineAnn convention) so BitextSpec can drive
+    * its full fixture pools through the exact code path x147 serves.
+    */
+  private[graft] def bitextExtractAnn(sides: graft.ml.BitextAnn.Sides,
+      queries: DataFrame, nProbe: Int = 4,
+      candK: Int = BitextCandK): DataFrame = {
+    val f = bitextAnnFrames(sides, queries, nProbe, candK)
+    val fbest = bitextForwardBest(f)
+      .select(col("qid"), col("best.cid").as("cid"),
+        col("best.cos").as("cos"), col("best.margin").as("margin"))
+    // ax for every en id on a reverse list — the third bounded probe
+    // (≤ candidates × candK distinct ids), point-fetched from the
+    // persisted en-side assigned frame; its value for a batch query
+    // equals the fwd-derived ax by construction (same probe, same
+    // top-MarginK average), so the two frames never disagree
+    val revEnQ = sides.en.assigned
+      .join(f.rev.select(col("eid").as("vec_id")).distinct(), Seq("vec_id"),
+        "left_semi")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val axr = graft.ml.IvfIndex.search(sides.x, revEnQ,
+        nProbe = nProbe, topK = MarginK)
+      .groupBy(col("query_id").as("eid")).agg(avg(col("cos")).as("axr"))
+    // reverse margin argmax per candidate: x146's rev leg, served from
+    // the candidate's own k-NN list; axr's left-join fallback mirrors
+    // bitextForwardBest's ay fallback (an en id whose x lists are all
+    // empty still ranks, by margin ≈ cos/ay)
+    val rbest = f.rev.select("cid", "eid", "cos")
+      .join(broadcast(f.ay), Seq("cid"))
+      .join(broadcast(axr), Seq("eid"), "left")
+      .withColumn("axr", coalesce(col("axr"), col("ay")))
+      .withColumn("rmargin",
+        when(col("axr") + col("ay") > 0,
+          col("cos") / ((col("axr") + col("ay")) / 2)).otherwise(lit(0.0)))
+      .groupBy("cid")
+      .agg(max_by(col("eid"),
+        struct(col("rmargin"), (-col("eid")).as("tb"))).as("best_eid"))
+    // mutuality + threshold on the BOUNDED per-query frame, then the
+    // corpus-sized lang dimension streams against the broadcast result
+    broadcast(fbest
+        .join(rbest, Seq("cid"), "left")
+        .filter(col("qid") === coalesce(col("best_eid"), col("qid")) &&
+          round(col("margin"), 6) >= BitextThreshold))
+      .join(sides.xLang.select(col("vec_id"), col("lang").as("match_lang")),
+        col("cid") === col("vec_id"))
+      .select(col("qid").as("query_id"), col("cid").as("match_id"),
+        col("match_lang"),
+        round(col("cos"), 6).as("cos"),
+        round(col("margin"), 6).as("margin"))
+      .orderBy("query_id")
+  }
 
   // ======================================================================
   // x142: C4 line-level cleaning rules (Raffel et al. 2020 §2.2) —
@@ -7017,6 +7138,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     "x144_bitext_mining" -> (x144_bitext_mining _),
     "x145_bitext_mining_ann" -> (x145_bitext_mining_ann _),
     "x146_bitext_extract" -> (x146_bitext_extract _),
+    "x147_bitext_extract_ann" -> (x147_bitext_extract_ann _),
     // rows-only (BPE encode not SQL-expressible — the x87 convention):
     // accuracy contract is BpeSpec's regroup-of-x87 replay
     "x130_bpe_fertility" -> (x130_bpe_fertility _),

@@ -117,46 +117,70 @@ class BitextSpec extends AnyFunSuite with SparkSpec {
       s"extraction must keep exactly the mutual planted pairs: $pairs")
     assert(!pairs.values.exists(_ == 14L),
       "the hub must never ship in an extracted pair")
+
+    // the ANN-served leg (x147's path) on the same tiny geometry:
+    // 4 lists per side, nProbe=4 probes them all — candidate and
+    // reverse lists are exhaustive, so the mutual-best + threshold
+    // policy must reproduce x146's output EXACTLY through the
+    // three-probe serving arithmetic (incl. hub exclusion: the hub's
+    // margin clears 1.06 here too, so only the reverse argmax can
+    // keep it out)
+    val sides = graft.ml.BitextAnn.loadOrPublish(spark, dir)
+    val annPairs = ExtensionQueries.bitextExtractAnn(sides,
+      sides.en.assigned.select(col("vec_id").as("query_id"),
+        col("v").as("qv")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(annPairs === pairs,
+      s"ANN-served extraction must match the exact leg exhaustively: $annPairs")
   }
 
-  test("ANN-served mining recalls >= 0.9 of the exact leg's matches") {
-    // round-13 verdict ask #1's done-criterion. A 40+40 planted-pair
-    // fixture where the ANN path is genuinely approximate: √40 → 7
-    // lists per side, nProbe=4 probes 4/7 — candidate lists are
-    // partial, unlike the exhaustive tiny fixture above. Deterministic
-    // throughout (sin-seeded vectors, hash-sampled Lloyd's).
-    val dim = 16
-    val nPairs = 40
-    // splitmix-style integer hash → [-1, 1]: sin-seeded components
-    // have near-periods (97·16 ≈ 247·2π collides seeds 16 apart)
-    def mix(seed: Int, d: Int): Double = {
-      var x = seed.toLong * 1000003L + d.toLong * 7919L + 12345L
-      x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL; x ^= (x >>> 33)
-      ((x & 0xffffffL).toDouble / 0xffffffL.toDouble) * 2 - 1
-    }
-    def unit(seed: Int): Array[Float] = {
-      val v = Array.tabulate(dim)(d => mix(seed, d))
-      val n = math.sqrt(v.map(x => x * x).sum)
-      v.map(x => (x / n).toFloat)
-    }
-    val enVecs = (0 until nPairs).map(i => i.toLong -> unit(i))
+  // 40+40 planted-pair fixture where the ANN path is genuinely
+  // approximate: √40 → 7 lists per side, nProbe=4 probes 4/7 —
+  // candidate lists are partial, unlike the exhaustive tiny fixtures
+  // above. Deterministic throughout (hash-seeded vectors, hash-sampled
+  // Lloyd's). Shared by the recall gate and the operating-point
+  // ladder, each under its own dir (artifact roots key on the dir).
+  private val nPairs = 40
+  private val fixDim = 16
+  // splitmix-style integer hash → [-1, 1]: sin-seeded components
+  // have near-periods (97·16 ≈ 247·2π collides seeds 16 apart)
+  private def mix(seed: Int, d: Int): Double = {
+    var x = seed.toLong * 1000003L + d.toLong * 7919L + 12345L
+    x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL; x ^= (x >>> 33)
+    ((x & 0xffffffL).toDouble / 0xffffffL.toDouble) * 2 - 1
+  }
+  private def unit(seed: Int): Array[Float] = {
+    val v = Array.tabulate(fixDim)(d => mix(seed, d))
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(x => (x / n).toFloat)
+  }
+  private def plantedVecs: Seq[(Long, Array[Float], String)] = {
+    val enVecs = (0 until nPairs).map(i => (i.toLong, unit(i), "en"))
     val deVecs = (0 until nPairs).map { j =>
       val e = enVecs(j)._2
       val noise = unit(1000 + j)
       val mixed = e.zip(noise).map { case (a, b) => 0.75f * a + 0.25f * b }
       val n = math.sqrt(mixed.map(x => x * x).sum.toDouble).toFloat
-      (100L + j) -> mixed.map(_ / n)
+      (100L + j, mixed.map(_ / n), "de")
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft_bitext_ann")
-      .toString
-    (enVecs.map { case (id, _) => (id, "en") } ++
-      deVecs.map { case (id, _) => (id, "de") })
-      .map { case (id, l) => (id, s"doc $id", l, "fixture", 6L) }
+    enVecs ++ deVecs
+  }
+  private def plantFixture(tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(tag).toString
+    plantedVecs
+      .map { case (id, _, l) => (id, s"doc $id", l, "fixture", 6L) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
-    (enVecs ++ deVecs).map { case (id, v) => (id, v, 0) }
+    plantedVecs.map { case (id, v, _) => (id, v, 0) }
       .toDF("vec_id", "embedding", "label")
       .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("ANN-served mining recalls >= 0.9 of the exact leg's matches") {
+    // round-13 verdict ask #1's done-criterion (fixture: see
+    // plantFixture above).
+    val dir = plantFixture("graft_bitext_ann")
 
     val exact = ExtensionQueries.x144_bitext_mining(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -176,6 +200,47 @@ class BitextSpec extends AnyFunSuite with SparkSpec {
     assert(agree.toDouble / exact.size >= 0.9,
       s"ANN leg recalled only $agree/${exact.size} of the exact matches")
 
+    // x147's done-criterion (round-14 verdict ask #1): the ANN-served
+    // EXTRACTION must recall >= 0.9 of x146's exact pairs through the
+    // same partial probe. The fixture must actually extract (a mined
+    // match is only a PAIR once mutual-best + threshold agree) or the
+    // gate is vacuous.
+    val exactPairs = ExtensionQueries.x146_bitext_extract(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exactPairs.size >= nPairs / 2,
+      s"fixture must extract a substantial pair set: ${exactPairs.size}")
+    val enPool = sides.en.assigned.select(col("vec_id").as("query_id"),
+      col("v").as("qv"))
+    val annPairs = ExtensionQueries.bitextExtractAnn(sides, enPool)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairAgree = exactPairs.count { case (q, c) =>
+      annPairs.get(q).contains(c) }
+    assert(pairAgree.toDouble / exactPairs.size >= 0.9,
+      s"ANN extraction recalled only $pairAgree/${exactPairs.size} pairs")
+
+    // the "embarrassingly parallel sweep" claim, measured (round-14
+    // verdict ask #3, spec leg): every per-query quantity (fwd list,
+    // ax, each candidate's rev list / ay / reverse argmax, each
+    // reverse en id's axr) depends only on ITS OWN probes, so a
+    // batched sweep's union must equal the full-pool run ROW FOR ROW
+    // — for both the mining and the extraction policy. Batch size 8
+    // over 40 queries = 5 genuinely separate batches.
+    val enIds = enPool.select("query_id").collect().map(_.getLong(0)).sorted
+    def swept(core: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Seq[org.apache.spark.sql.Row] =
+      enIds.grouped(8).flatMap { batch =>
+        core(enPool.filter(col("query_id").isin(batch: _*))).collect()
+      }.toSeq.sortBy(_.getLong(0))
+    val minedFull = ExtensionQueries.bitextMineAnn(sides, enPool)
+      .collect().toSeq.sortBy(_.getLong(0))
+    assert(swept(q => ExtensionQueries.bitextMineAnn(sides, q)) === minedFull,
+      "batched mining sweep must union to exactly the full-pool run")
+    val extractedFull = ExtensionQueries.bitextExtractAnn(sides, enPool)
+      .collect().toSeq.sortBy(_.getLong(0))
+    assert(swept(q => ExtensionQueries.bitextExtractAnn(sides, q))
+      === extractedFull,
+      "batched extraction sweep must union to exactly the full-pool run")
+
     // artifact freshness (the WhitenedIvf contract): a regenerated
     // embeddings table must republish the pair, never serve the stale
     // quantizers — memo cleared to simulate a fresh session
@@ -187,12 +252,48 @@ class BitextSpec extends AnyFunSuite with SparkSpec {
       "unchanged source must serve the published version, not rebuild")
     assert(same.x.centroids.count() === 7L)
     graft.ml.BitextAnn.clear(dir)
-    (enVecs ++ deVecs).map { case (id, v) => (id, v.map(_ * 2.0f), 0) }
+    plantedVecs.map { case (id, v, _) => (id, v.map(_ * 2.0f), 0) }
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     graft.Caches.clear(dir)
     graft.ml.BitextAnn.loadOrPublish(spark, dir)
     assert(graft.sources.VersionedStore.latestVersion(root).get > v1,
       "regenerated embeddings must republish the two-sided artifact")
+  }
+
+  test("operating point nProbe=4/candK=8 sits on a measured recall ladder") {
+    // round-14 verdict ask #5: x140 justifies its probe budget with a
+    // measured ladder; the bitext artifact's nProbe=4 / BitextCandK=8
+    // defaults get the same discipline. Recall here = share of x144's
+    // exact matches the ANN leg reproduces over the full 40-query
+    // pool of the partial-probe fixture (7 lists/side). The measured
+    // values land in SCALE.md §bitext operating point; the assertions
+    // pin only the SHAPE (shipped point holds the 0.9 floor, recall
+    // is not decreasing across the probe ladder) so a re-fit Lloyd's
+    // sample can't flake the suite on exact thirds.
+    val dir = plantFixture("graft_bitext_ladder")
+    val exact = ExtensionQueries.x144_bitext_mining(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sides = graft.ml.BitextAnn.loadOrPublish(spark, dir)
+    val enPool = sides.en.assigned
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    def recallAt(nProbe: Int, candK: Int): Double = {
+      val ann = ExtensionQueries.bitextMineAnn(sides, enPool, nProbe, candK)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      exact.keys.count(q => ann.get(q).contains(exact(q))).toDouble / exact.size
+    }
+    val probeLadder = Seq(1, 2, 4, 8).map(p => p -> recallAt(p, 8))
+    val kLadder = Seq(4, 8, 16).map(k => k -> recallAt(4, k))
+    info(s"recall vs nProbe (candK=8): " +
+      probeLadder.map { case (p, r) => f"P=$p $r%.2f" }.mkString(" / "))
+    info(s"recall vs candK (nProbe=4): " +
+      kLadder.map { case (k, r) => f"k=$k $r%.2f" }.mkString(" / "))
+    val byProbe = probeLadder.toMap
+    assert(byProbe(4) >= 0.9,
+      s"shipped operating point below the gate: ${byProbe(4)}")
+    assert(byProbe(8) >= byProbe(2) - 1e-9,
+      s"probe ladder inverted: $probeLadder")
+    val byK = kLadder.toMap
+    assert(byK(16) >= byK(4) - 1e-9, s"candK ladder inverted: $kLadder")
   }
 }

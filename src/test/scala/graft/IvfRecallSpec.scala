@@ -53,7 +53,11 @@ class IvfRecallSpec extends AnyFunSuite with SparkSpec {
     val loaded = graft.ml.IvfIndex.load(spark, root)
     val queries = loaded.assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val loadedRows = graft.ml.IvfIndex.search(loaded, queries).collect().toSeq
+    // search now returns the unrounded cosine (round-14 advice); apply
+    // x21's serving projection so the comparison is like-for-like
+    val loadedRows = graft.ml.IvfIndex.search(loaded, queries)
+      .withColumn("cos", org.apache.spark.sql.functions.round(col("cos"), 6))
+      .collect().toSeq
 
     assert(loadedRows === builtRows,
       "x21's result must be row-identical from the loaded artifact")

@@ -150,6 +150,19 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("x147 ANN extraction: bounded probes only — no pair product, no UDF") {
+    // the serving-shape contract: three bounded IVF probes plus
+    // broadcast joins of bounded frames — the only nested-loop joins
+    // allowed are the centroid probes (broadcast of the ≤64-row
+    // centroid dimension), never an unbroadcast product, and the
+    // corpus never meets itself pairwise
+    val p = plan(graft.queries.ExtensionQueries
+      .x147_bitext_extract_ann(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"unbroadcast product:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf") &&
+      !p.contains("BatchEvalPython"), s"UDF in x147 plan:\n$p")
+  }
+
   test("q34 ko/ar tokenizer dispatch is a pure projection (no UDF, no pre-sort shuffle)") {
     val p = plan(ReferenceQueries.q34_lang_tokens_koar(spark, sf))
     assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
