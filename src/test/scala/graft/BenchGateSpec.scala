@@ -209,6 +209,63 @@ class BenchGateSpec extends AnyFunSuite {
       assert(SparkEntry.queries.contains(s), s"sentinel $s is not a query"))
   }
 
+  test("familyWatch flags the committed-r14 shape the per-query gates missed") {
+    // the committed r14 artifact: run median 0.81, watch EMPTY (every
+    // family ratio under the 2.0x per-query watch bar, p90 1.359), yet
+    // the BM25 posting-scan family sat a uniform 1.4-1.9x over its
+    // pins — the documented steal-blind host epoch at sub-threshold
+    // amplitude, exonerated only by the driver's happenstance re-run
+    // (round-14 verdict ask #6). Measured per-query ratios from the
+    // verdict's recomputation; unlisted members at the band's middle.
+    val fam = Bench.epochFamily
+    val others = (1 to 30).map(i => f"q$i%02d" -> 1.0).toMap
+    val ledger = fam.map(_ -> 0.7).toMap ++ others
+    val famRatio = Map(
+      "x111_boolean" -> 1.88, "x106_phrase" -> 1.88, "x91_bm25" -> 1.51,
+      "x132_z_fusion" -> 1.46, "x92_hybrid_rrf" -> 1.42)
+    val times = fam.map(q => q -> 0.7 * famRatio.getOrElse(q, 1.55)).toMap ++
+      others.view.mapValues(_ * 0.81).toMap
+    // the per-query gates certify the run clean — the r14 failure mode
+    assert(Bench.watchlist(times, ledger).isEmpty)
+    assert(Bench.suspects(times, ledger).isEmpty)
+    // ...but 14 queries moving together ARE evidence: the family
+    // median (~1.55x vs the trend-clamped 1.4x bar) folds the whole
+    // family into the bracket's watch set
+    assert(Bench.familyWatch(times, ledger) === fam.sorted)
+  }
+
+  test("familyWatch stays quiet on clean, uniformly-slow, and sub-pin runs") {
+    val fam = Bench.epochFamily
+    val ledger = fam.map(_ -> 0.7).toMap ++
+      (1 to 30).map(i => f"q$i%02d" -> 1.0).toMap
+    // clean run: everything at its pin
+    assert(Bench.familyWatch(
+      ledger.view.mapValues(_ * 1.02).toMap, ledger).isEmpty)
+    // uniformly slower box: EVERYTHING 1.6x — the run's own median
+    // raises the bar; the family does not break from the trend
+    assert(Bench.familyWatch(
+      ledger.view.mapValues(_ * 1.6).toMap, ledger).isEmpty)
+    // sub-floor pins carry no evidence, whatever the ratio
+    val tinyLedger = fam.map(_ -> 0.1).toMap ++
+      (1 to 30).map(i => f"q$i%02d" -> 1.0).toMap
+    val tinyTimes = fam.map(_ -> 0.25).toMap ++
+      (1 to 30).map(i => f"q$i%02d" -> 1.0).toMap
+    assert(Bench.familyWatch(tinyTimes, tinyLedger).isEmpty)
+    // fewer than 3 pinned members is no family signal
+    val sparse = Map("x91_bm25" -> 0.7, "x106_phrase" -> 0.7,
+      "q01" -> 1.0, "q02" -> 1.0)
+    val sparseTimes = Map("x91_bm25" -> 1.4, "x106_phrase" -> 1.4,
+      "q01" -> 1.0, "q02" -> 1.0)
+    assert(Bench.familyWatch(sparseTimes, sparse).isEmpty)
+    // the family set itself must name real declared queries and keep
+    // the epoch sentinels inside it (an inflated sentinel is what lets
+    // the bracket call "host")
+    Bench.epochFamily.foreach(q =>
+      assert(SparkEntry.queries.contains(q), s"family member $q not a query"))
+    Bench.epochSentinels.foreach(s =>
+      assert(Bench.epochFamily.contains(s), s"sentinel $s outside family"))
+  }
+
   test("cold probes cover the memoized families and are real queries") {
     // round-10 ask #8: the artifact must carry first-touch timings for
     // the session-memoized entries whose pins are warm-path-only. The
