@@ -31,7 +31,12 @@ import org.apache.spark.sql.functions._
   *     read them, but Tables.load must find them).
   *
   * Usage: `runMain graft.ScaleBlowup <srcSfDir> <workDir> <factor>`
-  * (defaults: /root/testdata/sf0.1 /tmp/graft_blowup 10).
+  * (defaults: /root/testdata/sf0.1 /tmp/graft_blowup 10). Modes:
+  * no flag = the measured-families cold/warm table at 1× and N×;
+  * `--pipeline` = the funnel legs (base on the blown corpus, rule
+  * batteries on its planted-compliant variant, published > 0
+  * required); `--sweep` = the full bitext mining sweep reconciliation
+  * at 1× (see sweepLeg).
   */
 object ScaleBlowup {
 
@@ -254,17 +259,29 @@ object ScaleBlowup {
     val base = math.max(
       docs.agg(max(col("doc_id"))).head.getLong(0),
       embs.agg(max(col("vec_id"))).head.getLong(0)) + 1
-    // 5 of these are Gopher required-stopwords (the/and/that/have/with)
+    // Every gate the stratum must clear, by construction:
+    //  - x57 verdict: dup_frac ≤ 0.02 → a per-doc unique token at
+    //    every other position makes EVERY 3-gram contain one, so all
+    //    3-grams are distinct (dup_frac = 0) within and across docs;
+    //    quality ≥ 0.6 → 72 tokens, low stop ratio, avg token ≈ 6
+    //  - Gopher: 72 words ≥ 50; "the"/"and" give ≥2 required stops;
+    //    all words alphanumeric-with-letters; mean word len ~5-7
+    //  - C4: 6 lines, each ≥5 words ending in '.', no braces
+    //  - near-dup banding: shingles all carry unique tokens, so the
+    //    stratum never collapses into one cluster
     val bank = Seq(
-      "the", "and", "that", "have", "with", "this", "from", "they",
       "mountain", "river", "forest", "valley", "garden", "window",
       "journey", "evening", "morning", "harvest", "lantern", "meadow",
-      "quiet", "steady", "bright", "gentle")
+      "quiet", "steady", "bright", "gentle", "copper", "willow")
     def plantedText(i: Int): String =
       (0 until 6).map { line =>
-        val words = (0 until 10)
-          .map(j => bank((i * 7 + line * 5 + j) % bank.size))
-        (words :+ s"tag${i}line$line").mkString(" ") + "."
+        val toks = (0 until 10).flatMap { j =>
+          val w =
+            if (j == 0) "the" else if (j == 1) "and"
+            else bank((i * 5 + line * 7 + j) % bank.size)
+          Seq(w, s"u${i}x${line}y$j")
+        }
+        toks.mkString(" ") + "."
       }.mkString("\n")
     val planted = (0 until nPlanted).map { i =>
       val t = plantedText(i)
@@ -310,11 +327,14 @@ object ScaleBlowup {
     */
   private def sweepLeg(spark: SparkSession, dir: String,
       batchSize: Int = 32): String = {
+    import spark.implicits._
     val sides = graft.ml.BitextAnn.loadOrPublish(spark, dir)
-    // warm the serving path once (JIT + artifact load), then time one
-    // representative batch
+    // warm the serving path once (JIT + artifact load), then take the
+    // min of 3 single-batch timings (the Bench min-of-N convention —
+    // an inflated denominator would flatter cost_vs_linear)
     SparkEntry.queries("x145_bitext_mining_ann")(spark, dir).count()
-    val perBatch = timed(spark, dir, "x145_bitext_mining_ann")
+    val perBatch = (1 to 3)
+      .map(_ => timed(spark, dir, "x145_bitext_mining_ann")).min
     val enIds = sides.en.assigned.select("vec_id").orderBy("vec_id")
       .collect().map(_.getLong(0))
     val t0 = System.nanoTime()
@@ -333,6 +353,22 @@ object ScaleBlowup {
       s"sweep lost queries: mined=${mined.size} exact=${exact.size}")
     val agree = exact.count { case (q, m) => mined.get(q).contains(m) }
     val recall = agree.toDouble / exact.size
+    // argmax agreement alone under-reads an UNSTRUCTURED corpus (the
+    // synthetic embeddings are isotropic, so every query's candidates
+    // are near-ties and the argmax is probe-sensitive); the quality
+    // certificate is margin REGRET: price each ANN pick on the exact
+    // pair frame and compare with the exact argmax's margin — a ratio
+    // ≈ 1 means a disagreeing pick is a near-tie equivalent, not a
+    // miss (the fixture with real planted structure is where the
+    // ≥ 0.9 id-recall gate lives, BitextSpec).
+    val picks = mined.toSeq.toDF("qid", "cid")
+    val frame = graft.queries.ExtensionQueries.bitextMarginFrame(spark, dir)
+      .select("qid", "cid", "margin")
+    val annM = frame.join(broadcast(picks), Seq("qid", "cid"))
+      .select(col("qid"), col("margin").as("ann_margin"))
+    val bestM = frame.groupBy("qid").agg(max(col("margin")).as("best_margin"))
+    val regret = annM.join(bestM, Seq("qid"))
+      .agg(avg(col("ann_margin") / col("best_margin"))).head.getDouble(0)
     val batches = (enIds.length + batchSize - 1) / batchSize
     s"""{"sweep":"bitext","dir":"$dir","queries":${enIds.length},""" +
       s""""batches":$batches,"batch_size":$batchSize,""" +
@@ -340,7 +376,8 @@ object ScaleBlowup {
       s""""sweep_secs":${math.rint(sweepSecs * 10) / 10},""" +
       s""""cost_vs_linear":${
         math.rint(sweepSecs / (batches * perBatch) * 100) / 100},""" +
-      s""""recall_vs_exact":${math.rint(recall * 1000) / 1000}}"""
+      s""""recall_vs_exact":${math.rint(recall * 1000) / 1000},""" +
+      s""""margin_ratio_vs_exact":${math.rint(regret * 1000) / 1000}}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -144,6 +144,15 @@ class ScaleBlowupSpec extends AnyFunSuite with SparkSpec {
     val gopher = graft.queries.ExtensionQueries.gopherFlagsOf(planted)
     assert(gopher.filter(!col("gopher_pass")).count() === 0L,
       "every planted doc must clear the full Gopher conjunction")
+    // the battery funnel GATES ON the x57 verdict first — a stratum
+    // that passes Gopher but fails the verdict (the first variant's
+    // failure mode: rotating-bank text repeated 3-grams past
+    // dup_frac's 0.02 bar) still publishes empty
+    val verdict = graft.queries.ExtensionQueries
+      .x57_filter_verdict(spark, variant)
+      .join(planted.select("doc_id"), Seq("doc_id"), "left_semi")
+    assert(verdict.filter(!col("keep")).count() === 0L,
+      "every planted doc must clear the x57 verdict gate")
     val c4 = graft.queries.ExtensionQueries.c4LineRulesOf(planted)
     assert(c4.filter(!col("page_kept")).count() === 0L,
       "every planted doc must survive the C4 page rule")
