@@ -4419,13 +4419,21 @@ object ExtensionQueries {
     val fbest = bitextForwardBest(f)
       .select(col("qid"), col("best.cid").as("cid"),
         col("best.cos").as("cos"), col("best.margin").as("margin"))
-    // ax for every en id on a reverse list — the third bounded probe
-    // (≤ candidates × candK distinct ids), point-fetched from the
-    // persisted en-side assigned frame; its value for a batch query
-    // equals the fwd-derived ax by construction (same probe, same
-    // top-MarginK average), so the two frames never disagree
+    // mutuality is only ever CHECKED on forward-best pairs, so the
+    // reverse argmax — and the probe feeding it — restricts to the
+    // ≤ |queries| candidates that won a forward argmax, not every
+    // candidate on a list (≈ candK× fewer reverse en ids to price;
+    // identical output, the non-best candidates' reverse argmaxes
+    // were never read)
+    val revB = f.rev.select("cid", "eid", "cos")
+      .join(broadcast(fbest.select("cid")), Seq("cid"), "left_semi")
+    // ax for every en id on a CHECKED reverse list — the third bounded
+    // probe (≤ forward-best cids × candK distinct ids), point-fetched
+    // from the persisted en-side assigned frame; its value for a batch
+    // query equals the fwd-derived ax by construction (same probe,
+    // same top-MarginK average), so the two frames never disagree
     val revEnQ = sides.en.assigned
-      .join(f.rev.select(col("eid").as("vec_id")).distinct(), Seq("vec_id"),
+      .join(revB.select(col("eid").as("vec_id")).distinct(), Seq("vec_id"),
         "left_semi")
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val axr = graft.ml.IvfIndex.search(sides.x, revEnQ,
@@ -4435,7 +4443,7 @@ object ExtensionQueries {
     // the candidate's own k-NN list; axr's left-join fallback mirrors
     // bitextForwardBest's ay fallback (an en id whose x lists are all
     // empty still ranks, by margin ≈ cos/ay)
-    val rbest = f.rev.select("cid", "eid", "cos")
+    val rbest = revB
       .join(broadcast(f.ay), Seq("cid"))
       .join(broadcast(axr), Seq("eid"), "left")
       .withColumn("axr", coalesce(col("axr"), col("ay")))
