@@ -369,6 +369,33 @@ object ScaleBlowup {
     val bestM = frame.groupBy("qid").agg(max(col("margin")).as("best_margin"))
     val regret = annM.join(bestM, Seq("qid"))
       .agg(avg(col("ann_margin") / col("best_margin"))).head.getDouble(0)
+    // the EXTRACTION policy swept the same way (x147 vs the exact
+    // x146): extracted-pair id-recall plus the same margin-regret
+    // pricing on the ANN-extracted pairs — the serving story for the
+    // output a parallel-corpus builder actually ships
+    val tx0 = System.nanoTime()
+    val extracted = enIds.grouped(batchSize).flatMap { batch =>
+      val q = sides.en.assigned.filter(col("vec_id").isin(batch: _*))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      graft.queries.ExtensionQueries.bitextExtractAnn(sides, q)
+        .select("query_id", "match_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+    }.toMap
+    val extractSecs = (System.nanoTime() - tx0) / 1e9
+    val exactPairs = SparkEntry.queries("x146_bitext_extract")(spark, dir)
+      .select("query_id", "match_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairAgree = exactPairs.count { case (q, m) =>
+      extracted.get(q).contains(m) }
+    val pairRecall =
+      if (exactPairs.isEmpty) -1.0 else pairAgree.toDouble / exactPairs.size
+    val exRegret =
+      if (extracted.isEmpty) -1.0
+      else frame.join(broadcast(extracted.toSeq.toDF("qid", "cid")),
+          Seq("qid", "cid"))
+        .select(col("qid"), col("margin").as("ann_margin"))
+        .join(bestM, Seq("qid"))
+        .agg(avg(col("ann_margin") / col("best_margin"))).head.getDouble(0)
     val batches = (enIds.length + batchSize - 1) / batchSize
     s"""{"sweep":"bitext","dir":"$dir","queries":${enIds.length},""" +
       s""""batches":$batches,"batch_size":$batchSize,""" +
@@ -377,7 +404,12 @@ object ScaleBlowup {
       s""""cost_vs_linear":${
         math.rint(sweepSecs / (batches * perBatch) * 100) / 100},""" +
       s""""recall_vs_exact":${math.rint(recall * 1000) / 1000},""" +
-      s""""margin_ratio_vs_exact":${math.rint(regret * 1000) / 1000}}"""
+      s""""margin_ratio_vs_exact":${math.rint(regret * 1000) / 1000},""" +
+      s""""extract_sweep_secs":${math.rint(extractSecs * 10) / 10},""" +
+      s""""extract_pairs":${extracted.size},""" +
+      s""""exact_pairs":${exactPairs.size},""" +
+      s""""extract_pair_recall":${math.rint(pairRecall * 1000) / 1000},""" +
+      s""""extract_margin_ratio":${math.rint(exRegret * 1000) / 1000}}"""
   }
 
   def main(args: Array[String]): Unit = {
