@@ -52,7 +52,11 @@ import graft.streaming.Observe
   *      sequences (the x59 pack-then-chunk shape, survivor-only)
   *   8. publish masked documents + vectors + packing + vocabulary
   *      stats + the BPE tokenizer trained on exactly the published
-  *      text as ONE immutable multi-table snapshot version
+  *      text — plus, opt-in (`bitextRelease`), the extracted bitext
+  *      pairs mined from the raw crawl's language pools (the
+  *      ml/BitextAnn batch-release contract: the snapshot boundary is
+  *      where a parallel corpus is cut) — as ONE immutable
+  *      multi-table snapshot version
   *      (VersionedStore.publishAll) a training run can pin forever —
   *      vectors of v=N can never pair with packing of v=N-1, the text
   *      a model trains on is exactly the masked text in the same
@@ -72,7 +76,7 @@ object Pipeline {
       piiMaskedDocs: Long, vectorized: Long, sequences: Long,
       packedTokens: Long,
       droppedGopher: Long = 0L, droppedC4Pages: Long = 0L,
-      c4LinesDropped: Long = 0L)
+      c4LinesDropped: Long = 0L, bitextPairs: Long = 0L)
 
   /** The pre-gate corpus projection: PII-masked text with lang,
     * source, and the per-doc PII count — the frame steps 3-9 all
@@ -207,7 +211,8 @@ object Pipeline {
       maxBroadcastEvalGrams: Long = 50L * 1000 * 1000,
       qualityGate: Boolean = false, qualityMin: Double = 0.5,
       centralityCanonical: Boolean = false,
-      ruleBatteries: Boolean = false): Result = {
+      ruleBatteries: Boolean = false,
+      bitextRelease: Boolean = false): Result = {
     val docs = Tables.documents(spark, sfDir)
 
     // Funnel accounting beyond the four materializing counts rides the
@@ -648,10 +653,27 @@ object Pipeline {
       // must be answerable from the snapshot alone, not from job logs
       val runConfig = {
         import spark.implicits._
-        Seq((ruleBatteries, qualityGate, semanticDedup, centralityCanonical))
+        Seq((ruleBatteries, qualityGate, semanticDedup, centralityCanonical,
+          bitextRelease))
           .toDF("rule_batteries", "quality_gate", "semantic_dedup",
-            "centrality_canonical")
+            "centrality_canonical", "bitext_release")
       }
+      // 9e. OPTIONAL bitext pair release — the ml/BitextAnn maintenance
+      // contract's other half: mining is a BATCH-RELEASE operation, and
+      // the snapshot boundary is where a parallel corpus is cut. Pairs
+      // are mined over the RAW crawl (both language pools) rather than
+      // the published train corpus: the verdict gate keeps only en
+      // docs, and parallel-corpus extraction is a SIBLING product of
+      // the same crawl, not a downstream of the monolingual filters
+      // (CCMatrix ships beside, not inside, a monolingual release).
+      // The exact x146 policy cuts the pairs here (deterministic, the
+      // oracle-checked truth leg); the measured scale path for the
+      // same policy is the batched ANN sweep (SCALE.md r15: x147 pair
+      // recall 0.98 / margin ratio 1.0 on paired structure).
+      val bitextTable =
+        if (!bitextRelease) Map.empty[String, DataFrame]
+        else Map("bitext_pairs" ->
+          ExtensionQueries.x146_bitext_extract(spark, sfDir))
       val version = VersionedStore.publishAll(
         Map("documents" -> corpus, "vectors" -> vecs, "packing" -> packed,
           "run_config" -> runConfig,
@@ -668,7 +690,8 @@ object Pipeline {
           "budget_plan" -> budgetPlan,
           "curriculum_cuts" -> curriculumCuts,
           "mix_plan" -> mixPlan,
-          "source_kl" -> sourceKl) ++ qualityTable ++ ruleDropsTable,
+          "source_kl" -> sourceKl) ++ qualityTable ++ ruleDropsTable ++
+          bitextTable,
         storeRoot)
       // the lexical posting's and tokenize census's persists were
       // scoped to the publish window
@@ -689,11 +712,18 @@ object Pipeline {
         if (r.isNullAt(0)) 0L else r.getLong(0) + 1)
       val packedTokens = observedOr(packingObs)(r =>
         if (r.isNullAt(1)) 0L else r.getLong(1))
+      // read the pair count back from the PUBLISHED table (never a
+      // second extraction pass; a count on the written parquet is a
+      // footer read)
+      val nBitextPairs =
+        if (!bitextRelease) 0L
+        else VersionedStore.readTable(spark, storeRoot, version,
+          "bitext_pairs").count()
       Result(version, kept, heldOut, droppedLowQuality, prunedNearDup,
         strippedSegTokens,
         emptiedBySegClean, droppedContaminated,
         prunedSemantic, piiMaskedDocs, vectorized, sequences, packedTokens,
-        droppedGopher, droppedC4Pages, c4LinesDropped)
+        droppedGopher, droppedC4Pages, c4LinesDropped, nBitextPairs)
     } finally {
       Observe.release(spark, cap)
       Seq(keepIds, gopherMetrics, c4Clean, trainCorpus, qualCorpus, dedupSurv,

@@ -878,4 +878,63 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assertThrows[Exception](VersionedStore.readTable(spark,
       s"$dir/store_off", off.version, "rule_drops").collect())
   }
+
+  test("bitext release: the snapshot ships extracted pairs beside the train corpus") {
+    import spark.implicits._
+    // The ml/BitextAnn maintenance contract's release half: mining is
+    // a batch-release operation, cut at the snapshot boundary. Pairs
+    // come from the RAW crawl (both language pools) — the monolingual
+    // verdict keeps only en docs, and a parallel corpus is a SIBLING
+    // product of the same crawl, so the de docs below ship in pairs
+    // while never entering the train corpus. Embeddings: the
+    // BitextSpec hub geometry, so the shipped pairs have a known
+    // exact answer (1↔11, 2↔12, 3↔13; hub 14 excluded by mutuality).
+    def goodLine(seed: String, j: Int) =
+      s"the ${seed}w${j}a with ${seed}w${j}b ${seed}w${j}c."
+    def goodDoc(seed: String) =
+      (0 until 17).map(goodLine(seed, _)).mkString("\n")
+    val docs = (Seq(1L, 2L, 3L, 4L).map(i => (i, goodDoc(s"en$i"), "en")) ++
+      Seq(11L, 12L, 13L, 14L).map(i => (i, goodDoc(s"de$i"), "de")))
+      .map { case (id, t, l) => (id, t, l, "fixture", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bitext_rel")
+      .toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    Seq(
+      (1L, Array(1f, 0f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f, 0f)),
+      (4L, Array(0f, 0f, 0f, 1f, 0f)),
+      (11L, Array(0.6f, 0f, 0f, 0f, 0.8f)),
+      (12L, Array(0f, 0.6f, 0f, 0f, 0.8f)),
+      (13L, Array(0f, 0f, 0.6f, 0f, 0.8f)),
+      (14L, Array(0.75f, 0.4f, 0.4f, 0.35f, 0f))) // the hub
+      .map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+
+    val r = Pipeline.run(spark, dir, s"$dir/store", bitextRelease = true)
+    assert(r.bitextPairs === 3L, s"pair counter: $r")
+    val pairs = VersionedStore.readTable(spark, s"$dir/store", r.version,
+      "bitext_pairs").collect()
+      .map(rr => rr.getLong(0) -> rr.getLong(1)).toMap
+    assert(pairs === Map(1L -> 11L, 2L -> 12L, 3L -> 13L),
+      s"shipped pairs wrong: $pairs")
+    // the train corpus stays monolingual — the de pool ships ONLY in
+    // the pair table
+    val langs = VersionedStore.readTable(spark, s"$dir/store", r.version,
+      "documents").select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs === Set("en"), s"train corpus langs: $langs")
+    // which-stages-ran is answerable from the snapshot alone
+    assert(VersionedStore.readTable(spark, s"$dir/store", r.version,
+      "run_config").head.getAs[Boolean]("bitext_release"))
+    // an off-run snapshot carries NO pair table and a zero counter
+    val off = Pipeline.run(spark, dir, s"$dir/store_off")
+    assert(off.bitextPairs === 0L)
+    assert(!VersionedStore.readTable(spark, s"$dir/store_off", off.version,
+      "run_config").head.getAs[Boolean]("bitext_release"))
+    assertThrows[Exception](VersionedStore.readTable(spark,
+      s"$dir/store_off", off.version, "bitext_pairs").collect())
+  }
 }
