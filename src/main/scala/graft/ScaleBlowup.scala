@@ -88,10 +88,19 @@ object ScaleBlowup {
     // reuse ONLY a directory whose marker proves the same scheme,
     // factor, and SOURCE CONTENT (Tables.fileFingerprint — metadata
     // only, so the fast path touches no table data) produced it;
-    // anything else (including a pre-marker directory) regenerates
+    // anything else (including a pre-marker directory) regenerates.
+    // The fingerprint covers EVERY source table, not just the two the
+    // replica scheme transforms — the rest are copied verbatim into
+    // the blown directory, so a regenerated events/lineitem/... would
+    // otherwise serve stale through a matching marker (round-15
+    // review).
     val marker = new org.apache.hadoop.fs.Path(s"$out/_BLOWUP_SCHEME")
-    val srcFp = graft.Tables.fileFingerprint(spark, src, "documents") +
-      ":" + graft.Tables.fileFingerprint(spark, src, "embeddings")
+    val srcPath0 = new org.apache.hadoop.fs.Path(src)
+    val srcFp = fs.listStatus(srcPath0)
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+      .map(n => graft.Tables.fileFingerprint(spark, src,
+        n.stripSuffix(".parquet")))
+      .mkString(":")
     val want = s"v$SchemeVersion factor=$factor src=$srcFp"
     val fresh =
       try {
@@ -240,11 +249,12 @@ object ScaleBlowup {
     * empty-edge arithmetic reconciles, not that a battery-gated
     * publish works at scale. This plants a deterministic COMPLIANT
     * stratum on top of the blown corpus: docs engineered to clear
-    * every published operating point (≥50 words across 6
-    * terminal-punctuated 11-word lines, ≥2 distinct Gopher stopwords,
-    * mean word length in [3,10], all-alphabetic words, no
-    * braces/ellipses/bullets/lorem), each line carrying a per-doc
-    * unique token so near-dup banding keeps the stratum distinct, and
+    * every published operating point (120 words across 6
+    * terminal-punctuated 20-token lines, ≥2 distinct Gopher stopwords,
+    * mean word length in [3,10], every word carrying letters, no
+    * braces/ellipses/bullets/lorem, x57's dup_frac = 0 via a per-doc
+    * unique token in every 3-gram), which also keeps the stratum
+    * distinct under near-dup banding, with
     * matching hash-seeded embeddings so the vector/pack stages see
     * them. Deterministic by construction — no RNG, no clock.
     */
@@ -259,13 +269,15 @@ object ScaleBlowup {
     val base = math.max(
       docs.agg(max(col("doc_id"))).head.getLong(0),
       embs.agg(max(col("vec_id"))).head.getLong(0)) + 1
-    // Every gate the stratum must clear, by construction:
+    // Every gate the stratum must clear, by construction (6 lines ×
+    // 20 tokens = 120 words per doc):
     //  - x57 verdict: dup_frac ≤ 0.02 → a per-doc unique token at
     //    every other position makes EVERY 3-gram contain one, so all
     //    3-grams are distinct (dup_frac = 0) within and across docs;
-    //    quality ≥ 0.6 → 72 tokens, low stop ratio, avg token ≈ 6
-    //  - Gopher: 72 words ≥ 50; "the"/"and" give ≥2 required stops;
-    //    all words alphanumeric-with-letters; mean word len ~5-7
+    //    quality ≥ 0.6 → 120 tokens, low stop ratio, avg token ≈ 6
+    //  - Gopher: 120 words ≥ 50; "the"/"and" give ≥2 required stops;
+    //    every word alphanumeric WITH letters (the alpha rule needs a
+    //    letter, not letters-only); mean word len ~5-7
     //  - C4: 6 lines, each ≥5 words ending in '.', no braces
     //  - near-dup banding: shingles all carry unique tokens, so the
     //    stratum never collapses into one cluster
@@ -339,6 +351,13 @@ object ScaleBlowup {
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     require(en.nonEmpty, "paired variant needs a non-empty en pool")
+    // 1×-ONLY contract: the twins materialize on the driver (the
+    // bounded sf0.1-scale pool, ~1k vectors); a blown or larger source
+    // would need the batteryVariant-style distributed construction —
+    // refuse rather than GC-thrash (round-15 review)
+    require(en.length <= 100000,
+      s"pairedVariant is a 1×-scale measurement leg; en pool ${en.length} " +
+        "exceeds the driver-side twin budget")
     val off = math.max(10000000L,
       math.max(docs.agg(max(col("doc_id"))).head.getLong(0),
         embs.agg(max(col("vec_id"))).head.getLong(0)) + 1)
@@ -423,12 +442,17 @@ object ScaleBlowup {
     // ≈ 1 means a disagreeing pick is a near-tie equivalent, not a
     // miss (the fixture with real planted structure is where the
     // ≥ 0.9 id-recall gate lives, BitextSpec).
+    // the O(|en|·|x|) exact pair frame prices BOTH regret legs and the
+    // bestM dimension — persist it once for the leg's lifetime
+    // (round-15 review: unpersisted, the quadratic frame re-evaluated
+    // per derived job and dominated the tool's wall clock at N×)
     val picks = mined.toSeq.toDF("qid", "cid")
     val frame = graft.queries.ExtensionQueries.bitextMarginFrame(spark, dir)
-      .select("qid", "cid", "margin")
+      .select("qid", "cid", "margin").persist()
     val annM = frame.join(broadcast(picks), Seq("qid", "cid"))
       .select(col("qid"), col("margin").as("ann_margin"))
     val bestM = frame.groupBy("qid").agg(max(col("margin")).as("best_margin"))
+      .persist()
     val regret = annM.join(bestM, Seq("qid"))
       .agg(avg(col("ann_margin") / col("best_margin"))).head.getDouble(0)
     // the EXTRACTION policy swept the same way (x147 vs the exact
@@ -458,6 +482,8 @@ object ScaleBlowup {
         .select(col("qid"), col("margin").as("ann_margin"))
         .join(bestM, Seq("qid"))
         .agg(avg(col("ann_margin") / col("best_margin"))).head.getDouble(0)
+    frame.unpersist(false)
+    bestM.unpersist(false)
     val batches = (enIds.length + batchSize - 1) / batchSize
     s"""{"sweep":"bitext","dir":"$dir","queries":${enIds.length},""" +
       s""""batches":$batches,"batch_size":$batchSize,""" +
@@ -491,6 +517,24 @@ object ScaleBlowup {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val big = s"$work/x$factor"
+    // --sweep never reads the blown directory — generating it there
+    // would cost minutes of wall clock and N× disk for nothing
+    // (round-15 review), so the generation sits inside the two modes
+    // that measure it
+    if (flags("--sweep")) {
+      // full-sweep mining reconciliation at 1× (see sweepLeg); with
+      // --paired the sweep runs on the synthetic-twin variant instead,
+      // measuring recall where the corpus HAS translation structure
+      val dir =
+        if (flags("--paired")) {
+          val p = s"$work/paired"
+          pairedVariant(spark, src, p)
+          p
+        } else src
+      println(sweepLeg(spark, dir))
+      spark.stop()
+      return
+    }
     blowup(spark, src, big, factor)
     if (flags("--pipeline")) {
       // funnel-at-scale mode: the base leg on the blown corpus, the
@@ -503,20 +547,6 @@ object ScaleBlowup {
       batteryVariant(spark, big, variant)
       println(pipelineLeg(spark, variant, batteries = true,
         requirePublished = true))
-      spark.stop()
-      return
-    }
-    if (flags("--sweep")) {
-      // full-sweep mining reconciliation at 1× (see sweepLeg); with
-      // --paired the sweep runs on the synthetic-twin variant instead,
-      // measuring recall where the corpus HAS translation structure
-      val dir =
-        if (flags("--paired")) {
-          val p = s"$work/paired"
-          pairedVariant(spark, src, p)
-          p
-        } else src
-      println(sweepLeg(spark, dir))
       spark.stop()
       return
     }
