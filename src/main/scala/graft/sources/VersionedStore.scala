@@ -9,11 +9,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * snapshot 3" forever, while ingest keeps appending new snapshots).
   *
   * Layout: one immutable directory per version (`<root>/v=N/`), plus a
-  * tiny `_latest` marker file naming the current version. Readers of a
-  * pinned version touch exactly one directory; nothing is ever rewritten
-  * (writers only add `v=N+1`), so concurrent readers can't observe a
-  * half-replaced snapshot — the publish is the atomic rename of the
-  * marker's temp file. At 100 TB each snapshot is just a partitioned
+  * tiny `_latest` marker file naming the current version and one
+  * zero-byte `_claim_v=N` file per allocated version (the atomic
+  * claim that serializes concurrent publishers onto distinct numbers —
+  * see `claimVersion`). Readers of a pinned version touch exactly one
+  * directory; nothing is ever rewritten (writers only add `v=N+1`), so
+  * concurrent readers can't observe a half-replaced snapshot — the
+  * publish is the atomic rename of the marker's temp file. At 100 TB each snapshot is just a partitioned
   * parquet dataset; the versioning cost is one directory level. Full
   * Delta/Iceberg-style row-level time travel is out of scope — this is
   * the dependency-free snapshot recipe.
@@ -64,17 +66,69 @@ object VersionedStore {
       .flatMap(n => scala.util.Try(n.toLong).toOption)
   }
 
+  /** Versions some publisher has CLAIMED (`_claim_v=N` files at the
+    * root) — including claims whose data directory never landed (a
+    * crashed claimant). Allocation must skip them or a dead claim
+    * wedges the store on that number forever.
+    */
+  private def claimedVersions(root: String): Seq[Long] = {
+    val p = new Path(root)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(_.isFile)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("_claim_v=") =>
+        n.stripPrefix("_claim_v=") }
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+  }
+
+  /** Atomically claim a version number: exactly ONE publisher can
+    * create `<root>/_claim_v=N`, so two racers that both computed the
+    * same `next` can no longer BOTH pass Spark's ErrorIfExists
+    * existence check before either has created the directory and
+    * interleave their part files into one mixed snapshot (the TOCTOU
+    * VersionedStoreSpec's racing-publishers case caught live,
+    * round-15). The loser throws before writing any data;
+    * [[publishOrAdopt]] turns that into an adoption exactly like a
+    * lost `errorifexists` race. Atomicity per scheme: local files go
+    * through java.nio `createFile` (O_CREAT|O_EXCL — Hadoop's local
+    * `create(overwrite=false)` is itself check-then-create); HDFS-like
+    * filesystems use `create(overwrite=false)`, a single atomic
+    * namenode op.
+    */
+  private def claimVersion(root: String, v: Long): Unit = {
+    val p = new Path(root, s"_claim_v=$v")
+    val fs = fsOf(p)
+    val q = fs.makeQualified(p)
+    if (q.toUri.getScheme == "file") {
+      val local = java.nio.file.Paths.get(q.toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      java.nio.file.Files.createFile(local)
+      ()
+    } else fs.create(p, false).close()
+  }
+
+  /** Next version: above every published version, data directory, AND
+    * claim — orphan recovery for crashed writers and crashed claimants
+    * alike.
+    */
+  private def nextVersion(root: String): Long =
+    ((latestVersion(root).getOrElse(-1L) +: versionDirs(root)) ++
+      claimedVersions(root)).max + 1L
+
   /** Write `df` as the next snapshot and publish it; returns the new
     * version number. The next version is allocated above ALL existing
-    * `v=N` directories (orphan recovery — see object doc). The marker
-    * is written to a temp file then renamed with
-    * `FileContext.rename(OVERWRITE)`, which is atomic on HDFS and
-    * POSIX-local filesystems: a concurrent reader sees either the old
-    * or the new version, never a torn marker.
+    * `v=N` directories and claims (orphan recovery — see object doc)
+    * and CLAIMED atomically before any data is written (see
+    * [[claimVersion]]). The marker is written to a temp file then
+    * renamed with `FileContext.rename(OVERWRITE)`, which is atomic on
+    * HDFS and POSIX-local filesystems: a concurrent reader sees either
+    * the old or the new version, never a torn marker.
     */
   def publish(df: DataFrame, root: String): Long = {
-    val next =
-      (latestVersion(root).getOrElse(-1L) +: versionDirs(root)).max + 1L
+    val next = nextVersion(root)
+    claimVersion(root, next)
     df.write.mode("errorifexists").parquet(s"$root/v=$next")
     publishMarker(root, next)
     next
@@ -90,8 +144,8 @@ object VersionedStore {
     */
   def publishAll(dfs: Map[String, DataFrame], root: String): Long = {
     require(dfs.nonEmpty, "publishAll needs at least one table")
-    val next =
-      (latestVersion(root).getOrElse(-1L) +: versionDirs(root)).max + 1L
+    val next = nextVersion(root)
+    claimVersion(root, next)
     dfs.foreach { case (name, df) =>
       df.write.mode("errorifexists").parquet(s"$root/v=$next/$name")
     }
@@ -155,9 +209,13 @@ object VersionedStore {
           // our own failed multi-table publish can leave a partial
           // v=N orphan, which also reads as "rival in flight" — the
           // wait is then pointless but bounded by maxWaitMs, and
-          // correctness never depends on telling the two apart.
+          // correctness never depends on telling the two apart. A
+          // rival that has CLAIMED but not yet created its data
+          // directory counts too (the claim is now the first visible
+          // step of a publish).
           val rivalInFlight =
-            versionDirs(root).exists(_ > before.getOrElse(-1L))
+            (versionDirs(root) ++ claimedVersions(root))
+              .exists(_ > before.getOrElse(-1L))
           if (elapsedMs >= (if (rivalInFlight) maxWaitMs else quickWaitMs))
             throw e
           Thread.sleep(250)
@@ -210,7 +268,11 @@ object VersionedStore {
         val cutoff = latest - keepLast + 1
         val victims = versionDirs(root).filter(_ < cutoff).sorted
         val fs = fsOf(new Path(root))
-        victims.foreach(v => fs.delete(new Path(root, s"v=$v"), true))
+        victims.foreach { v =>
+          fs.delete(new Path(root, s"v=$v"), true)
+          fs.delete(new Path(root, s"_claim_v=$v"), false)
+          ()
+        }
         victims
     }
   }
