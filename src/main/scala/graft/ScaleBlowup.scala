@@ -449,10 +449,14 @@ object ScaleBlowup {
     val picks = mined.toSeq.toDF("qid", "cid")
     val frame = graft.queries.ExtensionQueries.bitextMarginFrame(spark, dir)
       .select("qid", "cid", "margin").persist()
-    val annM = frame.join(broadcast(picks), Seq("qid", "cid"))
-      .select(col("qid"), col("margin").as("ann_margin"))
     val bestM = frame.groupBy("qid").agg(max(col("margin")).as("best_margin"))
       .persist()
+    // unpersist in finally (the WhitenedIvf lost-race rule): a throw
+    // anywhere in the legs below must not leak the cached quadratic
+    // frame for the session lifetime (round-15 review)
+    try {
+    val annM = frame.join(broadcast(picks), Seq("qid", "cid"))
+      .select(col("qid"), col("margin").as("ann_margin"))
     val regret = annM.join(bestM, Seq("qid"))
       .agg(avg(col("ann_margin") / col("best_margin"))).head.getDouble(0)
     // the EXTRACTION policy swept the same way (x147 vs the exact
@@ -482,8 +486,6 @@ object ScaleBlowup {
         .select(col("qid"), col("margin").as("ann_margin"))
         .join(bestM, Seq("qid"))
         .agg(avg(col("ann_margin") / col("best_margin"))).head.getDouble(0)
-    frame.unpersist(false)
-    bestM.unpersist(false)
     val batches = (enIds.length + batchSize - 1) / batchSize
     s"""{"sweep":"bitext","dir":"$dir","queries":${enIds.length},""" +
       s""""batches":$batches,"batch_size":$batchSize,""" +
@@ -498,6 +500,10 @@ object ScaleBlowup {
       s""""exact_pairs":${exactPairs.size},""" +
       s""""extract_pair_recall":${math.rint(pairRecall * 1000) / 1000},""" +
       s""""extract_margin_ratio":${math.rint(exRegret * 1000) / 1000}}"""
+    } finally {
+      frame.unpersist(false)
+      bestM.unpersist(false)
+    }
   }
 
   def main(args: Array[String]): Unit = {

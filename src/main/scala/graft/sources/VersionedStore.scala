@@ -54,34 +54,33 @@ object VersionedStore {
     }
   }
 
-  /** All `v=N` directories under the root, published or orphaned. */
-  private def versionDirs(root: String): Seq[Long] = {
+  /** ONE shared parse for both version namespaces (round-15 review:
+    * two near-copies meant a future change to version-name parsing
+    * could split allocation from orphan recovery).
+    */
+  private def listVersionNumbers(root: String, prefix: String,
+      wantDir: Boolean): Seq[Long] = {
     val p = new Path(root)
     val fs = fsOf(p)
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq
-      .filter(_.isDirectory)
+      .filter(s => if (wantDir) s.isDirectory else s.isFile)
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=") }
+      .collect { case n if n.startsWith(prefix) => n.stripPrefix(prefix) }
       .flatMap(n => scala.util.Try(n.toLong).toOption)
   }
+
+  /** All `v=N` directories under the root, published or orphaned. */
+  private def versionDirs(root: String): Seq[Long] =
+    listVersionNumbers(root, "v=", wantDir = true)
 
   /** Versions some publisher has CLAIMED (`_claim_v=N` files at the
     * root) — including claims whose data directory never landed (a
     * crashed claimant). Allocation must skip them or a dead claim
     * wedges the store on that number forever.
     */
-  private def claimedVersions(root: String): Seq[Long] = {
-    val p = new Path(root)
-    val fs = fsOf(p)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq
-      .filter(_.isFile)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("_claim_v=") =>
-        n.stripPrefix("_claim_v=") }
-      .flatMap(n => scala.util.Try(n.toLong).toOption)
-  }
+  private def claimedVersions(root: String): Seq[Long] =
+    listVersionNumbers(root, "_claim_v=", wantDir = false)
 
   /** Atomically claim a version number: exactly ONE publisher can
     * create `<root>/_claim_v=N`, so two racers that both computed the
@@ -93,9 +92,12 @@ object VersionedStore {
     * [[publishOrAdopt]] turns that into an adoption exactly like a
     * lost `errorifexists` race. Atomicity per scheme: local files go
     * through java.nio `createFile` (O_CREAT|O_EXCL — Hadoop's local
-    * `create(overwrite=false)` is itself check-then-create); HDFS-like
-    * filesystems use `create(overwrite=false)`, a single atomic
-    * namenode op.
+    * `create(overwrite=false)` is itself check-then-create); HDFS
+    * `create(overwrite=false)` is a single atomic namenode op. On
+    * object stores (S3A) `create` is HEAD-then-PUT, so the claim only
+    * NARROWS the window there — single-writer-per-root (or an
+    * external lock service) remains the deployment contract for
+    * object stores, exactly as it already was for the marker rename.
     */
   private def claimVersion(root: String, v: Long): Unit = {
     val p = new Path(root, s"_claim_v=$v")
@@ -117,6 +119,20 @@ object VersionedStore {
     ((latestVersion(root).getOrElse(-1L) +: versionDirs(root)) ++
       claimedVersions(root)).max + 1L
 
+  /** Release OUR claim after a failed publish (best-effort): the claim
+    * is exclusively this publisher's, and leaving it behind would make
+    * every genuine failure read as a rival in flight — stalling
+    * publishOrAdopt's quick-fail path the full maxWaitMs at this root
+    * until some publish finally lands above it (round-15 review). A
+    * crash between claim and this release still only costs the stall
+    * plus vacuum debt, never correctness.
+    */
+  private def releaseClaim(root: String, v: Long): Unit =
+    try {
+      fsOf(new Path(root)).delete(new Path(root, s"_claim_v=$v"), false)
+      ()
+    } catch { case _: Exception => () }
+
   /** Write `df` as the next snapshot and publish it; returns the new
     * version number. The next version is allocated above ALL existing
     * `v=N` directories and claims (orphan recovery — see object doc)
@@ -129,8 +145,12 @@ object VersionedStore {
   def publish(df: DataFrame, root: String): Long = {
     val next = nextVersion(root)
     claimVersion(root, next)
-    df.write.mode("errorifexists").parquet(s"$root/v=$next")
-    publishMarker(root, next)
+    try {
+      df.write.mode("errorifexists").parquet(s"$root/v=$next")
+      publishMarker(root, next)
+    } catch {
+      case e: Throwable => releaseClaim(root, next); throw e
+    }
     next
   }
 
@@ -146,10 +166,14 @@ object VersionedStore {
     require(dfs.nonEmpty, "publishAll needs at least one table")
     val next = nextVersion(root)
     claimVersion(root, next)
-    dfs.foreach { case (name, df) =>
-      df.write.mode("errorifexists").parquet(s"$root/v=$next/$name")
+    try {
+      dfs.foreach { case (name, df) =>
+        df.write.mode("errorifexists").parquet(s"$root/v=$next/$name")
+      }
+      publishMarker(root, next)
+    } catch {
+      case e: Throwable => releaseClaim(root, next); throw e
     }
-    publishMarker(root, next)
     next
   }
 
@@ -230,6 +254,13 @@ object VersionedStore {
     spark.read.parquet(s"$root/v=$version/$name")
 
   private def publishMarker(root: String, next: Long): Unit = {
+    // keep-max: a slow publisher finishing an OLDER claimed version
+    // must not regress the marker past a faster rival's newer publish
+    // (the claim makes distinct-number overlap the common race shape —
+    // round-15 review). Best-effort: the read/rename pair is not
+    // atomic, but a regression now needs a sub-ms interleaving instead
+    // of any overlap at all, and the next publish self-heals it.
+    if (latestVersion(root).exists(_ > next)) return
     val m = marker(root)
     val fs = fsOf(m)
     val tmp = new Path(root, s"_latest.tmp.$next")
@@ -270,6 +301,13 @@ object VersionedStore {
         val fs = fsOf(new Path(root))
         victims.foreach { v =>
           fs.delete(new Path(root, s"v=$v"), true)
+          ()
+        }
+        // claims below the cutoff are garbage whether or not their
+        // data directory ever landed (a crashed claimant's file would
+        // otherwise survive every vacuum); allocation is monotone
+        // above the marker, so releasing them can never enable reuse
+        claimedVersions(root).filter(_ < cutoff).foreach { v =>
           fs.delete(new Path(root, s"_claim_v=$v"), false)
           ()
         }
