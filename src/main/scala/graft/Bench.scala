@@ -260,6 +260,33 @@ object Bench {
       // own root — nothing upstream warms it)
       "x145_bitext_mining_ann")
 
+  /** Plausibility band for the cold probes (round-15 verdict gap #3:
+    * warm pins get median/p90/watch/family_watch normalization while
+    * the deterministic cold probes were reported raw — the contended
+    * r15 run's cold entries ran 1.4–1.6× their r14 values with nothing
+    * to flag them, a silent channel for a real cold-path regression).
+    * Cold pins live in the same ledger file under `cold:<query>` keys
+    * (the flat-parse loader picks them up; warm gates never see them
+    * because query names don't carry the prefix). A cold entry is
+    * flagged when its ratio to the pin breaks `factor` — but only on
+    * an otherwise-clean run (warm median ratio in [0, 1.25]): on a
+    * contended run the whole artifact is already non-evidence, and a
+    * cold probe runs ONCE by construction (no min-of-N to shed a
+    * burst), so flagging there would only generate noise. Like watch,
+    * cold_watch is a NOTE for the next reader, not a verdict. Pure so
+    * BenchGateSpec can pin the three shapes (inflated-flagged /
+    * clean-quiet / contended-quiet).
+    */
+  private[graft] def coldWatch(cold: Map[String, Double],
+      ledger: Map[String, Double], warmMedian: Double,
+      factor: Double = 1.5, pinFloorSec: Double = 0.5): Seq[String] = {
+    if (warmMedian < 0 || warmMedian > 1.25) return Seq.empty
+    cold.collect {
+      case (q, t) if t > 0 && ledger.getOrElse("cold:" + q, 0.0) >= pinFloorSec &&
+        t / ledger("cold:" + q) > factor => q
+    }.toSeq.sorted
+  }
+
   /** Sentinels for the in-run bracket protocol. This host has a
     * recurring, steal-BLIND memory-subsystem epoch that inflates the
     * BM25 posting-scan family a uniform 1.5-3x while loadavg and steal
@@ -479,7 +506,9 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val coldJson = cold.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_pct":${math.rint(stealPct * 100) / 100},"ledger_queries":${ledger.size},"median_ledger_ratio":${math.rint(medianRatio * 1000) / 1000},"p90_ledger_ratio":${math.rint(p90Ratio * 1000) / 1000},"retried":$retriedJson,"suspect":$suspectJson,"watch":$watchJson,"family_watch":$familyWatchJson,"epoch_verdict":"$epochVerdictStr","bracket":$bracketJson,"cold":$coldJson,"contended":$contended}""")
+    val coldWatchJson = coldWatch(cold.toMap, ledger, medianRatio)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_pct":${math.rint(stealPct * 100) / 100},"ledger_queries":${ledger.count(!_._1.startsWith("cold:"))},"median_ledger_ratio":${math.rint(medianRatio * 1000) / 1000},"p90_ledger_ratio":${math.rint(p90Ratio * 1000) / 1000},"retried":$retriedJson,"suspect":$suspectJson,"watch":$watchJson,"family_watch":$familyWatchJson,"epoch_verdict":"$epochVerdictStr","bracket":$bracketJson,"cold":$coldJson,"cold_watch":$coldWatchJson,"contended":$contended}""")
     spark.stop()
   }
 }

@@ -666,14 +666,21 @@ object Pipeline {
       // docs, and parallel-corpus extraction is a SIBLING product of
       // the same crawl, not a downstream of the monolingual filters
       // (CCMatrix ships beside, not inside, a monolingual release).
-      // The exact x146 policy cuts the pairs here (deterministic, the
-      // oracle-checked truth leg); the measured scale path for the
-      // same policy is the batched ANN sweep (SCALE.md r15: x147 pair
-      // recall 0.98 / margin ratio 1.0 on paired structure).
+      // The pairs are cut by x146's policy (mutual margin argmax +
+      // the 1.06 rounded-margin threshold) served through the batched
+      // ANN sweep over the published two-sided artifact — the
+      // measured-sublinear release path (round-15 verdict ask #1: the
+      // exact all-pairs x146 leg's warm blowup exponent is 1.01 vs
+      // the sweep's 0.15; x146 stays the oracle truth leg, and
+      // PipelineSpec's fixture gate pins sweep ≡ exact where pair
+      // structure exists — the r15 --paired sweep measured recall
+      // 0.98 / margin ratio 1.0 at corpus scale). The staging dir is
+      // release-scoped and deleted after the snapshot publish lands.
+      val bitextStage = s"$storeRoot/_bitext_stage"
       val bitextTable =
         if (!bitextRelease) Map.empty[String, DataFrame]
         else Map("bitext_pairs" ->
-          ExtensionQueries.x146_bitext_extract(spark, sfDir))
+          ExtensionQueries.bitextExtractSweep(spark, sfDir, bitextStage))
       val version = VersionedStore.publishAll(
         Map("documents" -> corpus, "vectors" -> vecs, "packing" -> packed,
           "run_config" -> runConfig,
@@ -697,6 +704,16 @@ object Pipeline {
       // scoped to the publish window
       lexIx.posting.unpersist(false)
       langSrcTok.unpersist(false)
+      // the sweep's staging tables are dead once the snapshot holds
+      // the published pair copy (best-effort: a surviving stage dir
+      // costs disk, never correctness — the next release overwrites)
+      if (bitextRelease)
+        try {
+          val sp = new org.apache.hadoop.fs.Path(bitextStage)
+          sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(sp, true)
+          ()
+        } catch { case _: Exception => () }
       // The snapshot is PUBLISHED by this point; the funnel stats ride
       // the async listener bus, which Spark drops events from under
       // load (bounded AsyncEventQueue, warn-only). A missing metric

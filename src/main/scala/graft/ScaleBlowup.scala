@@ -33,10 +33,12 @@ import org.apache.spark.sql.functions._
   * Usage: `runMain graft.ScaleBlowup <srcSfDir> <workDir> <factor>`
   * (defaults: /root/testdata/sf0.1 /tmp/graft_blowup 10). Modes:
   * no flag = the measured-families cold/warm table at 1× and N×;
-  * `--pipeline` = the funnel legs (base on the blown corpus, rule
-  * batteries on its planted-compliant variant, published > 0
+  * `--pipeline` = the funnel legs (bitext release legs at 1× and N×,
+  * base WITH bitext release on the blown corpus, rule batteries on
+  * its planted-compliant variant, published > 0 and pairs > 0
   * required); `--sweep` = the full bitext mining sweep reconciliation
-  * at 1× (see sweepLeg).
+  * (with `--paired` on the synthetic-twin variant; factor > 1 twins
+  * the blown corpus — see sweepLeg / pairedVariant).
   */
 object ScaleBlowup {
 
@@ -95,8 +97,12 @@ object ScaleBlowup {
     // otherwise serve stale through a matching marker (round-15
     // review).
     val marker = new org.apache.hadoop.fs.Path(s"$out/_BLOWUP_SCHEME")
+    // source-side metadata goes through the SOURCE path's FileSystem
+    // (round-15 ADVICE: listing src through the output's fs would fail
+    // or misresolve when the two live on different schemes)
     val srcPath0 = new org.apache.hadoop.fs.Path(src)
-    val srcFp = fs.listStatus(srcPath0)
+    val srcFs = srcPath0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcFp = srcFs.listStatus(srcPath0)
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => graft.Tables.fileFingerprint(spark, src,
         n.stripSuffix(".parquet")))
@@ -158,12 +164,11 @@ object ScaleBlowup {
     }.reduce(_ unionByName _)
     embsB.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     // verbatim copies so Tables.load finds every table
-    val srcPath = new org.apache.hadoop.fs.Path(src)
-    fs.listStatus(srcPath).filter(_.getPath.getName.endsWith(".parquet"))
+    srcFs.listStatus(srcPath0).filter(_.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.getName)
       .filterNot(n => n == "documents.parquet" || n == "embeddings.parquet")
       .foreach { n =>
-        org.apache.hadoop.fs.FileUtil.copy(fs,
+        org.apache.hadoop.fs.FileUtil.copy(srcFs,
           new org.apache.hadoop.fs.Path(s"$src/$n"), fs,
           new org.apache.hadoop.fs.Path(s"$out/$n"), false, true,
           spark.sparkContext.hadoopConfiguration)
@@ -212,12 +217,20 @@ object ScaleBlowup {
     * documents count must equal the funnel arithmetic.
     */
   private def pipelineLeg(spark: SparkSession, dir: String,
-      batteries: Boolean, requirePublished: Boolean = false): String = {
+      batteries: Boolean, requirePublished: Boolean = false,
+      bitext: Boolean = false): String = {
     val store = java.nio.file.Files
       .createTempDirectory("graft_blowup_pipe").toString + "/store"
     val t0 = System.nanoTime()
-    val r = Pipeline.run(spark, dir, store, ruleBatteries = batteries)
+    val r = Pipeline.run(spark, dir, store, ruleBatteries = batteries,
+      bitextRelease = bitext)
     val secs = (System.nanoTime() - t0) / 1e9
+    // the release leg must SHIP pairs at scale, not merely run (the
+    // battery leg's published>0 discipline applied to the bitext
+    // product; the pair count read back from the published table is
+    // the reconciliation)
+    require(!bitext || r.bitextPairs > 0,
+      s"bitext release leg shipped zero pairs: $r")
     val published = graft.sources.VersionedStore
       .readTable(spark, store, r.version, "documents").count()
     val expected = r.kept - r.heldOutEval - r.droppedC4Pages -
@@ -239,7 +252,29 @@ object ScaleBlowup {
       s""""emptied_seg":${r.emptiedBySegClean},""" +
       s""""dropped_contaminated":${r.droppedContaminated},""" +
       s""""published":$published,"sequences":${r.sequences},""" +
-      s""""packed_tokens":${r.packedTokens},"reconciles":true}"""
+      s""""packed_tokens":${r.packedTokens},""" +
+      s""""bitext_pairs":${r.bitextPairs},"reconciles":true}"""
+  }
+
+  /** The bitext RELEASE leg in isolation (round-15 verdict ask #1's
+    * done-criterion): time the production `bitextExtractSweep` — the
+    * staged, batched ANN extraction `Pipeline.run(bitextRelease=true)`
+    * now ships — at a given corpus, pairs > 0 required. Run at 1× and
+    * N× the pair of timings is the release path's measured exponent
+    * (the exact x146 leg's ceiling is the families table's row).
+    */
+  private def bitextLeg(spark: SparkSession, dir: String): String = {
+    // warm the two-sided artifact + the serving JIT once, off the clock
+    SparkEntry.queries("x147_bitext_extract_ann")(spark, dir).count()
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_blowup_bitext").toString + "/stage"
+    val t0 = System.nanoTime()
+    val pairs = graft.queries.ExtensionQueries
+      .bitextExtractSweep(spark, dir, stage).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    require(pairs > 0, s"bitext sweep extracted zero pairs at $dir")
+    s"""{"bitext_release":"sweep","dir":"$dir",""" +
+      s""""secs":${math.rint(secs * 10) / 10},"pairs":$pairs}"""
   }
 
   /** A blown-up corpus VARIANT whose battery funnel is non-degenerate
@@ -315,11 +350,12 @@ object ScaleBlowup {
     embs.unionByName(plantedEmb).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
     val srcPath = new org.apache.hadoop.fs.Path(bigDir)
-    fs.listStatus(srcPath).filter(_.getPath.getName.endsWith(".parquet"))
+    val srcFs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    srcFs.listStatus(srcPath).filter(_.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.getName)
       .filterNot(n => n == "documents.parquet" || n == "embeddings.parquet")
       .foreach { n =>
-        org.apache.hadoop.fs.FileUtil.copy(fs,
+        org.apache.hadoop.fs.FileUtil.copy(srcFs,
           new org.apache.hadoop.fs.Path(s"$bigDir/$n"), fs,
           new org.apache.hadoop.fs.Path(s"$out/$n"), false, true,
           spark.sparkContext.hadoopConfiguration)
@@ -351,13 +387,15 @@ object ScaleBlowup {
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     require(en.nonEmpty, "paired variant needs a non-empty en pool")
-    // 1×-ONLY contract: the twins materialize on the driver (the
-    // bounded sf0.1-scale pool, ~1k vectors); a blown or larger source
-    // would need the batteryVariant-style distributed construction —
-    // refuse rather than GC-thrash (round-15 review)
+    // driver-twin budget: the twins materialize on the driver, which
+    // is fine for the measurement leg's pools (sf0.1 ≈ 0.8k en
+    // vectors, the 10× blowup ≈ 8k — round-15 verdict ask #3 runs the
+    // paired sweep at 10×) but must refuse rather than GC-thrash on a
+    // genuinely large source; past this budget the leg would need the
+    // batteryVariant-style distributed construction
     require(en.length <= 100000,
-      s"pairedVariant is a 1×-scale measurement leg; en pool ${en.length} " +
-        "exceeds the driver-side twin budget")
+      s"pairedVariant materializes twins on the driver; en pool " +
+        s"${en.length} exceeds the budget")
     val off = math.max(10000000L,
       math.max(docs.agg(max(col("doc_id"))).head.getLong(0),
         embs.agg(max(col("vec_id"))).head.getLong(0)) + 1)
@@ -384,11 +422,12 @@ object ScaleBlowup {
         .toDF("vec_id", "embedding", "label"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     val srcPath = new org.apache.hadoop.fs.Path(srcDir)
-    fs.listStatus(srcPath).filter(_.getPath.getName.endsWith(".parquet"))
+    val srcFs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    srcFs.listStatus(srcPath).filter(_.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.getName)
       .filterNot(n => n == "documents.parquet" || n == "embeddings.parquet")
       .foreach { n =>
-        org.apache.hadoop.fs.FileUtil.copy(fs,
+        org.apache.hadoop.fs.FileUtil.copy(srcFs,
           new org.apache.hadoop.fs.Path(s"$srcDir/$n"), fs,
           new org.apache.hadoop.fs.Path(s"$out/$n"), false, true,
           spark.sparkContext.hadoopConfiguration)
@@ -430,8 +469,14 @@ object ScaleBlowup {
     val exact = SparkEntry.queries("x144_bitext_mining")(spark, dir)
       .select("query_id", "match_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    require(mined.keySet == exact.keySet,
-      s"sweep lost queries: mined=${mined.size} exact=${exact.size}")
+    // a query whose every probed list came back empty (possible on a
+    // skewed corpus) is a recall MISS, not a tool abort (round-15
+    // ADVICE: the old require killed the whole sweep on one such
+    // query); mined.get(q) = None already counts it as a miss below
+    val lost = exact.keySet -- mined.keySet
+    if (lost.nonEmpty)
+      System.err.println(s"[sweep] ${lost.size} queries yielded no ANN " +
+        "candidates - counted as recall misses")
     val agree = exact.count { case (q, m) => mined.get(q).contains(m) }
     val recall = agree.toDouble / exact.size
     // argmax agreement alone under-reads an UNSTRUCTURED corpus (the
@@ -528,13 +573,20 @@ object ScaleBlowup {
     // (round-15 review), so the generation sits inside the two modes
     // that measure it
     if (flags("--sweep")) {
-      // full-sweep mining reconciliation at 1× (see sweepLeg); with
-      // --paired the sweep runs on the synthetic-twin variant instead,
-      // measuring recall where the corpus HAS translation structure
+      // full-sweep mining reconciliation (see sweepLeg); with --paired
+      // the sweep runs on the synthetic-twin variant instead, measuring
+      // recall where the corpus HAS translation structure. --paired
+      // honors the blowup factor (round-15 verdict ask #3: the
+      // structured-recall claim must be measured where √N list growth
+      // thins probe coverage, not only at 1×): factor > 1 twins the
+      // BLOWN corpus — twins stay driver-bounded there (10× sf0.1 ≈ 8k
+      // en vectors, inside pairedVariant's budget).
       val dir =
         if (flags("--paired")) {
-          val p = s"$work/paired"
-          pairedVariant(spark, src, p)
+          val base = if (factor > 1) { blowup(spark, src, big, factor); big }
+                     else src
+          val p = s"$work/paired${if (factor > 1) s"_x$factor" else ""}"
+          pairedVariant(spark, base, p)
           p
         } else src
       println(sweepLeg(spark, dir))
@@ -548,7 +600,14 @@ object ScaleBlowup {
       // on the all-synthetic corpus the battery leg published zero —
       // a degenerate proof; the variant's stratum must survive the
       // batteries, so published > 0 is REQUIRED there)
-      println(pipelineLeg(spark, big, batteries = false))
+      // the base leg ships the bitext release product too (round-15
+      // verdict ask #1: the production snapshot path must ride the
+      // measured-sublinear sweep WITH pairs > 0 reconciled at 10×);
+      // the isolated release-leg timings at 1× and N× measure the
+      // sweep's own exponent beside the funnel total
+      println(bitextLeg(spark, src))
+      println(bitextLeg(spark, big))
+      println(pipelineLeg(spark, big, batteries = false, bitext = true))
       val variant = s"$work/x${factor}_battery"
       batteryVariant(spark, big, variant)
       println(pipelineLeg(spark, variant, batteries = true,

@@ -4431,14 +4431,26 @@ object ExtensionQueries {
     // probe (≤ forward-best cids × candK distinct ids), point-fetched
     // from the persisted en-side assigned frame; its value for a batch
     // query equals the fwd-derived ax by construction (same probe,
-    // same top-MarginK average), so the two frames never disagree
+    // same top-MarginK average), so the two frames never disagree —
+    // which means a batch query's ax can be REUSED instead of
+    // re-probed (round-15 verdict ask #2: the re-derived rows were
+    // the largest slice of the suite's #1 warm spender). The reuse is
+    // exact only while the forward probe's depth covers the
+    // top-MarginK average (candK >= MarginK — true at every shipped
+    // operating point); a shallower forward probe re-probes everything
+    val knownAx =
+      if (candK >= MarginK)
+        f.ax.select(col("qid").as("eid"), col("ax").as("axr"))
+      else f.ax.limit(0).select(col("qid").as("eid"), col("ax").as("axr"))
     val revEnQ = sides.en.assigned
-      .join(revB.select(col("eid").as("vec_id")).distinct(), Seq("vec_id"),
-        "left_semi")
+      .join(revB.select(col("eid").as("vec_id")).distinct()
+        .join(knownAx.select(col("eid").as("vec_id")), Seq("vec_id"),
+          "left_anti"), Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val axr = graft.ml.IvfIndex.search(sides.x, revEnQ,
         nProbe = nProbe, topK = MarginK)
       .groupBy(col("query_id").as("eid")).agg(avg(col("cos")).as("axr"))
+      .unionByName(knownAx)
     // reverse margin argmax per candidate: x146's rev leg, served from
     // the candidate's own k-NN list; axr's left-join fallback mirrors
     // bitextForwardBest's ay fallback (an en id whose x lists are all
@@ -4466,6 +4478,63 @@ object ExtensionQueries {
         round(col("cos"), 6).as("cos"),
         round(col("margin"), 6).as("margin"))
       .orderBy("query_id")
+  }
+
+  /** The PRODUCTION extraction path: x146's policy over the FULL en
+    * pool, served by the batched `bitextExtractAnn` sweep instead of
+    * the exact all-pairs frame (round-15 verdict ask #1: the Pipeline
+    * release flag was the last all-pairs consumer on any production
+    * path — exact-leg warm exponent 1.01 vs the sweep's measured
+    * 0.15). Shape:
+    *
+    *  1. the en query pool is staged ONCE as parquet partitioned by a
+    *     deterministic batch id (`pmod(hash(vec_id), nBatches)`), so
+    *     each batch job reads only its own partition directory —
+    *     per-batch input is O(batchSize) regardless of pool size, and
+    *     the driver holds a loop counter, never an id list;
+    *  2. each batch runs the three-bounded-probe extraction and
+    *     APPENDS its pairs to a staging table — batches share nothing
+    *     but the published artifact (BitextSpec's sweep-equality leg:
+    *     the union equals the full-pool run row for row, because every
+    *     per-query quantity depends only on its own probes), so a
+    *     cluster runs them as concurrent jobs;
+    *  3. the staged pairs read back as ONE frame for the snapshot
+    *     publish.
+    *
+    * Mutuality stays GLOBAL under batching: the reverse argmax is
+    * computed from each candidate's reverse k-NN list over the whole
+    * en index, not the batch (a candidate whose true best query sits
+    * in another batch still rejects this batch's pretender).
+    * Deterministic throughout — hash batching, no RNG, no clock. The
+    * caller owns `stagingDir`'s lifecycle (delete after the snapshot
+    * publish lands; the returned frame reads from it lazily).
+    */
+  private[graft] def bitextExtractSweep(spark: SparkSession, sfDir: String,
+      stagingDir: String, batchSize: Int = BitextAnnQueries): DataFrame = {
+    val sides = graft.ml.BitextAnn.loadOrPublish(spark, sfDir)
+    val nEn = sides.en.assigned.count()
+    val nBatches = math.max(1L, (nEn + batchSize - 1) / batchSize).toInt
+    val stage = new org.apache.hadoop.fs.Path(stagingDir)
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(stage, true)
+    sides.en.assigned
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        pmod(hash(col("vec_id")), lit(nBatches)).as("batch"))
+      .write.partitionBy("batch").parquet(s"$stagingDir/queries")
+    val staged = spark.read.parquet(s"$stagingDir/queries")
+    // footer-only seed (repartition(1) forces one task): a sweep whose
+    // every batch extracts zero pairs must still read back as an empty
+    // frame with the pair schema, not fail schema inference on a
+    // part-file-less directory
+    bitextExtractAnn(sides, staged.limit(0).select("query_id", "qv"))
+      .repartition(1).write.mode("append").parquet(s"$stagingDir/pairs")
+    (0 until nBatches).foreach { b =>
+      // partition pruning keeps this scan to the one batch=<b> dir
+      val q = staged.filter(col("batch") === b).select("query_id", "qv")
+      bitextExtractAnn(sides, q)
+        .write.mode("append").parquet(s"$stagingDir/pairs")
+    }
+    spark.read.parquet(s"$stagingDir/pairs")
   }
 
   // ======================================================================

@@ -39,19 +39,36 @@ object VersionedStore {
 
   private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
 
-  /** Highest published version, or None for an empty store. */
+  /** Highest published version, or None for an empty store.
+    *
+    * Bounded retry on read errors: on checksummed local filesystems
+    * the marker rename is TWO renames (data file, then its .crc
+    * sidecar — ChecksumFileSystem semantics), so a reader can open a
+    * freshly-renamed marker against the old sidecar and fail the
+    * checksum. That tear is transient by construction — a rival's
+    * rename completes in microseconds — so a few spaced retries
+    * separate it from genuine corruption, which keeps throwing.
+    */
   def latestVersion(root: String): Option[Long] = {
     val m = marker(root)
     val fs = fsOf(m)
-    if (!fs.exists(m)) None
-    else {
-      val in = fs.open(m)
+    var attempt = 0
+    while (true) {
       try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
-        Some(new String(out.toByteArray, "UTF-8").trim.toLong)
-      } finally in.close()
+        if (!fs.exists(m)) return None
+        val in = fs.open(m)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+          return Some(new String(out.toByteArray, "UTF-8").trim.toLong)
+        } finally in.close()
+      } catch {
+        case _: java.io.IOException if attempt < 5 =>
+          attempt += 1
+          Thread.sleep(20L * attempt)
+      }
     }
+    None // unreachable
   }
 
   /** ONE shared parse for both version namespaces (round-15 review:
@@ -94,22 +111,50 @@ object VersionedStore {
     * through java.nio `createFile` (O_CREAT|O_EXCL — Hadoop's local
     * `create(overwrite=false)` is itself check-then-create); HDFS
     * `create(overwrite=false)` is a single atomic namenode op. On
-    * object stores (S3A) `create` is HEAD-then-PUT, so the claim only
-    * NARROWS the window there — single-writer-per-root (or an
-    * external lock service) remains the deployment contract for
-    * object stores, exactly as it already was for the marker rename.
+    * object stores (S3A) the default `create` is HEAD-then-PUT, so
+    * out of the box the claim only NARROWS the window there and
+    * single-writer-per-root (or an external lock service) remains the
+    * deployment contract, exactly as it already was for the marker
+    * rename — but a backend with atomic conditional create CLOSES it:
+    * install one via [[setConditionalCreate]] (round-15 verdict ask
+    * #7) and every claim goes through it.
     */
   private def claimVersion(root: String, v: Long): Unit = {
     val p = new Path(root, s"_claim_v=$v")
     val fs = fsOf(p)
-    val q = fs.makeQualified(p)
-    if (q.toUri.getScheme == "file") {
-      val local = java.nio.file.Paths.get(q.toUri.getPath)
-      java.nio.file.Files.createDirectories(local.getParent)
-      java.nio.file.Files.createFile(local)
-      ()
-    } else fs.create(p, false).close()
+    conditionalCreate match {
+      case Some(cc) => cc(fs, p)
+      case None =>
+        val q = fs.makeQualified(p)
+        if (q.toUri.getScheme == "file") {
+          val local = java.nio.file.Paths.get(q.toUri.getPath)
+          java.nio.file.Files.createDirectories(local.getParent)
+          java.nio.file.Files.createFile(local)
+          ()
+        } else fs.create(p, false).close()
+    }
   }
+
+  /** Pluggable atomic create-if-absent for the claim protocol
+    * (round-15 verdict ask #7). Object stores with compare-and-swap —
+    * S3 `If-None-Match: *` PUT, GCS `x-goog-if-generation-match: 0`,
+    * ABFS ETag-conditional create — can make the claim EXCLUSIVE
+    * where the default HEAD-then-PUT `create(overwrite=false)`
+    * cannot; installing such a primitive closes the residual claim
+    * race on that backend (the marker rename stays last-writer-wins,
+    * which keep-max already tolerates). Contract: atomically create
+    * the zero-byte path iff it does not exist, THROW (any exception)
+    * if it does. When installed it handles EVERY scheme — the
+    * local/HDFS defaults are already atomic, so deployments normally
+    * install it only in object-store jobs; `None` restores the
+    * built-in behavior. Process-wide — set once at job start, not per
+    * publish.
+    */
+  @volatile private var conditionalCreate
+      : Option[(FileSystem, Path) => Unit] = None
+
+  def setConditionalCreate(f: Option[(FileSystem, Path) => Unit]): Unit =
+    conditionalCreate = f
 
   /** Next version: above every published version, data directory, AND
     * claim — orphan recovery for crashed writers and crashed claimants
@@ -257,18 +302,32 @@ object VersionedStore {
     // keep-max: a slow publisher finishing an OLDER claimed version
     // must not regress the marker past a faster rival's newer publish
     // (the claim makes distinct-number overlap the common race shape —
-    // round-15 review). Best-effort: the read/rename pair is not
-    // atomic, but a regression now needs a sub-ms interleaving instead
-    // of any overlap at all, and the next publish self-heals it.
+    // round-15 review). The read/rename pair is not atomic, so after
+    // OUR rename lands we re-read and re-rename while the marker reads
+    // BELOW next (round-15 ADVICE): an older racer whose rename landed
+    // after ours regresses the marker for at most one bounded heal
+    // iteration — the older side's own loop never re-fires once a
+    // larger value is visible, so the max stabilizes. Residual window:
+    // an old rename landing after our final check still regresses
+    // until the next publish; fully closed only where the backend
+    // offers CAS (see setConditionalCreate — same contract note).
     if (latestVersion(root).exists(_ > next)) return
     val m = marker(root)
     val fs = fsOf(m)
-    val tmp = new Path(root, s"_latest.tmp.$next")
-    val out = fs.create(tmp, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
     val fc = FileContext.getFileContext(fs.getUri, hadoopConf)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(m),
-      Options.Rename.OVERWRITE)
+    def rename(): Unit = {
+      val tmp = new Path(root, s"_latest.tmp.$next")
+      val out = fs.create(tmp, true)
+      try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(m),
+        Options.Rename.OVERWRITE)
+    }
+    rename()
+    var heals = 0
+    while (heals < 5 && latestVersion(root).exists(_ < next)) {
+      rename()
+      heals += 1
+    }
   }
 
   /** Read a pinned snapshot. */

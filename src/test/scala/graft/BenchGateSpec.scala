@@ -266,6 +266,74 @@ class BenchGateSpec extends AnyFunSuite {
       assert(Bench.epochFamily.contains(s), s"sentinel $s outside family"))
   }
 
+  test("round-15 live epoch replay: family trigger fires and the bracket reads host") {
+    // round-15 verdict ask #6: the committed BENCH_r15.json is the
+    // family detector's first LIVE firing (steal 3.13%, run median
+    // 1.141, family inflated ~1.5-3x) — pin it as a replay so a
+    // refactor of familyWatch/epochVerdict can't silently lose the
+    // behavior. Times are reconstructed from the artifact's own
+    // bracket ratios (ratio x current pin keeps the case valid across
+    // ledger re-pins); non-family queries ride the run median.
+    val r15Bracket = Map(
+      "x100_bm25_batch" -> 2.107, "x101_hybrid_batch" -> 1.526,
+      "x102_prf_expansion" -> 0.935, "x106_phrase" -> 2.498,
+      "x111_boolean" -> 3.075, "x114_proximity" -> 1.94,
+      "x117_snippet" -> 1.477, "x124_passage_indexed" -> 1.811,
+      "x132_z_fusion" -> 1.849, "x134_ql_retrieval" -> 0.883,
+      "x91_bm25" -> 2.04, "x92_hybrid_rrf" -> 2.204,
+      "x97_hybrid_indexed" -> 1.496)
+    val ledger = Bench.loadLedger("BENCH_LEDGER.json")
+    assert(ledger.nonEmpty, "committed ledger missing")
+    val times = ledger.map { case (q, p) =>
+      q -> p * r15Bracket.getOrElse(q, 1.141) }
+    val expected = Bench.epochFamily
+      .filter(q => r15Bracket.contains(q) && ledger.getOrElse(q, 0.0) >= 0.2)
+      .sorted
+    assert(expected.size >= 10, s"replay fixture degenerated: $expected")
+    assert(Bench.familyWatch(times, ledger) === expected,
+      "the r15 family inflation must fold the pinned family into watch")
+    // the in-run bracket then adjudicates host off the artifact's own
+    // sentinel ratios (x102 0.935 / x132 1.849 / x91 2.04)
+    assert(Bench.epochVerdict(r15Bracket,
+      Map("x102_prf_expansion" -> 0.935, "x132_z_fusion" -> 1.849,
+        "x91_bm25" -> 2.04)) === "host")
+    // and the artifact-level verdict stays contended (the run is
+    // non-evidence for pins, exactly as BASELINE.md records)
+    assert(Bench.contendedVerdict(6.2, 3.13, 0, 1.141, 2.04))
+  }
+
+  test("cold probes get a plausibility band: inflated flagged, clean and contended quiet") {
+    // round-15 verdict gap #3: the contended r15 run's cold entries ran
+    // 1.4-1.6x their r14 values (x04 10.1 vs 7.4, x97 10.2 vs 7.2) with
+    // nothing to flag them. Cold pins live under cold:<query> keys in
+    // the same ledger.
+    val led = Map("cold:x04_ngram_jaccard" -> 7.4,
+      "cold:x97_hybrid_indexed" -> 7.2, "cold:x129_whiten" -> 0.3,
+      "x91_bm25" -> 0.4)
+    // a cold-path regression (2x the pin) on an otherwise-clean run:
+    // flagged. (The 1.5 factor sits deliberately ABOVE the r15
+    // epoch's 1.37-1.42x cold drift: a single-shot build probe has no
+    // min-of-N to shed noise, so the band trades that band's bottom
+    // for not flagging clean-run variance.)
+    val inflated = Map("x04_ngram_jaccard" -> 14.9,
+      "x97_hybrid_indexed" -> 11.2)
+    assert(Bench.coldWatch(inflated, led, warmMedian = 1.0) ===
+      Seq("x04_ngram_jaccard", "x97_hybrid_indexed"))
+    // clean replay: at-pin cold entries stay quiet — and so does the
+    // committed-r15 epoch drift itself (1.37x / 1.42x, under the band)
+    assert(Bench.coldWatch(Map("x04_ngram_jaccard" -> 7.6,
+      "x97_hybrid_indexed" -> 7.0), led, 1.0).isEmpty)
+    assert(Bench.coldWatch(Map("x04_ngram_jaccard" -> 10.1,
+      "x97_hybrid_indexed" -> 10.2), led, 1.0).isEmpty)
+    // a contended run is already non-evidence — no cold noise on top
+    assert(Bench.coldWatch(inflated, led, 1.6).isEmpty)
+    assert(Bench.coldWatch(inflated, led, -1.0).isEmpty)
+    // no pin / sub-floor pin / failed probe: never flagged
+    assert(Bench.coldWatch(Map("x96_bm25_indexed" -> 50.0), led, 1.0).isEmpty)
+    assert(Bench.coldWatch(Map("x129_whiten" -> 5.0), led, 1.0).isEmpty)
+    assert(Bench.coldWatch(Map("x04_ngram_jaccard" -> -10.1), led, 1.0).isEmpty)
+  }
+
   test("cold probes cover the memoized families and are real queries") {
     // round-10 ask #8: the artifact must carry first-touch timings for
     // the session-memoized entries whose pins are warm-path-only. The

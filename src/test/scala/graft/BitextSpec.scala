@@ -217,6 +217,19 @@ class BitextSpec extends AnyFunSuite with SparkSpec {
       annPairs.get(q).contains(c) }
     assert(pairAgree.toDouble / exactPairs.size >= 0.9,
       s"ANN extraction recalled only $pairAgree/${exactPairs.size} pairs")
+    // PRECISION under the genuinely partial probe (round-15 ADVICE:
+    // the mutuality check falls back OPEN when a candidate's reverse
+    // probe returns no rows, so hub exclusion was only asserted on the
+    // exhaustive fixtures). The fallback's failure mode is a hub
+    // shipping to EVERY query it forward-wins — so (a) no candidate
+    // may ship in more than one pair, and (b) the shipped pairs must
+    // overwhelmingly be exact-leg pairs, not fallback artifacts.
+    assert(annPairs.values.toSeq.distinct.size === annPairs.size,
+      s"a candidate ships in more than one ANN pair (hub leak): $annPairs")
+    val truePrec = annPairs.count { case (q, c) =>
+      exactPairs.get(q).contains(c) }
+    assert(truePrec.toDouble / annPairs.size >= 0.9,
+      s"ANN extraction precision $truePrec/${annPairs.size} below the gate")
 
     // the "embarrassingly parallel sweep" claim, measured (round-14
     // verdict ask #3, spec leg): every per-query quantity (fwd list,
@@ -240,6 +253,18 @@ class BitextSpec extends AnyFunSuite with SparkSpec {
     assert(swept(q => ExtensionQueries.bitextExtractAnn(sides, q))
       === extractedFull,
       "batched extraction sweep must union to exactly the full-pool run")
+    // the PRODUCTION sweep (bitextExtractSweep — the Pipeline's
+    // bitextRelease path, round-15 verdict ask #1): hash-batched,
+    // parquet-staged, and its read-back union must still equal the
+    // full-pool run row for row (batch size 8 over 40 queries = 5
+    // genuinely separate staged batches)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_bitext_sweep").toString
+    val sweptProd = ExtensionQueries.bitextExtractSweep(spark, dir,
+        stage, batchSize = 8)
+      .collect().toSeq.sortBy(_.getLong(0))
+    assert(sweptProd === extractedFull,
+      "production staged sweep must union to exactly the full-pool run")
 
     // artifact freshness (the WhitenedIvf contract): a regenerated
     // embeddings table must republish the pair, never serve the stale
