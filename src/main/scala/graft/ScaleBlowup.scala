@@ -268,13 +268,24 @@ object ScaleBlowup {
     SparkEntry.queries("x147_bitext_extract_ann")(spark, dir).count()
     val stage = java.nio.file.Files
       .createTempDirectory("graft_blowup_bitext").toString + "/stage"
+    val sides = graft.ml.BitextAnn.loadOrPublish(spark, dir)
+    val nEn = sides.en.assigned.count()
     val t0 = System.nanoTime()
     val pairs = graft.queries.ExtensionQueries
       .bitextExtractSweep(spark, dir, stage).count()
     val secs = (System.nanoTime() - t0) / 1e9
     require(pairs > 0, s"bitext sweep extracted zero pairs at $dir")
-    s"""{"bitext_release":"sweep","dir":"$dir",""" +
-      s""""secs":${math.rint(secs * 10) / 10},"pairs":$pairs}"""
+    // total sweep cost is linear in POOL (every query mines once — the
+    // irreducible term, embarrassingly parallel across batches); the
+    // scale claim is per-batch flatness (x147's measured 0.15 exponent
+    // vs corpus), so the per-batch figure prints alongside
+    val bs = graft.queries.ExtensionQueries.sweepBatchSize(nEn)
+    val batches = math.max(1L, (nEn + bs - 1) / bs)
+    s"""{"bitext_release":"sweep","dir":"$dir","queries":$nEn,""" +
+      s""""batches":$batches,""" +
+      s""""secs":${math.rint(secs * 10) / 10},""" +
+      s""""per_batch":${math.rint(secs / batches * 1000) / 1000},""" +
+      s""""pairs":$pairs}"""
   }
 
   /** A blown-up corpus VARIANT whose battery funnel is non-degenerate
@@ -594,6 +605,15 @@ object ScaleBlowup {
       return
     }
     blowup(spark, src, big, factor)
+    if (flags("--bitext")) {
+      // release-leg-only mode: the two bitextLeg timings without the
+      // full funnel (re-measuring after a sweep-shape change costs
+      // minutes, not the --pipeline hour)
+      println(bitextLeg(spark, src))
+      println(bitextLeg(spark, big))
+      spark.stop()
+      return
+    }
     if (flags("--pipeline")) {
       // funnel-at-scale mode: the base leg on the blown corpus, the
       // battery leg on its planted-compliant variant (round-14 ask #4:
