@@ -269,18 +269,23 @@ object Bench {
     * (the flat-parse loader picks them up; warm gates never see them
     * because query names don't carry the prefix). A cold entry is
     * flagged when its ratio to the pin breaks `factor` — but only on
-    * an otherwise-clean run (warm median ratio in [0, 1.25]): on a
-    * contended run the whole artifact is already non-evidence, and a
-    * cold probe runs ONCE by construction (no min-of-N to shed a
-    * burst), so flagging there would only generate noise. Like watch,
-    * cold_watch is a NOTE for the next reader, not a verdict. Pure so
-    * BenchGateSpec can pin the three shapes (inflated-flagged /
-    * clean-quiet / contended-quiet).
+    * an otherwise-clean run: warm median ratio in [0, 1.25] AND no
+    * live epoch signal (`epochClean` — the host epoch inflates the
+    * cold BUILD paths right alongside the posting scans while leaving
+    * the run median untouched, so a median gate alone let an
+    * epoch_verdict:host run flag all 8 probes at once — observed live
+    * the day this landed). On a contended/epoch run the artifact is
+    * already non-evidence, and a cold probe runs ONCE by construction
+    * (no min-of-N to shed a burst), so flagging there is only noise.
+    * Like watch, cold_watch is a NOTE for the next reader, not a
+    * verdict. Pure so BenchGateSpec can pin the shapes
+    * (inflated-flagged / clean-quiet / contended-or-epoch-quiet).
     */
   private[graft] def coldWatch(cold: Map[String, Double],
       ledger: Map[String, Double], warmMedian: Double,
+      epochClean: Boolean = true,
       factor: Double = 1.5, pinFloorSec: Double = 0.5): Seq[String] = {
-    if (warmMedian < 0 || warmMedian > 1.25) return Seq.empty
+    if (warmMedian < 0 || warmMedian > 1.25 || !epochClean) return Seq.empty
     cold.collect {
       case (q, t) if t > 0 && ledger.getOrElse("cold:" + q, 0.0) >= pinFloorSec &&
         t / ledger("cold:" + q) > factor => q
@@ -506,7 +511,8 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val coldJson = cold.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val coldWatchJson = coldWatch(cold.toMap, ledger, medianRatio)
+    val coldWatchJson = coldWatch(cold.toMap, ledger, medianRatio,
+        epochClean = epochVerdictStr == "none" && stillSuspect.isEmpty)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_pct":${math.rint(stealPct * 100) / 100},"ledger_queries":${ledger.count(!_._1.startsWith("cold:"))},"median_ledger_ratio":${math.rint(medianRatio * 1000) / 1000},"p90_ledger_ratio":${math.rint(p90Ratio * 1000) / 1000},"retried":$retriedJson,"suspect":$suspectJson,"watch":$watchJson,"family_watch":$familyWatchJson,"epoch_verdict":"$epochVerdictStr","bracket":$bracketJson,"cold":$coldJson,"cold_watch":$coldWatchJson,"contended":$contended}""")
     spark.stop()

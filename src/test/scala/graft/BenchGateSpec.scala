@@ -328,6 +328,10 @@ class BenchGateSpec extends AnyFunSuite {
     // a contended run is already non-evidence — no cold noise on top
     assert(Bench.coldWatch(inflated, led, 1.6).isEmpty)
     assert(Bench.coldWatch(inflated, led, -1.0).isEmpty)
+    // a live epoch inflates the cold BUILD paths while leaving the run
+    // median untouched (observed: an epoch_verdict:host run at median
+    // 1.184 flagged all 8 probes) — the epoch signal mutes the band
+    assert(Bench.coldWatch(inflated, led, 1.0, epochClean = false).isEmpty)
     // no pin / sub-floor pin / failed probe: never flagged
     assert(Bench.coldWatch(Map("x96_bm25_indexed" -> 50.0), led, 1.0).isEmpty)
     assert(Bench.coldWatch(Map("x129_whiten" -> 5.0), led, 1.0).isEmpty)
