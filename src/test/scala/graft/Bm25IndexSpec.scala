@@ -166,10 +166,10 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSpec {
 
     stageBatch("a", col("doc_id") < 250)
     DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
-      lexIndex = true).awaitTermination(180000)
+      lexIndex = true).quiesce()
     stageBatch("b", col("doc_id") >= 250)
     DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
-      lexIndex = true).awaitTermination(180000)
+      lexIndex = true).quiesce()
 
     val accepted = spark.read.parquet(s"$store/docs").select("doc_id", "text")
     val fromStore = Bm25Index.fromStore(spark, store)
@@ -218,10 +218,10 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSpec {
     }
     put("a", Seq((1L, "alpha beta gamma alpha"), (2L, "delta beta")))
     DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
-      lexIndex = true).awaitTermination(120000)
+      lexIndex = true).quiesce()
     put("b", Seq((3L, "gamma gamma epsilon")))
     DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
-      lexIndex = true).awaitTermination(120000)
+      lexIndex = true).quiesce()
 
     def snapshot(): Seq[(Long, Double, Long)] =
       rows(Bm25Index.searchWith(Bm25Index.fromStore(spark, store),

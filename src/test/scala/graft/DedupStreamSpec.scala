@@ -73,7 +73,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     // ---- batch 1: first half of the corpus, empty history
     val b1 = stage(docsDir, work, "a", col("doc_id") < 250)
     DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt)
-      .awaitTermination(180000)
+      .quiesce()
     val drops1 = expectedDrops(Seq.empty[(Long, String)].toDF("doc_id", "text"),
       b1.select("doc_id", "text"))
     val acc1Exp = b1.select("doc_id").as[Long].collect().toSet -- drops1
@@ -84,7 +84,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     // ---- batch 2: second half, deduped against batch-1 SURVIVORS
     val b2 = stage(docsDir, work, "b", col("doc_id") >= 250)
     val q2 = DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt)
-    q2.awaitTermination(180000)
+    q2.quiesce()
     assert(q2.recentProgress.map(_.numInputRows).sum === b2.count(),
       "resumed run must ingest only the newly-arrived file")
 
@@ -167,10 +167,10 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
 
     val b1 = stage(docsDir, work, "a", col("doc_id") < 250)
     DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
-      softDedup = true).awaitTermination(180000)
+      softDedup = true).quiesce()
     val b2 = stage(docsDir, work, "b", col("doc_id") >= 250)
     DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
-      softDedup = true).awaitTermination(180000)
+      softDedup = true).quiesce()
 
     // 1. nothing is dropped by dedup: every arrival is in the corpus
     val allIds = (b1.select("doc_id").as[Long].collect() ++
@@ -248,14 +248,14 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     shipBatch("h", Seq(
       2L -> text("aa", 40), 10L -> text("bb", 40), 13L -> text("cc", 40)))
     DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
-      softDedup = true, evalGuard = true).awaitTermination(180000)
+      softDedup = true, evalGuard = true).quiesce()
     shipBatch("i", Seq(
       11L -> text("bb", 40, tweak = true), // train twin of VAL 10: leak
       12L -> text("aa", 40, tweak = true), // train twin of train 2: ok
       30L -> text("cc", 40, tweak = true), // val twin of TRAIN 13: leak
       14L -> text("dd", 40))) // unrelated
     DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
-      softDedup = true, evalGuard = true).awaitTermination(180000)
+      softDedup = true, evalGuard = true).quiesce()
 
     val accepted = spark.read.parquet(s"$store/docs")
       .select("doc_id").as[Long].collect().toSet
@@ -307,7 +307,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     val b1 = stage(docsDir, work, "g", col("doc_id") % 100 =!= 0)
     try {
       DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
-        Some(gate)).awaitTermination(180000)
+        Some(gate)).quiesce()
 
       // batch replay of the same two gates: dedup via the x02 core,
       // then the EXACT broadcast-shape contamination rule (x51's
@@ -359,7 +359,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     }
     def runStream(): Unit =
       DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt)
-        .awaitTermination(180000)
+        .quiesce()
 
     val base = (1 to 20).map(i => s"t$i").mkString(" ")
     val boiler = (1 to 5).map(i => s"b$i").mkString(" ")
@@ -524,7 +524,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     val wordvecs = graft.queries.ReferenceQueries.wordvecsByLang(spark, sf)
     DedupStream.start(spark, docsDir.toString, wordvecs, 8, store,
       work.resolve("ckpt").toString)
-      .awaitTermination(180000)
+      .quiesce()
 
     // ground truth from the accepted docs themselves (lang rejoined
     // from the source table — the artifact stores only id+text)
@@ -608,7 +608,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
         DedupStream.start(spark, docsDir.toString, wordvecs, 8,
           work.resolve("store").toString, work.resolve("ckpt").toString,
           gate = None, quality = quality)
-          .awaitTermination(180000)
+          .quiesce()
         spark.read.parquet(s"${work.resolve("store")}/docs")
           .select("doc_id").as[Long].collect().toSet
       }
@@ -647,7 +647,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     // ---- batch 1 accepted corpus → the base index artifact
     stage(docsDir, work, "a", col("doc_id") < 250)
     DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt)
-      .awaitTermination(180000)
+      .quiesce()
     // localCheckpoint: batch 2's upsert REWRITES the vectors store, and
     // a plain persist over the same path would serve batch-1 rows to
     // the later fresh read via canonical-plan cache matching
@@ -677,7 +677,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
         .filter(_.endsWith(".parquet")).map(Paths.get(_)).head,
       docsDir.resolve("c.parquet"))
     DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt)
-      .awaitTermination(180000)
+      .quiesce()
     val v2 = DedupStream.maintainAnnIndex(spark, store, indexRoot)
     assert(v2 > v1, "maintenance must publish a NEW version")
     val loaded = graft.ml.IvfPq.load(spark, indexRoot)
@@ -747,7 +747,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     // ---- batch 1 → first maintenance fits and publishes
     stage(docsDir, work, "a", col("doc_id") < 250)
     DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt)
-      .awaitTermination(180000)
+      .quiesce()
     val (v1, refit1) = DedupStream.maintainWhitening(spark, store, whRoot)
     assert(refit1, "an empty root must fit, not certify")
     val (mu1, w1) = graft.ml.Whiten.load(spark, whRoot)
@@ -761,7 +761,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     // the maintenance must refit: new version, drifted transform
     stage(docsDir, work, "b", col("doc_id") >= 250)
     DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt)
-      .awaitTermination(180000)
+      .quiesce()
     val grown = DedupStream.storeVectors(spark, store).count()
     assert(grown.toDouble > 1.2 * graft.sources.VersionedStore
       .readTable(spark, whRoot, v1, "meta").head.getLong(0),
@@ -824,10 +824,10 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     val wordvecs = graft.queries.ReferenceQueries.wordvecsByLang(spark, sf)
     shipped("a", "s1")
     DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
-      ruleBatteries = true).awaitTermination(180000)
+      ruleBatteries = true).quiesce()
     shipped("b", "s2")
     DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
-      ruleBatteries = true).awaitTermination(180000)
+      ruleBatteries = true).quiesce()
 
     val kept = spark.read.parquet(s"$store/docs")
       .select("doc_id", "text").collect()
@@ -872,7 +872,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     // ---- batch 1 → a LEGACY index published without fit provenance
     stage(docsDir, work, "a", col("doc_id") < 250)
     DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt)
-      .awaitTermination(180000)
+      .quiesce()
     val legacyVecs = DedupStream.storeVectors(spark, store)
       .localCheckpoint(true)
     val legacy = graft.ml.IvfPq.buildFrom(spark, legacyVecs,
@@ -909,7 +909,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
         .filter(_.endsWith(".parquet")).map(Paths.get(_)).head,
       docsDir.resolve("c.parquet"))
     DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt)
-      .awaitTermination(180000)
+      .quiesce()
     val grown = DedupStream.storeVectors(spark, store).count()
     assert(grown.toDouble > 1.2 * fitN1,
       "fixture must grow the store past the drift budget")
@@ -966,7 +966,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
     // batch 0: a normal corpus half
     stage(docsDir, work, "a", col("doc_id") < 250)
     DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
-      lexIndex = true).awaitTermination(180000)
+      lexIndex = true).quiesce()
     // batch 1: the planted drifted source — a token nobody else uses
     // (distinct texts so dedup keeps them all; the drift must come
     // from the DISTRIBUTION, not from dup-dropping artifacts)
@@ -979,7 +979,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkSpec {
       .filter(_.endsWith(".parquet")).head
     Files.copy(Paths.get(part), docsDir.resolve("b.parquet"))
     DedupStream.start(spark, docsDir.toString, wordvecs, 8, store, ckpt,
-      lexIndex = true).awaitTermination(180000)
+      lexIndex = true).quiesce()
 
     val rep = DedupStream.driftReport(spark, store).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))

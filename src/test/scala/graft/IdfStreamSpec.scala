@@ -23,7 +23,7 @@ class IdfStreamSpec extends AnyFunSuite with SparkSpec {
     val ckpt = work.resolve("ckpt").toString
 
     val q = IdfStream.start(spark, docsDir, stateDir, ckpt)
-    q.awaitTermination(180000)
+    q.quiesce()
 
     val streamed = IdfStream.currentIdf(spark, stateDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
@@ -44,7 +44,7 @@ class IdfStreamSpec extends AnyFunSuite with SparkSpec {
     // first run: half the corpus
     docs.filter(col("doc_id") % 2 === 0).coalesce(1).write
       .mode("append").parquet(docsDir)
-    IdfStream.start(spark, docsDir, stateDir, ckpt).awaitTermination(180000)
+    IdfStream.start(spark, docsDir, stateDir, ckpt).quiesce()
     val half = IdfStream.currentIdf(spark, stateDir).count()
     assert(half > 0)
 
@@ -53,7 +53,7 @@ class IdfStreamSpec extends AnyFunSuite with SparkSpec {
     // occurrence counts would double and the comparison below would fail
     docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write
       .mode("append").parquet(docsDir)
-    IdfStream.start(spark, docsDir, stateDir, ckpt).awaitTermination(180000)
+    IdfStream.start(spark, docsDir, stateDir, ckpt).quiesce()
 
     val streamed = IdfStream.currentIdf(spark, stateDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

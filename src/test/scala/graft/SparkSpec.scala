@@ -24,6 +24,28 @@ object SparkSpec {
 
 trait SparkSpec {
   lazy val spark: SparkSession = SparkSpec.session
+  /** `awaitTermination(timeout)` returns FALSE when the budget expires
+    * with the query still running. Every streaming test used to ignore
+    * that boolean, so under full-suite parallel load a 3-minute
+    * timeout let the harness proceed to read artifacts the stream
+    * never published — surfacing two asserts later as a misleading
+    * PATH_NOT_FOUND (round-16's one committed failure,
+    * DedupStreamSpec's contamination-gate test). This guard fails
+    * loudly at the true cause instead; the larger default budget
+    * absorbs box load without masking a genuine hang (a healthy
+    * test-mode stream quiesces in seconds).
+    */
+  implicit class StreamQuiesce(q: org.apache.spark.sql.streaming.StreamingQuery) {
+    def quiesce(timeoutMs: Long = 420000): Unit = {
+      val done = q.awaitTermination(timeoutMs)
+      if (!done) {
+        try q.stop() catch { case _: Exception => () }
+        throw new AssertionError(
+          s"stream did not quiesce within ${timeoutMs}ms " +
+            "(timed out mid-run; artifacts below would be partial)")
+      }
+    }
+  }
   /** Fixture root, overridable per-host (round-12 advice: suites must
     * not hardcode this machine's layout when they widen to other SFs).
     */

@@ -19,7 +19,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val q = agg.writeStream.outputMode("complete")
       .format("memory").queryName("win_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    q.quiesce()
     val streamed = spark.sql(
       "SELECT w_start, event_type, n, round(sum_value, 2) AS sum_value FROM win_out")
       .collect().map(_.toSeq).toSet
@@ -38,7 +38,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val q = joined.writeStream.outputMode("append")
       .format("memory").queryName("ssj_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    q.quiesce()
     val streamed = spark.sql("SELECT click_id, view_id FROM ssj_out")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // batch-mode execution of the same plan is the oracle
@@ -62,7 +62,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val q = deduped.writeStream.outputMode("append")
       .format("memory").queryName("dedup_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    q.quiesce()
     val n = spark.sql("SELECT count(*) FROM dedup_out").head().getLong(0)
     val distinctIds =
       spark.sql("SELECT count(DISTINCT event_id) FROM dedup_out").head().getLong(0)
@@ -96,7 +96,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val q = agg.writeStream.outputMode("complete")
       .format("memory").queryName("empty_win_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    q.quiesce()
     assert(spark.sql("SELECT * FROM empty_win_out").count() === 0L)
     // a file lands after the first (empty) run: same stream def reads it
     java.nio.file.Files.createSymbolicLink(
@@ -107,7 +107,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val q2 = agg2.writeStream.outputMode("complete")
       .format("memory").queryName("late_win_out")
       .trigger(Trigger.AvailableNow()).start()
-    q2.awaitTermination(120000)
+    q2.quiesce()
     val streamed = spark.sql(
       "SELECT w_start, event_type, n, round(sum_value, 2) AS sum_value FROM late_win_out")
       .collect().map(_.toSeq).toSet

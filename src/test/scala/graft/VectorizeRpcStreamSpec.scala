@@ -64,14 +64,14 @@ class VectorizeRpcStreamSpec extends AnyFunSuite with SparkSpec {
       val enA = stage("a", col("doc_id") < 250)
       val q1 = VectorizeStream.startWithRpc(spark, docsDir.toString, wordvecs,
         8, store, ckpt, base, lang = "en")
-      q1.awaitTermination(180000)
+      q1.quiesce()
       assert(hits.keySet.asScala.map(_.toLong) === enA,
         "first run must fetch exactly file a's en docs over RPC")
 
       val enB = stage("b", col("doc_id") >= 250)
       val q2 = VectorizeStream.startWithRpc(spark, docsDir.toString, wordvecs,
         8, store, ckpt, base, lang = "en") // SAME checkpoint
-      q2.awaitTermination(180000)
+      q2.quiesce()
       assert(hits.keySet.asScala.map(_.toLong) === (enA ++ enB),
         "resumed run must fetch only file b's docs (no re-poll of file a)")
 

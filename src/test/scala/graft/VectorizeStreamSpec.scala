@@ -25,7 +25,7 @@ class VectorizeStreamSpec extends AnyFunSuite with SparkSpec {
 
     val q = VectorizeStream.start(spark, docsDir.toString, wvl, 8,
       store, ckpt)
-    q.awaitTermination(180000)
+    q.quiesce()
 
     val streamed = spark.read.parquet(store)
     val batch = graft.queries.ReferenceQueries.docVectorsByLang(
@@ -51,7 +51,7 @@ class VectorizeStreamSpec extends AnyFunSuite with SparkSpec {
     // re-running the same stream (fresh checkpoint) is idempotent
     val q2 = VectorizeStream.start(spark, docsDir.toString, wvl, 8,
       store, work.resolve("ckpt2").toString)
-    q2.awaitTermination(180000)
+    q2.quiesce()
     assert(spark.read.parquet(store).count() === batch.count())
   }
 
@@ -112,14 +112,14 @@ class VectorizeStreamSpec extends AnyFunSuite with SparkSpec {
 
     val q1 = VectorizeStream.start(spark, docsDir.toString, wordvecs, 8,
       store, ckpt)
-    q1.awaitTermination(180000)
+    q1.quiesce()
     val rows1 = q1.recentProgress.map(_.numInputRows).sum
     assert(rows1 === n1, s"first run should ingest exactly file a ($n1 rows)")
 
     val n2 = stage("b", col("doc_id") >= 250)
     val q2 = VectorizeStream.start(spark, docsDir.toString, wordvecs, 8,
       store, ckpt) // SAME checkpoint — offsets must resume
-    q2.awaitTermination(180000)
+    q2.quiesce()
     val rows2 = q2.recentProgress.map(_.numInputRows).sum
     assert(rows2 === n2,
       s"resumed run must ingest only file b ($n2 rows), got $rows2 — file a reprocessed?")
