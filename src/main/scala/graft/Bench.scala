@@ -277,10 +277,29 @@ object Bench {
     * the day this landed). On a contended/epoch run the artifact is
     * already non-evidence, and a cold probe runs ONCE by construction
     * (no min-of-N to shed a burst), so flagging there is only noise.
+    * An epoch_verdict of "code" is the OPPOSITE case (round-16 ADVICE):
+    * the in-run bracket re-measured clean against the sentinels, i.e.
+    * the machine is fine and the slowdown is the code's — precisely
+    * the run where a shared regression (say in Bm25Index) would
+    * inflate warm scans and cold builds together, so the band must
+    * stay live there. The caller's epochClean therefore admits
+    * "none" AND "code", muting only host/unresolved verdicts.
     * Like watch, cold_watch is a NOTE for the next reader, not a
     * verdict. Pure so BenchGateSpec can pin the shapes
     * (inflated-flagged / clean-quiet / contended-or-epoch-quiet).
     */
+  /** Which epoch verdicts leave the cold band live (pure so
+    * BenchGateSpec pins the mapping): "none" is the clean run the
+    * band was built for; "code" means the in-run bracket re-measured
+    * clean against the sentinels — machine fine, slowdown is the
+    * code's — so the band MUST stay live to catch a shared regression
+    * inflating warm scans and cold builds together. "host" and
+    * "unresolved" (and any live suspect) mute it: the host epoch
+    * inflates cold builds 1.3-2.2x on its own.
+    */
+  private[graft] def coldBandLive(epochVerdict: String, nSuspects: Int): Boolean =
+    (epochVerdict == "none" || epochVerdict == "code") && nSuspects == 0
+
   private[graft] def coldWatch(cold: Map[String, Double],
       ledger: Map[String, Double], warmMedian: Double,
       epochClean: Boolean = true,
@@ -512,7 +531,7 @@ object Bench {
     val coldJson = cold.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val coldWatchJson = coldWatch(cold.toMap, ledger, medianRatio,
-        epochClean = epochVerdictStr == "none" && stillSuspect.isEmpty)
+        epochClean = coldBandLive(epochVerdictStr, stillSuspect.size))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_pct":${math.rint(stealPct * 100) / 100},"ledger_queries":${ledger.count(!_._1.startsWith("cold:"))},"median_ledger_ratio":${math.rint(medianRatio * 1000) / 1000},"p90_ledger_ratio":${math.rint(p90Ratio * 1000) / 1000},"retried":$retriedJson,"suspect":$suspectJson,"watch":$watchJson,"family_watch":$familyWatchJson,"epoch_verdict":"$epochVerdictStr","bracket":$bracketJson,"cold":$coldJson,"cold_watch":$coldWatchJson,"contended":$contended}""")
     spark.stop()

@@ -336,6 +336,17 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.coldWatch(Map("x96_bm25_indexed" -> 50.0), led, 1.0).isEmpty)
     assert(Bench.coldWatch(Map("x129_whiten" -> 5.0), led, 1.0).isEmpty)
     assert(Bench.coldWatch(Map("x04_ngram_jaccard" -> -10.1), led, 1.0).isEmpty)
+    // the call-site mapping (round-16 ADVICE): a "code" verdict means
+    // the bracket re-measured clean against the sentinels — machine
+    // fine — so the band stays LIVE to catch a shared code regression
+    // that inflates warm scans and cold builds together; host and
+    // unresolved epochs (and any live suspect) mute it
+    assert(Bench.coldBandLive("none", 0))
+    assert(Bench.coldBandLive("code", 0))
+    assert(!Bench.coldBandLive("host", 0))
+    assert(!Bench.coldBandLive("unresolved", 0))
+    assert(!Bench.coldBandLive("none", 1))
+    assert(!Bench.coldBandLive("code", 2))
   }
 
   test("cold probes cover the memoized families and are real queries") {
