@@ -212,7 +212,8 @@ object Pipeline {
       qualityGate: Boolean = false, qualityMin: Double = 0.5,
       centralityCanonical: Boolean = false,
       ruleBatteries: Boolean = false,
-      bitextRelease: Boolean = false): Result = {
+      bitextRelease: Boolean = false,
+      bitextStageDir: Option[String] = None): Result = {
     val docs = Tables.documents(spark, sfDir)
 
     // Funnel accounting beyond the four materializing counts rides the
@@ -676,7 +677,20 @@ object Pipeline {
       // structure exists — the r15 --paired sweep measured recall
       // 0.98 / margin ratio 1.0 at corpus scale). The staging dir is
       // release-scoped and deleted after the snapshot publish lands.
-      val bitextStage = s"$storeRoot/_bitext_stage"
+      // It is scoped by a PER-RUN nonce (round-16 ADVICE/verdict ask
+      // #4): a fixed name let two concurrent bitextRelease publishers
+      // on one storeRoot — the exact race claimVersion serializes for
+      // the snapshot itself — wipe each other's staged pairs
+      // mid-sweep. The claim number would be the natural scope, but
+      // publishAll allocates it only after every table (including the
+      // pairs frame, which reads from this stage) is handed over, so
+      // a nonce gives the same isolation without reordering the claim
+      // protocol. An operator running a multi-hour release who wants
+      // the sweep's resume-from-batch-k behavior across DRIVER
+      // restarts pins `bitextStageDir` instead — the sweep's
+      // fingerprint guard makes a stale pinned stage safe.
+      val bitextStage = bitextStageDir.getOrElse(
+        s"$storeRoot/_bitext_stage_${java.util.UUID.randomUUID.toString.take(12)}")
       val bitextTable =
         if (!bitextRelease) Map.empty[String, DataFrame]
         else Map("bitext_pairs" ->

@@ -281,9 +281,17 @@ object ScaleBlowup {
     // vs corpus), so the per-batch figure prints alongside
     val bs = graft.queries.ExtensionQueries.sweepBatchSize(nEn)
     val batches = math.max(1L, (nEn + bs - 1) / bs)
+    // round-16 verdict ask #2's done-criterion: with S slots of
+    // concurrent batch submission, wall clock is per-batch ×
+    // ceil(batches/S) — per_round is the measured cost of one such
+    // wave (comparable to the r16 sequential per_batch figure);
+    // per_batch stays as amortized throughput per batch
+    val slots = graft.queries.ExtensionQueries.SweepSlots
+    val rounds = math.max(1L, (batches + slots - 1) / slots)
     s"""{"bitext_release":"sweep","dir":"$dir","queries":$nEn,""" +
-      s""""batches":$batches,""" +
+      s""""batches":$batches,"slots":$slots,"rounds":$rounds,""" +
       s""""secs":${math.rint(secs * 10) / 10},""" +
+      s""""per_round":${math.rint(secs / rounds * 1000) / 1000},""" +
       s""""per_batch":${math.rint(secs / batches * 1000) / 1000},""" +
       s""""pairs":$pairs}"""
   }

@@ -286,6 +286,67 @@ class BitextSpec extends AnyFunSuite with SparkSpec {
       "regenerated embeddings must republish the two-sided artifact")
   }
 
+  test("release sweep resumes from committed batches; a stale fingerprint restages") {
+    // Round-16 verdict ask #3: a 15k-batch release that dies at batch
+    // 14,999 must not restart from zero (the old entry-point
+    // fs.delete wiped every staged pair, and append-mode writes meant
+    // a rerun WITHOUT the wipe would duplicate). The stage is now
+    // fingerprint-pinned with per-batch committed dirs: a rerun skips
+    // every batch whose _SUCCESS marker exists and reproduces the full
+    // result byte for byte; a changed pool or batch geometry
+    // invalidates the fingerprint and restages from scratch.
+    val dir = plantFixture("graft_bitext_resume")
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_sweep_resume").toString + "/stage"
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def marker(b: Int) =
+      new org.apache.hadoop.fs.Path(s"$stage/pairs/batch_$b/_SUCCESS")
+    def mtimes(): Map[Int, Long] = (0 until 5).flatMap { b =>
+      if (fs.exists(marker(b)))
+        Some(b -> fs.getFileStatus(marker(b)).getModificationTime)
+      else None
+    }.toMap
+    def sweep(bs: Int) = ExtensionQueries
+      .bitextExtractSweep(spark, dir, stage, batchSize = bs)
+      .collect().toSeq.sortBy(_.getLong(0))
+
+    // 40 en queries at batchSize 8 = 5 committed batch dirs
+    val full = sweep(8)
+    assert(full.nonEmpty, "fixture must extract pairs")
+    val t1 = mtimes()
+    assert(t1.keySet === (0 until 5).toSet, s"committed batches: $t1")
+
+    // a sweep killed after k of n: the kill leaves committed dirs +
+    // the fingerprint behind (simulated by deleting two batch dirs —
+    // one of them torn, _SUCCESS gone but part files left, the
+    // overwrite-mode rewrite must absorb it)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stage/pairs/batch_1"), true)
+    fs.delete(marker(3), false)
+    val resumed = sweep(8)
+    assert(resumed === full,
+      "resume must reproduce the full result byte for byte")
+    val t2 = mtimes()
+    assert(Seq(0, 2, 4).forall(b => t2(b) === t1(b)),
+      "surviving batches must be SKIPPED, not recomputed")
+    assert(t2(1) > t1(1) && t2(3) > t1(3),
+      "killed batches must be recomputed")
+
+    // a no-op rerun of a complete stage: nothing recomputed, nothing
+    // duplicated (the old append-mode staging would double every pair)
+    assert(sweep(8) === full)
+    assert(mtimes() === t2, "a complete stage must be a pure read")
+
+    // changed geometry = changed fingerprint: restaged from scratch
+    // (same rows — batching never changes the result — and the old
+    // 5-batch layout is gone, so stale dirs can never serve)
+    assert(sweep(13) === full)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$stage/pairs/batch_4")),
+      "a stale-fingerprint stage must be wiped, not adopted")
+    assert(mtimes().keySet === (0 until 4).toSet,
+      "40 queries at batchSize 13 stage as 4 batches")
+  }
+
   test("operating point nProbe=4/candK=8 sits on a measured recall ladder") {
     // round-14 verdict ask #5: x140 justifies its probe budget with a
     // measured ladder; the bitext artifact's nProbe=4 / BitextCandK=8
