@@ -54,6 +54,55 @@ object Bench {
       entries
     } catch { case _: Throwable => Map.empty }
 
+  /** Process CPU seconds consumed so far (driver + every local[32]
+    * executor thread — one JVM), or -1 where the platform bean is
+    * unavailable. This is the steal-invariant clock: thread CPU time
+    * does not advance while the hypervisor runs someone else on our
+    * vCPUs, so a delta around a query measures the WORK the query did
+    * regardless of the host epoch that has now defeated wall-clock
+    * pinning for three rounds straight (r15/r16: every bench window
+    * self-adjudicated as an epoch; this round's two attempts read
+    * steal 4.5-6.8% with median wall ratio ~1.8).
+    */
+  private def processCpuSecs: Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val t = os.getProcessCpuTime
+        if (t < 0) -1.0 else t / 1e9
+      case _ => -1.0
+    } catch { case _: Throwable => -1.0 }
+
+  /** CPU pins from the ledger: `cpu:<query>` keys, prefix stripped so
+    * they compare against the run's per-query CPU seconds the way the
+    * warm wall pins compare against wall seconds (cold CPU pins use
+    * `cold_cpu:<query>`). PROVENANCE RULE — the one place the pin
+    * protocol differs from wall: a cpu pin may be adopted from a
+    * committed artifact even when that run's epoch_verdict is
+    * host/unresolved, because process CPU does not advance while the
+    * vCPU is stolen (memory-bandwidth pressure can still inflate it a
+    * few percent — cycles-per-instruction rises — which is noise, not
+    * the 1.5-3x wall epochs). A cpu pin may NOT be adopted for a query
+    * listed under failed or suspect in its source artifact. CPU is a
+    * WORK meter, not a latency meter: on local[32] a saturating query
+    * spends up to 32 cpu-seconds per wall second, so cpu and wall
+    * ratios are compared only against their own channel's pins. The
+    * channel is a NOTE for regression reading (a query whose cpu
+    * breaks 1.5x its pin did more work — algorithmic regression —
+    * even in a window where every wall number is epoch-garbage); the
+    * contended/suspect verdicts stay wall-based.
+    */
+  private[graft] def cpuPins(ledger: Map[String, Double]): Map[String, Double] =
+    ledger.collect { case (k, v) if k.startsWith("cpu:") =>
+      k.stripPrefix("cpu:") -> v }
+
+  /** Warm wall pins are the UNPREFIXED ledger keys; `cold:`, `cpu:`
+    * and `cold_cpu:` entries are channel-scoped and must not count
+    * toward (or collide with) the warm gate's overlap. Query names
+    * never contain ':'.
+    */
+  private[graft] def warmPinCount(ledger: Map[String, Double]): Int =
+    ledger.count(!_._1.contains(":"))
+
   /** Median of per-query time/ledger ratios, or -1 with no overlap.
     * ~1.0 means the run reproduced its pinned history — direct
     * per-query evidence that the box was quiet, whatever loadavg says.
@@ -392,12 +441,20 @@ object Bench {
       try Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // each sample carries (ok, wall secs, process-cpu secs): wall is
+    // what the ledger gates judge; cpu is the steal-invariant work
+    // meter recorded beside it (see cpuPins). Queries run one at a
+    // time, so the process-cpu delta attributes to the query (plus
+    // GC, which is part of its cost).
     def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        n: Int): Seq[(Boolean, Double)] =
+        n: Int): Seq[(Boolean, Double, Double)] =
       (1 to n).map { _ =>
+        val c0 = processCpuSecs
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        (ok, (System.nanoTime() - t0) / 1e9)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val c1 = processCpuSecs
+        (ok, wall, if (c0 < 0 || c1 < 0) -1.0 else c1 - c0)
       }
     // Cold-path probe BEFORE the warm pass: first-touch seconds for the
     // memoized families (see coldProbes doc). Recorded beside — never
@@ -415,14 +472,22 @@ object Bench {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       ()
     }
-    val cold = coldProbes.filter(SparkEntry.queries.contains).map { q =>
-      val (ok, t) = sample(q, SparkEntry.queries(q), 1).head
-      q -> (if (ok) t else -t)
+    val coldSamples = coldProbes.filter(SparkEntry.queries.contains).map { q =>
+      q -> sample(q, SparkEntry.queries(q), 1).head
     }
-    def best(samples: Seq[(Boolean, Double)]): Double = {
+    val cold = coldSamples.map { case (q, (ok, t, _)) => q -> (if (ok) t else -t) }
+    val coldCpu = coldSamples.map { case (q, (ok, _, c)) => q -> (if (ok) c else -c) }
+    def best(samples: Seq[(Boolean, Double, Double)]): Double = {
       val anyOk = samples.exists(_._1)
-      val b = samples.collect { case (ok, s) if ok == anyOk => s }.min
+      val b = samples.collect { case (ok, s, _) if ok == anyOk => s }.min
       if (anyOk) b else -b
+    }
+    // min cpu over green runs: interference only ADDS cycles (context
+    // switches, cache refills), so like wall the min is the least
+    // contaminated estimate; -1 (unmeasurable) propagates as absent
+    def bestCpu(samples: Seq[(Boolean, Double, Double)]): Double = {
+      val ok = samples.collect { case (true, _, c) if c >= 0 => c }
+      if (ok.isEmpty) -1.0 else ok.min
     }
     // A throwing query must be distinguishable from a green run: its wall
     // clock is recorded NEGATIVE and its name is listed under "failed".
@@ -430,9 +495,11 @@ object Bench {
     // repeat 1 additionally warms the session-lifetime shared caches
     // (docTokens / shingles / postings), so the min is a warm, steady
     // -state number — the quantity a round-over-round comparison needs.
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      (name, best(sample(name, fn, runs)))
+    val firstSamples = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, sample(name, fn, runs))
     }
+    val firstPass = firstSamples.map { case (name, s) => (name, best(s)) }
+    val cpu0 = firstSamples.map { case (name, s) => (name, bestCpu(s)) }.toMap
     // Plausibility gate (round-5 verdict #1): min-of-N fails when EVERY
     // repeat ran under the same interference burst (r5's x39 13.1 s vs
     // a reproduced 0.39 s, with steal silent). Any query that breaks 3x
@@ -443,9 +510,14 @@ object Bench {
     // reverse-engineer which numbers to distrust.
     val times0 = firstPass.toMap
     val retried = suspects(times0, ledger)
-    val timedMap0 = times0 ++ retried.map { q =>
-      q -> best(sample(q, SparkEntry.queries(q), 2).:+((times0(q) > 0, math.abs(times0(q)))))
+    // the synthetic trailing sample re-injects the first pass's own
+    // (wall, cpu) so the retry's min can never LOSE to it
+    val retrySamples = retried.map { q =>
+      q -> (sample(q, SparkEntry.queries(q), 2) :+
+        ((times0(q) > 0, math.abs(times0(q)), cpu0(q))))
     }.toMap
+    val timedMap0 = times0 ++ retrySamples.view.mapValues(best).toMap
+    val cpuMap0 = cpu0 ++ retrySamples.view.mapValues(bestCpu).toMap
     // In-run bracket protocol (round-12 verdict ask #2): a non-empty
     // watch list used to mean a MANUAL interleaved bracket run at a
     // prior commit before the artifact could be trusted — three rounds
@@ -460,8 +532,8 @@ object Bench {
     // reaches the same bracket, instead of needing a lucky re-run
     val watch0 = (watchlist(timedMap0, ledger) ++
       familyWatch(timedMap0, ledger)).distinct.sorted
-    val (timedMap, epochVerdictStr, bracketJson) =
-      if (watch0.isEmpty) (timedMap0, "none", "{}")
+    val (timedMap, cpuMap, epochVerdictStr, bracketJson) =
+      if (watch0.isEmpty) (timedMap0, cpuMap0, "none", "{}")
       else {
         // a sentinel can itself sit on the watch list during a live
         // epoch — it still adjudicates (inflated sentinel ⇒ host), so
@@ -477,10 +549,15 @@ object Bench {
         // list adjudicated off x102 alone)
         val order = inter ++ sentinels.filterNot(inter.contains)
         val meas = scala.collection.mutable.Map.empty[String, Double]
+        val measCpu = scala.collection.mutable.Map.empty[String, Double]
         (1 to 2).foreach { _ =>
           order.foreach { q =>
-            val (ok, t) = sample(q, SparkEntry.queries(q), 1).head
-            if (ok) meas(q) = math.min(meas.getOrElse(q, Double.MaxValue), t)
+            val (ok, t, c) = sample(q, SparkEntry.queries(q), 1).head
+            if (ok) {
+              meas(q) = math.min(meas.getOrElse(q, Double.MaxValue), t)
+              if (c >= 0)
+                measCpu(q) = math.min(measCpu.getOrElse(q, Double.MaxValue), c)
+            }
           }
         }
         val wr = watch0.flatMap(q => meas.get(q).map(t => q -> t / ledger(q))).toMap
@@ -489,10 +566,14 @@ object Bench {
         val folded = timedMap0 ++ watch0.flatMap { q =>
           meas.get(q).collect { case t if timedMap0(q) > 0 && t < timedMap0(q) => q -> t }
         }
+        val foldedCpu = cpuMap0 ++ watch0.flatMap { q =>
+          measCpu.get(q).collect {
+            case c if cpuMap0.getOrElse(q, -1.0) < 0 || c < cpuMap0(q) => q -> c }
+        }
         def ratios(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
           .mkString("{", ",", "}")
-        (folded, verdict, s"""{"sentinels":${ratios(sr)},"watch":${ratios(wr)}}""")
+        (folded, foldedCpu, verdict, s"""{"sentinels":${ratios(sr)},"watch":${ratios(wr)}}""")
       }
     val stillSuspect = suspects(timedMap, ledger)
     val timed = timedMap.toSeq.sortBy(_._1)
@@ -533,7 +614,15 @@ object Bench {
     val coldWatchJson = coldWatch(cold.toMap, ledger, medianRatio,
         epochClean = coldBandLive(epochVerdictStr, stillSuspect.size))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_pct":${math.rint(stealPct * 100) / 100},"ledger_queries":${ledger.count(!_._1.startsWith("cold:"))},"median_ledger_ratio":${math.rint(medianRatio * 1000) / 1000},"p90_ledger_ratio":${math.rint(p90Ratio * 1000) / 1000},"retried":$retriedJson,"suspect":$suspectJson,"watch":$watchJson,"family_watch":$familyWatchJson,"epoch_verdict":"$epochVerdictStr","bracket":$bracketJson,"cold":$coldJson,"cold_watch":$coldWatchJson,"contended":$contended}""")
+    // the steal-invariant channel: per-query min process-cpu seconds
+    // (warm + cold probes) and their median ratio against the cpu:
+    // pins — readable evidence even on an epoch run (see cpuPins)
+    val cpuJson = cpuMap.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val coldCpuJson = coldCpu.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val cpuMedianRatio = medianLedgerRatio(cpuMap, cpuPins(ledger))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_pct":${math.rint(stealPct * 100) / 100},"ledger_queries":${warmPinCount(ledger)},"median_ledger_ratio":${math.rint(medianRatio * 1000) / 1000},"p90_ledger_ratio":${math.rint(p90Ratio * 1000) / 1000},"cpu_median_ledger_ratio":${math.rint(cpuMedianRatio * 1000) / 1000},"retried":$retriedJson,"suspect":$suspectJson,"watch":$watchJson,"family_watch":$familyWatchJson,"epoch_verdict":"$epochVerdictStr","bracket":$bracketJson,"cold":$coldJson,"cold_watch":$coldWatchJson,"cpu":$cpuJson,"cold_cpu":$coldCpuJson,"contended":$contended}""")
     spark.stop()
   }
 }

@@ -361,4 +361,36 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.coldProbes.contains("x04_ngram_jaccard"))
     assert(Bench.coldProbes.contains("x79_bpe_train"))
   }
+
+  test("cpuPins extracts only the cpu: channel, prefix stripped") {
+    // the steal-invariant channel (round-17): cpu pins live beside the
+    // wall and cold pins in one flat ledger, scoped by prefix
+    val led = Map("x91" -> 0.46, "cold:x91" -> 6.7,
+      "cpu:x91" -> 11.2, "cpu:q01" -> 0.9, "cold_cpu:x91" -> 40.1)
+    assert(Bench.cpuPins(led) == Map("x91" -> 11.2, "q01" -> 0.9))
+  }
+
+  test("warm gates never see channel-scoped pins") {
+    // cpu:/cold:/cold_cpu: keys must not add warm overlap: a run's
+    // query names are unprefixed, so a channel pin can neither make a
+    // query suspect nor count toward ledger_queries
+    val led = Map("x91" -> 0.46, "cpu:x39" -> 99.0, "cold_cpu:x39" -> 99.0,
+      "cold:x39" -> 99.0)
+    assert(Bench.warmPinCount(led) == 1)
+    val times = Map("x91" -> 0.46, "x39" -> 5.0) // x39 has NO warm pin
+    assert(Bench.suspects(times, led).isEmpty)
+    assert(Bench.watchlist(times, led).isEmpty)
+  }
+
+  test("cpu median ratio reads the cpu channel against its own pins") {
+    // an epoch run: wall 1.8x everywhere, cpu flat — the cpu ratio is
+    // the signal that the code did the same WORK while the box lied
+    val cpuLed = Map("cpu:a" -> 10.0, "cpu:b" -> 4.0, "cpu:c" -> 2.0)
+    val cpuRun = Map("a" -> 10.3, "b" -> 4.1, "c" -> 2.0, "new" -> 7.0)
+    val r = Bench.medianLedgerRatio(cpuRun, Bench.cpuPins(cpuLed))
+    assert(r > 0.95 && r < 1.1)
+    // a genuine work regression still reads through the cpu channel
+    val regressed = cpuRun.updated("a", 31.0)
+    assert(Bench.suspects(regressed, Bench.cpuPins(cpuLed)) == Seq("a"))
+  }
 }
