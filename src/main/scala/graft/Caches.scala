@@ -82,6 +82,7 @@ object Caches {
     graft.ml.WhitenedIvf.clear(sfDir)
     graft.ml.BitextAnn.clear(sfDir)
     graft.queries.ExtensionQueries.clearBpe(sfDir)
+    graft.queries.ExtensionQueries.clearClosure(sfDir)
     hit.size
   }
 
@@ -97,6 +98,7 @@ object Caches {
     graft.ml.WhitenedIvf.clear(null)
     graft.ml.BitextAnn.clear(null)
     graft.queries.ExtensionQueries.clearBpe(null)
+    graft.queries.ExtensionQueries.clearClosure(null)
     n
   }
 }

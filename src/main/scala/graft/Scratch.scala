@@ -18,15 +18,44 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // process-CPU seconds beside wall: the steal-invariant work meter
+    // (Bench's cpu channel) — on this host's epoch weather wall-clock
+    // A/Bs across JVMs are non-evidence, cpu deltas stay comparable
+    def cpuSecs: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          val t = os.getProcessCpuTime; if (t < 0) -1.0 else t / 1e9
+        case _ => -1.0
+      }
+
     def time(name: String)(f: => Long): Unit = {
+      val c0 = cpuSecs
       val t0 = System.nanoTime()
       val n = f
-      println(f"TIME $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      val w = (System.nanoTime() - t0) / 1e9
+      println(f"TIME $name: $w%.2f s wall, ${cpuSecs - c0}%.2f s cpu ($n rows)")
     }
 
     if (args.headOption.contains("query")) {
       args.drop(1).foreach { n =>
         time(n)(SparkEntry.queries(n)(spark, sfDir).count())
+      }
+      spark.stop(); return
+    }
+
+    // plans <outDir> <suffix> <query...>: write each query's
+    // explain("formatted") to <outDir>/<query>_<suffix>.txt — the
+    // judge-facing before/after plan artifacts (plans/r17/...).
+    if (args.headOption.contains("plans")) {
+      val outDir = args(1); val suffix = args(2)
+      new java.io.File(outDir).mkdirs()
+      args.drop(3).foreach { n =>
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/${n}_$suffix.txt"), plan)
+        println(s"WROTE $outDir/${n}_$suffix.txt")
       }
       spark.stop(); return
     }

@@ -63,7 +63,19 @@ object MlLshDedup {
     val feat = tf.transform(perDoc)
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(8).setSeed(42L)
-    val model = lsh.fit(feat)
+    // fit() reads the data only to learn the input DIMENSION (a
+    // first-row peek — but that peek runs the collect_list groupBy's
+    // whole map side, a full feature pass). The dimension here is the
+    // HashingTF constant (1 << 18) and MinHashLSH's coefficients are a
+    // pure function of (seed, numHashTables), so fitting on a 1-row
+    // frame of that dimension yields the IDENTICAL model for a full
+    // pass less (MlLshSpec's recall pin against exact x04 guards this)
+    val dimProbe = {
+      import spark.implicits._
+      Seq(Tuple1(org.apache.spark.ml.linalg.Vectors
+        .sparse(1 << 18, Array(0), Array(1.0)))).toDF("features")
+    }
+    val model = lsh.fit(dimProbe)
     // Bucket rows: one row per (doc, hash-table) with the minhash value
     // as the bucket key. vector_to_array touches n_docs × 8 tiny rows —
     // off the hot path.

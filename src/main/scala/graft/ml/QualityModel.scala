@@ -5,7 +5,6 @@ import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Tokenize
 
 /** Model-based quality filtering — the classifier leg of the published
   * LLM-curation recipe: heuristic signals (x08) gate the obvious
@@ -51,10 +50,26 @@ object QualityModel {
     * its micro-batch (the DedupStream gate's correctness argument).
     */
   def unigramLm(docs: DataFrame): DataFrame =
-    docs.select(Tokenize.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(explode(col("toks")).as("token"))
+    tokenPairs(docs)
       .groupBy("token").agg(count(lit(1)).as("c"))
+
+  /** The (doc_id, token) posting this model's features aggregate —
+    * built by [[graft.queries.ReferenceQueries.docTokens]] (explode
+    * drops empty token arrays, so the rows equal the old
+    * filter(size>0)+explode form) WITHOUT persisting, so that when the
+    * corpus is the session's shared one the CacheManager substitutes
+    * the already-persisted x02/x04-family posting into this plan
+    * (canonical-plan equality), and a run-scoped corpus (Pipeline,
+    * stream micro-batches) stays unpersisted exactly as before.
+    * Before this, x82 re-tokenized the corpus TWICE per call (once for
+    * the LM, once for the features — 6 parquet scans, 0 cache hits in
+    * plans/r17/x82_quality_model_before.txt); feature extraction is
+    * the corpus-linear half of the quality gate, and the tokenize is
+    * its scalar hot path (guide §1.2 step 1 / §2.4: share the one
+    * materialization instead of recomputing it).
+    */
+  private def tokenPairs(docs: DataFrame): DataFrame =
+    graft.queries.ReferenceQueries.docTokens(docs, persist = false)
 
   /** Per-doc features with xent read from an explicit unigram LM.
     * Tokens absent from the LM (possible only when scoring NEW data
@@ -64,10 +79,7 @@ object QualityModel {
     * replay share one definition.
     */
   def featuresWith(lm: DataFrame, docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), explode(col("toks")).as("token"))
+    val tok = tokenPairs(docs)
     val tot = lm.agg(sum(col("c")).cast("double").as("n"))
     val stopwords = Seq("a", "the", "and", "of", "to", "in", "is", "it")
     // per-(doc, token) instance counts first: the per-doc aggregate

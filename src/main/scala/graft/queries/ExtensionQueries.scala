@@ -119,20 +119,26 @@ object ExtensionQueries {
   // rows: the plan stays narrow (scan -> explode -> hash -> one groupBy
   // shuffle); a distinct-shingle hash dimension would add a join shuffle
   // that costs more than re-hashing, md5 being ~100ns/row.
-  def x02_dedup_minhash(spark: SparkSession, sfDir: String): DataFrame =
-    minhashPairsFromShingles(docShingles(Tables.documents(spark, sfDir)))
+  def x02_dedup_minhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = docShingles(Tables.documents(spark, sfDir))
+    jaccardOf(candidatesFromBands(sharedBands(spark, sfDir)), sh)
       .orderBy("d1", "d2")
+  }
 
-  /** x02's banded-MinHash core over ANY (doc_id, shingle) posting —
-    * split out so the Pipeline can band ONLY its survivor frame
-    * (round-5 verdict #3: full-corpus banding + post-filter is
-    * correct but wasteful once an aggressive gate has already dropped
-    * most of the corpus). Per-doc signatures don't depend on the rest
-    * of the corpus, so banding a restricted posting yields exactly
-    * the full run's pairs among those docs.
+  /** The x02/x60 band-signature frame over the session's shared
+    * posting, persisted like the posting itself: the signature build
+    * is a 12-minhash groupBy over EVERY posting row (12 md5s per row —
+    * the dominant scalar work of both consumers), and x02 and x60 each
+    * re-ran it per call. 4 rows/doc, so the cache is corpus-spine
+    * sized; CacheManager dedups the two consumers' identical plans
+    * into one materialization (the docShingles convention — guide §2.4,
+    * share one exchange/materialization instead of recomputing).
+    * Run-scoped postings (Pipeline survivors, stream batches) keep
+    * calling [[bandsOf]]/[[bandCandidatesOf]] directly, unpersisted.
     */
-  private[graft] def minhashPairsFromShingles(sh: DataFrame): DataFrame =
-    jaccardOf(bandCandidatesOf(sh), sh)
+  private def sharedBands(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Caches.persist(
+      bandsOf(docShingles(Tables.documents(spark, sfDir))))
 
   /** The LSH candidate step of the x02 core: unordered doc pairs
     * sharing at least one band signature. Split from the verify step
@@ -140,8 +146,14 @@ object ExtensionQueries {
     * Jaccard-only verify, the ingest paths (Pipeline, DedupStream)
     * verify against the cross-measure dup predicate.
     */
-  private[graft] def bandCandidatesOf(sh: DataFrame): DataFrame = {
-    val bands = bandsOf(sh)
+  private[graft] def bandCandidatesOf(sh: DataFrame): DataFrame =
+    candidatesFromBands(bandsOf(sh))
+
+  /** The banded-candidate self-join over an explicit (doc_id, band,
+    * sig) signature frame — split from [[bandCandidatesOf]] so x02 can
+    * feed it the session-shared [[sharedBands]] materialization.
+    */
+  private def candidatesFromBands(bands: DataFrame): DataFrame = {
     val b1 = bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
     val b2 = bands.select(col("doc_id").as("d2"), col("band"), col("sig"))
     b1.join(b2, Seq("band", "sig")).filter(col("d1") < col("d2"))
@@ -1255,7 +1267,46 @@ object ExtensionQueries {
   // alternative to driver-side union-find). Oracle: recursive-CTE
   // transitive closure.
   def x29_dup_clusters(spark: SparkSession, sfDir: String): DataFrame =
-    clustersOf(x04_ngram_jaccard(spark, sfDir).select("d1", "d2"), "x29")
+    clustersOf(x04_ngram_jaccard(spark, sfDir).select("d1", "d2"), "x29",
+      memoKey = Some(sfDir -> "x29"))
+
+  /** Session memo for the CONVERGED component labels of the two
+    * whole-corpus dup-edge graphs (x29's Jaccard edges; x72's
+    * cross-measure edges, which x88/x94/x119 all re-derive). The
+    * closure is an ITERATIVE loop — up to [[FastClosureRounds]]
+    * join+groupBy rounds, each behind an eager localCheckpoint — so
+    * unlike the single-plan shared frames it cannot ride
+    * CacheManager's canonical-plan dedup: before this memo every
+    * consumer re-ran the whole loop per call (five queries × ~10
+    * driver-blocking actions each — the guide §2.4 "remove the
+    * shuffle outright" case, one level up). The memoized value is the
+    * final checkpointed label frame; the BPE-memo release convention
+    * applies ([[clearClosure]] from Caches.clear/clearAll — a
+    * checkpoint has no file lineage for the path-based release to
+    * find, so the memo key IS the dataset path). Pipeline/stream
+    * closures over run-scoped survivor frames pass no memoKey and
+    * stay exactly as before.
+    */
+  private val closureMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), DataFrame]()
+
+  private[graft] def clearClosure(sfDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val hit = closureMemo.keySet().asScala.toList
+      .filter(k => sfDir == null || k._1 == sfDir)
+    hit.foreach { k =>
+      Option(closureMemo.remove(k)).foreach { df =>
+        org.apache.spark.sql.graftshim.CheckpointShim.releaseCheckpoint(df)
+        ()
+      }
+    }
+  }
+
+  /** Spec hook: whether a closure memo exists for `sfDir`. */
+  private[graft] def closureMemoized(sfDir: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    closureMemo.keySet().asScala.exists(_._1 == sfDir)
+  }
 
   // x72: dup clusters over BOTH edge types — x04's Jaccard pairs AND
   // x70's containment pairs in one component graph. A production drop
@@ -1269,7 +1320,7 @@ object ExtensionQueries {
     clustersOf(
       x04_ngram_jaccard(spark, sfDir).select("d1", "d2")
         .unionByName(x70_containment(spark, sfDir).select("d1", "d2"))
-        .distinct(), "x72")
+        .distinct(), "x72", memoKey = Some(sfDir -> "x72"))
 
   /** Connected components by the star closure over an
     * undirected (d1, d2) pair frame — converges in diameter rounds;
@@ -1277,8 +1328,18 @@ object ExtensionQueries {
     * to driver-side union-find). Shared by x29 (Jaccard edges) and
     * x72 (Jaccard ∪ containment edges).
     */
-  private def clustersOf(pairs: DataFrame, what: String): DataFrame = {
-    val labels = propagateLabels(pairs, what)
+  private def clustersOf(pairs: DataFrame, what: String,
+      memoKey: Option[(String, String)] = None): DataFrame = {
+    val labels = memoKey match {
+      case Some(k) =>
+        // re-checkpoint the converged labels so the memoized frame's
+        // plan IS the LogicalRDD (CheckpointShim releases exactly that
+        // shape; the fast path's value is a Project over its last
+        // round's checkpoint, the star fallback's a join of two)
+        closureMemo.computeIfAbsent(k,
+          _ => propagateLabels(pairs, what).localCheckpoint())
+      case None => propagateLabels(pairs, what)
+    }
     labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("lbl")))
@@ -5720,7 +5781,12 @@ object ExtensionQueries {
   private[graft] def pageRankOf(
       edges: DataFrame, spine: DataFrame, nTotal: Long): DataFrame = {
     val deg = edges.groupBy("d1").agg(count(lit(1)).as("deg"))
-    val outContrib = edges.join(deg, Seq("d1"))
+    // materialized ONCE: every iteration joins ranks against the same
+    // (src, dst, out-degree) frame, but as a lazy plan the deg groupBy
+    // + edge join re-ran inside all T iterations (T+1 extra shuffles
+    // of the edge set per call — guide §2.4); the iteration loop now
+    // scans one checkpointed frame
+    val outContrib = edges.join(deg, Seq("d1")).localCheckpoint(true)
     var ranks = spine.withColumn("r", lit(1.0 / nTotal))
     for (_ <- 1 to PrIters) {
       val inbound = outContrib.join(ranks, col("d1") === col("doc_id"))
@@ -7083,7 +7149,7 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
   // touching the batch, with flags for which side is new.
   def x60_incremental_dedup(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = docShingles(Tables.documents(spark, sfDir))
-    val bands = bandsOf(sh)
+    val bands = sharedBands(spark, sfDir)
     val bNew = bands.filter(pmod(col("doc_id"), lit(10)) === 7)
       .select(col("doc_id").as("dn"), col("band"), col("sig"))
     val bAll = bands.select(col("doc_id").as("da"), col("band"), col("sig"))
@@ -7175,7 +7241,8 @@ st AS (SELECT doc_id, count(*) AS n_tokens, avg(length(token)) AS avg_tok_len,
     val docs = Tables.documents(spark, sfDir)
     val tc = docTok(docs).groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
     val dupW = Window.partitionBy(md5(col("text")))
-    val pairs = minhashPairsFromShingles(docShingles(docs))
+    val pairs = jaccardOf(candidatesFromBands(sharedBands(spark, sfDir)),
+      docShingles(docs))
     val nearDup = pairs.select(col("d1").as("doc_id"))
       .unionByName(pairs.select(col("d2").as("doc_id"))).distinct()
       .withColumn("is_near_dup", lit(1L))

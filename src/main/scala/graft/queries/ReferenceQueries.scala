@@ -143,7 +143,20 @@ object ReferenceQueries {
     * freq); raw = log10(N/occ) if occ>0 else -1; final = raw if raw>0
     * else min(raw over all vocab). `calculate_idf_scores.py:28-77`.
     */
-  private def idfTable(spark: SparkSession, sfDir: String): DataFrame = {
+  private def idfTable(spark: SparkSession, sfDir: String): DataFrame =
+    // Session-shared like the posting it derives from: the idf table
+    // is the engine's stand-in for the reference's PRECOMPUTED
+    // word-vector store (`fasttext.word-vectors-<lang>`, written once
+    // by enter_wordvecs.py and only ever READ by the workers), yet six
+    // declared queries (q11/q12/q15/q21/q30/q32) and the streaming
+    // vectorizer each re-derived it per call — two posting aggregates
+    // + two scalar-agg passes every time (guide §2.4: the vocab-sized
+    // dimension is exactly the thing to materialize once per session).
+    // Caches.persist dedups the consumers' identical canonical plans
+    // and Caches.clear(sfDir) releases it by file lineage.
+    graft.Caches.persist(idfTableFresh(spark, sfDir))
+
+  private def idfTableFresh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val tok = docTokens(docs)
     val vocab = tok.select("token").distinct().filter(length(col("token")) >= 4)
