@@ -211,6 +211,30 @@ object Scratch {
       spark.stop(); return
     }
 
+    // native byte-scan Tokens vs the regex Column form, interleaved in
+    // ONE session so host weather cancels (A/B/A/B × rounds)
+    if (args.headOption.contains("tokab")) {
+      val docs = Tables.documents(spark, sfDir)
+      def viaNative = docs.select(Tokenize.tokens(col("text")).as("t"))
+        .select(sum(size(col("t")))).head().getLong(0)
+      def viaRegex = docs.select(
+          filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))
+            .as("t"))
+        .select(sum(size(col("t")))).head().getLong(0)
+      def shNative = docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("toks"))
+        .select(explode(array_distinct(Tokenize.shingles(col("toks"), 3))).as("s"))
+        .count()
+      def shRegex = docs.select(col("doc_id"),
+          filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit("")).as("toks"))
+        .select(explode(array_distinct(Tokenize.shingles(col("toks"), 3))).as("s"))
+        .count()
+      (1 to 3).foreach { r =>
+        time(s"tok-native-$r")(viaNative); time(s"tok-regex-$r")(viaRegex)
+        time(s"shingle-native-$r")(shNative); time(s"shingle-regex-$r")(shRegex)
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("tokencount")) {
       // native byte-scan TokenCount vs size(tokens(text)) array form
       val docs = Tables.documents(spark, sfDir)

@@ -42,6 +42,63 @@ case class TokenCount(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_token_count"
 }
 
+/** Native tokenization — [[TokenCount]]'s byte scan, producing the
+  * token ARRAY instead of its length: maximal `[a-z0-9]` runs over the
+  * codegen'd `lower()` of the input, each run sliced out of one shared
+  * byte copy. Replaces `filter(split(lower(c), "[^a-z0-9]+"), _ ≠ "")`
+  * with provably identical output for ANY input: after lowering, the
+  * token alphabet is single-byte ASCII, every other character — and
+  * every byte of a multi-byte UTF-8 character, all of which carry the
+  * high bit — is a separator under both definitions, and Java regex
+  * `split` + the empty-string filter keeps exactly the non-empty runs.
+  * (The `lower()`-first trick is what covers the exotic mappings whose
+  * lowercase lands IN ASCII — KELVIN SIGN → 'k', İ → 'i'+U+0307 —
+  * identically to the regex form; TokenizeSpec pins the equivalence by
+  * property test.) No regex machinery on the 100 TB scan path and a
+  * far smaller cold/JIT footprint — TokenCount measured 0.37 s vs
+  * 4.6 s cold for the counting case; this extends the win to every
+  * consumer that needs the array (shingles, posting builds, per-doc
+  * HOFs). dataType keeps StringSplit's containsNull=true so
+  * downstream schemas are byte-identical to the regex form's.
+  */
+case class Tokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullSafeEval(v: Any): Any =
+    Tokens.split(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Tokens.split($c);")
+  override protected def withNewChildInternal(c: Expression): Tokens =
+    copy(child = c)
+  override def prettyName: String = "graft_tokens_native"
+}
+
+object Tokens {
+  def apply(c: Column): Column =
+    ColumnShim.column(Tokens(ColumnShim.expression(
+      org.apache.spark.sql.functions.lower(c))))
+
+  def split(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var i = 0
+    var start = -1
+    while (i < n) {
+      val b = bytes(i)
+      val alnum = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+      if (alnum) { if (start < 0) start = i }
+      else if (start >= 0) {
+        out += UTF8String.fromBytes(bytes, start, i - start)
+        start = -1
+      }
+      i += 1
+    }
+    if (start >= 0) out += UTF8String.fromBytes(bytes, start, n - start)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 object TokenCount {
   def apply(c: Column): Column =
     ColumnShim.column(TokenCount(ColumnShim.expression(

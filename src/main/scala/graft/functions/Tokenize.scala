@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   * stays inside whole-stage codegen at 100 TB scan scale.
   */
 object Tokenize {
-  /** tokens(text): array<string> — lowercase alnum runs, empties dropped. */
-  def tokens(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= lit(""))
+  /** tokens(text): array<string> — lowercase alnum runs, empties
+    * dropped. Served by the native byte-scan expression
+    * ([[graft.functions.Tokens]] — output provably identical to the
+    * regex form `filter(split(lower(c), "[^a-z0-9]+"), _ ≠ "")`, see
+    * its doc; TokenizeSpec pins the equivalence by property test).
+    */
+  def tokens(c: Column): Column = graft.functions.Tokens(c)
 
   /** Per-language letter classes (SURVEY.md F2 fidelity item): the
     * reference loads a language-specific spaCy model per worker
@@ -57,7 +61,13 @@ object Tokenize {
     else if (lang == "ja") jaTokens(c)
     else if (lang == "ko") koTokens(c)
     else if (lang == "ar") arTokens(c)
-    else filter(split(lower(c), s"[^${letterClass(lang)}]+"), t => t =!= lit(""))
+    else {
+      val cls = letterClass(lang)
+      // the ASCII rule (en + unknown-lang fallback) is the base
+      // tokenizer — route it to the same native expression
+      if (cls == "a-z0-9") tokens(c)
+      else filter(split(lower(c), s"[^$cls]+"), t => t =!= lit(""))
+    }
 
   /** CJK Unified Ideographs, as a character-class BODY of literal chars
     * (no backslash escapes — Java regex and DuckDB's RE2 parse the

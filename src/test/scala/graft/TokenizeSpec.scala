@@ -41,6 +41,30 @@ class TokenizeSpec extends AnyFunSuite with SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("property: native byte-scan tokens == the regex Column form incl. exotic case mappings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    // both sides run Spark's UTF8String lower, so the locale-sensitive
+    // mappings the JVM-reference test above must avoid (KELVIN SIGN →
+    // 'k', 'İ' → 'i'+combining dot — lowercase INTO the token
+    // alphabet) are exactly comparable here, and are the interesting
+    // cases: the native scan sees them only through lower()'s output
+    val gen = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', ',', '.', '!', '\n', '\t'),
+      1 -> Gen.oneOf('é', 'ß', '中', 'Ñ', 'K', 'İ'))).map(_.mkString)
+    val prop = forAll(gen) { s =>
+      val both = Seq(s).toDF("text").select(
+          Tokenize.tokens(col("text")).as("native"),
+          filter(split(lower(col("text")), "[^a-z0-9]+"),
+            t => t =!= lit("")).as("regex"))
+        .as[(Seq[String], Seq[String])].head()
+      both._1 == both._2
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("per-language rules keep diacritic letters as token characters") {
     def tokL(s: String, lang: String): Seq[String] =
       Seq(s).toDF("text").select(Tokenize.tokens(col("text"), lang).as("t"))
