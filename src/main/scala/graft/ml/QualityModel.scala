@@ -164,14 +164,32 @@ object QualityModel {
     * extremes) and return it WITH the scored frame, sharing one
     * persisted feature pass: (model, (doc_id, p_quality, keep)).
     */
+  /** `shareFeatures = true` keeps the feature frame in the session
+    * cache registry (Caches.persist — released by Caches.clear on the
+    * corpus's file lineage) instead of the call-scoped persist, so the
+    * returned scored frame — and any repeat call — reads the
+    * materialized features rather than recomputing the pipeline after
+    * the `finally` unpersist (the scored frame is LAZY: under the old
+    * call-scoped persist its evaluation always re-ran the full feature
+    * pass because the unpersist had already happened). Only the
+    * whole-dataset query entry (x82) opts in; run-scoped corpora
+    * (Pipeline gates over checkpointed survivor frames, which have no
+    * file lineage for Caches.clear to release) keep the call-scoped
+    * persist.
+    */
   def fitAndScore(docs: DataFrame, seedQuantile: Double = 0.1,
-      threshold: Double = 0.5): (Fitted, DataFrame) = {
-    val feat = features(docs).persist()
+      threshold: Double = 0.5,
+      shareFeatures: Boolean = false): (Fitted, DataFrame) = {
+    val feat =
+      if (shareFeatures) graft.Caches.persist(features(docs))
+      else features(docs).persist()
     try {
       val m = fitOnFeatures(feat, seedQuantile, threshold)
       (m, feat.select(col("doc_id"), pOf(m).as("p_quality"),
         (pOf(m) >= lit(m.threshold)).as("keep")))
-    } finally feat.unpersist()
+    } finally {
+      if (!shareFeatures) { feat.unpersist(); () }
+    }
   }
 
   /** Score `docs` with a PINNED model — the replay path: a consumer
@@ -196,8 +214,10 @@ object QualityModel {
       (pOf(m) >= lit(m.threshold)).as("keep"))
 
   /** Train on the seed slices, score EVERY doc: (doc_id, p_quality). */
-  def score(docs: DataFrame, seedQuantile: Double = 0.1): DataFrame =
-    fitAndScore(docs, seedQuantile)._2.select("doc_id", "p_quality")
+  def score(docs: DataFrame, seedQuantile: Double = 0.1,
+      shareFeatures: Boolean = false): DataFrame =
+    fitAndScore(docs, seedQuantile, shareFeatures = shareFeatures)
+      ._2.select("doc_id", "p_quality")
 
   /** The model as a one-row snapshot table (the tokenizer precedent:
     * the artifact that made the release ships IN the release).
@@ -221,7 +241,7 @@ object QualityModel {
     * verdict at the 0.5 operating point.
     */
   def scoreStats(spark: SparkSession, sfDir: String): DataFrame =
-    score(graft.Tables.documents(spark, sfDir))
+    score(graft.Tables.documents(spark, sfDir), shareFeatures = true)
       .select(col("doc_id"),
         round(col("p_quality"), 4).as("p_quality"),
         (col("p_quality") >= 0.5).as("keep"))

@@ -4188,12 +4188,20 @@ object ExtensionQueries {
       .groupBy("qid").agg(avg(col("cos")).as("ax"))
     val ay = ranked.filter(col("rc") <= MarginK)
       .groupBy("cid").agg(avg(col("cos")).as("ay"))
-    ranked.select("qid", "cid", "clang", "cos")
-      .join(broadcast(ax), Seq("qid"))
-      .join(broadcast(ay), Seq("cid"))
-      .withColumn("margin",
-        when(col("ax") + col("ay") > 0,
-          col("cos") / ((col("ax") + col("ay")) / 2)).otherwise(lit(0.0)))
+    // Session-shared (the sharedShingleCounts discipline): x144's
+    // argmax and x146's mutual extraction are two policies over this
+    // ONE frame, and each call re-paid the all-pairs cosine plus two
+    // full windows; the cache bounds that to once per session. The
+    // frame is the deliberately-retained all-pairs TRUTH leg (x145/
+    // x147 serve the bounded-probe production shape), so its cache is
+    // test-scale-only by construction, like the exact leg itself.
+    graft.Caches.persist(
+      ranked.select("qid", "cid", "clang", "cos")
+        .join(broadcast(ax), Seq("qid"))
+        .join(broadcast(ay), Seq("cid"))
+        .withColumn("margin",
+          when(col("ax") + col("ay") > 0,
+            col("cos") / ((col("ax") + col("ay")) / 2)).otherwise(lit(0.0))))
   }
 
   def x144_bitext_mining(spark: SparkSession, sfDir: String): DataFrame =
