@@ -37,8 +37,26 @@ object Scratch {
     }
 
     if (args.headOption.contains("query")) {
+      // count jobs/stages/tasks per timed run: a bounded-data query
+      // whose wall clock is all scheduling shows up as stage count,
+      // not task time
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      val tasks = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); ()
+          }
+          override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stages.incrementAndGet()
+            tasks.addAndGet(s.stageInfo.numTasks); ()
+          }
+        })
       args.drop(1).foreach { n =>
+        val (j0, s0, t0) = (jobs.get, stages.get, tasks.get)
         time(n)(SparkEntry.queries(n)(spark, sfDir).count())
+        println(s"  JOBS $n: ${jobs.get - j0} jobs, ${stages.get - s0} stages, ${tasks.get - t0} tasks")
       }
       spark.stop(); return
     }

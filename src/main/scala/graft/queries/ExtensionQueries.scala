@@ -4301,10 +4301,22 @@ object ExtensionQueries {
 
   private def bitextAnnFrames(sides: graft.ml.BitextAnn.Sides,
       queries: DataFrame, nProbe: Int, candK: Int): BitextAnnFrames = {
+    // Both probe outputs are BOUNDED (fwd ≤ queries × candK rows, rev
+    // ≤ fwd's distinct candidates × candK) and each feeds several
+    // consumers (ax/ay, the forward argmax, x147's mutuality legs).
+    // Materialize them once: as lazy plans every consumer branch
+    // re-ran the whole probe pipeline as its own AQE stage chain —
+    // measured on warm x147: 75 jobs / 135 tasks for a 12-row result,
+    // wall clock almost entirely scheduling (guide §1.2 step 1: fix
+    // the job shape before the per-task work). The checkpointed RDDs
+    // are a few KB; the sweep's per-batch instances are unreferenced
+    // after their batch commits and are GC-released by the
+    // ContextCleaner.
     val fwd = graft.ml.IvfIndex.search(sides.x, queries,
         nProbe = nProbe, topK = candK)
       .select(col("query_id").as("qid"), col("vec_id").as("cid"),
         col("rn"), col("cos"))
+      .localCheckpoint(true)
     // query-side normalizer: avg of the top-MarginK forward neighbors
     val ax = fwd.filter(col("rn") <= MarginK)
       .groupBy("qid").agg(avg(col("cos")).as("ax"))
@@ -4318,6 +4330,7 @@ object ExtensionQueries {
         nProbe = nProbe, topK = candK)
       .select(col("query_id").as("cid"), col("vec_id").as("eid"),
         col("rn"), col("cos"))
+      .localCheckpoint(true)
     val ay = rev.filter(col("rn") <= MarginK)
       .groupBy("cid").agg(avg(col("cos")).as("ay"))
     BitextAnnFrames(fwd, ax, rev, ay)
@@ -4485,9 +4498,13 @@ object ExtensionQueries {
       queries: DataFrame, nProbe: Int = 4,
       candK: Int = BitextCandK): DataFrame = {
     val f = bitextAnnFrames(sides, queries, nProbe, candK)
+    // one row per query; checkpointed because it anchors three
+    // branches (the reverse-probe semi-join, the mutuality check, and
+    // the final projection) — same bounded-frame rule as f.fwd/f.rev
     val fbest = bitextForwardBest(f)
       .select(col("qid"), col("best.cid").as("cid"),
         col("best.cos").as("cos"), col("best.margin").as("margin"))
+      .localCheckpoint(true)
     // mutuality is only ever CHECKED on forward-best pairs, so the
     // reverse argmax — and the probe feeding it — restricts to the
     // ≤ |queries| candidates that won a forward argmax, not every
