@@ -1394,25 +1394,34 @@ object ExtensionQueries {
       .toDF("a", "b").localCheckpoint()
     var labels = edges.select(col("a").as("n")).distinct()
       .withColumn("lbl", col("n")).localCheckpoint()
+    // Convergence via the label-sum invariant: a propagation round can
+    // only DECREASE a node's label (new lbl = min over neighborhood ∪
+    // self), so the rounds converged exactly when the label sum stops
+    // falling. That replaces the old per-round join of the propagated
+    // frame back against the previous labels (an extra exchange of the
+    // full label set every round, just to compute a change flag) with
+    // one scalar aggregate over the already-checkpointed frame —
+    // guide §2.4 on the loop's hot path; the node count is fixed, so
+    // equal sums ⟺ no label moved. Decimal(38,0) keeps the sum exact
+    // at any node count that fits a cluster.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < FastClosureRounds) {
-      // The convergence test rides the SAME checkpointed plan as the
-      // propagation (old label joined back in, inequality as a flag
-      // column): one distributed action per round instead of a separate
-      // propagated⋈labels count job.
       val propagated = edges
         .join(labels.withColumnRenamed("n", "a"), Seq("a"))
         .select(col("b").as("n"), col("lbl"))
         .union(labels)
         .groupBy("n").agg(min(col("lbl")).as("lbl"))
-        .join(labels.withColumnRenamed("lbl", "old_lbl"), Seq("n"))
-        .withColumn("chg", col("lbl") =!= col("old_lbl"))
-        .select("n", "lbl", "chg")
         .localCheckpoint()
-      val changed = propagated.filter(col("chg")).count()
-      labels = propagated.select("n", "lbl")
-      converged = changed == 0
+      val newSum = labelSum(propagated)
+      labels = propagated
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       iter += 1
     }
     if (converged) labels
