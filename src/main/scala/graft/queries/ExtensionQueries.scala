@@ -1404,10 +1404,14 @@ object ExtensionQueries {
     // guide §2.4 on the loop's hot path; the node count is fixed, so
     // equal sums ⟺ no label moved. Decimal(38,0) keeps the sum exact
     // at any node count that fits a cluster.
+    // sum over an EMPTY frame is NULL (an edge-free corpus — e.g. a
+    // Pipeline survivor set with no dup pairs — has an empty label
+    // set); zero keeps the first round's equal-sums test converging
+    // immediately, the empty-graph behavior the change-flag test had
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast(
+      Option(df.agg(sum(col("lbl").cast(
           org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))))
-        .head().getDecimal(0)
+        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
