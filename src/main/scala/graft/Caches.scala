@@ -58,6 +58,15 @@ object Caches {
     sourceRoots(df).exists(r => r == d || r.startsWith(d + "/"))
   }
 
+  /** Whether an equivalent plan is already registered — lets a
+    * call-scoped persist/unpersist pair (QualityModel.fitAndScore's
+    * default path) avoid tearing down a session cache someone else
+    * registered for the same plan (CacheManager keys by canonical
+    * plan, so THEIR unpersist would drop OUR entry's data).
+    */
+  def isRegistered(df: DataFrame): Boolean =
+    reg.containsKey(df.queryExecution.analyzed.canonicalized)
+
   /** Registered cache entries whose plans read files under `sfDir`. */
   def registered(sfDir: String): Seq[DataFrame] =
     reg.values().asScala.toSeq.filter(readsFrom(_, sfDir))

@@ -180,15 +180,22 @@ object QualityModel {
   def fitAndScore(docs: DataFrame, seedQuantile: Double = 0.1,
       threshold: Double = 0.5,
       shareFeatures: Boolean = false): (Fitted, DataFrame) = {
+    val raw = features(docs)
+    // a call-scoped persist over a plan someone already REGISTERED as
+    // a session cache would be a no-op persist whose unpersist then
+    // tears down the shared entry's data (CacheManager keys by
+    // canonical plan) — ride the registered entry instead
+    val shared = shareFeatures || graft.Caches.isRegistered(raw)
     val feat =
-      if (shareFeatures) graft.Caches.persist(features(docs))
-      else features(docs).persist()
+      if (shareFeatures) graft.Caches.persist(raw)
+      else if (shared) raw
+      else raw.persist()
     try {
       val m = fitOnFeatures(feat, seedQuantile, threshold)
       (m, feat.select(col("doc_id"), pOf(m).as("p_quality"),
         (pOf(m) >= lit(m.threshold)).as("keep")))
     } finally {
-      if (!shareFeatures) { feat.unpersist(); () }
+      if (!shared) { feat.unpersist(); () }
     }
   }
 
