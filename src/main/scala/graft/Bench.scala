@@ -307,7 +307,20 @@ object Bench {
       "x140_whiten_ivf",
       // x145 publishes+loads the two-sided bitext ANN artifact (its
       // own root — nothing upstream warms it)
-      "x145_bitext_mining_ann")
+      "x145_bitext_mining_ann",
+      // The round-17 session caches (r17 verdict #1: their first-touch
+      // build cost had no deterministic probe). Each appended probe
+      // adds exactly ONE cold family on top of the previous probes'
+      // warm state: q11 builds the idf dimension (idfTable) over the
+      // docTokens posting it warms; x02 builds the MinHash band frame
+      // (sharedBands) on top of x04's shingle posting; x29 runs the
+      // dup-closure loop to convergence and memoizes the labels
+      // (closureMemo); x82 fits+caches the quality-model feature frame
+      // on the already-warm docTokens; x144 builds the session-shared
+      // all-pairs bitext margin truth frame (independent of x145's ANN
+      // artifact — the exact leg shares nothing with the index).
+      "q11_idf", "x02_dedup_minhash", "x29_dup_clusters",
+      "x82_quality_model", "x144_bitext_mining")
 
   /** Plausibility band for the cold probes (round-15 verdict gap #3:
     * warm pins get median/p90/watch/family_watch normalization while

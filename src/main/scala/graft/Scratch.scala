@@ -61,6 +61,28 @@ object Scratch {
       spark.stop(); return
     }
 
+    // jobtrace <query>: warm once, then print every job's callsite on
+    // the second (warm) run — locates WHICH operator chains spend the
+    // scheduling budget a bounded-data query's wall clock is made of.
+    if (args.headOption.contains("jobtrace")) {
+      val name = args(1)
+      @volatile var log = false
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            if (log) println(s"JOB ${j.jobId}: " +
+              s"stages=${j.stageInfos.size} tasks=${j.stageInfos.map(_.numTasks).sum} | " +
+              j.stageInfos.map(s => s"${s.name} [${s.numTasks}]").mkString(" ; "))
+          }
+        })
+      SparkEntry.queries(name)(spark, sfDir).count()
+      println("=== WARM RUN ===")
+      log = true
+      time(name)(SparkEntry.queries(name)(spark, sfDir).count())
+      log = false
+      spark.stop(); return
+    }
+
     // plans <outDir> <suffix> <query...>: write each query's
     // explain("formatted") to <outDir>/<query>_<suffix>.txt — the
     // judge-facing before/after plan artifacts (plans/r17/...).

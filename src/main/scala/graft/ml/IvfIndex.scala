@@ -215,7 +215,7 @@ object IvfIndex {
     * scans per query), the FAISS-style knob a deployment tunes.
     */
   def search(index: Index, queries: DataFrame, nProbe: Int = 4,
-      topK: Int = 3): DataFrame = {
+      topK: Int = 3, topAvgK: Int = 0, withVec: Boolean = false): DataFrame = {
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("cdist").asc, col("list_id"))
     val probed = queries.crossJoin(broadcast(index.centroids))
@@ -233,9 +233,33 @@ object IvfIndex {
     // arithmetic (bitextMineAnn) must run on the same basis as the
     // exact truth leg; serving queries round at their own output
     // projection (the x144 convention — see searchTopK).
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
-      .select(col("query_id"), col("rn"), col("vec_id"), col("list_id"),
-        col("cos"))
+    val ranked = scored.withColumn("rn", row_number().over(w))
+    // topAvgK > 0 additionally emits `topavg` — the per-query average
+    // cos of the top-topAvgK neighbors — FUSED into the ranking window
+    // stage (round-17 verdict ask #3: the margin normalizers ax/ay were
+    // separate aggregate passes over the probe output; an unbounded
+    // window over the same partitioning adds one WindowExec and ZERO
+    // Exchanges, so the normalizer rides the probe's own stage). avg
+    // ignores the when()-nulls, so the value equals the old
+    // filter(rn<=K).groupBy.avg over the same rows.
+    val withAvg =
+      if (topAvgK <= 0) ranked
+      else ranked.withColumn("topavg",
+        avg(when(col("rn") <= topAvgK, col("cos")))
+          .over(Window.partitionBy("query_id")))
+    // withVec additionally emits the MATCHED vector `v` (already in
+    // hand from the scored join): a consumer that re-probes from the
+    // result set (the bitext reverse/normalizer legs) can then derive
+    // its next query batch from the result rows instead of re-scanning
+    // the whole persisted assigned frame to point-fetch vectors by id
+    // — measured on warm x147, each such fetch was a full 29-32-task
+    // cache scan (guide §2.4: remove the pass outright).
+    val outCols = Seq(col("query_id"), col("rn"), col("vec_id"),
+      col("list_id"), col("cos")) ++
+      (if (topAvgK > 0) Seq(col("topavg")) else Nil) ++
+      (if (withVec) Seq(col("v")) else Nil)
+    withAvg.filter(col("rn") <= topK)
+      .select(outCols: _*)
       .orderBy("query_id", "rn")
   }
 

@@ -4309,14 +4309,20 @@ object ExtensionQueries {
     * (IvfIndex.search's round-14 contract), the same basis as the
     * exact truth legs.
     */
-  private final case class BitextAnnFrames(fwd: DataFrame, ax: DataFrame,
-      rev: DataFrame, ay: DataFrame)
+  private final case class BitextAnnFrames(fwd: DataFrame, rev: DataFrame) {
+    /** The (cid, ay) normalizer dimension — a cheap projection of the
+      * checkpointed rev (ay rides every rev row as a window column;
+      * rn === 1 picks each cid's value exactly once without a
+      * distinct's Exchange).
+      */
+    def ay: DataFrame = rev.filter(col("rn") === 1).select(col("cid"), col("ay"))
+  }
 
   private def bitextAnnFrames(sides: graft.ml.BitextAnn.Sides,
       queries: DataFrame, nProbe: Int, candK: Int): BitextAnnFrames = {
     // Both probe outputs are BOUNDED (fwd ≤ queries × candK rows, rev
     // ≤ fwd's distinct candidates × candK) and each feeds several
-    // consumers (ax/ay, the forward argmax, x147's mutuality legs).
+    // consumers (the forward argmax, x147's mutuality legs).
     // Materialize them once: as lazy plans every consumer branch
     // re-ran the whole probe pipeline as its own AQE stage chain —
     // measured on warm x147: 75 jobs / 135 tasks for a 12-row result,
@@ -4325,28 +4331,37 @@ object ExtensionQueries {
     // are a few KB; the sweep's per-batch instances are unreferenced
     // after their batch commits and are GC-released by the
     // ContextCleaner.
+    //
+    // The margin normalizers ax (per query) and ay (per candidate) are
+    // FUSED into the probes' own ranking window (IvfIndex.search
+    // topAvgK — round-17 verdict ask #3): each checkpointed row carries
+    // its side's top-MarginK average, so no consumer re-aggregates or
+    // broadcast-joins a separate normalizer frame. Values are identical
+    // to the old filter(rn<=MarginK).groupBy.avg — same rows, same avg.
     val fwd = graft.ml.IvfIndex.search(sides.x, queries,
-        nProbe = nProbe, topK = candK)
+        nProbe = nProbe, topK = candK, topAvgK = MarginK, withVec = true)
       .select(col("query_id").as("qid"), col("vec_id").as("cid"),
-        col("rn"), col("cos"))
+        col("rn"), col("cos"), col("topavg").as("ax"), col("v"))
       .localCheckpoint(true)
-    // query-side normalizer: avg of the top-MarginK forward neighbors
-    val ax = fwd.filter(col("rn") <= MarginK)
-      .groupBy("qid").agg(avg(col("cos")).as("ax"))
     // the candidates' reverse lists — a bounded set (≤ queries × candK
-    // ids), point-fetched from the persisted x-side assigned frame
-    val revQ = sides.x.assigned
-      .join(fwd.select(col("cid").as("vec_id")).distinct(), Seq("vec_id"),
-        "left_semi")
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // ids) whose query vectors come OFF THE CHECKPOINTED fwd ROWS
+    // (search withVec): the old left-semi point-fetch against the
+    // persisted x-side assigned frame was a full 29-task cache scan
+    // per call for ≤ 256 vectors (guide §2.4)
+    // dedup keyed by cid ALONE (v is functionally determined by cid),
+    // so the aggregate's hashpartitioning(cid) is exactly the
+    // hashpartitioning(query_id) the probe's ranking window needs —
+    // the two Exchanges fuse into one (guide §2.4: two operations
+    // keyed the same way share one exchange); a distinct on (cid, v)
+    // would partition by the pair and force a second shuffle
+    val revQ = fwd.groupBy(col("cid").as("query_id"))
+      .agg(first(col("v")).as("qv"))
     val rev = graft.ml.IvfIndex.search(sides.en, revQ,
-        nProbe = nProbe, topK = candK)
+        nProbe = nProbe, topK = candK, topAvgK = MarginK, withVec = true)
       .select(col("query_id").as("cid"), col("vec_id").as("eid"),
-        col("rn"), col("cos"))
+        col("rn"), col("cos"), col("topavg").as("ay"), col("v"))
       .localCheckpoint(true)
-    val ay = rev.filter(col("rn") <= MarginK)
-      .groupBy("cid").agg(avg(col("cos")).as("ay"))
-    BitextAnnFrames(fwd, ax, rev, ay)
+    BitextAnnFrames(fwd, rev)
   }
 
   /** Per-query forward margin argmax over the ANN frames — x145's
@@ -4354,16 +4369,16 @@ object ExtensionQueries {
     * one (qid, best{cid, cos, margin}) row per query, margins
     * UNROUNDED (rounding is the serving projection's job).
     *
-    * ax covers every qid in fwd by construction (it aggregates fwd's
-    * own rows), but ay comes from a SEPARATE probe: a candidate whose
-    * nProbe en lists are all empty yields no reverse rows, and an
-    * inner join would silently drop its pairs. Left join + fall back
-    * to the query-side normalizer (margin ≈ cos/ax) so the candidate
-    * stays rankable instead of vanishing.
+    * ax covers every qid in fwd by construction (it rides fwd's own
+    * rows as the probe's fused window column), but ay comes from a
+    * SEPARATE probe: a candidate whose nProbe en lists are all empty
+    * yields no reverse rows, and an inner join would silently drop its
+    * pairs. Left join + fall back to the query-side normalizer
+    * (margin ≈ cos/ax) so the candidate stays rankable instead of
+    * vanishing.
     */
   private def bitextForwardBest(f: BitextAnnFrames): DataFrame =
-    f.fwd.select("qid", "cid", "cos")
-      .join(broadcast(f.ax), Seq("qid"))
+    f.fwd.select("qid", "cid", "cos", "ax")
       .join(broadcast(f.ay), Seq("cid"), "left")
       .withColumn("ay", coalesce(col("ay"), col("ax")))
       .withColumn("margin",
@@ -4523,8 +4538,9 @@ object ExtensionQueries {
     // ≤ |queries| candidates that won a forward argmax, not every
     // candidate on a list (≈ candK× fewer reverse en ids to price;
     // identical output, the non-best candidates' reverse argmaxes
-    // were never read)
-    val revB = f.rev.select("cid", "eid", "cos")
+    // were never read). ay rides each rev row (the fused probe
+    // normalizer), so no candidate-side join is needed downstream.
+    val revB = f.rev.select("cid", "eid", "cos", "ay", "v")
       .join(broadcast(fbest.select("cid")), Seq("cid"), "left_semi")
     // ax for every en id on a CHECKED reverse list — the third bounded
     // probe (≤ forward-best cids × candK distinct ids), point-fetched
@@ -4539,13 +4555,21 @@ object ExtensionQueries {
     // operating point); a shallower forward probe re-probes everything
     val knownAx =
       if (candK >= MarginK)
-        f.ax.select(col("qid").as("eid"), col("ax").as("axr"))
-      else f.ax.limit(0).select(col("qid").as("eid"), col("ax").as("axr"))
-    val revEnQ = sides.en.assigned
-      .join(revB.select(col("eid").as("vec_id")).distinct()
-        .join(knownAx.select(col("eid").as("vec_id")), Seq("vec_id"),
-          "left_anti"), Seq("vec_id"), "left_semi")
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        // rn === 1 picks each query's ax exactly once off the
+        // checkpointed fwd rows — same (eid, axr) set as a distinct,
+        // without the distinct's Exchange
+        f.fwd.filter(col("rn") === 1)
+          .select(col("qid").as("eid"), col("ax").as("axr"))
+      else f.fwd.limit(0).select(col("qid").as("eid"), col("ax").as("axr"))
+    // the en ids to probe (revB's domain — mutuality only reads
+    // forward-best candidates' lists), with their vectors OFF THE
+    // CHECKPOINTED rev ROWS (search withVec) — the old left-semi
+    // point-fetch against the persisted en-side assigned frame was
+    // another full cache scan
+    val revEnQ = revB
+      .join(knownAx.select(col("eid")), Seq("eid"), "left_anti")
+      .groupBy(col("eid").as("query_id"))
+      .agg(first(col("v")).as("qv"))
     val axr = graft.ml.IvfIndex.search(sides.x, revEnQ,
         nProbe = nProbe, topK = MarginK)
       .groupBy(col("query_id").as("eid")).agg(avg(col("cos")).as("axr"))
@@ -4555,7 +4579,6 @@ object ExtensionQueries {
     // bitextForwardBest's ay fallback (an en id whose x lists are all
     // empty still ranks, by margin ≈ cos/ay)
     val rbest = revB
-      .join(broadcast(f.ay), Seq("cid"))
       .join(broadcast(axr), Seq("eid"), "left")
       .withColumn("axr", coalesce(col("axr"), col("ay")))
       .withColumn("rmargin",

@@ -11,6 +11,11 @@ import graft.sources.VersionedStore
   * complete, and a second run publishes a NEW version without touching
   * the first.
   */
+// End-to-end pipeline integration suite: ~1040 s of the full suite's
+// ~2500 s wall (each test replays whole Pipeline.run stages). Tagged
+// Slow so the default `sbt test` fits the driver's test budget (r17
+// verdict ask #2); run with SPARK_GRAFT_SLOW_TESTS=1 sbt test.
+@org.scalatest.tags.Slow
 class PipelineSpec extends AnyFunSuite with SparkSpec {
 
   test("verdict -> mask -> holdout -> dedup -> contam -> vectorize -> pack" +

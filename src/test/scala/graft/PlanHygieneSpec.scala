@@ -16,6 +16,31 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.sparkPlan.toString
 
+  /** Every operator of the FINAL executed plan, recursing through the
+    * AQE wrappers. `sparkPlan` can never contain an Exchange —
+    * EnsureRequirements only runs in executedPlan preparation — and
+    * TreeNode.collect stops at the AQE leaves (AdaptiveSparkPlanExec
+    * and QueryStageExec are LeafExecNodes wrapping their real subtree),
+    * so a plain collect over either plan is vacuously Exchange-free
+    * (round-17 ADVICE: the q30/q15 single-partition asserts passed even
+    * against an unpartitioned global window). This walks into the
+    * wrappers but NOT into InMemoryTableScan's stored definition, whose
+    * 1-row scalar aggregates legitimately carry Exchange
+    * SinglePartition — the funnel these tests exist to catch lives on
+    * the query's own execution operators. Caller must have executed the
+    * DataFrame first so the adaptive plan is final.
+    */
+  private def executedOps(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
+      case s: QueryStageExec => s +: walk(s.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).map(_.simpleString(200))
+  }
+
   test("q03 point lookup pushes its IN-list into the parquet scan") {
     // q01's predicate is a synthesized CASE (not pushable by design);
     // q03's isin IS the pushdown case the scan layer must catch.
@@ -50,29 +75,46 @@ class PlanHygieneSpec extends AnyFunSuite with SparkSpec {
   test("q15 vocab rank has no single-partition Exchange") {
     // the vocab rank is zipWithIndex-based (GlobalRank); an unpartitioned
     // row_number() window would show up as `Exchange SinglePartition`.
-    val p = plan(ReferenceQueries.q15_doc_vectors_real(spark, sf))
-    assert(!p.contains("Exchange SinglePartition"),
-      s"single-partition shuffle in q15 plan:\n$p")
+    // Execute first, then assert over the final adaptive plan's own
+    // operators (see executedOps — sparkPlan never holds an Exchange).
+    val df = ReferenceQueries.q15_doc_vectors_real(spark, sf)
+    df.collect()
+    val own = executedOps(df)
+    assert(!own.exists(_.contains("Exchange SinglePartition")),
+      s"single-partition shuffle in q15 plan:\n${own.mkString("\n")}")
   }
 
   test("q30 map-output pipeline broadcasts the wordvec dim, no single partition") {
     val df = ReferenceQueries.q30_doc_vector_map(spark, sf)
     val p = plan(df)
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
-    // assert over q30's OWN operator tree, not the toString: since the
-    // idf dimension became a session cache (round 17), the plan string
-    // embeds the cached relation's STORED definition, whose 1-row
-    // scalar aggregates (corpus N, idf floor) legitimately carry
-    // Exchange SinglePartition — one row per partition, benign at any
-    // scale, and on the build path since the dimension existed. The
-    // funnel this test exists to catch (all DATA through one
-    // partition) can only live on q30's execution operators, which
-    // collect() traverses without recursing into cached definitions.
-    val own = df.queryExecution.sparkPlan.collect {
-      case n => n.simpleString(200) }
+    // Execute, then assert over the FINAL adaptive plan's own operators
+    // (executedOps): sparkPlan never holds an Exchange, so the previous
+    // collect-over-sparkPlan form was vacuous (round-17 ADVICE). The
+    // walk still skips the cached idf dimension's STORED definition,
+    // whose 1-row scalar aggregates (corpus N, idf floor) legitimately
+    // carry Exchange SinglePartition — the funnel this test exists to
+    // catch (all DATA through one partition) can only live on q30's
+    // execution operators.
+    df.collect()
+    val own = executedOps(df)
     assert(!own.exists(_.contains("Exchange SinglePartition")),
-      s"single-partition shuffle in q30 plan:\n$p")
+      s"single-partition shuffle in q30 plan:\n${own.mkString("\n")}")
     assert(!own.exists(_.contains("CartesianProduct")))
+  }
+
+  test("executedOps sees a single-partition Exchange (negative control)") {
+    // Sensitivity pin for the helper the q15/q30 asserts stand on: a
+    // deliberately global row_number window MUST surface Exchange
+    // SinglePartition through the AQE wrappers, or those asserts are
+    // vacuous again (the round-17 ADVICE failure mode).
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(100).toDF("id")
+      .withColumn("rk", row_number().over(Window.orderBy("id")))
+    df.collect()
+    val own = executedOps(df)
+    assert(own.exists(_.contains("Exchange SinglePartition")),
+      s"helper failed to surface the global-window funnel:\n${own.mkString("\n")}")
   }
 
   test("q29 lang-dispatched tokenizer is a pure projection (no UDF, no shuffle before sort)") {
