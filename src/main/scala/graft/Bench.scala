@@ -320,7 +320,12 @@ object Bench {
       // all-pairs bitext margin truth frame (independent of x145's ANN
       // artifact — the exact leg shares nothing with the index).
       "q11_idf", "x02_dedup_minhash", "x29_dup_clusters",
-      "x82_quality_model", "x144_bitext_mining")
+      "x82_quality_model", "x144_bitext_mining",
+      // x03 builds the round-18 shared (doc, token, cnt) rollup
+      // (docTokenCounts) on top of the q11-warmed token posting; x101
+      // builds the shared dense batch-ranking frame (denseBatchRanks)
+      // on top of the x96-warmed BM25 artifact
+      "x03_dedup_simhash", "x101_hybrid_batch")
 
   /** Plausibility band for the cold probes (round-15 verdict gap #3:
     * warm pins get median/p90/watch/family_watch normalization while
@@ -425,6 +430,52 @@ object Bench {
     else if (sentMedian <= 1.25) "code"
     else "unresolved"
   }
+
+  /** JSON number: doubles render with Scala's toString (valid JSON,
+    * incl. exponent notation); non-finite values — which JSON cannot
+    * carry and which made a whole artifact unparseable — record as -1.
+    */
+  private[graft] def jsonNum(v: Double): String =
+    if (java.lang.Double.isFinite(v)) v.toString else "-1.0"
+
+  private[graft] def jsonMap(m: Seq[(String, Double)]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + jsonNum(v) }
+      .mkString("{", ",", "}")
+
+  private[graft] def jsonArr(xs: Seq[String]): String =
+    xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  /** The ONE-LINE artifact, assembled purely so BenchGateSpec can
+    * round-trip a full-sized (181-query) line through a strict JSON
+    * parser — BENCH_r16.json printed with rc 0 but never parsed,
+    * costing round 17 its whole driver-side PERF comparison (round-17
+    * verdict #5). Field order and formatting are the historical
+    * contract; every numeric goes through [[jsonNum]].
+    */
+  private[graft] def artifactLine(total: Double,
+      queries: Seq[(String, Double)], failed: Seq[String], sfDir: String,
+      runs: Int, loadStart: Double, loadEnd: Double, stealPct: Double,
+      ledgerQueries: Int, medianRatio: Double, p90Ratio: Double,
+      cpuMedianRatio: Double, retried: Seq[String], suspect: Seq[String],
+      watch: Seq[String], familyWatch: Seq[String], epochVerdict: String,
+      bracketJson: String, cold: Seq[(String, Double)],
+      coldWatch: Seq[String], cpu: Seq[(String, Double)],
+      coldCpu: Seq[(String, Double)], contended: Boolean): String =
+    s"""{"metric":"total","value":${jsonNum(total)},"unit":"sec",""" +
+      s""""queries":${jsonMap(queries)},"failed":${jsonArr(failed)},""" +
+      s""""sf":"$sfDir","runs_per_query":$runs,""" +
+      s""""loadavg_start":${jsonNum(loadStart)},"loadavg_end":${jsonNum(loadEnd)},""" +
+      s""""steal_pct":${jsonNum(math.rint(stealPct * 100) / 100)},""" +
+      s""""ledger_queries":$ledgerQueries,""" +
+      s""""median_ledger_ratio":${jsonNum(math.rint(medianRatio * 1000) / 1000)},""" +
+      s""""p90_ledger_ratio":${jsonNum(math.rint(p90Ratio * 1000) / 1000)},""" +
+      s""""cpu_median_ledger_ratio":${jsonNum(math.rint(cpuMedianRatio * 1000) / 1000)},""" +
+      s""""retried":${jsonArr(retried)},"suspect":${jsonArr(suspect)},""" +
+      s""""watch":${jsonArr(watch)},"family_watch":${jsonArr(familyWatch)},""" +
+      s""""epoch_verdict":"$epochVerdict","bracket":$bracketJson,""" +
+      s""""cold":${jsonMap(cold)},"cold_watch":${jsonArr(coldWatch)},""" +
+      s""""cpu":${jsonMap(cpu)},"cold_cpu":${jsonMap(coldCpu)},""" +
+      s""""contended":$contended}"""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -599,10 +650,7 @@ object Bench {
       if (totalStart0 >= 0 && totalEnd > totalStart0)
         100.0 * (stealEnd - stealStart0) / (totalEnd - totalStart0)
       else -1.0
-    val qs = timed.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = timed.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val failedNames = timed.collect { case (k, v) if v < 0 => k }
     val total = timed.map { case (_, v) => math.abs(v) }.sum
     // loadavg_start is the machine's 1-min run-queue length BEFORE the
     // bench contributes anything: >2 means several external runnable
@@ -616,26 +664,18 @@ object Bench {
     val p90Ratio = p90LedgerRatio(timedMap, ledger)
     val contended = contendedVerdict(loadStart, stealPct, stillSuspect.size,
       medianRatio, p90Ratio)
-    val suspectJson = stillSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val watchJson = watchlist(timedMap, ledger)
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val familyWatchJson = familyWatch(timedMap, ledger)
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val coldJson = cold.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val coldWatchJson = coldWatch(cold.toMap, ledger, medianRatio,
-        epochClean = coldBandLive(epochVerdictStr, stillSuspect.size))
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // the steal-invariant channel: per-query min process-cpu seconds
     // (warm + cold probes) and their median ratio against the cpu:
     // pins — readable evidence even on an epoch run (see cpuPins)
-    val cpuJson = cpuMap.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val coldCpuJson = coldCpu.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val cpuMedianRatio = medianLedgerRatio(cpuMap, cpuPins(ledger))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_pct":${math.rint(stealPct * 100) / 100},"ledger_queries":${warmPinCount(ledger)},"median_ledger_ratio":${math.rint(medianRatio * 1000) / 1000},"p90_ledger_ratio":${math.rint(p90Ratio * 1000) / 1000},"cpu_median_ledger_ratio":${math.rint(cpuMedianRatio * 1000) / 1000},"retried":$retriedJson,"suspect":$suspectJson,"watch":$watchJson,"family_watch":$familyWatchJson,"epoch_verdict":"$epochVerdictStr","bracket":$bracketJson,"cold":$coldJson,"cold_watch":$coldWatchJson,"cpu":$cpuJson,"cold_cpu":$coldCpuJson,"contended":$contended}""")
+    println(artifactLine(total, timed, failedNames, sfDir, runs,
+      loadStart, loadEnd, stealPct, warmPinCount(ledger), medianRatio,
+      p90Ratio, cpuMedianRatio, retried, stillSuspect,
+      watchlist(timedMap, ledger), familyWatch(timedMap, ledger),
+      epochVerdictStr, bracketJson,
+      cold, coldWatch(cold.toMap, ledger, medianRatio,
+        epochClean = coldBandLive(epochVerdictStr, stillSuspect.size)),
+      cpuMap.toSeq.sortBy(_._1), coldCpu, contended))
     spark.stop()
   }
 }

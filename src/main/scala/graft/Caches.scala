@@ -41,6 +41,29 @@ object Caches {
       df
     })
 
+  /** Checkpoint an ITERATIVE, corpus-sized frame. `localCheckpoint`
+    * (the default) truncates lineage into executor-local, UNREPLICATED
+    * storage — free at local[32], but on a real cluster an executor
+    * loss mid-iteration fails the job instead of recomputing (round-17
+    * verdict #4). When `spark.graft.checkpointDir` (or the
+    * SPARK_GRAFT_CHECKPOINT_DIR env) names a reliable store, the
+    * iterative paths (closure propagation, PageRank, label
+    * propagation) write real checkpoints there instead. Rows are
+    * identical either way — only the storage/recovery contract moves.
+    */
+  def iterCheckpoint(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val dir = spark.conf.getOption("spark.graft.checkpointDir")
+      .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR"))
+    dir match {
+      case Some(d) =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(d)
+        df.checkpoint()
+      case None => df.localCheckpoint(true)
+    }
+  }
+
   /** Scheme-less root paths of every file source in `df`'s plan. */
   private def sourceRoots(df: DataFrame): Seq[String] =
     df.queryExecution.analyzed.collect {
@@ -50,8 +73,16 @@ object Caches {
       }
     }.flatten.distinct
 
-  private def normalize(dir: String): String =
+  /** Scheme-less, trailing-slash-free form of a dataset path — the
+    * normalization `clear(sfDir)` matches against; memo keys derived
+    * from sfDir (closureMemo) must use the same form or a relative /
+    * trailing-slash variant leaks past the release hook (round-17
+    * ADVICE).
+    */
+  private[graft] def normalizePath(dir: String): String =
     new org.apache.hadoop.fs.Path(dir).toUri.getPath.stripSuffix("/")
+
+  private def normalize(dir: String): String = normalizePath(dir)
 
   private def readsFrom(df: DataFrame, dir: String): Boolean = {
     val d = normalize(dir)

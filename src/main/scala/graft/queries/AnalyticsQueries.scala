@@ -233,8 +233,7 @@ object AnalyticsQueries {
   // element_at / map_keys / map_values. The oracle recomputes the same
   // scalars relationally.
   def x36_map_funcs(spark: SparkSession, sfDir: String): DataFrame = {
-    val counts = ReferenceQueries.docTokens(Tables.documents(spark, sfDir))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+    val counts = ReferenceQueries.docTokenCounts(Tables.documents(spark, sfDir))
     counts.groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("token"), col("cnt")))).as("tokmap"))
       .select(col("doc_id"),

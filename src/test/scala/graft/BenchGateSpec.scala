@@ -393,4 +393,46 @@ class BenchGateSpec extends AnyFunSuite {
     val regressed = cpuRun.updated("a", 31.0)
     assert(Bench.suspects(regressed, Bench.cpuPins(cpuLed)) == Seq("a"))
   }
+
+  test("artifact line round-trips a full 181-query run through a strict JSON parser") {
+    // round-16's artifact printed with rc 0 but never parsed, costing
+    // round 17 its whole driver-side PERF comparison. Pin the contract
+    // on a full-sized synthetic artifact with every awkward value the
+    // real bench can emit: negative (failed) walls, -1 sentinels,
+    // sub-normal times that render in exponent notation, and
+    // non-finite doubles (JSON cannot carry NaN/Infinity — jsonNum
+    // records them as -1 instead of poisoning the line).
+    val qs = (1 to 181).map(i => (f"x$i%03d_q", i match {
+      case 1 => -2.5          // failed convention: negative wall
+      case 2 => 1.0e-7        // exponent notation
+      case _ => i * 0.01
+    }))
+    val cold = Seq("x004_q" -> 8.9, "x005_q" -> Double.NaN)
+    val cpu = qs.take(50).map { case (k, v) => k -> math.abs(v) * 3 }
+    val line = Bench.artifactLine(
+      total = qs.map(v => math.abs(v._2)).sum, queries = qs,
+      failed = Seq("x001_q"), sfDir = "/root/testdata/sf0.1", runs = 2,
+      loadStart = 0.5, loadEnd = Double.PositiveInfinity, stealPct = 0.12,
+      ledgerQueries = 181, medianRatio = 1.001, p90Ratio = -1.0,
+      cpuMedianRatio = Double.NaN, retried = Seq("x002_q"),
+      suspect = Seq.empty, watch = Seq("x003_q"),
+      familyWatch = Seq("x091_q", "x092_q"), epochVerdict = "none",
+      bracketJson = """{"sentinels":{"x091_q":1.02},"watch":{"x003_q":2.3}}""",
+      cold = cold, coldWatch = Seq.empty, cpu = cpu,
+      coldCpu = Seq("x004_q" -> 100.2), contended = false)
+    assert(line.linesIterator.size == 1, "artifact must be ONE line")
+    // strict parse (Jackson ships with Spark); FAIL_ON_TRAILING_TOKENS
+    // would be stricter still but readTree already rejects malformed JSON
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(line)
+    assert(root.get("queries").size() === 181)
+    assert(root.get("queries").get("x001_q").asDouble() === -2.5)
+    assert(root.get("queries").get("x002_q").asDouble() === 1.0e-7)
+    assert(root.get("failed").get(0).asText() === "x001_q")
+    assert(root.get("cold").get("x005_q").asDouble() === -1.0, "NaN must sanitize")
+    assert(root.get("loadavg_end").asDouble() === -1.0, "Infinity must sanitize")
+    assert(root.get("cpu_median_ledger_ratio").asDouble() === -1.0)
+    assert(root.get("bracket").get("watch").get("x003_q").asDouble() === 2.3)
+    assert(!root.get("contended").asBoolean())
+  }
 }

@@ -101,4 +101,23 @@ class StarClosureSpec extends AnyFunSuite with SparkSpec {
       l(21L) === 20L)
     assert(starOf(Seq((8L, 8L), (1L, 2L))) === Map(8L -> 8L, 1L -> 1L, 2L -> 1L))
   }
+
+  test("reliable checkpoint option: conf-directed rounds write real checkpoints, labels unchanged") {
+    // round-17 verdict #4: localCheckpoint truncates lineage into
+    // executor-local, unreplicated storage — fine at local[32], fatal
+    // to an iteration on executor loss at cluster scale. With
+    // spark.graft.checkpointDir set, Caches.iterCheckpoint routes every
+    // iterative round through a RELIABLE checkpoint instead; rows must
+    // be identical and checkpoint files must actually land in the dir.
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L))
+    val base = labelsOf(edges)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      assert(labelsOf(edges) === base, "reliable path changed the labels")
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, s"no checkpoint files under $dir")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
 }
