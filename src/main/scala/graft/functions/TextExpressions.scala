@@ -99,6 +99,130 @@ object Tokens {
   }
 }
 
+/** Native per-language tokenization — [[Tokens]]' scan generalized to
+  * the full rule table (round-17 verdict ask #6): a single pass over
+  * the CHARS of the codegen'd `lower()` of the input, classifying each
+  * against three code-point range sets:
+  *
+  *   - `tok`: token characters — maximal runs become one token (the
+  *     es/de/fr/ru letter classes, the ASCII alnum base, Arabic
+  *     letters);
+  *   - `big`: script characters — maximal runs emit their L-1
+  *     consecutive char BIGRAMS (a lone char emits itself) — the
+  *     zh/ja/ko dictionary-less rule;
+  *   - `ign`: transparent characters — skipped without closing the
+  *     current run (Arabic tashkeel + tatweel: stripping them JOINS
+  *     the surrounding letters, exactly like the regexp_replace the
+  *     rule replaces).
+  *
+  * Equivalence to the regex Column forms, rule by rule: all class
+  * characters are BMP, so Java chars == code points inside any run; a
+  * char not in any set is a separator under both definitions
+  * (including each half of a surrogate pair — non-BMP code points are
+  * separators in the regex forms too); alternation runs
+  * (`[a-z0-9]+|[script]+`) switch segment exactly where the scan's
+  * run type changes; and the ignore set reproduces strip-then-split
+  * because a stripped mark neither breaks nor extends a run.
+  * TokenizeSpec pins every rule against its regex form by property
+  * test (incl. KELVIN SIGN / İ, which the shared leading `lower()`
+  * maps identically for both forms). No regex machinery on the scan
+  * path — the [[Tokens]] cold/JIT-footprint win extended to the
+  * per-language dispatch (q29/q31/q33/q34, q32's multilang posting).
+  */
+case class RuleTokens(child: Expression, tok: Seq[Int], big: Seq[Int],
+    ign: Seq[Int]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  @transient private lazy val tokA = tok.toArray
+  @transient private lazy val bigA = big.toArray
+  @transient private lazy val ignA = ign.toArray
+  override def nullSafeEval(v: Any): Any =
+    RuleTokens.split(v.asInstanceOf[UTF8String], tokA, bigA, ignA)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("ruleTok", tok.toArray, "int[]")
+    val b = ctx.addReferenceObj("ruleBig", big.toArray, "int[]")
+    val g = ctx.addReferenceObj("ruleIgn", ign.toArray, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RuleTokens.split($c, $t, $b, $g);")
+  }
+  override protected def withNewChildInternal(c: Expression): RuleTokens =
+    copy(child = c)
+  override def prettyName: String = "graft_rule_tokens"
+}
+
+object RuleTokens {
+  /** Column form over the codegen'd `lower()` (the [[Tokens]]
+    * convention); class strings are regex class BODIES, empty = unused.
+    */
+  def apply(c: Column, tokCls: String, bigCls: String = "",
+      ignCls: String = ""): Column =
+    ColumnShim.column(RuleTokens(
+      ColumnShim.expression(org.apache.spark.sql.functions.lower(c)),
+      parseClass(tokCls).toSeq, parseClass(bigCls).toSeq,
+      parseClass(ignCls).toSeq))
+
+  /** Flat [lo0, hi0, lo1, hi1, …] range list from a regex character
+    * CLASS BODY ("a-z0-9áéíóúüñ") — the class strings stay the single
+    * source of truth shared with the SQL oracles.
+    */
+  private[functions] def parseClass(cls: String): Array[Int] = {
+    val cps = cls.codePoints().toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < cps.length) {
+      if (i + 2 < cps.length && cps(i + 1) == '-') {
+        out += cps(i); out += cps(i + 2); i += 3
+      } else { out += cps(i); out += cps(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  private def in(ranges: Array[Int], cp: Int): Boolean = {
+    var i = 0
+    while (i < ranges.length) {
+      if (cp >= ranges(i) && cp <= ranges(i + 1)) return true
+      i += 2
+    }
+    false
+  }
+
+  def split(s: UTF8String, tok: Array[Int], big: Array[Int],
+      ign: Array[Int]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    val run = new java.lang.StringBuilder(16)
+    var runBig = false
+    def flush(): Unit = {
+      if (run.length() > 0) {
+        if (runBig && run.length() >= 2) {
+          var i = 0
+          while (i < run.length() - 1) {
+            out += UTF8String.fromString(run.substring(i, i + 2)); i += 1
+          }
+        } else out += UTF8String.fromString(run.toString)
+        run.setLength(0)
+      }
+    }
+    var i = 0
+    while (i < n) {
+      val cp = str.charAt(i).toInt // class chars are BMP; surrogates
+      // fall to the separator branch below, same as the regex forms
+      if (in(ign, cp)) () // transparent: neither breaks nor extends
+      else if (in(tok, cp)) {
+        if (runBig) { flush(); runBig = false }
+        run.append(str.charAt(i)); ()
+      } else if (in(big, cp)) {
+        if (!runBig && run.length() > 0) flush()
+        runBig = true
+        run.append(str.charAt(i)); ()
+      } else flush()
+      i += 1
+    }
+    flush()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 object TokenCount {
   def apply(c: Column): Column =
     ColumnShim.column(TokenCount(ColumnShim.expression(

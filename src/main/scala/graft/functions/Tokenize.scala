@@ -64,9 +64,12 @@ object Tokenize {
     else {
       val cls = letterClass(lang)
       // the ASCII rule (en + unknown-lang fallback) is the base
-      // tokenizer — route it to the same native expression
+      // tokenizer — route it to the same native expression; the
+      // diacritic classes go through the native char-scan rule
+      // (RuleTokens — round-17 verdict ask #6; TokenizeSpec pins each
+      // class against its regex form by property test)
       if (cls == "a-z0-9") tokens(c)
-      else filter(split(lower(c), s"[^$cls]+"), t => t =!= lit(""))
+      else graft.functions.RuleTokens(c, cls)
     }
 
   /** CJK Unified Ideographs, as a character-class BODY of literal chars
@@ -137,8 +140,10 @@ object Tokenize {
     * بـــيانات equals بيانات. Pure codegen'd regexp functions.
     */
   def arTokens(c: Column): Column =
-    filter(split(regexp_replace(lower(c), s"[$ArDiacritics]", ""),
-      s"[^a-z0-9$ArLetters]+"), t => t =!= lit(""))
+    // native char-scan form: the diacritics are the IGNORE set — a
+    // stripped mark neither breaks nor extends the host run, exactly
+    // the regexp_replace-then-split semantics (TokenizeSpec pins it)
+    graft.functions.RuleTokens(c, s"a-z0-9$ArLetters", ignCls = ArDiacritics)
 
   /** The shared run-bigram core: split into maximal runs of alnum OR
     * `range` chars; an alnum run is one token (the ASCII rule), a
@@ -147,15 +152,12 @@ object Tokenize {
     * per-run either wrap or slide a 2-char window; no UDF, stays in
     * whole-stage codegen at scan scale.
     */
-  private def scriptBigrams(c: Column, range: String): Column = {
-    val segs = regexp_extract_all(lower(c), lit(s"[a-z0-9]+|[$range]+"), lit(0))
-    flatten(transform(segs, s =>
-      when(s.rlike(s"^[$range]") && length(s) >= 2,
-        // sequence(a,b) counts DOWN when a > b — the length>=2 guard
-        // above keeps the bound ascending.
-        transform(sequence(lit(1), length(s) - 1), i => s.substr(i, lit(2))))
-        .otherwise(array(s))))
-  }
+  private def scriptBigrams(c: Column, range: String): Column =
+    // native char-scan form of the old regexp_extract_all + HOF chain
+    // (round-17 verdict ask #6): alnum runs are single tokens, script
+    // runs emit their L-1 bigrams — one pass, no regex machinery
+    // (TokenizeSpec pins each script rule against the regex form)
+    graft.functions.RuleTokens(c, "a-z0-9", bigCls = range)
 
   /** tokens dispatched on a lang COLUMN — a codegen'd CASE over the
     * rule table (no UDF, one pass; each branch is a plain regex split).

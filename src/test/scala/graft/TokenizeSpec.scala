@@ -238,6 +238,74 @@ class TokenizeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: native RuleTokens equals each regex Column form (es/de/fr/ru)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    // the native char-scan rules replaced filter(split(lower, ...))
+    // per class (round-17 verdict ask #6) — pin EXACT equality against
+    // the regex forms themselves, both sides through Spark's lower(),
+    // including uppercase class letters and the exotic mappings
+    // (KELVIN → 'k', İ → 'i'+combining dot)
+    for ((lang, cls) <- Tokenize.langLetters if lang != "en") {
+      val classChars = cls.replace("a-z", "az").replace("0-9", "09")
+        .replace("а-я", "аяб").toSeq
+      val gen = Gen.listOf(Gen.frequency(
+        4 -> Gen.oneOf(classChars),
+        3 -> Gen.alphaNumChar,
+        2 -> Gen.oneOf(' ', ',', '.', '!', '\n', 'Ñ', 'Ж', 'K', 'İ', '中')))
+        .map(_.mkString)
+      val prop = forAll(gen) { s =>
+        val both = Seq(s).toDF("text").select(
+            Tokenize.tokens(col("text"), lang).as("native"),
+            filter(split(lower(col("text")), s"[^$cls]+"),
+              t => t =!= lit("")).as("regex"))
+          .as[(Seq[String], Seq[String])].head()
+        both._1 == both._2
+      }
+      val result = org.scalacheck.Test.check(
+        org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
+      assert(result.passed, s"$lang: ${result.status}")
+    }
+  }
+
+  test("property: native script-bigram and ar rules equal the old regex chains") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    // the pre-round-18 Column forms, verbatim: regexp_extract_all +
+    // HOF bigrams for the script rules, regexp_replace + split for ar
+    def regexBigrams(c: org.apache.spark.sql.Column, range: String) = {
+      val segs = regexp_extract_all(lower(c), lit(s"[a-z0-9]+|[$range]+"), lit(0))
+      flatten(transform(segs, s =>
+        when(s.rlike(s"^[$range]") && length(s) >= 2,
+          transform(sequence(lit(1), length(s) - 1), i => s.substr(i, lit(2))))
+          .otherwise(array(s))))
+    }
+    def regexAr(c: org.apache.spark.sql.Column) =
+      filter(split(regexp_replace(lower(c), s"[${Tokenize.ArDiacritics}]", ""),
+        s"[^a-z0-9${Tokenize.ArLetters}]+"), t => t =!= lit(""))
+    val gen = Gen.listOf(Gen.frequency(
+      3 -> Gen.oneOf('大', '数', '据', '日', '本', 'デ', 'ー', '한', '국', 'ㅋ'),
+      2 -> Gen.oneOf('م', 'ع', 'ا', 'ل', 'ة', 'ً', 'ّ', 'ـ'),
+      3 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', ',', '。', '!', '\n', 'K', 'İ'))).map(_.mkString)
+    val cases = Seq(
+      ("zh", Tokenize.cjkTokens _, regexBigrams(_: org.apache.spark.sql.Column, Tokenize.CjkRange)),
+      ("ja", Tokenize.jaTokens _, regexBigrams(_: org.apache.spark.sql.Column, Tokenize.JaRange)),
+      ("ko", Tokenize.koTokens _, regexBigrams(_: org.apache.spark.sql.Column, Tokenize.KoRange)),
+      ("ar", Tokenize.arTokens _, regexAr _))
+    for ((lang, native, regex) <- cases) {
+      val prop = forAll(gen) { s =>
+        val both = Seq(s).toDF("text").select(
+            native(col("text")).as("native"), regex(col("text")).as("regex"))
+          .as[(Seq[String], Seq[String])].head()
+        both._1 == both._2
+      }
+      val result = org.scalacheck.Test.check(
+        org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
+      assert(result.passed, s"$lang: ${result.status}")
+    }
+  }
+
   test("tokensByLang dispatches on the lang column") {
     val df = Seq(("ñoño", "es"), ("ñoño", "en")).toDF("text", "lang")
       .select(Tokenize.tokensByLang(col("text"), col("lang")).as("t"))
